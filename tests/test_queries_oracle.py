@@ -1,0 +1,31 @@
+"""End-to-end parity: every catalog query vs its DuckDB oracle at sf0.001.
+
+Mirrors the driver's correctness gate (CORRECTNESS_r{N}.json): each
+``queries()`` entry runs on Spark and its ``oracle_sql()`` twin runs on
+DuckDB over the same parquet; results compared order-insensitively.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spacex_data_engineering_pipeline_spark.plans.queries import ORACLE_SQL, QUERIES
+
+from .oracle_compare import compare_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, oracle, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLE_SQL:
+        compare_to_oracle(df, oracle, ORACLE_SQL[name])
+    else:
+        # rows-only check for non-SQL-expressible operators
+        assert df.count() >= 0
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = set(QUERIES) - set(ORACLE_SQL)
+    # Non-SQL-expressible ops may be exempt; keep the list explicit.
+    allowed_missing = set()
+    assert missing <= allowed_missing, f"queries without oracle: {missing}"
