@@ -1,0 +1,152 @@
+"""Text-analysis expressions for large-scale document pipelines
+(SURVEY §2.11 north-star: token counting, quality scoring, language-ID
+heuristic, document fingerprinting).
+
+Everything here is a Column expression over native functions — JVM-side,
+codegen-friendly, no Python boundary — so a 100 TB documents table runs
+these at scan speed. Regex patterns are RE2/Java-compatible ASCII classes
+so DuckDB oracles can mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace word split and a BPE-ish token pattern (word runs or single
+# non-space punctuation), identical semantics in Java regex and RE2.
+WORD_SPLIT_RE = r"\s+"
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+PUNCT_CLASS_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+# Tiny per-language stopword markers for the heuristic language-ID.
+# Deliberately small and ASCII: the point is the *operator shape*
+# (per-language evidence counts → argmax), not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), WORD_SPLIT_RE)
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (reference-free; north-star token counting)."""
+    return F.size(words(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: word runs + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_count(text: Column) -> Column:
+    """Number of punctuation characters (explicit ASCII class)."""
+    return F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS_RE, ""))
+
+
+_SLICE_ALL = 1 << 30  # slice length "to the end" (slice tolerates overrun)
+
+
+def ngrams_from_words(w: Column, n: int) -> Column:
+    """Word n-grams from a token-array column via a zip_with chain of
+    shifted copies — the reference-safe idiom for Spark's optimizer.
+
+    WHY NOT sequence+transform+slice: Catalyst freely inlines a
+    referenced expression into lambda bodies (CollapseProject /
+    ColumnPruning), and subexpression elimination skips lambda and
+    conditional contexts — so ``slice(w, i, n)`` per element re-derives
+    ``w`` per shingle: O(words²) per row. Here each shifted copy
+    references ``w`` exactly once at row level and the lambdas touch
+    only their element arguments, so the plan stays O(n·words) per row
+    no matter how the optimizer rewrites it.
+
+    zip_with pads the shorter (shifted) arrays with NULLs; concat
+    propagates NULL, and the final filter drops those tail entries —
+    which also makes texts with fewer than ``n`` words yield an empty
+    array with no conditional guard at all.
+    """
+    acc = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, _SLICE_ALL)
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (shingles) joined by single spaces;
+    texts with fewer than ``n`` words yield an empty array.
+    """
+    return ngrams_from_words(F.split(F.trim(text), WORD_SPLIT_RE), n)
+
+
+def with_word_ngrams(
+    df: DataFrame, text_col: str, n: int, out_col: str = "grams", distinct: bool = False
+) -> DataFrame:
+    """Append a word-``n``-gram shingle column (optionally de-duplicated)."""
+    grams = word_ngrams(F.col(text_col), n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return df.withColumn(out_col, grams)
+
+
+def fingerprint(text: Column, n: int = 5) -> Column:
+    """Rolling-hash document fingerprint: lexicographic min of the MD5s
+    of the word-``n``-gram shingles (a 1-permutation MinHash / winnowing
+    style sketch). Short documents fall back to MD5 of the trimmed text.
+
+    MD5 (not xxhash64) so heterogeneous engines agree on the digest.
+    """
+    grams = word_ngrams(text, n)
+    return F.when(
+        F.size(grams) > 0, F.array_min(F.transform(grams, F.md5))
+    ).otherwise(F.md5(F.trim(text)))
+
+
+def lang_marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many tokens of ``text`` are in the marker list (case-insensitive)."""
+    lowered = F.transform(words(text), F.lower)
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(F.array_distinct(lowered), marker_arr))
+
+
+def predicted_lang(text: Column) -> Column:
+    """Heuristic language-ID: argmax of per-language marker hits with a
+    fixed language-order tiebreak; no hits at all → 'und' (undetermined).
+    """
+    hits = {lang: lang_marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Reverse order so earlier languages win ties (last write wins below).
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.4·length-score + 0.3·punctuation-score + 0.3·stopword-score.
+
+    Mirrors the heuristics production LLM-data pipelines use (length,
+    punctuation density, stopword density) with every term expressible
+    in portable SQL. Operand order is fixed so double arithmetic is
+    bit-identical across engines.
+    """
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    p_ratio = punct_count(text).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(5.0) * p_ratio)
+    stop_hits = lang_marker_hits(text, LANG_MARKERS["en"]).cast("double")
+    stop_score = F.least(F.lit(1.0), F.lit(4.0) * stop_hits / F.greatest(n_tok, F.lit(1.0)))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * stop_score, 4
+    )

@@ -1,0 +1,277 @@
+"""Deduplication operators for large text corpora (SURVEY §2.11).
+
+Four tiers, all shuffle-disciplined for the 100 TB path:
+
+- ``exact_dedup``      — hash-partitioned exact duplicate removal.
+- ``ngram_jaccard_pairs`` — exact set-overlap pairs within a blocking key.
+- ``minhash_near_dup_pairs`` — MinHash signatures → LSH banding →
+  bucket-join candidates → exact-Jaccard verification. Entirely native
+  expressions (xxhash64 / transform / array_min), no Python boundary.
+- ``simhash`` — 64-bit SimHash via an Arrow-batched pandas UDF
+  (vectorized bit-packing is the one step built-ins can't express).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spacex_data_engineering_pipeline_spark.functions.text import with_word_ngrams
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """Keep exactly one row per duplicate group, deterministically.
+
+    Window-partitions by ``xxhash64(keys)`` *and* the keys themselves:
+    the 8-byte hash makes the shuffle key fixed-width at scale (don't
+    shuffle multi-KB text), the raw keys break hash collisions, and the
+    ``order_cols`` pick the surviving row (reference resolves the same
+    problem with ON CONFLICT (pk) DO UPDATE, src/database.py:169-184).
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(F.xxhash64(*keys), *keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    min_jaccard_micro: int = 500_000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing a
+    blocking key; emits pairs with similarity ≥ threshold.
+
+    Jaccard is reported in exact integer micro-units
+    (``floor(|∩| * 1_000_000 / |∪|)``) so heterogeneous engines agree
+    bit-for-bit with no float-rounding hazard.
+
+    Scale — inverted-index plan, NOT a blocked cross-product:
+    1. explode distinct shingles → (block, gram, doc, |grams|);
+    2. equi-join on (block, gram) → one row per co-occurring gram per
+       pair: cost is Σ|posting list|², not |block|²·|grams| — shuffles
+       narrow fixed-width rows, never the gram arrays;
+    3. groupBy pair → shared-gram count (map-side partial agg), then
+       jaccard from the carried set sizes.
+    Pairs sharing zero grams never materialize (their jaccard is 0,
+    below any positive threshold). Hot shingles (stop-gram posting
+    lists) are the skew risk — AQE skew-join splits them.
+    """
+    grams = (
+        with_word_ngrams(df, text_col, n, out_col="grams", distinct=True)
+        .select(F.col(id_col).alias("doc"), F.col(block_col).alias("block"), "grams")
+        .filter(F.size("grams") > 0)
+        .select("doc", "block", F.size("grams").cast("long").alias("n_grams"), "grams")
+    )
+    postings = grams.select(
+        "doc", "block", "n_grams", F.explode("grams").alias("gram")
+    )
+    # True self-join (same lineage, aliased): the shuffle exchange under
+    # both sides canonicalizes identically, so Spark plans ONE shingle+
+    # explode+exchange subtree and reuses it (ReusedExchange) instead of
+    # computing the postings twice.
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        shared.withColumn(
+            "jaccard_micro", F.floor((F.col("inter") * F.lit(1_000_000)) / union).cast("long")
+        )
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+        .select("doc_a", "doc_b", "jaccard_micro")
+    )
+
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def _band_minhash(shingles: Column, lo: int, hi: int) -> Column:
+    """Min-hash vector for hash indices [lo, hi) over a shingle-array
+    column: per shingle compute the (hi-lo) hashes, then fold with an
+    element-wise ``least`` — the shingle array is referenced exactly
+    once, so optimizer inlining can't multiply the work (see
+    functions/text.py ``ngrams_from_words`` for the full story).
+    """
+    per_shingle = F.transform(
+        shingles,
+        lambda s: F.transform(F.sequence(F.lit(lo), F.lit(hi - 1)), lambda i: F.xxhash64(s, i)),
+    )
+    init = F.array_repeat(F.lit(_MAX_LONG), hi - lo)
+    return F.aggregate(
+        per_shingle, init, lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: k independent min-hashes of the
+    word-shingle set, via ``xxhash64(shingle, seed_i)`` — all native
+    expressions, one narrow map stage, O(shingles·k) per row.
+    """
+    return (
+        with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", _band_minhash(F.col("shingles"), 0, num_hashes))
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard_micro: int = 500_000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verification.
+
+    Plan shape (the standard scale-out LSH pipeline):
+    1. signature stage — narrow map, no shuffle;
+    2. band explode — k/bands-wide band keys, one shuffle on
+       (band_idx, band_hash): only docs agreeing on a whole band meet;
+    3. candidate pairs — within-bucket self-pairing, dedup'd;
+    4. verification — join shingle sets back, exact integer-micro
+       Jaccard, threshold filter (kills LSH false positives).
+
+    Returns (doc_a, doc_b, jaccard_micro BIGINT).
+    """
+    rows_per_band = num_hashes // bands
+    grams = (
+        with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .filter(F.size("shingles") > 0)
+    )
+
+    # Per-band min-hash directly (never materialize-then-slice the full
+    # signature: a sliced signature expression gets inlined into each
+    # band lambda and recomputed ``bands`` times). Total work stays
+    # O(shingles · num_hashes) per row.
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    _band_minhash(
+                        F.col("shingles"), b * rows_per_band, (b + 1) * rows_per_band
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        grams.select("doc", F.explode(band_arr).alias("band"))
+        .select("doc", "band.band_idx", "band.band_hash")
+        # shuffle once on the bucket key; both self-join branches reuse it
+        .repartition("band_idx", "band_hash")
+    )
+
+    bl, br = banded.alias("l"), banded.alias("r")
+    candidates = (
+        bl.join(
+            br,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    # Exact verification: join the shingle sets back by doc id (narrow
+    # keys through the LSH shuffle; arrays move only for candidates).
+    ga = grams.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("grams_a"))
+    gb = grams.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b"))).cast("long")
+    union = (
+        F.size(F.col("grams_a")).cast("long") + F.size(F.col("grams_b")).cast("long") - inter
+    )
+    return (
+        candidates.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long"))
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+        .select("doc_a", "doc_b", "jaccard_micro")
+    )
+
+
+def _simhash64_udf():
+    """64-bit SimHash over whitespace tokens, Arrow-batched pandas UDF.
+
+    Built lazily (pandas_udf needs an active SparkSession). Per token:
+    MD5 → first 8 bytes as the token hash (portable across engines,
+    unlike Python's salted ``hash``); per document: numpy majority vote
+    per bit — the whole batch is vectorized, no per-row Python beyond
+    the hashing loop Arrow amortizes.
+    """
+    import hashlib
+
+    import numpy as np
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        out = []
+        for text in texts:
+            if text is None:
+                out.append(None)
+                continue
+            tokens = text.split()
+            if not tokens:
+                out.append(0)
+                continue
+            hashes = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                    for t in tokens
+                ),
+                dtype=np.uint64,
+                count=len(tokens),
+            )
+            # bits[i, b] = bit b of hash i → per-bit majority vote
+            bits = (hashes[:, None] >> bit_idx) & np.uint64(1)
+            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(tokens)
+            v = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+            # two's-complement into signed 64-bit for Spark LongType
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="object")
+
+    return simhash64
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash per document plus 4×16-bit band keys: documents within
+    Hamming distance 3 share at least one band (pigeonhole), so
+    near-dup search = equi-join on any band — no pairwise scan.
+    """
+    simhash64 = _simhash64_udf()
+    sh = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("simhash"))
+    for i in range(4):
+        sh = sh.withColumn(
+            f"band{i}", F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        )
+    return sh

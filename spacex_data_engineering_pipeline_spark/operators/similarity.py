@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (SURVEY §2.11).
+
+- ``cosine_scores`` / ``brute_force_topk`` — exact cosine against one
+  query vector: a single narrow map stage (no shuffle), the correctness
+  baseline and perfectly adequate when queries are few.
+- ``rp_lsh_buckets`` / ``ann_topk`` — random-hyperplane LSH: vectors
+  bucketed by sign pattern; search touches only the query's bucket
+  (plus optional multi-probe neighbors). The 100 TB path: bucketing is
+  a narrow map + one equi-join instead of an all-pairs scan.
+
+Hyperplanes come from a seeded generator so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.functions.vectors import cosine, dot
+
+
+def cosine_scores(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], decimals: int = 6
+) -> DataFrame:
+    """Cosine of every row's vector vs a literal query vector, rounded
+    to ``decimals`` so ranking ties are well-defined across engines.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), decimals).alias("cos_sim"),
+    )
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by (rounded cosine desc, id asc) — TakeOrderedAndProject,
+    per-partition heaps, k-row driver merge; no global sort.
+    """
+    scored = cosine_scores(df, id_col, vec_col, query_vec)
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def rp_lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Bucket id = bit-packed signs of <v, plane_i> — a narrow map stage.
+
+    At 100 TB the bucketed table is written partitioned by ``bucket`` so
+    an ANN query prunes to one partition at scan time.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(F.col(vec_col), p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Recall/cost trade-off is ``n_planes`` (2^planes buckets). Exactness
+    is verified in tests against ``brute_force_topk`` within the bucket.
+    """
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    bucketed = rp_lsh_buckets(df, id_col, vec_col, planes)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if s >= 0:
+            qsig |= 1 << i
+    in_bucket = bucketed.filter(F.col("bucket") == qsig)
+    return brute_force_topk(in_bucket, id_col, vec_col, query_vec, k)

@@ -485,3 +485,283 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE_SQL)
+
+
+# ===========================================================================
+# §2.11 north-star operators: text analysis, dedup, similarity, multimodal
+# ===========================================================================
+
+from spacex_data_engineering_pipeline_spark.functions import text as T  # noqa: E402
+from spacex_data_engineering_pipeline_spark.operators import dedup as D  # noqa: E402
+from spacex_data_engineering_pipeline_spark.operators import multimodal as M  # noqa: E402
+from spacex_data_engineering_pipeline_spark.operators import similarity as S  # noqa: E402
+
+# DuckDB fragments mirroring functions/text.py exactly (same regexes,
+# same operand order) so doubles come out bit-identical.
+_DUCK_WORDS = r"string_split_regex(trim(text), '\s+')"
+_DUCK_NTOK = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    rf"ELSE length({_DUCK_WORDS}) END"
+)
+_DUCK_PUNCT_RE = r"[.,;:!?''\"()\[\]{{}}-]".replace("{{", "{").replace("}}", "}")
+
+
+@_register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST({_DUCK_NTOK} AS BIGINT) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text analysis): whitespace tokens and
+    a BPE-ish regex token count — all native regexp expressions, so a
+    100 TB corpus tokenizes at scan speed inside codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@_register(
+    "text_quality_scores",
+    oracle=rf"""
+    SELECT doc_id,
+           ROUND(0.4 * least(1.0, n_tok / 100.0)
+               + 0.3 * greatest(0.0, 1.0 - 5.0 * (p_cnt / greatest(len_c, 1.0)))
+               + 0.3 * least(1.0, 4.0 * stop_hits / greatest(n_tok, 1.0)), 4)
+               AS quality_score
+    FROM (
+        SELECT doc_id,
+               CAST({_DUCK_NTOK} AS DOUBLE) AS n_tok,
+               CAST(length(text) - length(regexp_replace(text, '{_DUCK_PUNCT_RE}', '', 'g')) AS DOUBLE) AS p_cnt,
+               CAST(length(text) AS DOUBLE) AS len_c,
+               CAST(length(list_intersect(
+                        list_distinct(list_transform({_DUCK_WORDS}, w -> lower(w))),
+                        ['the','and','is','of','to'])) AS DOUBLE) AS stop_hits
+        FROM documents
+    )
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / punctuation-density / stopword
+    ratio) — the standard pre-training corpus filter, oracle-matched
+    bit-for-bit by fixing operand order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality_score"))
+
+
+@_register(
+    "lang_id_heuristic",
+    oracle=rf"""
+    SELECT doc_id,
+           CASE WHEN best > 0 AND h_en = best THEN 'en'
+                WHEN best > 0 AND h_es = best THEN 'es'
+                WHEN best > 0 AND h_de = best THEN 'de'
+                WHEN best > 0 AND h_fr = best THEN 'fr'
+                ELSE 'und' END AS predicted_lang
+    FROM (
+        SELECT doc_id, h_en, h_es, h_de, h_fr,
+               greatest(h_en, h_es, h_de, h_fr) AS best
+        FROM (
+            SELECT doc_id,
+                   length(list_intersect(lw, ['the','and','is','of','to'])) AS h_en,
+                   length(list_intersect(lw, ['el','la','de','que','y'])) AS h_es,
+                   length(list_intersect(lw, ['der','die','und','das','ist'])) AS h_de,
+                   length(list_intersect(lw, ['le','la','les','et','est'])) AS h_fr
+            FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform({_DUCK_WORDS}, w -> lower(w))) AS lw
+                FROM documents
+            )
+        )
+    )
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via per-language stopword-marker evidence counts and
+    a fixed-priority argmax ('und' when no markers hit).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.predicted_lang(F.col("text")).alias("predicted_lang"))
+
+
+@_register(
+    "doc_fingerprints",
+    oracle=rf"""
+    SELECT doc_id,
+           CASE WHEN len(w) >= 5
+                THEN list_min(list_transform(
+                         generate_series(1, len(w) - 4),
+                         i -> md5(array_to_string(list_slice(w, i, i + 4), ' '))))
+                ELSE md5(trim(text)) END AS fingerprint
+    FROM (SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents)
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min-MD5 over word-5-gram
+    shingles (1-perm MinHash / winnowing sketch); short docs fall back
+    to MD5 of the whole trimmed text.
+
+    Shingles are staged as an attribute (``with_word_ngrams``) so the
+    per-row cost is linear in words, not quadratic — see
+    functions/text.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = T.with_word_ngrams(docs, "text", 5, out_col="__grams")
+    return staged.select(
+        "doc_id",
+        F.when(
+            F.size("__grams") > 0, F.array_min(F.transform(F.col("__grams"), F.md5))
+        )
+        .otherwise(F.md5(F.trim(F.col("text"))))
+        .alias("fingerprint"),
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    oracle=rf"""
+    WITH g AS (
+        SELECT doc_id AS doc, source AS block,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, source, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))))
+                AS BIGINT) AS jaccard_micro
+    FROM g a JOIN g b ON a.block = b.block AND a.doc < b.doc
+    WHERE CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))))
+               AS BIGINT) >= 100000
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs within a blocking key
+    (source). Jaccard reported in integer micro-units — exact integer /
+    double-division parity across engines, no float-rounding hazard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, min_jaccard_micro=100_000
+    )
+
+
+@_register("minhash_near_dup_pairs")  # no SQL oracle: xxhash64 is Spark-specific
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH(16 bands × 4 rows) → exact-Jaccard verification.
+    Non-SQL-expressible (xxhash64 signatures); correctness is covered by
+    tests comparing LSH output against exact pairwise Jaccard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, min_jaccard_micro=300_000
+    )
+
+
+@_register("simhash_buckets")  # no SQL oracle: pandas-UDF bit-packing
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash + 4×16-bit band keys per document (Hamming≤3
+    near-dups share a band). Arrow-batched pandas UDF — the one dedup
+    step not expressible with native functions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_buckets(docs, "doc_id", "text")
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Fixed ANN query vector: embedding of vec_id=0 (a driver-side
+    point lookup, the analogue of the reference's /latest probe)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_DUCK_COSINE = """
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))
+"""
+
+
+@_register(
+    "embedding_cosine_scores",
+    oracle=f"""
+    SELECT e.vec_id, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    """,
+)
+def embedding_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine of every embedding vs a fixed query vector —
+    a single narrow map stage (no shuffle), the ANN correctness baseline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_scores(emb, "vec_id", "embedding", _query_vector(spark, sf_dir))
+
+
+@_register(
+    "embedding_knn_bruteforce",
+    oracle=f"""
+    SELECT vec_id, cos_sim
+    FROM (
+        SELECT e.vec_id, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    )
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 nearest neighbors by rounded cosine (query vector
+    excluded); rounding before ranking makes the cut deterministic
+    across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.brute_force_topk(emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 10)
+
+
+@_register("embedding_ann_lsh")  # no SQL oracle: LSH bucket membership
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (8 planes, seed 42):
+    scores only the query's bucket. Tests assert its results are a
+    subset of brute-force cosine ranking within the bucket.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.ann_topk(emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 10)
+
+
+@_register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text → opaque binary payload →
+    Arrow-batched mapInPandas feature extraction (byte_len + MD5 as the
+    deterministic stand-in for decode+embed). The binary column, batch
+    iteration, and schema contract are the real 100 TB mechanics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary_content(docs, "doc_id", "text")
+    return M.extract_features(media)

@@ -1,0 +1,126 @@
+"""Semantic tests for operators without a SQL oracle: MinHash-LSH
+recall vs exact Jaccard, SimHash properties, ANN-vs-brute-force
+consistency, exact dedup, and the multimodal stub contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.catalog import load_table
+from spacex_data_engineering_pipeline_spark.functions.text import word_ngrams
+from spacex_data_engineering_pipeline_spark.operators import dedup as D
+from spacex_data_engineering_pipeline_spark.operators import multimodal as M
+from spacex_data_engineering_pipeline_spark.operators import similarity as S
+
+
+def _exact_jaccard_pairs(spark, sf_dir, min_micro):
+    """Ground truth: exact pairwise Jaccard over ALL document pairs
+    (no blocking, no LSH) — O(n²), fine at test scale only."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(word_ngrams(F.col("text"), 3)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    a = grams.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    union = F.size("ga").cast("long") + F.size("gb").cast("long") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long"))
+        .filter(F.col("jaccard_micro") >= min_micro)
+    )
+
+
+def test_minhash_lsh_recall_and_exactness(spark, sf_dir):
+    lsh = D.minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        min_jaccard_micro=300_000,
+    )
+    lsh_pairs = {(r.doc_a, r.doc_b): r.jaccard_micro for r in lsh.collect()}
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard_micro
+        for r in _exact_jaccard_pairs(spark, sf_dir, 300_000).collect()
+    }
+    # 1. Verification stage is exact: every reported value equals truth.
+    for pair, micro in lsh_pairs.items():
+        assert truth.get(pair) == micro, f"LSH reported wrong jaccard for {pair}"
+    # 2. No false positives survive verification.
+    assert set(lsh_pairs) <= set(truth)
+    # 3. High-similarity recall: 16 bands × 4 rows catches j>=0.9 pairs
+    #    with probability ~1 - (1 - 0.9^4)^16 ≈ 0.9989.
+    high = {p for p, m in truth.items() if m >= 900_000}
+    assert high <= set(lsh_pairs), f"missed high-jaccard pairs: {high - set(lsh_pairs)}"
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+            (4, "completely different text about spark engines and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc: r for r in D.simhash_buckets(df, "doc_id", "text").collect()}
+    assert rows[1].simhash == rows[2].simhash, "identical text must hash identically"
+
+    def hamming(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    near = hamming(rows[1].simhash, rows[3].simhash)
+    far = hamming(rows[1].simhash, rows[4].simhash)
+    assert near < far, f"near-dup hamming {near} should be < unrelated {far}"
+    # band keys recover identical docs without pairwise comparison
+    assert any(rows[1][f"band{i}"] == rows[2][f"band{i}"] for i in range(4))
+
+
+def test_ann_lsh_consistent_with_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q_row = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    )
+    query = [float(x) for x in q_row.embedding]
+    ann = {r.vec_id: r.cos_sim for r in S.ann_topk(emb, "vec_id", "embedding", query, 10).collect()}
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in S.cosine_scores(emb, "vec_id", "embedding", query).collect()
+    }
+    # every ANN score must equal the exact cosine for that vector
+    for vec_id, cos in ann.items():
+        assert brute[vec_id] == cos
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "a", 20)],
+        ["id", "key", "version"],
+    )
+    out = D.exact_dedup(df, ["key"], [F.col("version").desc(), F.col("id").asc()])
+    rows = {r.key: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows["a"].id == 2 and rows["a"].version == 20  # highest version, lowest id
+    assert rows["b"].id == 3
+
+
+def test_multimodal_stub_contract(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = M.attach_binary_content(docs, "doc_id", "text")
+    feats = {r.media_id: r for r in M.extract_features(media).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    import hashlib
+
+    for doc_id, text in src.items():
+        raw = text.encode("utf-8")
+        assert feats[doc_id].byte_len == len(raw)
+        assert feats[doc_id].content_md5 == hashlib.md5(raw).hexdigest()
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x89PNG", "image/png")

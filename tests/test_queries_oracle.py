@@ -27,5 +27,11 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
 def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLE_SQL)
     # Non-SQL-expressible ops may be exempt; keep the list explicit.
-    allowed_missing = set()
+    allowed_missing = {
+        # xxhash64 / pandas-UDF / LSH-bucket ops aren't SQL-expressible;
+        # each has a dedicated semantic test in test_operators.py instead.
+        "minhash_near_dup_pairs",
+        "simhash_buckets",
+        "embedding_ann_lsh",
+    }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
