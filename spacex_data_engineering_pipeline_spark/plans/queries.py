@@ -765,3 +765,276 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_binary_content(docs, "doc_id", "text")
     return M.extract_features(media)
+
+
+# ===========================================================================
+# Event-time windows (SURVEY §2.9 formalized) + joins/set-ops (§2.3/2.7)
+# ===========================================================================
+
+
+@_register(
+    "events_hourly_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch shape of the
+    Structured Streaming aggregation (same F.window runs under
+    readStream+withWatermark unchanged). Value sums accumulate in
+    DECIMAL so partial-agg order can't flip the hash.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("hour_start"), "n_events", "total_value")
+    )
+
+
+@_register(
+    "events_sliding_windows",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events),
+    w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', t) AS window_start FROM e
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', t) - INTERVAL '30 minutes' FROM e
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM w
+    GROUP BY window_start
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    two windows. The oracle mirrors this as a union of two shifted
+    tumbling bucketings (both engines epoch-align sub-day buckets).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+@_register(
+    "events_session_windows",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+    m AS (
+        SELECT user_id, t,
+               CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, t,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via Spark's
+    native session_window; the oracle is the classic gaps-and-islands
+    rewrite. Boundary semantics pinned: a gap of exactly 30 min starts
+    a NEW session in both formulations.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("session_window.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+@_register(
+    "daily_order_trend",
+    oracle="""
+    SELECT order_date, n_orders,
+           n_orders - lag(n_orders) OVER (ORDER BY order_date) AS delta_vs_prev_day
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CAST(o_orderdate AS DATE)
+    )
+    """,
+)
+def daily_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend deltas via lag() over the aggregated day series (SURVEY
+    ST7: the reference computes latest-vs-previous snapshot deltas in
+    Python; lag over a window is the engine-native form).
+
+    Scale: the unpartitioned window runs on |distinct days| rows — tiny
+    AFTER aggregation; the heavy lifting (per-day counts) is a proper
+    hash aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("order_date")
+    return daily.withColumn(
+        "delta_vs_prev_day", F.col("n_orders") - F.lag("n_orders").over(w)
+    )
+
+
+@_register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (SURVEY J2's change-detection shape: rows in the
+    source with no match in the target). Spark plans a broadcast/SMJ
+    left-anti; only the key column of orders is scanned (pruned).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: customer rows with at least one order, no
+    multiplication of matches (EXISTS semantics)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@_register(
+    "revenue_by_region",
+    oracle="""
+    SELECT r_name AS region,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup across a 4-table join chain.
+
+    Scale: region (5 rows) and nation (25) are broadcast explicitly —
+    the orders⋈customer equi-join is the only shuffle; aggregation is
+    map-side partial on 5 groups. DECIMAL accumulation for hash parity.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "click_not_purchase_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def click_not_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT) — SURVEY §2.7 notes the
+    reference has no set ops; the engine supports the full trio."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.subtract(buys)
+
+
+@_register(
+    "click_and_purchase_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT DISTINCT)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+@_register(
+    "priority_status_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (priority → status → grand total) —
+    subtotal rows carry NULL group keys in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@_register("approx_distinct_users")  # no SQL oracle: HLL sketches differ by engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact COUNT(DISTINCT) (SURVEY A3 scale note). Tests assert <5%
+    error vs the exact count; no oracle because sketch internals are
+    engine-specific.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )

@@ -124,3 +124,13 @@ def test_multimodal_stub_contract(spark, sf_dir):
         assert feats[doc_id].content_md5 == hashlib.md5(raw).hexdigest()
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\x89PNG", "image/png")
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    approx = QUERIES["approx_distinct_users"](spark, sf_dir).first()["approx_users"]
+    exact = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert abs(approx - exact) / exact < 0.05, f"approx {approx} vs exact {exact}"
