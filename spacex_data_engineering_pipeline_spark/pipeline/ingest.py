@@ -1,0 +1,217 @@
+"""Incremental ingestion pipeline (SURVEY §3.1): the reference's
+template-method loop (src/ingest.py:32-128) with every data step a
+DataFrame job and every sink an idempotent parquet write.
+
+Steps (reference line refs in parens):
+1. initial-vs-incremental branch (ingest.py:130-146)
+2. change detection via latest-probe compare (ingest.py:211-233,
+   database.py:225-271) → early exit
+3. watermark read + incremental fetch (ingest.py:235-264), full-fetch
+   fallback on source error (ingest.py:266-312)
+4. validate + conform (ingest.py:314-357) + payload enrichment
+   (api.py:253-283)
+5. PK upsert (database.py:133-202)
+6. watermark append (database.py:204-223)
+7. aggregation snapshot append (aggregations.py:24-94)
+
+Idempotency: re-running with already-seen data upserts the same keys
+(no duplicates) and records a 0-insert snapshot — the reference's
+replay-safety contract (README.md:216-219).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.operators.upsert import upsert_parquet
+from spacex_data_engineering_pipeline_spark.plans.aggregations import (
+    AggregationService,
+    new_run_id,
+)
+from spacex_data_engineering_pipeline_spark.schemas import INGESTION_STATE_SCHEMA
+from spacex_data_engineering_pipeline_spark.sources.launches import (
+    LaunchSource,
+    enrich_with_payload_mass,
+    validate_and_conform,
+)
+
+EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)  # reference database.py:84
+
+
+class IncrementalIngestionPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: LaunchSource,
+        payloads: DataFrame,
+        launches_path: str,
+        state_path: str,
+        snapshots_path: str,
+    ):
+        self.spark = spark
+        self.source = source
+        self.payloads = payloads
+        self.launches_path = launches_path
+        self.state_path = state_path
+        self.aggregations = AggregationService(spark, snapshots_path)
+
+    # -- state -------------------------------------------------------------
+
+    def _table_exists(self) -> bool:
+        return os.path.exists(self.launches_path)
+
+    def launches(self) -> DataFrame:
+        return self.spark.read.parquet(self.launches_path)
+
+    def last_fetched_date(self) -> datetime:
+        """Current watermark: max-by-updated_at row of the insert-only
+        state log; epoch default when empty (reference database.py:64-87).
+        """
+        if not os.path.exists(self.state_path):
+            return EPOCH
+        row = (
+            self.spark.read.parquet(self.state_path)
+            .orderBy(F.col("updated_at").desc(), F.col("id").desc())
+            .limit(1)
+            .collect()
+        )
+        return row[0]["last_fetched_date"] if row else EPOCH
+
+    def _append_watermark(self, wm: datetime) -> None:
+        prev_id = 0
+        if os.path.exists(self.state_path):
+            prev = self.spark.read.parquet(self.state_path).agg(F.max("id")).first()[0]
+            prev_id = prev or 0
+        df = self.spark.createDataFrame(
+            [
+                {
+                    "id": prev_id + 1,
+                    "last_fetched_date": wm,
+                    "updated_at": datetime.now(timezone.utc),
+                }
+            ],
+            INGESTION_STATE_SCHEMA,
+        )
+        df.write.mode("append").parquet(self.state_path)
+
+    # -- change detection ----------------------------------------------------
+
+    def _is_new_data_available(self) -> bool:
+        """Latest-probe compare (reference database.py:225-271): new iff
+        source latest is strictly later, or same timestamp with a
+        different id. On any detection error, assume new data
+        (reference ingest.py:228-233 fail-open).
+        """
+        try:
+            api_row = self.source.fetch_latest().collect()
+            if not api_row:
+                return False
+            api_latest = api_row[0]
+            db_row = (
+                self.launches()
+                .orderBy(F.col("date_utc").desc(), F.col("launch_id").desc())
+                .limit(1)
+                .collect()
+            )
+            if not db_row:
+                return True
+            db_latest = db_row[0]
+            api_date = _as_utc(api_latest["date_utc"])
+            db_date = _as_utc(db_latest["date_utc"])
+            if api_date > db_date:
+                return True
+            return api_date == db_date and api_latest["launch_id"] != db_latest["launch_id"]
+        except Exception:
+            return True
+
+    # -- run -----------------------------------------------------------------
+
+    def run(self) -> dict:
+        t0 = time.perf_counter()
+        run_id = new_run_id()
+        initial = not self._table_exists()
+
+        if not initial and not self._is_new_data_available():
+            return {
+                "status": "success",
+                "early_exit": True,
+                "snapshot_type": None,
+                "new_launches": 0,
+                "rejected_rows": 0,
+                "inserted": 0,
+                "pipeline_run_id": run_id,
+                "duration_s": round(time.perf_counter() - t0, 3),
+            }
+
+        if initial:
+            raw = self.source.fetch_all()
+            snapshot_type = "initial"
+        else:
+            try:
+                raw = self.source.fetch_after(self.last_fetched_date())
+            except Exception:
+                # fallback: full fetch + client-side filter (ST5,
+                # reference ingest.py:266-312)
+                wm = self.last_fetched_date()
+                raw = self.source.fetch_all().filter(
+                    F.try_to_timestamp("date_utc") > F.lit(wm)
+                )
+            snapshot_type = "incremental"
+
+        valid, rejected = validate_and_conform(raw)
+        enriched = enrich_with_payload_mass(valid, self.payloads)
+        # one deterministic batch: reuse for count/max/upsert
+        enriched = enriched.localCheckpoint()
+        n_new = enriched.count()
+
+        if n_new == 0 and not initial:
+            return {
+                "status": "success",
+                "early_exit": True,
+                "snapshot_type": None,
+                "new_launches": 0,
+                "rejected_rows": rejected,
+                "inserted": 0,
+                "pipeline_run_id": run_id,
+                "duration_s": round(time.perf_counter() - t0, 3),
+            }
+
+        inserted = upsert_parquet(
+            self.spark,
+            self.launches_path,
+            enriched,
+            key="launch_id",
+            order_by=[F.col("ingested_at").desc()],
+        )
+        batch_max = enriched.agg(F.max("date_utc")).first()[0]
+        if batch_max is not None:
+            self._append_watermark(_as_utc(batch_max))
+        self.aggregations.append_snapshot(
+            self.launches(),
+            snapshot_type=snapshot_type,
+            launches_added_in_batch=inserted,
+            run_id=run_id,
+        )
+        return {
+            "status": "success",
+            "early_exit": False,
+            "snapshot_type": snapshot_type,
+            "new_launches": n_new,
+            "rejected_rows": rejected,
+            "inserted": inserted,
+            "pipeline_run_id": run_id,
+            "duration_s": round(time.perf_counter() - t0, 3),
+        }
+
+
+def _as_utc(dt) -> datetime:
+    if isinstance(dt, str):
+        return datetime.fromisoformat(dt.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        return dt.replace(tzinfo=timezone.utc)
+    return dt

@@ -1,0 +1,114 @@
+"""Streaming ingestion (SURVEY §7 Phase 5 / ST1-ST6): the same
+validate → enrich → upsert → snapshot loop as pipeline/ingest.py, but
+driven by Structured Streaming:
+
+- source: a JSON drop-directory of raw launch batches (stand-in for any
+  streaming source — Kafka/Kinesis swap in without touching the loop);
+- ``Trigger.AvailableNow``: process everything new, then stop — the
+  reference's "run the pipeline now" semantics with exactly-once
+  bookkeeping from the checkpoint instead of a hand-rolled watermark
+  table (ST1/ST2);
+- ``foreachBatch``: per micro-batch MERGE-style upsert + snapshot append
+  (ST4/ST6) — the classic streaming-upsert pattern.
+
+Idempotent replay: if a batch fails mid-write, the checkpoint replays it
+and the PK upsert absorbs the duplicates (same contract as the
+reference's ON CONFLICT upsert, README.md:216-219).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spacex_data_engineering_pipeline_spark.operators.upsert import upsert_parquet
+from spacex_data_engineering_pipeline_spark.plans.aggregations import AggregationService
+from spacex_data_engineering_pipeline_spark.sources.launches import (
+    enrich_with_payload_mass,
+    validate_and_conform,
+)
+
+# raw JSON shape on the wire (ISO strings; conformance happens per batch)
+RAW_JSON_SCHEMA = StructType(
+    [
+        StructField("launch_id", StringType(), True),
+        StructField("mission_name", StringType(), True),
+        StructField("date_utc", StringType(), True),
+        StructField("success", BooleanType(), True),
+        StructField("payload_ids", ArrayType(StringType()), True),
+        StructField("launchpad_id", StringType(), True),
+        StructField("static_fire_date_utc", StringType(), True),
+    ]
+)
+
+
+def run_streaming_ingestion(
+    spark: SparkSession,
+    input_json_dir: str,
+    payloads: DataFrame,
+    launches_path: str,
+    snapshots_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all available input batches, then stop (AvailableNow)."""
+    aggregations = AggregationService(spark, snapshots_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        valid, _rejected = validate_and_conform(batch_df)
+        enriched = enrich_with_payload_mass(valid, payloads).localCheckpoint()
+        if enriched.count() == 0:
+            return
+        inserted = upsert_parquet(
+            spark,
+            launches_path,
+            enriched,
+            key="launch_id",
+            order_by=[F.col("ingested_at").desc()],
+        )
+        aggregations.append_snapshot(
+            spark.read.parquet(launches_path),
+            snapshot_type="incremental",
+            launches_added_in_batch=inserted,
+            run_id=f"stream_batch_{batch_id}",
+        )
+
+    stream = (
+        spark.readStream.schema(RAW_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per dropped file
+        .json(input_json_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling aggregation with late-data handling — attach
+    to any streaming events source (SURVEY §2.9: watermark + windowed
+    agg; the batch catalog query ``events_hourly_tumbling`` is this
+    exact plan minus the watermark).
+    """
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )

@@ -1,0 +1,111 @@
+"""Streaming ingestion tests: AvailableNow drain over a JSON drop dir,
+checkpointed exactly-once bookkeeping, idempotent upsert on replayed
+input, and the watermark+window aggregation over a streamed events table.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.catalog import load_table
+from spacex_data_engineering_pipeline_spark.plans.aggregations import AggregationService
+from spacex_data_engineering_pipeline_spark.streaming.incremental import (
+    run_streaming_ingestion,
+    windowed_event_counts,
+)
+
+
+def _write_batch(dir_path, name, rows):
+    (dir_path / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_streaming_ingestion_availablenow(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    payloads = spark.createDataFrame(
+        [("p1", "P1", 100.0), ("p2", "P2", 250.0)],
+        "payload_id string, name string, mass_kg double",
+    )
+    args = dict(
+        input_json_dir=str(in_dir),
+        payloads=payloads,
+        launches_path=str(tmp_path / "launches.pq"),
+        snapshots_path=str(tmp_path / "snaps.pq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _write_batch(
+        in_dir,
+        "batch1.json",
+        [
+            {"launch_id": "l1", "mission_name": "M1", "date_utc": "2022-01-01T00:00:00Z",
+             "success": True, "payload_ids": ["p1"], "launchpad_id": "padA",
+             "static_fire_date_utc": None},
+            {"launch_id": "l2", "mission_name": "M2", "date_utc": "2022-02-01T00:00:00Z",
+             "success": None, "payload_ids": ["p1", "p2"], "launchpad_id": "padB",
+             "static_fire_date_utc": "2022-01-30T00:00:00Z"},
+        ],
+    )
+    run_streaming_ingestion(spark, **args)
+    t1 = {r.launch_id: r for r in spark.read.parquet(args["launches_path"]).collect()}
+    assert len(t1) == 2
+    assert t1["l1"].total_payload_mass_kg == 100.0
+    assert t1["l2"].total_payload_mass_kg == 350.0
+
+    # second drop: an update for l2 (success resolved) + a new launch
+    _write_batch(
+        in_dir,
+        "batch2.json",
+        [
+            {"launch_id": "l2", "mission_name": "M2", "date_utc": "2022-02-01T00:00:00Z",
+             "success": True, "payload_ids": ["p1", "p2"], "launchpad_id": "padB",
+             "static_fire_date_utc": "2022-01-30T00:00:00Z"},
+            {"launch_id": "l3", "mission_name": "M3", "date_utc": "2022-03-01T00:00:00Z",
+             "success": False, "payload_ids": [], "launchpad_id": "padA",
+             "static_fire_date_utc": None},
+        ],
+    )
+    run_streaming_ingestion(spark, **args)
+    t2 = {r.launch_id: r for r in spark.read.parquet(args["launches_path"]).collect()}
+    assert len(t2) == 3  # checkpoint skipped batch1; upsert updated l2
+    assert t2["l2"].success is True
+    assert t2["l3"].total_payload_mass_kg is None  # no payloads → NULL
+
+    # re-run with NO new files: checkpoint makes it a no-op
+    run_streaming_ingestion(spark, **args)
+    assert spark.read.parquet(args["launches_path"]).count() == 3
+    snaps = AggregationService(spark, args["snapshots_path"]).history(10).collect()
+    assert len(snaps) == 2  # one snapshot per non-empty micro-batch
+    assert snaps[0].total_launches == 3
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Run the windowed agg as a REAL stream (file source over the events
+    parquet, AvailableNow) and compare with the batch catalog query."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(str(tmp_path / "evstream"), mode="overwrite")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(tmp_path / "evstream"))
+    )
+    out = windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    expected = {
+        r.hour_start: (r.n_events, r.total_value)
+        for r in QUERIES["events_hourly_tumbling"](spark, sf_dir).collect()
+    }
+    assert got == expected
