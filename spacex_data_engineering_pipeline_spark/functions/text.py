@@ -90,11 +90,22 @@ def word_ngrams(text: Column, n: int) -> Column:
 def with_word_ngrams(
     df: DataFrame, text_col: str, n: int, out_col: str = "grams", distinct: bool = False
 ) -> DataFrame:
-    """Append a word-``n``-gram shingle column (optionally de-duplicated)."""
-    grams = word_ngrams(F.col(text_col), n)
+    """Append a word-``n``-gram shingle column (optionally de-duplicated).
+
+    Tokenization is staged as its own projection: the n-gram zip chain
+    references the token array ``n`` times, and CollapseProject keeps a
+    non-cheap expression referenced more than once in its own Project —
+    so ``split`` runs once per row instead of once per shifted copy.
+    """
+    tmp = f"__{out_col}_words"
+    grams = ngrams_from_words(F.col(tmp), n)
     if distinct:
         grams = F.array_distinct(grams)
-    return df.withColumn(out_col, grams)
+    return (
+        df.withColumn(tmp, F.split(F.trim(F.col(text_col)), WORD_SPLIT_RE))
+        .withColumn(out_col, grams)
+        .drop(tmp)
+    )
 
 
 def fingerprint(text: Column, n: int = 5) -> Column:

@@ -1038,3 +1038,165 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users")
     )
+
+
+# ===========================================================================
+# Extended analytics shapes: pivot, percentiles, running totals, ranking,
+# cube / grouping sets (beyond the reference surface — SURVEY §2.4 notes
+# the reference has none of these; a complete engine ships them)
+# ===========================================================================
+
+
+@_register(
+    "order_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS fulfilled,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). The value list is explicit —
+    an unlisted pivot would trigger a driver-side distinct scan to
+    discover values, a hidden extra job at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("fulfilled"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("open_"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("pending"),
+    )
+
+
+@_register(
+    "quantity_percentiles",
+    oracle="""
+    SELECT ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6) AS p25,
+           ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS p50,
+           ROUND(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_quantity), 6) AS p90
+    FROM lineitem
+    """,
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics).
+
+    Scale note: exact percentiles buffer per-group values — at 100 TB
+    use ``approx_percentile`` (t-digest, bounded memory); kept exact
+    here because the oracle gate needs determinism.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@_register(
+    "cumulative_daily_revenue",
+    oracle="""
+    SELECT order_date,
+           CAST(daily AS DOUBLE) AS daily_revenue,
+           CAST(SUM(daily) OVER (ORDER BY order_date
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cumulative_revenue
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS daily
+        FROM orders
+        GROUP BY CAST(o_orderdate AS DATE)
+    )
+    """,
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total over the day series. DECIMAL accumulation end to
+    end: the running sum is order-defined, so exact arithmetic makes it
+    engine-identical. The unpartitioned window runs post-aggregation on
+    |days| rows only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("daily")
+    )
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        F.col("daily").cast("double").alias("daily_revenue"),
+        F.sum("daily").over(w).cast("double").alias("cumulative_revenue"),
+    )
+
+
+@_register(
+    "top_suppliers_per_nation",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal, rnk
+    FROM (
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               RANK() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+        FROM supplier
+    )
+    WHERE rnk <= 3
+    """,
+)
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank() — one shuffle on the partition key;
+    the unique-key tiebreak keeps ranks deterministic."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supplier.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_acctbal", "rnk")
+    )
+
+
+@_register(
+    "customer_segment_cube",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def customer_segment_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations in one pass (Spark expands to a
+    single aggregate over an Expand node — one shuffle, not 4 scans)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.cube("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@_register(
+    "priority_and_status_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def priority_and_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the engine's SQL surface (the DataFrame API has
+    rollup/cube; arbitrary sets are SQL) — demonstrates spark.sql over
+    registered views as a first-class query path (SURVEY §3.2).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
