@@ -164,6 +164,11 @@ def minhash_near_dup_pairs(
         with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
         .select(F.col(id_col).alias("doc"), "shingles")
         .filter(F.size("shingles") > 0)
+        # the shingle table feeds three consumers (banding + both
+        # verification joins); materialize it once instead of
+        # recomputing the shingling 3x. Lazy local checkpoint: computed
+        # on first action, blocks GC'd with the DataFrame.
+        .localCheckpoint(eager=False)
     )
 
     # Per-band min-hash directly (never materialize-then-slice the full

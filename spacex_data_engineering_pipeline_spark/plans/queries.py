@@ -1200,3 +1200,38 @@ def priority_and_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataF
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         """
     )
+
+
+@_register(
+    "event_props_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling (SURVEY F7): parse a JSON
+    string column with from_json against a declared schema and aggregate
+    a typed field — the engine-native replacement for the reference's
+    json.dumps/JSONB round-trip (reference database.py:158, 111).
+
+    Scale: from_json with an explicit schema is a codegen'd expression
+    (no schema inference pass); avg over exact integers is engine-safe.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
