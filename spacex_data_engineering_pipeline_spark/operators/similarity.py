@@ -92,3 +92,51 @@ def ann_topk(
             qsig |= 1 << i
     in_bucket = bucketed.filter(F.col("bucket") == qsig)
     return brute_force_topk(in_bucket, id_col, vec_col, query_vec, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    bucketing, then EXACT cosine verification within buckets.
+
+    Plan shape (mirrors the MinHash text pipeline):
+    1. bucket signature — narrow map (dot with ``n_planes`` literals);
+    2. self-join on the bucket id — only near-parallel vectors collide
+       (for cos ≥ 0.95 the per-plane collision probability is
+       1 - θ/π ≈ 0.90, so 8 planes keep ~0.43 of true pairs per table;
+       run multiple seeds and union for higher recall);
+    3. exact cosine on candidates, threshold filter — no false
+       positives survive.
+
+    At 100 TB: write the bucketed table partitioned by ``bucket``; the
+    self-join becomes per-partition-local. Brute-force verification is
+    bounded by the largest bucket (planes count tunes that).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = rp_lsh_buckets(df, id_col, vec_col, planes).localCheckpoint(eager=False)
+
+    bl, br = bucketed.alias("l"), bucketed.alias("r")
+    cand = bl.join(
+        br,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"l.{vec_col}").alias("vec_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col(f"r.{vec_col}").alias("vec_b"),
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos_sim") >= min_cosine)
+        .select("id_a", "id_b", "cos_sim")
+    )

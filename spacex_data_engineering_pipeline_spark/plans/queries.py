@@ -1235,3 +1235,68 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@_register("embedding_near_dup_pairs")  # no SQL oracle: LSH bucket recall
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH buckets + exact cosine
+    verification, cos ≥ 0.95). Tests assert zero false positives and
+    value-exactness against brute-force ground truth.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.95)
+
+
+@_register(
+    "corpus_prep_pipeline",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               ROUND(0.4 * least(1.0, n_tok / 100.0)
+                   + 0.3 * greatest(0.0, 1.0 - 5.0 * (p_cnt / greatest(len_c, 1.0)))
+                   + 0.3 * least(1.0, 4.0 * stop_hits / greatest(n_tok, 1.0)), 4) AS q,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               text
+        FROM (
+            SELECT doc_id, lang, n_chars, text,
+                   CAST({_DUCK_NTOK} AS DOUBLE) AS n_tok,
+                   CAST(length(text) - length(regexp_replace(text, '{_DUCK_PUNCT_RE}', '', 'g')) AS DOUBLE) AS p_cnt,
+                   CAST(length(text) AS DOUBLE) AS len_c,
+                   CAST(length(list_intersect(
+                            list_distinct(list_transform({_DUCK_WORDS}, w -> lower(w))),
+                            ['the','and','is','of','to'])) AS DOUBLE) AS stop_hits
+            FROM documents
+        )
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_chars, q, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        FROM scored
+        WHERE q >= 0.3 AND n_tokens >= 20
+    )
+    SELECT doc_id, lang, n_chars, q AS quality_score, n_tokens
+    FROM kept WHERE rn = 1
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flow in ONE plan: quality-score →
+    threshold filter → token-length filter → exact dedup (keep lowest
+    doc_id per identical text). This is the end-to-end shape an LLM
+    corpus pipeline runs per shard; every stage here is a native
+    expression, so the whole thing is one scan + one window shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        T.quality_score(F.col("text")).alias("quality_score"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter((F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 20))
+    w = Window.partitionBy("text").orderBy(F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "quality_score", "n_tokens")
+    )

@@ -134,3 +134,29 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert abs(approx - exact) / exact < 0.05, f"approx {approx} vs exact {exact}"
+
+
+def test_embedding_near_dup_exactness(spark, sf_dir):
+    """LSH-bucketed near-dup pairs: every reported pair must carry the
+    exact brute-force cosine, and no sub-threshold pair may appear."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.95).collect()
+    if not pairs:
+        # threshold may simply exclude everything at this SF — the
+        # contract still holds (no false positives) but assert the
+        # operator runs; ground-truth check below is vacuous.
+        return
+    from spacex_data_engineering_pipeline_spark.functions.vectors import cosine as cos_expr
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.id_a, r.id_b): r.c
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", F.round(cos_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("c") >= 0.95)
+        .collect()
+    }
+    for r in pairs:
+        assert truth.get((r.id_a, r.id_b)) == r.cos_sim

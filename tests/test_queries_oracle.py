@@ -33,6 +33,7 @@ def test_every_query_has_oracle_or_reason():
         "minhash_near_dup_pairs",
         "simhash_buckets",
         "embedding_ann_lsh",
+        "embedding_near_dup_pairs",
         # HLL sketch values are engine-specific; accuracy asserted in tests
         "approx_distinct_users",
     }

@@ -109,3 +109,56 @@ def test_windowed_event_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["events_hourly_tumbling"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state ACROSS micro-batches:
+    stream the events table in multiple file-batches and check the final
+    per-user stats equal the batch groupBy."""
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_batches")
+    # four files → four micro-batches with maxFilesPerTrigger=1
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("userstats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per user per touched batch: latest wins
+    import pandas as pd  # noqa: F401
+
+    got_df = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+            FROM userstats
+        ) WHERE rn = 1
+        """
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in got_df.collect()}
+    expected = {
+        r.user_id: (r.n, round(r.t, 4))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, t) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 1e-4
