@@ -128,17 +128,39 @@ def lang_marker_hits(text: Column, markers: list[str]) -> Column:
     return F.size(F.array_intersect(F.array_distinct(lowered), marker_arr))
 
 
-def predicted_lang(text: Column) -> Column:
-    """Heuristic language-ID: argmax of per-language marker hits with a
-    fixed language-order tiebreak; no hits at all → 'und' (undetermined).
-    """
-    hits = {lang: lang_marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+def _predicted_lang_from_hits(hits: dict[str, Column]) -> Column:
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     # Reverse order so earlier languages win ties (last write wins below).
     for lang in reversed(list(LANG_MARKERS)):
         expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def predicted_lang(text: Column) -> Column:
+    """Heuristic language-ID: argmax of per-language marker hits with a
+    fixed language-order tiebreak; no hits at all → 'und' (undetermined).
+
+    Single-expression form re-tokenizes per language — fine for small
+    data; hot paths use ``with_predicted_lang`` (tokenizes once).
+    """
+    hits = {lang: lang_marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    return _predicted_lang_from_hits(hits)
+
+
+def with_predicted_lang(df: DataFrame, text_col: str, out_col: str = "predicted_lang") -> DataFrame:
+    """Language-ID with the token set staged once (reference-once
+    discipline — the 4 per-language hit counts read an attribute instead
+    of re-splitting the text 4×)."""
+    tmp = f"__{out_col}_lw"
+    staged = df.withColumn(
+        tmp, F.array_distinct(F.transform(words(F.col(text_col)), F.lower))
+    )
+    hits = {
+        lang: F.size(F.array_intersect(F.col(tmp), F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in LANG_MARKERS.items()
+    }
+    return staged.withColumn(out_col, _predicted_lang_from_hits(hits)).drop(tmp)
 
 
 def quality_score(text: Column) -> Column:

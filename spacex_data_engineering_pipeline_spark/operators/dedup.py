@@ -68,6 +68,8 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("doc"), F.col(block_col).alias("block"), "grams")
         .filter(F.size("grams") > 0)
         .select("doc", "block", F.size("grams").cast("long").alias("n_grams"), "grams")
+        # feeds both self-join branches: materialize once
+        .localCheckpoint(eager=False)
     )
     postings = grams.select(
         "doc", "block", "n_grams", F.explode("grams").alias("gram")

@@ -589,7 +589,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed-priority argmax ('und' when no markers hit).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.predicted_lang(F.col("text")).alias("predicted_lang"))
+    return T.with_predicted_lang(docs, "text").select("doc_id", "predicted_lang")
 
 
 @_register(
@@ -1299,4 +1299,110 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars", "quality_score", "n_tokens")
+    )
+
+
+# ===========================================================================
+# Coverage fill-ins: date-trunc rollups, scalar subquery, HAVING, string
+# functions (SURVEY §2.8 scalar-function surface, beyond the reference)
+# ===========================================================================
+
+
+@_register(
+    "monthly_order_stats",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+    """,
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup via date_trunc — the coarser cousin of the
+    event-time windows; at 100 TB this is the natural partition key.
+    DATE-cast on both sides (DuckDB's date_trunc('month') yields DATE,
+    Spark's yields TIMESTAMP)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "orders_above_global_avg",
+    oracle="""
+    SELECT COUNT(*) AS n_above,
+           ROUND(MIN(o_totalprice), 2) AS min_above_price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery comparison through the SQL surface (Catalyst
+    plans the subquery as a one-row broadcast, one extra scan)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_above,
+               ROUND(MIN(o_totalprice), 2) AS min_above_price
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@_register(
+    "popular_part_brands",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           ROUND(AVG(p_retailprice), 2) AS avg_price
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 20
+    """,
+)
+def popular_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a filter above the aggregate,
+    pruned groups never leave the agg stage."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .filter(F.col("n_parts") >= 20)
+    )
+
+
+@_register(
+    "part_name_tokens",
+    oracle="""
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 8)) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, '/', p_type) AS brand_type,
+           CAST(length(string_split(p_name, ' ')) AS INT) AS n_words
+    FROM part
+    """,
+)
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: substring/upper/length/concat/split —
+    all codegen'd JVM expressions (SURVEY §2.8 notes the reference has
+    no string ops; the engine ships the standard set)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
     )
