@@ -31,10 +31,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization; empty/blank text → empty array."""
-    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(text), WORD_SPLIT_RE)
-    )
+    """Whitespace tokenization: split on runs of whitespace and drop
+    empty tokens. The empty-token filter (not trim+guard) is what makes
+    all-whitespace inputs — including tabs/newlines, which ``trim``
+    does NOT strip — yield an empty array (found by hypothesis:
+    token_count('\\n') was 2 with the trim-guard formulation).
+    """
+    return F.filter(F.split(text, WORD_SPLIT_RE), lambda w: w != "")
 
 
 def token_count(text: Column) -> Column:
@@ -84,7 +87,7 @@ def word_ngrams(text: Column, n: int) -> Column:
     """Array of word n-grams (shingles) joined by single spaces;
     texts with fewer than ``n`` words yield an empty array.
     """
-    return ngrams_from_words(F.split(F.trim(text), WORD_SPLIT_RE), n)
+    return ngrams_from_words(words(text), n)
 
 
 def with_word_ngrams(
@@ -102,7 +105,7 @@ def with_word_ngrams(
     if distinct:
         grams = F.array_distinct(grams)
     return (
-        df.withColumn(tmp, F.split(F.trim(F.col(text_col)), WORD_SPLIT_RE))
+        df.withColumn(tmp, words(F.col(text_col)))
         .withColumn(out_col, grams)
         .drop(tmp)
     )

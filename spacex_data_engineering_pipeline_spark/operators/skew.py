@@ -1,0 +1,82 @@
+"""Skew mitigation: key salting for joins and aggregations.
+
+AQE's skew-join splitting (on by default in the engine session) handles
+most skew at runtime by splitting oversized shuffle partitions. Salting
+is the static fallback for the cases AQE can't fix — a single hot key
+inside one shuffle block (high-cardinality aggregation state, or a
+build-side that must replicate).
+
+``salted_aggregate``: two-phase aggregation — phase 1 groups by
+(key, salt) so a hot key's rows spread over ``n_salts`` reducers; phase
+2 merges the partials per key. Works for any algebraic aggregate
+(sum/count/min/max → re-aggregable partials).
+
+``salted_join``: explodes the DIMENSION side ``n_salts``× and salts the
+fact side's key randomly-but-deterministically (hash of a unique
+column), so one hot fact key spreads across ``n_salts`` tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, unique_col: str, n_salts: int, out_col: str = "__salt") -> DataFrame:
+    """Deterministic pseudo-random salt in [0, n_salts) derived from a
+    unique column — reproducible across retries (rand() is not)."""
+    return df.withColumn(out_col, F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    unique_col: str,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {sum, count, min, max}. Phase 1 computes partials per (key, salt);
+    phase 2 merges partials per key (count merges via sum).
+    """
+    mergers = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    salted = with_salt(df, unique_col, n_salts)
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(
+        *[
+            getattr(F, fn)(col).alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[
+            getattr(F, mergers[fn])(out).alias(out)
+            for out, (_col, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_unique_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the dimension side ``n_salts``×,
+    salt the fact side, join on (key, salt). The hot fact key's rows
+    land on ``n_salts`` different reducers instead of one.
+    """
+    salted_facts = with_salt(facts, fact_unique_col, n_salts)
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    joined = salted_facts.join(
+        replicated_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_facts["__salt"] == replicated_dim["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

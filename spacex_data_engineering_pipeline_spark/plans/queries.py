@@ -497,12 +497,10 @@ from spacex_data_engineering_pipeline_spark.operators import multimodal as M  # 
 from spacex_data_engineering_pipeline_spark.operators import similarity as S  # noqa: E402
 
 # DuckDB fragments mirroring functions/text.py exactly (same regexes,
-# same operand order) so doubles come out bit-identical.
-_DUCK_WORDS = r"string_split_regex(trim(text), '\s+')"
-_DUCK_NTOK = (
-    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
-    rf"ELSE length({_DUCK_WORDS}) END"
-)
+# same operand order) so doubles come out bit-identical. Tokenization
+# drops empty tokens (matches words(): whitespace-only text → 0 tokens).
+_DUCK_WORDS = r"list_filter(string_split_regex(text, '\s+'), w -> w <> '')"
+_DUCK_NTOK = rf"length({_DUCK_WORDS})"
 _DUCK_PUNCT_RE = r"[.,;:!?''\"()\[\]{{}}-]".replace("{{", "{").replace("}}", "}")
 
 
@@ -1405,4 +1403,120 @@ def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
         F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+# ===========================================================================
+# TPC-H-style analytic staples (breadth check: the canonical pricing
+# summary and shipping-priority shapes over the same tables)
+# ===========================================================================
+
+
+@_register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical pricing summary — one scan, one
+    hash aggregate with map-side partials over a 6-value key space; the
+    shipdate filter pushes to the parquet scan. All money sums in
+    DECIMAL for cross-engine exactness.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables push to
+    their scans BEFORE the joins, the reduced customer side broadcasts
+    under AQE, and the top-10 is TakeOrderedAndProject over the agg —
+    revenue-desc with an orderkey tiebreak for determinism.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
     )

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just fixtures — upsert idempotency/count accounting, Jaccard
+bounds and symmetry, quality-score range, n-gram counts.
+
+Strategy note: hypothesis drives the INPUT GENERATION; each example runs
+through real Spark jobs, so examples are capped low (Spark job dispatch
+is ~100ms) — the value is the adversarial shrinking, not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.functions.text import (
+    quality_score,
+    token_count,
+    word_ngrams,
+)
+from spacex_data_engineering_pipeline_spark.operators.upsert import merge_dedup
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+text_st = st.text(
+    alphabet=st.sampled_from("abc def! 🙂\t\n"), min_size=0, max_size=60
+)
+
+
+@given(st.lists(text_st, min_size=1, max_size=6))
+@SETTINGS
+def test_text_function_invariants(texts):
+    spark = _spark()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    rows = df.select(
+        token_count(F.col("t")).alias("n"),
+        quality_score(F.col("t")).alias("q"),
+        F.size(word_ngrams(F.col("t"), 3)).alias("g3"),
+    ).collect()
+    for r, t in zip(rows, texts):
+        n_py = len(t.split())
+        assert r.n == n_py, f"token count mismatch for {t!r}"
+        assert 0.0 <= r.q <= 1.0
+        assert r.g3 == max(0, n_py - 2)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_upsert_merge_properties(rows):
+    """merge_dedup: output has exactly one row per key; the survivor is
+    the order_by-max; merging a batch with itself is idempotent."""
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v, _x) in enumerate(rows)], "key long, ver long, uid long"
+    )
+    order = [F.col("ver").desc(), F.col("uid").desc()]
+    merged = merge_dedup(None, df, "key", order)
+    out = {r.key: (r.ver, r.uid) for r in merged.collect()}
+    expected = {}
+    for i, (k, v, _x) in enumerate(rows):
+        if k not in expected or (v, i) > expected[k]:
+            expected[k] = (v, i)
+    assert out == expected
+    # idempotency: merging the merged result with itself changes nothing
+    again = {r.key: (r.ver, r.uid) for r in merge_dedup(merged, merged, "key", order).collect()}
+    assert again == out
+
+
+@given(
+    st.lists(st.sampled_from("abcde"), min_size=3, max_size=12),
+    st.lists(st.sampled_from("abcde"), min_size=3, max_size=12),
+)
+@SETTINGS
+def test_jaccard_bounds_and_symmetry(words_a, words_b):
+    from spacex_data_engineering_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a), "blk"), (2, " ".join(words_b), "blk")],
+        "doc_id long, text string, source string",
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", "source", n=2, min_jaccard_micro=0).collect()
+    assert len(pairs) <= 1
+    if pairs:
+        jm = pairs[0].jaccard_micro
+        assert 0 <= jm <= 1_000_000
+        if " ".join(words_a) == " ".join(words_b):
+            assert jm == 1_000_000
+        # ground truth in python
+        ga = {" ".join(words_a[i : i + 2]) for i in range(len(words_a) - 1)}
+        gb = {" ".join(words_b[i : i + 2]) for i in range(len(words_b) - 1)}
+        truth = math.floor(len(ga & gb) * 1_000_000 / len(ga | gb))
+        assert jm == truth
+
+
+def _spark():
+    from spacex_data_engineering_pipeline_spark.session import get_spark
+
+    return get_spark(app_name="property-tests", shuffle_partitions=4)

@@ -1,0 +1,75 @@
+"""Salting operators: results must equal the unsalted equivalents, and
+the salt must actually spread a hot key across groups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.operators import skew
+
+
+def _skewed_df(spark):
+    # one hot key (90% of rows) + a long tail
+    hot = [(i, "hot", float(i % 7)) for i in range(9000)]
+    tail = [(10_000 + i, f"k{i % 50}", float(i % 11)) for i in range(1000)]
+    return spark.createDataFrame(hot + tail, ["row_id", "key", "value"])
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = _skewed_df(spark)
+    plain = {
+        r.key: (r.total, r.n, r.mx)
+        for r in df.groupBy("key")
+        .agg(
+            F.sum("value").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.key: (r.total, r.n, r.mx)
+        for r in skew.salted_aggregate(
+            df,
+            ["key"],
+            "row_id",
+            {"total": ("value", "sum"), "n": ("value", "count"), "mx": ("value", "max")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salt_spreads_hot_key(spark):
+    df = skew.with_salt(_skewed_df(spark), "row_id", 8)
+    per_salt = (
+        df.filter(F.col("key") == "hot").groupBy("__salt").count().collect()
+    )
+    assert len(per_salt) == 8, "hot key must spread across all salts"
+    counts = [r["count"] for r in per_salt]
+    assert max(counts) < 9000 * 0.25, f"salting too uneven: {counts}"
+
+
+def test_salted_join_matches_plain(spark):
+    facts = _skewed_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", "HOT DIM")] + [(f"k{i}", f"D{i}") for i in range(50)],
+        ["dkey", "label"],
+    )
+    plain = sorted(
+        map(
+            tuple,
+            facts.join(dim, facts.key == dim.dkey)
+            .select("row_id", "label")
+            .collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            skew.salted_join(facts, dim, "key", "dkey", "row_id", n_salts=8)
+            .select("row_id", "label")
+            .collect(),
+        )
+    )
+    assert salted == plain
