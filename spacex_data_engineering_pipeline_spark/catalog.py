@@ -53,8 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integral DIV, not floor(double /): epoch-nanos exceed the
-            # 2^53 exact-integer range of double → off-by-1µs artifacts
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # 2^53 exact-integer range of double → off-by-1µs artifacts.
+            # Target type is TIMESTAMP_NTZ (wall-clock, what the parquet
+            # nanos encode and what DuckDB surfaces): calendar functions
+            # (date_format/to_date/window) on an LTZ timestamp render in
+            # SESSION timezone and silently shift under non-UTC sessions.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 

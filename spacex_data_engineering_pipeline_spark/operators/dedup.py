@@ -193,8 +193,11 @@ def minhash_near_dup_pairs(
     banded = (
         grams.select("doc", F.explode(band_arr).alias("band"))
         .select("doc", "band.band_idx", "band.band_hash")
-        # shuffle once on the bucket key; both self-join branches reuse it
-        .repartition("band_idx", "band_hash")
+        # materialize once: both self-join branches read the same blocks
+        # (an explicit repartition here measured SLOWER — AQE picks a
+        # broadcast join for the narrow banded table and skips the
+        # shuffle entirely)
+        .localCheckpoint(eager=False)
     )
 
     bl, br = banded.alias("l"), banded.alias("r")
@@ -282,3 +285,47 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             f"band{i}", F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
         )
     return sh
+
+
+def minhash_near_dup_pairs_ml(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hash_tables: int = 8,
+    max_distance: float = 0.7,
+) -> DataFrame:
+    """MLlib-based variant of the MinHash near-dup pipeline:
+    shingles → HashingTF sparse vectors → ``pyspark.ml.feature.MinHashLSH``
+    → ``approxSimilarityJoin`` (distance = 1 - Jaccard).
+
+    Exists alongside the native-expression pipeline as the idiomatic
+    ml-lib formulation; the native one is preferred (exact verification
+    stage, no feature-vector detour), and tests assert both find the
+    same high-similarity pairs. Returns (doc_a, doc_b, jaccard_micro
+    approximated as floor((1-distance)*1e6) — MLlib's distance is the
+    EXACT Jaccard distance of the vector sets, so values align with the
+    native operator up to shingle→vector hashing collisions).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    grams = (
+        with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .filter(F.size("shingles") > 0)
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(grams)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_distance, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.doc") < F.col("datasetB.doc"))
+        .select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.floor((1 - F.col("dist")) * 1_000_000).cast("long").alias("jaccard_micro"),
+        )
+    )

@@ -1520,3 +1520,26 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@_register(
+    "daily_event_summary_formatted",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day_str,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM events
+    GROUP BY strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+    """,
+)
+def daily_event_summary_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp→string formatting (SURVEY F9: the reference isoformat()s
+    datetimes at its JSON boundary) + per-day distinct users."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day_str"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )

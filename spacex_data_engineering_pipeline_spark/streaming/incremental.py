@@ -102,7 +102,18 @@ def windowed_event_counts(
     to any streaming events source (SURVEY §2.9: watermark + windowed
     agg; the batch catalog query ``events_hourly_tumbling`` is this
     exact plan minus the watermark).
+
+    Watermarks require an instant (TIMESTAMP, not NTZ): a wall-clock
+    NTZ event time is cast at the boundary and the window start cast
+    back — an identity round-trip under one session timezone (the
+    engine session pins UTC).
     """
+    was_ntz = dict(events_stream.dtypes).get("ts") == "timestamp_ntz"
+    if was_ntz:
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    start = F.col("window.start")
+    if was_ntz:
+        start = start.cast("timestamp_ntz")
     return (
         events_stream.withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", window_duration))
@@ -110,5 +121,5 @@ def windowed_event_counts(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
-        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+        .select(start.alias("window_start"), "n_events", "total_value")
     )

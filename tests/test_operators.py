@@ -160,3 +160,23 @@ def test_embedding_near_dup_exactness(spark, sf_dir):
     }
     for r in pairs:
         assert truth.get((r.id_a, r.id_b)) == r.cos_sim
+
+
+def test_ml_minhash_agrees_with_native(spark, sf_dir):
+    """The MLlib MinHashLSH formulation must find the same high-
+    similarity pairs as the native-expression pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    native = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_near_dup_pairs(
+            docs, "doc_id", "text", min_jaccard_micro=900_000
+        ).collect()
+    }
+    ml = {
+        (r.doc_a, r.doc_b): r.jaccard_micro
+        for r in D.minhash_near_dup_pairs_ml(docs, "doc_id", "text").collect()
+    }
+    high_ml = {p for p, jm in ml.items() if jm >= 900_000}
+    assert native == high_ml, (
+        f"native-only: {native - high_ml}, ml-only: {high_ml - native}"
+    )
