@@ -92,3 +92,60 @@ def extract_features(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over opaque media payloads: one input row →
+    ``n_frames`` output rows of evenly-spaced byte slices (the
+    deterministic stand-in for video frame extraction — a real decoder
+    drops into the same mapInPandas contract).
+
+    The 1→N row fan-out is the part built-in exprs can't do with a
+    decoder in the loop; Arrow batches keep the payload transfer
+    columnar. Output partitioning note: n_frames× row inflation —
+    repartition after if frames feed a shuffle-heavy stage.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    continue
+                step = max(1, len(content) // n_frames)
+                for i in range(n_frames):
+                    lo = i * step
+                    if lo >= len(content):
+                        break
+                    frame = bytes(content[lo : lo + step])
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(frame)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def resize_stub(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' stand-in: truncate payloads to ``target_bytes`` (a real
+    image resize is the same shape: binary in → smaller binary out,
+    metadata updated). Native expressions suffice here — no Python
+    boundary for a pure byte-level transform.
+    """
+    return media_df.select(
+        "media_id",
+        F.expr(f"substring(content, 1, {int(target_bytes)})").alias("content"),
+        F.col("format"),
+        F.least(F.col("byte_len"), F.lit(int(target_bytes))).alias("byte_len"),
+    )

@@ -13,7 +13,6 @@ Hyperplanes come from a seeded generator so results are deterministic.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -140,3 +139,65 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= min_cosine)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """IVF (inverted-file) coarse quantizer: k-means over the corpus;
+    every vector is assigned to its nearest centroid's posting list.
+
+    Returns (assigned_df with a ``cluster`` column, centroids as a list
+    of (cluster_id, center) pairs). At 100 TB the assigned table is
+    written partitioned by ``cluster`` so a probe reads only the probed
+    partitions — this is the classic FAISS-IVF layout expressed as a
+    Spark table layout.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__features")
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__features", predictionCol="cluster")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN search: score only the ``n_probes`` clusters whose
+    centroids are nearest the query (by cosine) — the recall/cost dial
+    is probes/clusters. Exact cosine inside the probed lists, so
+    results are a subset of brute-force ranking (asserted in tests).
+    """
+    assigned, centroids = ivf_index(df, id_col, vec_col, n_clusters, seed)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot_ / (na * nb) if na > 0 and nb > 0 else -1.0
+
+    probe_ids = [
+        cid
+        for cid, _c in sorted(
+            centroids, key=lambda ic: _cos(query_vec, ic[1]), reverse=True
+        )[:n_probes]
+    ]
+    probed = assigned.filter(F.col("cluster").isin(probe_ids)).drop("cluster")
+    return brute_force_topk(probed, id_col, vec_col, query_vec, k)

@@ -1543,3 +1543,16 @@ def daily_event_summary_formatted(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct("user_id").alias("active_users"),
         )
     )
+
+
+@_register("embedding_ivf_topk")  # no SQL oracle: k-means cluster membership
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, 3-of-8 cluster probe) — the
+    scale path for similarity search alongside the LSH variant. Tests
+    assert score exactness and ≥50% top-10 recall vs brute force.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.ivf_topk(
+        emb, "vec_id", "embedding", _query_vector(spark, sf_dir),
+        k=10, n_clusters=8, n_probes=3,
+    )

@@ -180,3 +180,54 @@ def test_ml_minhash_agrees_with_native(spark, sf_dir):
     assert native == high_ml, (
         f"native-only: {native - high_ml}, ml-only: {high_ml - native}"
     )
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    media = M.attach_binary_content(docs, "doc_id", "text")
+    frames = M.sample_frames(media, n_frames=4).collect()
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for media_id, content in src.items():
+        rows = sorted(by_media[media_id], key=lambda r: r.frame_idx)
+        assert 1 <= len(rows) <= 4
+        step = max(1, len(content) // 4)
+        for r in rows:
+            expected = content[r.frame_idx * step : r.frame_idx * step + step]
+            assert bytes(r.frame_bytes) == expected
+            assert r.frame_md5 == hashlib.md5(expected).hexdigest()
+    # resize: byte_len clamped, content truncated
+    resized = {r.media_id: r for r in M.resize_stub(media, 16).collect()}
+    for media_id, content in src.items():
+        assert bytes(resized[media_id].content) == content[:16]
+        assert resized[media_id].byte_len == min(16, len(content))
+
+
+def test_ivf_topk_subset_of_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    query = [
+        float(x)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .embedding
+    ]
+    ivf = S.ivf_topk(emb, "vec_id", "embedding", query, k=10, n_clusters=8, n_probes=3)
+    got = {r.vec_id: r.cos_sim for r in ivf.collect()}
+    assert len(got) == 10
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in S.cosine_scores(emb, "vec_id", "embedding", query).collect()
+    }
+    # exact scores inside probed lists
+    for vid, cos in got.items():
+        assert brute[vid] == cos
+    # recall sanity: probing 3/8 clusters should still catch most of the
+    # true top-10 (labels cluster the space)
+    true_top = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    overlap = len(set(got) & {vid for vid, _ in true_top})
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10"

@@ -34,6 +34,7 @@ def test_every_query_has_oracle_or_reason():
         "simhash_buckets",
         "embedding_ann_lsh",
         "embedding_near_dup_pairs",
+        "embedding_ivf_topk",
         # HLL sketch values are engine-specific; accuracy asserted in tests
         "approx_distinct_users",
     }
