@@ -1154,7 +1154,7 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
     )
     return (
-        supplier.withColumn("rnk", F.rank().over(w))
+        supplier.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("s_nationkey", "s_suppkey", "s_acctbal", "rnk")
     )
@@ -1386,7 +1386,7 @@ def popular_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            upper(substring(p_name, 1, 8)) AS name_prefix,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS BIGINT) AS name_len,
            concat(p_brand, '/', p_type) AS brand_type,
            CAST(length(string_split(p_name, ' ')) AS INT) AS n_words
     FROM part
@@ -1400,7 +1400,7 @@ def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
         F.size(F.split("p_name", " ")).alias("n_words"),
     )
