@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Mimic the driver: vanilla SparkSession (no engine configs), import
+__spark_entry__, smoke entry(), then run queries() vs oracle_sql() via
+DuckDB at sf0.01 with order-insensitive compare."""
+import sys, os, json, math
+from datetime import datetime, date
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+# deliberately vanilla — whatever the driver would build, possibly non-UTC tz
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-mimic")
+    .config("spark.sql.session.timeZone", "Asia/Kathmandu")  # hostile tz probe
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+rows = e.entry(spark).collect()
+print("ENTRY rows:", len(rows), "schema ok:", bool(rows))
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if isinstance(v, Decimal): return float(v)
+    if isinstance(v, datetime): return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date): return v.isoformat()
+    return v
+
+def eq(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        try: return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError): return False
+    return a == b
+
+qs, osql = e.queries(), e.oracle_sql()
+fails = []
+for name, fn in sorted(qs.items()):
+    df = fn(spark, SF)
+    s_cols = df.columns
+    s_rows = [tuple(norm(v) for v in r) for r in df.collect()]
+    if name not in osql:
+        print(f"{name}: rows-only, {len(s_rows)} rows"); continue
+    res = con.execute(osql[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = [tuple(norm(v) for v in r) for r in res.fetchall()]
+    ok = sorted(s_cols) == sorted(d_cols) and len(s_rows) == len(d_rows)
+    if ok:
+        idx = [s_cols.index(c) for c in d_cols]
+        s_sorted = sorted([tuple(r[i] for i in idx) for r in s_rows], key=lambda r: tuple((v is None, str(v)) for v in r))
+        d_sorted = sorted(d_rows, key=lambda r: tuple((v is None, str(v)) for v in r))
+        bad = [(sr, dr) for sr, dr in zip(s_sorted, d_sorted) if not all(eq(a, b) for a, b in zip(sr, dr))]
+        ok = not bad
+        if bad: print(f"  sample mismatch {name}: {bad[:2]}")
+    print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(s_rows)} rows)")
+    if not ok: fails.append(name)
+
+print("RESULT:", "ALL MATCH" if not fails else f"FAILS: {fails}")
