@@ -163,7 +163,12 @@ def ivf_index(
     feats = df.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__features")
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__features", predictionCol="cluster")
+    # coarse quantization needs rough centroids, not convergence — cap
+    # iterations (a FAISS-style IVF trains on a sample for the same reason)
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=8,
+        featuresCol="__features", predictionCol="cluster",
+    )
     model = km.fit(feats)
     assigned = model.transform(feats).drop("__features")
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
