@@ -162,3 +162,29 @@ def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
     for uid, (n, t) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - t) < 1e-4
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicate events re-delivered within the watermark horizon are
+    dropped; the deduped stream equals the batch distinct-by-key."""
+    from spacex_data_engineering_pipeline_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    # simulate at-least-once redelivery: every event appears twice
+    doubled = events.unionByName(events)
+    src = str(tmp_path / "dup_events")
+    doubled.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        dedup_within_watermark(stream, ["event_id"], "ts", "2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
+    assert got.n == got.d == events.count()
