@@ -29,14 +29,27 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """Bounded-state dedup: drops re-deliveries of a key arriving within
     the watermark horizon; state expires as event time advances.
-    """
-    ts_type = dict(events_stream.dtypes).get(event_time_col)
-    if ts_type == "timestamp_ntz":
-        from pyspark.sql import functions as F
 
-        events_stream = events_stream.withColumn(
-            event_time_col, F.col(event_time_col).cast("timestamp")
-        )
-    return events_stream.withWatermark(
+    CAVEAT — late-data loss mode: like every watermark-gated operator,
+    events (unique or not) arriving with event time older than the
+    watermark are DROPPED, not passed through. Size ``watermark_delay``
+    to exceed both the redelivery window AND the source's worst-case
+    event-time lateness (backfills, lagging partitions).
+
+    The event-time column keeps its input type: an NTZ column is cast
+    to an instant only for the watermark and cast back on output.
+    """
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+        restore_ntz,
+        to_instant_for_watermark,
+    )
+
+    events_stream, was_ntz = to_instant_for_watermark(events_stream, event_time_col)
+    deduped = events_stream.withWatermark(
         event_time_col, watermark_delay
     ).dropDuplicatesWithinWatermark(key_cols)
+    return deduped.withColumn(
+        event_time_col, restore_ntz(F.col(event_time_col), was_ntz)
+    )

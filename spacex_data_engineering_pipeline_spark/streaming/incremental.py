@@ -108,12 +108,13 @@ def windowed_event_counts(
     back — an identity round-trip under one session timezone (the
     engine session pins UTC).
     """
-    was_ntz = dict(events_stream.dtypes).get("ts") == "timestamp_ntz"
-    if was_ntz:
-        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    start = F.col("window.start")
-    if was_ntz:
-        start = start.cast("timestamp_ntz")
+    from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+        restore_ntz,
+        to_instant_for_watermark,
+    )
+
+    events_stream, was_ntz = to_instant_for_watermark(events_stream, "ts")
+    start = restore_ntz(F.col("window.start"), was_ntz)
     return (
         events_stream.withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", window_duration))

@@ -171,7 +171,9 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
         dedup_within_watermark,
     )
 
-    events = load_table(spark, sf_dir, "events").limit(500)
+    # deterministic subset (limit() without order can pick different
+    # rows per evaluation — the self-union would then not be a doubling)
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     # simulate at-least-once redelivery: every event appears twice
     doubled = events.unionByName(events)
     src = str(tmp_path / "dup_events")
@@ -187,4 +189,29 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
+    assert got.n == got.d == events.count()
+
+
+def test_streaming_dedup_exact(spark, sf_dir, tmp_path):
+    from spacex_data_engineering_pipeline_spark.streaming.dedup import dedup_exact_stream
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    doubled = events.unionByName(events)
+    src = str(tmp_path / "dup_exact")
+    doubled.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        dedup_exact_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_exact")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_exact"
+    ).first()
+    # NTZ input type must survive the operator unchanged
+    assert dict(dedup_exact_stream(events, ["event_id"]).dtypes)["ts"] == "timestamp_ntz"
     assert got.n == got.d == events.count()
