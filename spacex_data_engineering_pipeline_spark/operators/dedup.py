@@ -161,6 +161,12 @@ def minhash_near_dup_pairs(
 
     Returns (doc_a, doc_b, jaccard_micro BIGINT).
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — uneven bands silently drop hashes, and "
+            "bands > num_hashes degenerates every band to one signature"
+        )
     rows_per_band = num_hashes // bands
     grams = (
         with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)

@@ -119,7 +119,12 @@ def embedding_near_dup_pairs(
     bounded by the largest bucket (planes count tunes that).
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if probe is None:  # empty input (or all-NULL vectors): no pairs
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double"
+            )
+        dim = len(probe[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     bucketed = rp_lsh_buckets(df, id_col, vec_col, planes).localCheckpoint(eager=False)
 

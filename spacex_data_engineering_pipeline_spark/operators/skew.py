@@ -69,7 +69,17 @@ def salted_join(
     """Skew-safe equi-join: replicate the dimension side ``n_salts``×,
     salt the fact side, join on (key, salt). The hot fact key's rows
     land on ``n_salts`` different reducers instead of one.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are supported:
+    replicating the dim side would emit each UNMATCHED dim row
+    ``n_salts`` times under right/full-outer semantics.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — the "
+            "replicated dim side duplicates unmatched rows under "
+            "right/full-outer semantics"
+        )
     salted_facts = with_salt(facts, fact_unique_col, n_salts)
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

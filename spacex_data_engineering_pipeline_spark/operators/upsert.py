@@ -60,13 +60,21 @@ def upsert_parquet(
     merged = merge_dedup(existing, incoming, key, order_by)
 
     # Break lineage from the path we're about to replace: write to a
-    # sibling tmp dir, then swap. (On a real deployment: Delta MERGE, or
-    # saveAsTable + dynamic partition overwrite.)
+    # sibling tmp dir, then swap crash-safely — rename old ASIDE before
+    # renaming new IN, so no instant exists where the table is gone and
+    # a crash leaves either the old or the new table in place, never
+    # neither. (On a real deployment: Delta MERGE, or saveAsTable +
+    # dynamic partition overwrite.)
     tmp_path = table_path.rstrip("/") + "__tmp_upsert"
+    old_path = table_path.rstrip("/") + "__old_upsert"
     merged.write.mode("overwrite").parquet(tmp_path)
     if exists:
-        shutil.rmtree(table_path)
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path)
+        os.replace(table_path, old_path)
     os.replace(tmp_path, table_path)
+    if exists:
+        shutil.rmtree(old_path)
 
     count_after = spark.read.parquet(table_path).count()
     return count_after - count_before

@@ -153,7 +153,11 @@ class IncrementalIngestionPipeline:
             snapshot_type = "initial"
         else:
             try:
+                # materialize inside the try: a lazy source defers read
+                # failures to action time, which would otherwise bypass
+                # this fallback entirely
                 raw = self.source.fetch_after(self.last_fetched_date())
+                raw = raw.localCheckpoint()
             except Exception:
                 # fallback: full fetch + client-side filter (ST5,
                 # reference ingest.py:266-312)
@@ -169,7 +173,16 @@ class IncrementalIngestionPipeline:
         enriched = enriched.localCheckpoint()
         n_new = enriched.count()
 
+        # Watermark candidate from the FETCHED batch (valid or not):
+        # a batch that is 100% rejects must still advance the watermark,
+        # else the same poisoned rows are refetched on every run.
+        batch_max = raw.agg(
+            F.max(F.try_to_timestamp("date_utc")).alias("m")
+        ).first()["m"]
+
         if n_new == 0 and not initial:
+            if rejected > 0 and batch_max is not None:
+                self._append_watermark(_as_utc(batch_max))
             return {
                 "status": "success",
                 "early_exit": True,
@@ -188,7 +201,6 @@ class IncrementalIngestionPipeline:
             key="launch_id",
             order_by=[F.col("ingested_at").desc()],
         )
-        batch_max = enriched.agg(F.max("date_utc")).first()[0]
         if batch_max is not None:
             self._append_watermark(_as_utc(batch_max))
         self.aggregations.append_snapshot(

@@ -41,9 +41,13 @@ def compute_global_metrics(launches: DataFrame) -> Row:
     averages gate on IS NOT NULL AND > 0. One hash-agg job; the
     COUNT(DISTINCT) expands to the standard two-stage plan.
     """
-    delay_hours = (
-        F.unix_timestamp("date_utc") - F.unix_timestamp("static_fire_date_utc")
-    ) / F.lit(3600.0)
+    from spacex_data_engineering_pipeline_spark.functions.datetime import (
+        fractional_hours_between,
+    )
+
+    delay_hours = fractional_hours_between(
+        F.col("static_fire_date_utc"), F.col("date_utc")
+    )
     row = launches.agg(
         F.count(F.lit(1)).alias("total_launches"),
         F.count(F.when(F.col("success") == True, 1)).alias(  # noqa: E712

@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spacex_data_engineering_pipeline_spark.functions.datetime import (
+    whole_hours_between,
+)
+
 WHOLE_HOURS = "CAST(FLOOR((unix_timestamp(date_utc) - unix_timestamp(static_fire_date_utc)) / 3600) AS BIGINT)"
 
 
@@ -74,9 +78,7 @@ def time_between_static_fire_and_launch(launches: DataFrame) -> DataFrame:
     truncated whole hours (time_between_engine_test_and_actual_launch.sql:3-35),
     theta-filtered to sane rows (static fire before launch).
     """
-    delay = F.floor(
-        (F.unix_timestamp("date_utc") - F.unix_timestamp("static_fire_date_utc")) / 3600
-    ).cast("long")
+    delay = whole_hours_between(F.col("static_fire_date_utc"), F.col("date_utc"))
     return (
         launches.filter(
             F.col("static_fire_date_utc").isNotNull()

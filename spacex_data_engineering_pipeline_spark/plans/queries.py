@@ -44,16 +44,9 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-def _hours_between(start_col: str, end_col: str):
-    """Whole elapsed hours between two timestamps, truncated toward zero.
-
-    Parity with Trino's date_diff('hour', a, b) used by the reference
-    (time_between_engine_test_and_actual_launch.sql:12,18) — truncation,
-    not boundary counting, hence floor(epoch/3600) on both engines.
-    """
-    return F.floor(
-        (F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))) / 3600
-    )
+from spacex_data_engineering_pipeline_spark.functions.datetime import (  # noqa: E402
+    whole_hours_between,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +204,7 @@ def ship_delay_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    delay = _hours_between("o_orderdate", "l_shipdate").cast("long")
+    delay = whole_hours_between(F.col("o_orderdate"), F.col("l_shipdate"))
     return (
         lineitem.filter(F.col("l_shipdate").isNotNull())
         .join(
@@ -501,7 +494,9 @@ from spacex_data_engineering_pipeline_spark.operators import similarity as S  # 
 # drops empty tokens (matches words(): whitespace-only text → 0 tokens).
 _DUCK_WORDS = r"list_filter(string_split_regex(text, '\s+'), w -> w <> '')"
 _DUCK_NTOK = rf"length({_DUCK_WORDS})"
-_DUCK_PUNCT_RE = r"[.,;:!?''\"()\[\]{{}}-]".replace("{{", "{").replace("}}", "}")
+# SQL-literal form of functions/text.py PUNCT_CLASS_RE: the single
+# quote is doubled for the SQL string literal.
+_DUCK_PUNCT_RE = r"[.,;:!?''\"()\[\]{}-]"
 
 
 @_register(

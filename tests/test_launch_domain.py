@@ -306,3 +306,41 @@ def test_incremental_pipeline_end_to_end(spark, tmp_path):
     assert [h.snapshot_type for h in hist] == ["incremental", "initial"]
     assert hist[0].total_launches == 30
     assert hist[0].launches_added_in_batch == r2["inserted"]
+
+
+def test_poisoned_batch_advances_watermark(spark, tmp_path):
+    """A batch whose rows are ALL rejected by validation must still
+    advance the watermark, or the same poisoned rows are refetched and
+    re-rejected on every subsequent run."""
+    good = spark.createDataFrame(
+        [("l1", "M1", "2021-01-01T00:00:00Z", True, [], "padA", None)], RAW_SCHEMA
+    )
+    poisoned = good.unionByName(
+        spark.createDataFrame(
+            [(None, "bad", "2021-06-01T00:00:00Z", True, [], "padA", None)],
+            RAW_SCHEMA,
+        )
+    )
+    payloads = spark.createDataFrame([], "payload_id string, name string, mass_kg double")
+    paths = {
+        "launches_path": str(tmp_path / "l.pq"),
+        "state_path": str(tmp_path / "s.pq"),
+        "snapshots_path": str(tmp_path / "a.pq"),
+    }
+    p = IncrementalIngestionPipeline(
+        spark, LocalLaunchSource(spark, good), payloads, **paths
+    )
+    p.run()  # initial load: watermark at 2021-01-01
+    wm1 = p.last_fetched_date()
+
+    p2 = IncrementalIngestionPipeline(
+        spark, LocalLaunchSource(spark, poisoned), payloads, **paths
+    )
+    r = p2.run()  # fetches only the poisoned (later) row → all rejected
+    assert r["rejected_rows"] == 1 and r["inserted"] == 0
+    wm2 = p2.last_fetched_date()
+    assert wm2 > wm1, "watermark must advance past a fully-rejected batch"
+    # next run: the poisoned row is NOT refetched (change detection may
+    # still probe, but the fetch window is empty → early exit, 0 rejects)
+    r2 = p2.run()
+    assert r2["rejected_rows"] == 0 and r2["early_exit"]
