@@ -68,8 +68,13 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("doc"), F.col(block_col).alias("block"), "grams")
         .filter(F.size("grams") > 0)
         .select("doc", "block", F.size("grams").cast("long").alias("n_grams"), "grams")
-        # feeds both self-join branches: materialize once
-        .localCheckpoint(eager=False)
+        # feeds both self-join branches: materialize once. persist(), not
+        # lazy localCheckpoint: a lazy checkpoint runs as a separate job
+        # whose SQL-metric accumulators are unregistered before late task
+        # completions land (spurious "Failed to update accumulator"
+        # DAGScheduler errors); persist computes blocks inside the one
+        # consuming action with no extra job.
+        .persist()
     )
     postings = grams.select(
         "doc", "block", "n_grams", F.explode("grams").alias("gram")
@@ -174,9 +179,9 @@ def minhash_near_dup_pairs(
         .filter(F.size("shingles") > 0)
         # the shingle table feeds three consumers (banding + both
         # verification joins); materialize it once instead of
-        # recomputing the shingling 3x. Lazy local checkpoint: computed
-        # on first action, blocks GC'd with the DataFrame.
-        .localCheckpoint(eager=False)
+        # recomputing the shingling 3x (persist, not lazy checkpoint —
+        # see ngram_jaccard_pairs for why).
+        .persist()
     )
 
     # Per-band min-hash directly (never materialize-then-slice the full
@@ -203,7 +208,7 @@ def minhash_near_dup_pairs(
         # (an explicit repartition here measured SLOWER — AQE picks a
         # broadcast join for the narrow banded table and skips the
         # shuffle entirely)
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     bl, br = banded.alias("l"), banded.alias("r")

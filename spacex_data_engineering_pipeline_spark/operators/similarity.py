@@ -126,7 +126,10 @@ def embedding_near_dup_pairs(
             )
         dim = len(probe[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    bucketed = rp_lsh_buckets(df, id_col, vec_col, planes).localCheckpoint(eager=False)
+    # persist, not lazy localCheckpoint: the checkpoint's separate job
+    # races SQL-metric accumulator cleanup (noisy DAGScheduler errors);
+    # persist materializes inside the consuming action.
+    bucketed = rp_lsh_buckets(df, id_col, vec_col, planes).persist()
 
     bl, br = bucketed.alias("l"), bucketed.alias("r")
     cand = bl.join(
