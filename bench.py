@@ -7,6 +7,12 @@ Each query is forced to execute via a count-style terminal action
 (``df.foreach`` no-op would skip result materialization; we use
 ``collect`` for small results and ``count`` for large ones, mirroring
 what a client would pull).
+
+Also times the reference's three published pipeline scenarios
+(BASELINE.md: initial full load ~15 s, incremental ~1 s, no-new-data
+early exit ~0.5 s — on 205 launches) against a launch-shaped source
+derived from the ``orders`` table at the benchmark scale factor
+(~150k rows at sf0.1), reported as ``pipeline_*`` entries.
 """
 
 from __future__ import annotations
@@ -14,10 +20,15 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
 from spacex_data_engineering_pipeline_spark.session import get_spark
@@ -25,6 +36,97 @@ from spacex_data_engineering_pipeline_spark.session import get_spark
 # Queries whose results are large (one row per key over a big table):
 # count() them instead of collecting to the driver.
 LARGE_RESULT = {"order_discount_enrichment", "latest_event_per_user", "dedup_exact_documents"}
+
+
+def _raw_launches_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Launch-shaped raw rows derived deterministically from the orders
+    table, so the pipeline scenarios run at the benchmark scale factor
+    on driver-provided testdata (we never synthesize rows ourselves).
+    One payload per launch; the payloads dim reuses the same keys so the
+    enrichment join resolves every id.
+    """
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("launch_id"),
+        F.concat(F.lit("Mission-"), F.col("o_orderkey")).alias("mission_name"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("date_utc"),
+        # 3-state success: F=true, O=false, P=NULL(unknown)
+        F.when(F.col("o_orderstatus") == "F", F.lit(True))
+        .when(F.col("o_orderstatus") == "O", F.lit(False))
+        .alias("success"),
+        F.array(F.col("o_orderkey").cast("string")).alias("payload_ids"),
+        F.concat(F.lit("pad-"), F.col("o_orderpriority")).alias("launchpad_id"),
+        F.lit(None).cast("string").alias("static_fire_date_utc"),
+    )
+
+
+def _payloads_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("payload_id"),
+        F.concat(F.lit("Payload-"), F.col("o_orderkey")).alias("name"),
+        F.col("o_totalprice").cast("double").alias("mass_kg"),
+    )
+
+
+def bench_pipeline_scenarios(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Reference scenario parity (BASELINE.md rows 1-3): initial full
+    load, incremental run with new data, and a no-new-data early exit —
+    same change-detection + watermark + upsert semantics, at sf scale.
+    """
+    from spacex_data_engineering_pipeline_spark.pipeline.ingest import (
+        IncrementalIngestionPipeline,
+    )
+    from spacex_data_engineering_pipeline_spark.sources.launches import (
+        LocalLaunchSource,
+    )
+
+    raw_all = _raw_launches_from_orders(spark, sf_dir)
+    payloads = _payloads_from_orders(spark, sf_dir)
+    # TPC-H order dates span 1992-01 .. 1998-08: a 1997-01-01 cutoff
+    # makes the initial load ~77% of rows and the incremental the rest.
+    batch1 = raw_all.filter(F.col("date_utc") < F.lit("1997-01-01"))
+
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    paths = {
+        "launches_path": os.path.join(work, "launches.pq"),
+        "state_path": os.path.join(work, "state.pq"),
+        "snapshots_path": os.path.join(work, "snaps.pq"),
+    }
+    timings: dict[str, float] = {}
+    try:
+        p1 = IncrementalIngestionPipeline(
+            spark, LocalLaunchSource(spark, batch1), payloads, **paths
+        )
+        t0 = time.perf_counter()
+        r1 = p1.run()
+        timings["pipeline_initial_load"] = round(time.perf_counter() - t0, 4)
+
+        p2 = IncrementalIngestionPipeline(
+            spark, LocalLaunchSource(spark, raw_all), payloads, **paths
+        )
+        t0 = time.perf_counter()
+        r2 = p2.run()
+        timings["pipeline_incremental"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        r3 = p2.run()
+        timings["pipeline_no_new_data"] = round(time.perf_counter() - t0, 4)
+
+        ok = (
+            r1["snapshot_type"] == "initial"
+            and r2["snapshot_type"] == "incremental"
+            and r2["inserted"] > 0
+            and r3["early_exit"]
+        )
+        if not ok:  # timings of the wrong code path are not comparable
+            print(
+                f"bench: pipeline scenarios took unexpected paths: {r1} {r2} {r3}",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return timings
 
 
 def main() -> None:
@@ -49,6 +151,8 @@ def main() -> None:
         else:
             df.collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    timings.update(bench_pipeline_scenarios(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     print(
