@@ -95,15 +95,19 @@ def bench_pipeline_scenarios(spark: SparkSession, sf_dir: str) -> dict[str, floa
     }
     timings: dict[str, float] = {}
     try:
+        # scale layout: year-partitioned table, incremental rewrites
+        # only the years the batch touches
         p1 = IncrementalIngestionPipeline(
-            spark, LocalLaunchSource(spark, batch1), payloads, **paths
+            spark, LocalLaunchSource(spark, batch1), payloads,
+            partition_by_year=True, **paths,
         )
         t0 = time.perf_counter()
         r1 = p1.run()
         timings["pipeline_initial_load"] = round(time.perf_counter() - t0, 4)
 
         p2 = IncrementalIngestionPipeline(
-            spark, LocalLaunchSource(spark, raw_all), payloads, **paths
+            spark, LocalLaunchSource(spark, raw_all), payloads,
+            partition_by_year=True, **paths,
         )
         t0 = time.perf_counter()
         r2 = p2.run()

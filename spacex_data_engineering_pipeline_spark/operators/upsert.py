@@ -9,10 +9,13 @@ format-agnostic so swapping the implementation doesn't touch callers.
 
 Scale notes:
 - the window partitions by the PK: one hash shuffle, AQE-skew-safe;
-- the rewrite is full-table — correct-but-heavy, exactly why real
-  deployments use MERGE-capable formats; for append-mostly workloads
-  partition the table (e.g. by month(date_utc)) and rewrite only
-  partitions containing upserted keys (dynamic partition overwrite).
+- ``upsert_parquet`` rewrites the full table — correct-but-heavy; it
+  exists as the layout-agnostic fallback and the tiny-table path;
+- ``upsert_parquet_partitioned`` is the scale path: the table is
+  partitioned on a time-derived column and an incremental batch
+  rewrites ONLY the partitions it touches (dynamic partition
+  overwrite). A 100 TB table with year partitions and a one-month
+  incremental batch rewrites ~1 partition, not the table.
 """
 
 from __future__ import annotations
@@ -75,6 +78,82 @@ def upsert_parquet(
     os.replace(tmp_path, table_path)
     if exists:
         shutil.rmtree(old_path)
+
+    count_after = spark.read.parquet(table_path).count()
+    return count_after - count_before
+
+
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    incoming: DataFrame,
+    key: str,
+    order_by: list[Column],
+    partition_col: str,
+) -> int:
+    """Upsert into a parquet table partitioned on ``partition_col``
+    (a NON-NULL column of ``incoming``, e.g. ``year(date_utc)``),
+    rewriting only affected partitions; returns new keys inserted.
+
+    Affected = partitions receiving incoming rows ∪ partitions whose
+    existing rows match an incoming key. The second set catches a key
+    whose partition value CHANGED in the update (reference ON CONFLICT
+    DO UPDATE replaces in place; here the old partition must also be
+    rewritten or the stale row would survive as a duplicate).
+
+    Scale: the affected-partition list is collected to the driver — by
+    construction it is small (time-partitioned tables, incremental
+    batches span few periods) and the ``isin`` filter partition-prunes
+    the existing-side scan, so the merge reads only what it rewrites.
+
+    Crash-safety: dynamic partition overwrite commits per partition —
+    a crash mid-write can leave a subset of affected partitions updated
+    (each partition is itself replaced atomically). Cross-partition
+    atomicity needs a transactional format (Delta/Iceberg MERGE);
+    callers for whom that matters use ``upsert_parquet``'s whole-table
+    swap instead.
+    """
+    exists = os.path.exists(table_path)
+    if not exists:
+        # cluster rows by partition value before the write so each
+        # partition directory gets ONE file per holding task, not one
+        # per shuffle partition (32 tasks × P years = P·32 tiny files —
+        # every later read pays the listing + footer cost). At cluster
+        # scale add a second spread key (e.g. bucket(pk)) to keep write
+        # parallelism within a huge partition.
+        merge_dedup(None, incoming, key, order_by).repartition(
+            F.col(partition_col)
+        ).write.partitionBy(partition_col).mode("overwrite").parquet(table_path)
+        return spark.read.parquet(table_path).count()
+
+    existing = spark.read.parquet(table_path)
+    count_before = existing.count()
+
+    inc_keys = incoming.select(key).distinct()
+    parts_incoming = incoming.select(partition_col).distinct()
+    parts_matched = (
+        existing.join(inc_keys, key, "left_semi").select(partition_col).distinct()
+    )
+    affected = [
+        r[0] for r in parts_incoming.unionByName(parts_matched).distinct().collect()
+    ]
+
+    existing_affected = existing.filter(F.col(partition_col).isin(affected))
+    # eager checkpoint: breaks lineage from table_path so the dynamic
+    # overwrite below isn't a read-from/write-to-same-path plan (which
+    # Spark rejects), and pins the merge result before any file moves.
+    merged = merge_dedup(existing_affected, incoming, key, order_by).localCheckpoint()
+    survivors = {r[0] for r in merged.select(partition_col).distinct().collect()}
+
+    merged.repartition(F.col(partition_col)).write.partitionBy(partition_col).option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(table_path)
+
+    # A partition whose every row moved away ends with zero surviving
+    # rows; dynamic overwrite never touches it (nothing was written
+    # there), so drop its directory or the stale rows survive.
+    for part in set(affected) - survivors:
+        shutil.rmtree(os.path.join(table_path, f"{partition_col}={part}"), ignore_errors=True)
 
     count_after = spark.read.parquet(table_path).count()
     return count_after - count_before

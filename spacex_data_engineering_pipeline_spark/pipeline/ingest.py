@@ -28,7 +28,10 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spacex_data_engineering_pipeline_spark.operators.upsert import upsert_parquet
+from spacex_data_engineering_pipeline_spark.operators.upsert import (
+    upsert_parquet,
+    upsert_parquet_partitioned,
+)
 from spacex_data_engineering_pipeline_spark.plans.aggregations import (
     AggregationService,
     new_run_id,
@@ -52,12 +55,21 @@ class IncrementalIngestionPipeline:
         launches_path: str,
         state_path: str,
         snapshots_path: str,
+        partition_by_year: bool = False,
     ):
+        """``partition_by_year=True`` is the scale layout: the launches
+        table is partitioned on ``launch_year = year(date_utc)`` and an
+        incremental batch rewrites only the years it touches instead of
+        the whole table (see ``upsert_parquet_partitioned``). Readers
+        are unaffected — the partition column surfaces as one extra
+        table column and time filters partition-prune the scan.
+        """
         self.spark = spark
         self.source = source
         self.payloads = payloads
         self.launches_path = launches_path
         self.state_path = state_path
+        self.partition_by_year = partition_by_year
         self.aggregations = AggregationService(spark, snapshots_path)
 
     # -- state -------------------------------------------------------------
@@ -194,13 +206,23 @@ class IncrementalIngestionPipeline:
                 "duration_s": round(time.perf_counter() - t0, 3),
             }
 
-        inserted = upsert_parquet(
-            self.spark,
-            self.launches_path,
-            enriched,
-            key="launch_id",
-            order_by=[F.col("ingested_at").desc()],
-        )
+        if self.partition_by_year:
+            inserted = upsert_parquet_partitioned(
+                self.spark,
+                self.launches_path,
+                enriched.withColumn("launch_year", F.year("date_utc")),
+                key="launch_id",
+                order_by=[F.col("ingested_at").desc()],
+                partition_col="launch_year",
+            )
+        else:
+            inserted = upsert_parquet(
+                self.spark,
+                self.launches_path,
+                enriched,
+                key="launch_id",
+                order_by=[F.col("ingested_at").desc()],
+            )
         if batch_max is not None:
             self._append_watermark(_as_utc(batch_max))
         self.aggregations.append_snapshot(

@@ -60,3 +60,153 @@ def test_compact_controls_file_count(spark, sf_dir, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) == 2
+
+
+# -- partition-aware upsert (the scale path for S7) -------------------------
+
+
+def _snapshot_files(path):
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2020, "b"), (3, 2021, "c"), (4, 2022, "d")],
+        "id long, yr int, v string",
+    )
+    n = upsert_parquet_partitioned(spark, path, base, "id", [F.col("v")], "yr")
+    assert n == 4
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("yr=")
+    ) == ["yr=2020", "yr=2021", "yr=2022"]
+
+    before = _snapshot_files(path)
+    # update one 2021 row + insert one 2022 row: 2020 must not be rewritten
+    batch = spark.createDataFrame(
+        [(3, 2021, "c2"), (5, 2022, "e")], "id long, yr int, v string"
+    )
+    n = upsert_parquet_partitioned(spark, path, batch, "id", [F.col("v").desc()], "yr")
+    assert n == 1  # one NEW key
+    after = _snapshot_files(path)
+    untouched_2020 = {p: t for p, t in before.items() if "yr=2020" in p}
+    assert untouched_2020 == {
+        p: t for p, t in after.items() if "yr=2020" in p
+    }, "unaffected partition files must be byte-identical (not rewritten)"
+
+    got = {r.id: (r.yr, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (2020, "a"), 2: (2020, "b"), 3: (2021, "c2"), 4: (2022, "d"), 5: (2022, "e")}
+
+
+def test_partitioned_upsert_key_moves_partition(spark, tmp_path):
+    from spacex_data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 2020, 1, "a"), (2, 2021, 1, "b")], "id long, yr int, ver int, v string"
+    )
+    upsert_parquet_partitioned(spark, path, base, "id", [F.col("ver").desc()], "yr")
+
+    # id=1's corrected date moves it 2020 → 2021; 2020 becomes empty
+    moved = spark.createDataFrame([(1, 2021, 2, "a2")], "id long, yr int, ver int, v string")
+    n = upsert_parquet_partitioned(spark, path, moved, "id", [F.col("ver").desc()], "yr")
+    assert n == 0  # no new keys
+    rows = {r.id: (r.yr, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: (2021, "a2"), 2: (2021, "b")}, (
+        "old-partition copy of a moved key must not survive"
+    )
+    import os
+
+    assert not os.path.exists(os.path.join(path, "yr=2020")), (
+        "a partition emptied by the move must be dropped"
+    )
+
+
+def test_pipeline_partitioned_layout_end_to_end(spark, tmp_path):
+    """partition_by_year=True must produce the same pipeline results as
+    the flat layout, plus a pruned-scan-friendly year-partitioned table."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.pipeline.ingest import (
+        IncrementalIngestionPipeline,
+    )
+    from spacex_data_engineering_pipeline_spark.sources.launches import (
+        LocalLaunchSource,
+    )
+
+    raw_schema = (
+        "launch_id string, mission_name string, date_utc string, success boolean, "
+        "payload_ids array<string>, launchpad_id string, static_fire_date_utc string"
+    )
+    raw_all = spark.createDataFrame(
+        [
+            ("l1", "M1", "2020-01-01T00:00:00Z", True, ["p1"], "padA", None),
+            ("l2", "M2", "2020-06-01T00:00:00Z", False, ["p2"], "padA", None),
+            ("l3", "M3", "2021-03-01T00:00:00Z", True, [], "padB", None),
+            ("l4", "M4", "2021-09-01T00:00:00Z", None, ["p4"], "padB", None),
+        ],
+        raw_schema,
+    )
+    payloads = spark.createDataFrame(
+        [("p1", "P1", 100.0), ("p2", "P2", 200.0), ("p4", "P4", 50.0)],
+        "payload_id string, name string, mass_kg double",
+    )
+    paths = dict(
+        launches_path=str(tmp_path / "l.pq"),
+        state_path=str(tmp_path / "s.pq"),
+        snapshots_path=str(tmp_path / "a.pq"),
+    )
+    batch1 = raw_all.filter(F.col("date_utc") < "2021-01-01")
+
+    p1 = IncrementalIngestionPipeline(
+        spark, LocalLaunchSource(spark, batch1), payloads,
+        partition_by_year=True, **paths,
+    )
+    r1 = p1.run()
+    assert r1["snapshot_type"] == "initial" and r1["inserted"] == 2
+    assert sorted(
+        d for d in os.listdir(paths["launches_path"]) if d.startswith("launch_year=")
+    ) == ["launch_year=2020"]
+
+    p2 = IncrementalIngestionPipeline(
+        spark, LocalLaunchSource(spark, raw_all), payloads,
+        partition_by_year=True, **paths,
+    )
+    r2 = p2.run()
+    assert r2["snapshot_type"] == "incremental" and r2["inserted"] == 2
+    assert sorted(
+        d for d in os.listdir(paths["launches_path"]) if d.startswith("launch_year=")
+    ) == ["launch_year=2020", "launch_year=2021"]
+
+    r3 = p2.run()
+    assert r3["early_exit"] and r3["inserted"] == 0
+
+    tbl = spark.read.parquet(paths["launches_path"])
+    assert tbl.count() == 4
+    assert tbl.select("launch_id").distinct().count() == 4
+    got_mass = {r.launch_id: r.total_payload_mass_kg for r in tbl.collect()}
+    assert got_mass["l1"] == 100.0 and got_mass["l3"] is None
+
+    # year filter must prune to one directory
+    pruned = tbl.filter(F.col("launch_year") == 2021)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "launch_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert pruned.count() == 2
