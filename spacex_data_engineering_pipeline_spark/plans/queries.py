@@ -1551,3 +1551,68 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", _query_vector(spark, sf_dir),
         k=10, n_clusters=8, n_probes=3,
     )
+
+
+# ===========================================================================
+# Corpus subsetting (north-star §2.11): reproducible sampling + length
+# distribution — the selection and inspection steps of training-data prep
+# ===========================================================================
+
+
+@_register(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+    ) WHERE rn <= (cnt + 4) // 5
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly ceil(20%) of each
+    language stratum, lowest doc_ids first — integer arithmetic only
+    ((cnt+4) div 5), so engines agree bit-for-bit and re-runs are
+    byte-identical (reproducible corpus subsetting).
+
+    Scale: the exact-fraction guarantee costs one rank window per
+    stratum — with few large strata those partitions are huge. At
+    open-corpus scale trade exactness for a shuffle-free narrow map:
+    ``pmod(xxhash64(doc_id), 1000) < 200`` samples ~20% per stratum
+    with no window at all (not oracle-able: xxhash64 is Spark-native).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.expr("(cnt + 4) div 5"))
+        .select("doc_id", "lang")
+    )
+
+
+@_register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT LEAST(n_chars // 500, 9) AS bucket, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY LEAST(n_chars // 500, 9)
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (500-char bins, top bin open-ended):
+    the length-filter tuning view of corpus prep. Pure integer bucket
+    math; one map + one low-cardinality hash agg (map-side partials),
+    scan-speed at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.least(F.expr("n_chars div 500"), F.lit(9)).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
