@@ -21,6 +21,20 @@ from pyspark.sql.functions import pandas_udf
 from spacex_data_engineering_pipeline_spark.functions.text import with_word_ngrams
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to all cores before a compute-heavy
+    per-row stage. A small corpus arrives in 1-2 input splits, which
+    would serialize the O(shingles·k) signature/shingle map on one
+    task; the round-robin shuffle moves only the raw rows (cheap
+    relative to the map it parallelizes). No-op when the scan already
+    has enough splits — at cluster scale it always does.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
     """Keep exactly one row per duplicate group, deterministically.
 
@@ -64,6 +78,9 @@ def ngram_jaccard_pairs(
     lists) are the skew risk — AQE skew-join splits them.
     """
     grams = (
+        # NOT _spread here: measured 1.6x slower end-to-end — widening
+        # the input perturbs AQE's broadcast choice for the posting-list
+        # self-join; the map work rides the join shuffle anyway
         with_word_ngrams(df, text_col, n, out_col="grams", distinct=True)
         .select(F.col(id_col).alias("doc"), F.col(block_col).alias("block"), "grams")
         .filter(F.size("grams") > 0)
@@ -138,7 +155,7 @@ def minhash_signatures(
     expressions, one narrow map stage, O(shingles·k) per row.
     """
     return (
-        with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
+        with_word_ngrams(_spread(df), text_col, shingle_n, out_col="shingles", distinct=True)
         .select(F.col(id_col).alias("doc"), "shingles")
         .filter(F.size("shingles") > 0)
         .withColumn("sig", _band_minhash(F.col("shingles"), 0, num_hashes))
@@ -174,6 +191,10 @@ def minhash_near_dup_pairs(
         )
     rows_per_band = num_hashes // bands
     grams = (
+        # NOT _spread here: measured slower end-to-end — widening the
+        # input replaces AQE's broadcast of the narrow banded table
+        # with a shuffle join, which costs more than the parallelism
+        # saves at LSH-bucket cardinalities
         with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
         .select(F.col(id_col).alias("doc"), "shingles")
         .filter(F.size("shingles") > 0)
@@ -290,7 +311,9 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     near-dup search = equi-join on any band — no pairwise scan.
     """
     simhash64 = _simhash64_udf()
-    sh = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("simhash"))
+    sh = _spread(df).select(
+        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("simhash")
+    )
     for i in range(4):
         sh = sh.withColumn(
             f"band{i}", F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
