@@ -155,6 +155,10 @@ def main() -> None:
         else:
             df.collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop blocks persisted inside operators (minhash/LSH shingle
+        # tables): queries time independently and the tail of the run
+        # isn't paying GC pressure from 50 queries of accumulated cache
+        spark.catalog.clearCache()
 
     timings.update(bench_pipeline_scenarios(spark, sf_dir))
 

@@ -19,20 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from spacex_data_engineering_pipeline_spark.functions.text import with_word_ngrams
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow scan out to all cores before a compute-heavy
-    per-row stage. A small corpus arrives in 1-2 input splits, which
-    would serialize the O(shingles·k) signature/shingle map on one
-    task; the round-robin shuffle moves only the raw rows (cheap
-    relative to the map it parallelizes). No-op when the scan already
-    has enough splits — at cluster scale it always does.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from spacex_data_engineering_pipeline_spark.operators.util import spread as _spread
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:

@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -30,6 +31,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from spacex_data_engineering_pipeline_spark.operators.util import spread
 
 MEDIA_SCHEMA = StructType(
     [
@@ -91,7 +94,7 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(_extract, FEATURE_SCHEMA)
+    return spread(media_df).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -134,7 +137,7 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
                     out["frame_md5"].append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(_sample, FRAME_SCHEMA)
+    return spread(media_df).mapInPandas(_sample, FRAME_SCHEMA)
 
 
 def resize_stub(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
