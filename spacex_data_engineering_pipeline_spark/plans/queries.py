@@ -1616,3 +1616,50 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@_register(
+    "purchase_attribution_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           p.ts AS purchase_ts, c.click_id, c.ts AS click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each purchase to the
+    same user's most recent click at-or-before it — the temporal
+    enrichment primitive Spark lacks natively, expressed as one key
+    shuffle + window (never a per-key cross product). The click side is
+    deduped per (user, ts) keeping the max event_id so exact-tie
+    matches are deterministic on both engines (DuckDB ASOF picks
+    arbitrarily among ties otherwise).
+    """
+    from spacex_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"],
+        left_time="purchase_ts", right_time="click_ts",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

@@ -231,3 +231,52 @@ def test_ivf_topk_subset_of_bruteforce(spark, sf_dir):
     true_top = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     overlap = len(set(got) & {vid for vid, _ in true_top})
     assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+
+
+def test_asof_join_semantics(spark):
+    from spacex_data_engineering_pipeline_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3"), (3, 7, "p4")],
+        "k long, t long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r_at_10"), (1, 15, "r_at_15"), (2, 6, "r_after")],
+        "k long, t long, rv string",
+    )
+    out = {
+        r.pid: r.rv
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t"
+        ).collect()
+    }
+    assert out["p1"] == "r_at_10"   # equal timestamp matches (<=)
+    assert out["p2"] == "r_at_15"   # latest at-or-before wins
+    assert out["p3"] is None        # right row is strictly after
+    assert out["p4"] is None        # key absent on the right
+
+    # exact (key, time) ties on the right resolve by the tiebreak
+    dup = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b")], "k long, t long, rv string"
+    )
+    got = asof_join(
+        left.filter("pid = 'p2'"), dup, on=["k"],
+        left_time="t", right_time="t", right_tiebreak=F.col("rv"),
+    ).collect()[0]
+    assert got.rv == "b", "last-by-tiebreak must win deterministically"
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window plan must shuffle ONCE on the key — no join
+    node, no per-key cross product."""
+    from spacex_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    left = spark.range(100).selectExpr("id % 5 AS k", "id AS t", "id AS pid")
+    right = spark.range(50).selectExpr("id % 5 AS k", "id AS t", "id AS rv")
+    plan = (
+        asof_join(left, right, on=["k"], left_time="t", right_time="t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
