@@ -44,7 +44,9 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     source = LocalLaunchSource.from_parquet(spark, args.source_parquet)
     payloads = spark.read.parquet(args.payloads_parquet)
     pipeline = IncrementalIngestionPipeline(
-        spark, source, payloads, **_warehouse_paths(args.warehouse)
+        spark, source, payloads,
+        partition_by_year=args.partition_by_year,
+        **_warehouse_paths(args.warehouse),
     )
     result = pipeline.run()
     print(json.dumps(result, default=str))
@@ -83,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--payloads-parquet", required=True)
     p_ing.add_argument("--warehouse", required=True,
                        help="directory holding raw_launches / ingestion_state / launch_aggregations")
+    p_ing.add_argument("--partition-by-year", action="store_true",
+                       help="year-partitioned launches table: incremental runs "
+                            "rewrite only the years the batch touches (scale layout)")
     p_ing.set_defaults(fn=cmd_ingest)
 
     p_agg = sub.add_parser("aggregations", help="inspect snapshots, history, trends")
