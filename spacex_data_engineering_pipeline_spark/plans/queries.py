@@ -1663,3 +1663,82 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on=["user_id"],
         left_time="purchase_ts", right_time="click_ts",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+@_register(
+    "purchase_in_click_session",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT user_id, t,
+               CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM c
+    ),
+    s AS (
+        SELECT user_id, t,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    sess AS (
+        SELECT user_id, MIN(t) AS session_start,
+               MAX(t) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_clicks
+        FROM s GROUP BY user_id, sid
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           sess.session_start, sess.n_clicks
+    FROM p JOIN sess
+      ON p.user_id = sess.user_id
+     AND p.purchase_ts >= sess.session_start
+     AND p.purchase_ts < sess.session_end
+    """,
+)
+def purchase_in_click_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join (operators/rangejoin.py):
+    attribute each purchase to the click-session interval containing it.
+    Sessions are Spark-native session_window aggregates over clicks
+    ([start, last_click + 30 min)); the bucketized join turns the
+    containment predicate into a hash equi-join on (user, time-bucket)
+    instead of the nested-loop plan Spark gives a raw range predicate.
+    Bucket width = the 30-min gap, so each session explodes to O(1)
+    bucket rows. The oracle is the gaps-and-islands rewrite plus a
+    plain BETWEEN-style join.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_clicks",
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_join(
+        purchases, sessions, on=["user_id"],
+        point="purchase_ts", lo="session_start", hi="session_end",
+        bucket_seconds=1800,
+    ).select("purchase_id", "user_id", "purchase_ts", "session_start", "n_clicks")

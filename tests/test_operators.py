@@ -280,3 +280,70 @@ def test_asof_join_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_interval_join_semantics(spark):
+    from spacex_data_engineering_pipeline_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "in"),
+         (1, "2024-01-01 11:00:00", "at_hi"),      # hi is exclusive
+         (1, "2024-01-01 09:00:00", "at_lo"),      # lo is inclusive
+         (2, "2024-01-01 10:00:00", "wrong_key")],
+        "k long, t string, tag string",
+    ).selectExpr("k", "CAST(t AS TIMESTAMP_NTZ) AS t", "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "s1"),
+         (3, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "other_key")],
+        "k long, lo string, hi string, sid string",
+    ).selectExpr(
+        "k", "CAST(lo AS TIMESTAMP_NTZ) AS lo", "CAST(hi AS TIMESTAMP_NTZ) AS hi", "sid"
+    )
+    got = {
+        r.tag: r.sid
+        for r in interval_join(
+            left, right, on=["k"], point="t", lo="lo", hi="hi", bucket_seconds=600
+        ).collect()
+    }
+    assert got == {"in": "s1", "at_lo": "s1"}, got
+
+    # overlapping intervals: the point matches EACH container exactly once
+    overlapping = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "2024-01-01 12:00:00", "a"),
+         (1, "2024-01-01 09:30:00", "2024-01-01 10:30:00", "b")],
+        "k long, lo string, hi string, sid string",
+    ).selectExpr(
+        "k", "CAST(lo AS TIMESTAMP_NTZ) AS lo", "CAST(hi AS TIMESTAMP_NTZ) AS hi", "sid"
+    )
+    rows = interval_join(
+        left.filter("tag = 'in'"), overlapping,
+        on=["k"], point="t", lo="lo", hi="hi", bucket_seconds=600,
+    ).collect()
+    assert sorted(r.sid for r in rows) == ["a", "b"]
+
+
+def test_interval_join_is_hash_join(spark):
+    """The bucketized formulation must plan as a hash equi-join —
+    never BroadcastNestedLoopJoin (the naive range-predicate plan)."""
+    from spacex_data_engineering_pipeline_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    left = spark.range(1000).selectExpr(
+        "id % 7 AS k", "timestamp_seconds(1700000000 + id * 60) AS t", "id"
+    )
+    right = spark.range(100).selectExpr(
+        "id % 7 AS k",
+        "timestamp_seconds(1700000000 + id * 600) AS lo",
+        "timestamp_seconds(1700000000 + id * 600 + 1800) AS hi",
+        "id AS rid",
+    )
+    plan = (
+        interval_join(left, right, on=["k"], point="t", lo="lo", hi="hi",
+                      bucket_seconds=1800)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
