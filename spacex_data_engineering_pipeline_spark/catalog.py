@@ -49,9 +49,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # save/restore: leaving the legacy conf set would silently change
+        # the surfaced type of any LATER parquet read containing nanos
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        try:
+            df = spark.read.parquet(path)
+            # force analysis while the conf is set: dtypes resolves the
+            # schema here; the scan itself re-reads footers lazily, so
+            # the ts column must be captured as bigint NOW
+            needs_convert = dict(df.dtypes).get("ts") == "bigint"
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        if needs_convert:
             # integral DIV, not floor(double /): epoch-nanos exceed the
             # 2^53 exact-integer range of double → off-by-1µs artifacts.
             # Target type is TIMESTAMP_NTZ (wall-clock, what the parquet

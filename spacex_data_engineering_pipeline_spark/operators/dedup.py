@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from spacex_data_engineering_pipeline_spark.functions.text import with_word_ngrams
-from spacex_data_engineering_pipeline_spark.operators.util import spread as _spread
+from spacex_data_engineering_pipeline_spark.operators.util import (
+    release_caches_with,
+    spread as _spread,
+)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
@@ -105,13 +108,15 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     union = F.col("na") + F.col("nb") - F.col("inter")
-    return (
+    out = (
         shared.withColumn(
             "jaccard_micro", F.floor((F.col("inter") * F.lit(1_000_000)) / union).cast("long")
         )
         .filter(F.col("jaccard_micro") >= min_jaccard_micro)
         .select("doc_a", "doc_b", "jaccard_micro")
     )
+    # cache residency is bounded by the returned handle's lifetime
+    return release_caches_with(out, grams)
 
 
 _MAX_LONG = (1 << 63) - 1
@@ -239,13 +244,15 @@ def minhash_near_dup_pairs(
     union = (
         F.size(F.col("grams_a")).cast("long") + F.size(F.col("grams_b")).cast("long") - inter
     )
-    return (
+    out = (
         candidates.join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn("jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long"))
         .filter(F.col("jaccard_micro") >= min_jaccard_micro)
         .select("doc_a", "doc_b", "jaccard_micro")
     )
+    # cache residency is bounded by the returned handle's lifetime
+    return release_caches_with(out, grams, banded)
 
 
 def _simhash64_udf():

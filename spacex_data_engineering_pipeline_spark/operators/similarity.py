@@ -15,10 +15,14 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spacex_data_engineering_pipeline_spark.functions.vectors import cosine, dot
+from spacex_data_engineering_pipeline_spark.operators.util import release_caches_with
 
 
 def cosine_scores(
@@ -99,24 +103,31 @@ def embedding_near_dup_pairs(
     vec_col: str,
     min_cosine: float = 0.95,
     n_planes: int = 8,
-    seed: int = 42,
+    seeds: tuple[int, ...] = (42, 137, 9001, 271828),
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
-    bucketing, then EXACT cosine verification within buckets.
+    """Embedding-cosine near-duplicate pairs: multi-seed random-
+    hyperplane LSH bucketing, then EXACT cosine verification on the
+    union of candidates.
 
-    Plan shape (mirrors the MinHash text pipeline):
-    1. bucket signature — narrow map (dot with ``n_planes`` literals);
-    2. self-join on the bucket id — only near-parallel vectors collide
-       (for cos ≥ 0.95 the per-plane collision probability is
-       1 - θ/π ≈ 0.90, so 8 planes keep ~0.43 of true pairs per table;
-       run multiple seeds and union for higher recall);
-    3. exact cosine on candidates, threshold filter — no false
-       positives survive.
+    Recall is a DIAL, not a constant: one 8-plane table keeps only
+    p^8 ≈ 0.43 of true cos≥0.95 pairs (per-plane collision
+    p = 1 - θ/π ≈ 0.90), but ``s`` independent seed tables miss a pair
+    only if EVERY table splits it — recall = 1 - (1 - p^8)^s, ≈ 0.89 at
+    s=3 and ≈ 0.94 at the default s=4 (pytest pins ≥ 0.8 on a synthetic
+    fixture). More seeds buy recall linearly in cost.
 
-    At 100 TB: write the bucketed table partitioned by ``bucket``; the
-    self-join becomes per-partition-local. Brute-force verification is
-    bounded by the largest bucket (planes count tunes that).
+    Plan shape (the MinHash banding trick, one shuffle total):
+    1. per-seed bucket signatures — ONE narrow map computes all s
+       signatures, exploded to (band, bucket) rows;
+    2. self-join on (band, bucket) — a seed's near-parallel collisions
+       only; candidate pairs found by several seeds are deduped BEFORE
+       verification (groupBy pair), so exact cosine runs once per pair;
+    3. exact cosine + threshold — no false positives survive.
+
+    At 100 TB: write the banded table partitioned by (band, bucket);
+    the self-join becomes partition-local. Verification cost is bounded
+    by Σ largest-bucket² per band (n_planes tunes bucket sizes).
     """
     if dim is None:
         probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
@@ -125,92 +136,202 @@ def embedding_near_dup_pairs(
                 [], "id_a long, id_b long, cos_sim double"
             )
         dim = len(probe[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def _bucket_expr(planes: list[list[float]]) -> Column:
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(dot(F.col(vec_col), p) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bucket + F.shiftleft(bit, i)
+        return bucket
+
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_expr(random_hyperplanes(dim, n_planes, s)).alias("bucket"),
+            )
+            for b, s in enumerate(seeds)
+        ]
+    )
     # persist, not lazy localCheckpoint: the checkpoint's separate job
     # races SQL-metric accumulator cleanup (noisy DAGScheduler errors);
     # persist materializes inside the consuming action.
-    bucketed = rp_lsh_buckets(df, id_col, vec_col, planes).persist()
-
-    bl, br = bucketed.alias("l"), bucketed.alias("r")
-    cand = bl.join(
-        br,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"l.{vec_col}").alias("vec_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        F.col(f"r.{vec_col}").alias("vec_b"),
+    banded = (
+        df.select(F.col(id_col), F.col(vec_col), F.explode(band_arr).alias("b"))
+        .select(id_col, vec_col, "b.band", "b.bucket")
+        .persist()
     )
-    return (
+
+    bl, br = banded.alias("l"), banded.alias("r")
+    cand = (
+        bl.join(
+            br,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"l.{vec_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"r.{vec_col}").alias("vec_b"),
+        )
+        # union across seeds: verify each candidate pair exactly once
+        .groupBy("id_a", "id_b")
+        .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
+    )
+    out = (
         cand.withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cos_sim") >= min_cosine)
         .select("id_a", "id_b", "cos_sim")
     )
+    return release_caches_with(out, banded)
 
 
-def ivf_index(
+class IvfIndex:
+    """A prebuilt IVF (inverted-file) index: a tiny centroid matrix held
+    on the driver plus a cluster-assigned posting table in Spark.
+
+    Build ONCE (``build_ivf_index``), probe MANY (``ivf_topk``) — the
+    quantizer is never retrained on the query path. At 100 TB the
+    posting table is written ``partitionBy("cluster")``
+    (``save``/``load_ivf_index``) so a probe is partition-pruned at scan
+    time — the classic FAISS-IVF layout expressed as a Spark table
+    layout, with centroids (KiB-scale) riding along as a JSON sidecar.
+    """
+
+    def __init__(self, assigned: DataFrame, centroids, id_col: str, vec_col: str):
+        self.assigned = assigned  # columns: id_col, vec_col, cluster
+        self.centroids = np.asarray(centroids, dtype="float64")
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def probe_clusters(self, query_vec: list[float], n_probes: int) -> list[int]:
+        """Driver-side centroid scan (numpy over a (k, dim) matrix — no
+        Spark job): the ``n_probes`` clusters nearest the query by cosine.
+        """
+        q = np.asarray(query_vec, dtype="float64")
+        qn = np.linalg.norm(q)
+        cn = np.linalg.norm(self.centroids, axis=1)
+        sims = self.centroids @ q / np.where(cn * qn > 0, cn * qn, 1.0)
+        return [int(i) for i in np.argsort(-sims)[:n_probes]]
+
+    def save(self, path: str) -> None:
+        """Persist postings partitioned by ``cluster`` + centroid sidecar."""
+        import json
+        import os
+
+        self.assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(path, "postings")
+        )
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(self.centroids.tolist(), f)
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def _spherical_kmeans(sample, n_clusters: int, seed: int, n_iter: int = 8):
+    """Seeded spherical k-means (Lloyd on the unit sphere) over an
+    in-driver sample — coarse quantization needs rough centroids, not
+    convergence, so FAISS-style practice is a capped-iteration fit on a
+    bounded sample rather than a distributed fit over the corpus.
+    Returns a (n_clusters, dim) numpy centroid matrix.
+    """
+    X = np.asarray(sample, dtype="float64")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms > 0, norms, 1.0)
+    rng = np.random.default_rng(seed)
+    k = min(n_clusters, len(Xn))
+    centers = Xn[rng.choice(len(Xn), size=k, replace=False)]
+    for _ in range(n_iter):
+        sims = Xn @ centers.T
+        labels = sims.argmax(axis=1)
+        for c in range(k):
+            members = Xn[labels == c]
+            if len(members) == 0:  # dead centroid: reseed to a random point
+                centers[c] = Xn[rng.integers(len(Xn))]
+                continue
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            centers[c] = m / n if n > 0 else m
+    return centers
+
+
+def build_ivf_index(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     n_clusters: int = 16,
     seed: int = 42,
-):
-    """IVF (inverted-file) coarse quantizer: k-means over the corpus;
-    every vector is assigned to its nearest centroid's posting list.
+    sample_cap: int = 65536,
+    persist: bool = True,
+) -> IvfIndex:
+    """Offline IVF index build: train the coarse quantizer on a bounded
+    driver-side sample, then assign every vector to its nearest centroid
+    with ONE Arrow-batched map pass (numpy matmul per batch — no
+    distributed iterative fit, no MLlib job storm).
 
-    Returns (assigned_df with a ``cluster`` column, centroids as a list
-    of (cluster_id, center) pairs). At 100 TB the assigned table is
-    written partitioned by ``cluster`` so a probe reads only the probed
-    partitions — this is the classic FAISS-IVF layout expressed as a
-    Spark table layout.
+    The assignment pass is the only corpus-wide work and it is a narrow
+    map: at 100 TB it is scan-speed, and the result is written
+    partitioned by ``cluster`` (``IvfIndex.save``) exactly once, amortized
+    over every subsequent probe.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    sample = [
+        list(r[0])
+        for r in df.select(vec_col).filter(F.col(vec_col).isNotNull()).limit(sample_cap).collect()
+    ]
+    if not sample:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    centers = _spherical_kmeans(sample, n_clusters, seed)
 
-    feats = df.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__features")
+    @F.pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype="float64") for v in batch])
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.where(norms > 0, norms, 1.0)
+        return pd.Series((Mn @ centers.T).argmax(axis=1), dtype="int32")
+
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("cluster")
     )
-    # coarse quantization needs rough centroids, not convergence — cap
-    # iterations (a FAISS-style IVF trains on a sample for the same reason)
-    km = KMeans(
-        k=n_clusters, seed=seed, maxIter=8,
-        featuresCol="__features", predictionCol="cluster",
-    )
-    model = km.fit(feats)
-    assigned = model.transform(feats).drop("__features")
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    return assigned, centroids
+    if persist:
+        assigned = assigned.persist()
+    return IvfIndex(assigned, centers, id_col, vec_col)
+
+
+def load_ivf_index(spark, path: str, id_col: str, vec_col: str) -> IvfIndex:
+    """Open a saved index: postings come back partitioned by ``cluster``
+    (probes are partition-pruned), centroids from the JSON sidecar."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    assigned = spark.read.parquet(os.path.join(path, "postings"))
+    return IvfIndex(assigned, centroids, id_col, vec_col)
 
 
 def ivf_topk(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
+    index: IvfIndex,
     query_vec: list[float],
     k: int = 10,
-    n_clusters: int = 16,
     n_probes: int = 4,
-    seed: int = 42,
 ) -> DataFrame:
-    """IVF ANN search: score only the ``n_probes`` clusters whose
-    centroids are nearest the query (by cosine) — the recall/cost dial
-    is probes/clusters. Exact cosine inside the probed lists, so
-    results are a subset of brute-force ranking (asserted in tests).
+    """IVF ANN probe against a PREBUILT index: score only the
+    ``n_probes`` clusters whose centroids are nearest the query — the
+    recall/cost dial is probes/clusters; probe selection is a driver-side
+    numpy scan of the centroid matrix (no job). Exact cosine inside the
+    probed lists, so results are a subset of brute-force ranking
+    (asserted in tests); with ``n_probes == n_clusters`` the probe
+    sweeps the whole index and EQUALS brute force — which doubles as the
+    index-integrity oracle (assignment lost or duplicated no vector).
     """
-    assigned, centroids = ivf_index(df, id_col, vec_col, n_clusters, seed)
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return dot_ / (na * nb) if na > 0 and nb > 0 else -1.0
-
-    probe_ids = [
-        cid
-        for cid, _c in sorted(
-            centroids, key=lambda ic: _cos(query_vec, ic[1]), reverse=True
-        )[:n_probes]
-    ]
-    probed = assigned.filter(F.col("cluster").isin(probe_ids)).drop("cluster")
-    return brute_force_topk(probed, id_col, vec_col, query_vec, k)
+    probe_ids = index.probe_clusters(query_vec, n_probes)
+    probed = index.assigned.filter(F.col("cluster").isin(probe_ids)).drop("cluster")
+    return brute_force_topk(probed, index.id_col, index.vec_col, query_vec, k)

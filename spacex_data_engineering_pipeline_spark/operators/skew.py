@@ -84,9 +84,12 @@ def salted_join(
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    # qualify via the dataframe objects: unqualified F.col would be
+    # ambiguous whenever fact and dim share the key column name
     joined = salted_facts.join(
         replicated_dim,
-        (F.col(fact_key) == F.col(dim_key)) & (salted_facts["__salt"] == replicated_dim["__salt"]),
+        (salted_facts[fact_key] == replicated_dim[dim_key])
+        & (salted_facts["__salt"] == replicated_dim["__salt"]),
         how,
     )
     return joined.drop("__salt")

@@ -56,20 +56,36 @@ def upsert_parquet(
     returns the number of NEW keys inserted (the reference reports this
     via count-before/after around the transaction, database.py:164-190).
     """
+    tmp_path = table_path.rstrip("/") + "__tmp_upsert"
+    old_path = table_path.rstrip("/") + "__old_upsert"
+    # Crash recovery: a previous run that died inside the two-rename
+    # window below leaves the table parked at __old_upsert with nothing
+    # at table_path. Restore it FIRST — otherwise this run would treat
+    # the upsert as an initial load and silently orphan every prior row.
+    if not os.path.exists(table_path) and os.path.exists(old_path):
+        os.replace(old_path, table_path)
+
     exists = os.path.exists(table_path)
     existing = spark.read.parquet(table_path) if exists else None
-    count_before = existing.count() if exists else 0
+    if exists:
+        # new-key count via anti-join probe, NOT count-before/count-after
+        # full-table scans: one batch-sized job instead of two table-sized
+        # ones (the table invariant — one row per key — makes them equal)
+        inserted = (
+            incoming.select(key).distinct().join(existing, key, "left_anti").count()
+        )
+    else:
+        inserted = incoming.select(key).distinct().count()
 
     merged = merge_dedup(existing, incoming, key, order_by)
 
     # Break lineage from the path we're about to replace: write to a
-    # sibling tmp dir, then swap crash-safely — rename old ASIDE before
-    # renaming new IN, so no instant exists where the table is gone and
-    # a crash leaves either the old or the new table in place, never
-    # neither. (On a real deployment: Delta MERGE, or saveAsTable +
-    # dynamic partition overwrite.)
-    tmp_path = table_path.rstrip("/") + "__tmp_upsert"
-    old_path = table_path.rstrip("/") + "__old_upsert"
+    # sibling tmp dir, then swap — rename old ASIDE, rename new IN.
+    # Between those two renames there IS an instant with no table at
+    # table_path; a crash there is repaired by the recovery above, so
+    # some complete table (old or new) is always reachable. (On a real
+    # deployment: Delta MERGE, or saveAsTable + dynamic partition
+    # overwrite.)
     merged.write.mode("overwrite").parquet(tmp_path)
     if exists:
         if os.path.exists(old_path):
@@ -78,9 +94,7 @@ def upsert_parquet(
     os.replace(tmp_path, table_path)
     if exists:
         shutil.rmtree(old_path)
-
-    count_after = spark.read.parquet(table_path).count()
-    return count_after - count_before
+    return inserted
 
 
 def upsert_parquet_partitioned(
@@ -127,16 +141,28 @@ def upsert_parquet_partitioned(
         return spark.read.parquet(table_path).count()
 
     existing = spark.read.parquet(table_path)
-    count_before = existing.count()
 
+    # Two batch-bounded probe jobs replace the old four (count-before,
+    # affected-partition collect, count-after ×2 table scans):
+    # one over incoming (cached upstream) for its partitions + distinct
+    # keys, one semi-join over existing for matched partitions + matched
+    # keys. inserted = incoming keys − matched keys (table invariant:
+    # one row per key), so no post-write table count is ever needed.
     inc_keys = incoming.select(key).distinct()
-    parts_incoming = incoming.select(partition_col).distinct()
-    parts_matched = (
-        existing.join(inc_keys, key, "left_semi").select(partition_col).distinct()
+    inc_row = incoming.agg(
+        F.collect_set(partition_col).alias("parts"),
+        F.countDistinct(key).alias("n_keys"),
+    ).first()
+    ex_row = (
+        existing.join(inc_keys, key, "left_semi")
+        .agg(
+            F.collect_set(partition_col).alias("parts"),
+            F.countDistinct(key).alias("n_matched"),
+        )
+        .first()
     )
-    affected = [
-        r[0] for r in parts_incoming.unionByName(parts_matched).distinct().collect()
-    ]
+    inserted = int(inc_row["n_keys"]) - int(ex_row["n_matched"] or 0)
+    affected = sorted(set(inc_row["parts"]) | set(ex_row["parts"] or []))
 
     existing_affected = existing.filter(F.col(partition_col).isin(affected))
     # eager checkpoint: breaks lineage from table_path so the dynamic
@@ -154,6 +180,4 @@ def upsert_parquet_partitioned(
     # there), so drop its directory or the stale rows survive.
     for part in set(affected) - survivors:
         shutil.rmtree(os.path.join(table_path, f"{partition_col}={part}"), ignore_errors=True)
-
-    count_after = spark.read.parquet(table_path).count()
-    return count_after - count_before
+    return inserted

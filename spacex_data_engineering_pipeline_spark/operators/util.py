@@ -2,7 +2,33 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
+
+
+def release_caches_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie persisted intermediates' cache residency to the lifetime of
+    the returned handle: when the caller drops its reference to
+    ``result``, the intermediates are unpersisted (non-blocking).
+
+    Operators persist() subtrees that feed multiple plan branches; a
+    bare persist would leak those blocks for the whole session on
+    repeated calls. Correctness never depends on the blocks (lineage is
+    intact — an early release only costs recomputation), so releasing
+    on GC of the handle is safe, and callers that keep the result
+    around keep the cache warm.
+    """
+
+    def _release(dfs=cached):
+        for d in dfs:
+            try:
+                d.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped — nothing to release
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def spread(df: DataFrame) -> DataFrame:

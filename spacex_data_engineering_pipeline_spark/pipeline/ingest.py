@@ -55,14 +55,17 @@ class IncrementalIngestionPipeline:
         launches_path: str,
         state_path: str,
         snapshots_path: str,
-        partition_by_year: bool = False,
+        partition_by_year: bool = True,
     ):
-        """``partition_by_year=True`` is the scale layout: the launches
-        table is partitioned on ``launch_year = year(date_utc)`` and an
-        incremental batch rewrites only the years it touches instead of
-        the whole table (see ``upsert_parquet_partitioned``). Readers
-        are unaffected — the partition column surfaces as one extra
-        table column and time filters partition-prune the scan.
+        """``partition_by_year=True`` (the default — it is the scale
+        layout): the launches table is partitioned on ``launch_year =
+        year(date_utc)`` and an incremental batch rewrites only the
+        years it touches instead of the whole table (see
+        ``upsert_parquet_partitioned``). Readers are unaffected — the
+        partition column surfaces as one extra table column and time
+        filters partition-prune the scan. ``False`` falls back to the
+        layout-agnostic whole-table swap (tiny tables, or when
+        cross-partition write atomicity matters more than write cost).
         """
         self.spark = spark
         self.source = source
@@ -80,25 +83,38 @@ class IncrementalIngestionPipeline:
     def launches(self) -> DataFrame:
         return self.spark.read.parquet(self.launches_path)
 
-    def last_fetched_date(self) -> datetime:
-        """Current watermark: max-by-updated_at row of the insert-only
-        state log; epoch default when empty (reference database.py:64-87).
+    def _read_state(self) -> tuple[datetime, int]:
+        """One scan of the insert-only state log yields BOTH the current
+        watermark (max-by-updated_at row) and the max id the next append
+        will increment — run() needs both, so reading them separately
+        would double the state jobs per run (reference database.py:64-87).
         """
         if not os.path.exists(self.state_path):
-            return EPOCH
+            return EPOCH, 0
         row = (
             self.spark.read.parquet(self.state_path)
-            .orderBy(F.col("updated_at").desc(), F.col("id").desc())
-            .limit(1)
-            .collect()
+            .agg(
+                # struct max = lexicographic (updated_at, id) → the
+                # freshest row's watermark; max(id) stays independent in
+                # case appends ever raced a skewed clock
+                F.max(
+                    F.struct("updated_at", "id", "last_fetched_date")
+                ).alias("top"),
+                F.max("id").alias("max_id"),
+            )
+            .first()
         )
-        return row[0]["last_fetched_date"] if row else EPOCH
+        if row is None or row["top"] is None:
+            return EPOCH, 0
+        return row["top"]["last_fetched_date"], int(row["max_id"])
 
-    def _append_watermark(self, wm: datetime) -> None:
-        prev_id = 0
-        if os.path.exists(self.state_path):
-            prev = self.spark.read.parquet(self.state_path).agg(F.max("id")).first()[0]
-            prev_id = prev or 0
+    def last_fetched_date(self) -> datetime:
+        """Current watermark; epoch default when empty."""
+        return self._read_state()[0]
+
+    def _append_watermark(self, wm: datetime, prev_id: int | None = None) -> None:
+        if prev_id is None:
+            prev_id = self._read_state()[1]
         df = self.spark.createDataFrame(
             [
                 {
@@ -160,6 +176,9 @@ class IncrementalIngestionPipeline:
                 "duration_s": round(time.perf_counter() - t0, 3),
             }
 
+        # one state scan per run: watermark for the fetch window + the
+        # id the watermark append will increment
+        wm, state_max_id = self._read_state()
         if initial:
             raw = self.source.fetch_all()
             snapshot_type = "initial"
@@ -168,79 +187,93 @@ class IncrementalIngestionPipeline:
                 # materialize inside the try: a lazy source defers read
                 # failures to action time, which would otherwise bypass
                 # this fallback entirely
-                raw = self.source.fetch_after(self.last_fetched_date())
+                raw = self.source.fetch_after(wm)
                 raw = raw.localCheckpoint()
             except Exception:
                 # fallback: full fetch + client-side filter (ST5,
                 # reference ingest.py:266-312)
-                wm = self.last_fetched_date()
                 raw = self.source.fetch_all().filter(
                     F.try_to_timestamp("date_utc") > F.lit(wm)
                 )
             snapshot_type = "incremental"
 
-        valid, rejected = validate_and_conform(raw)
-        enriched = enrich_with_payload_mass(valid, self.payloads)
-        # one deterministic batch: reuse for count/max/upsert
-        enriched = enriched.localCheckpoint()
-        n_new = enriched.count()
+        valid, stats = validate_and_conform(raw)
+        # persist + count VALID itself, NOT localCheckpoint and NOT the
+        # enriched join: the count is a SQL action with the observe node
+        # directly beneath it, so ONE job scans raw once, fills the
+        # validation observation (reject count + batch-max watermark are
+        # accumulators riding it), and pins the batch — with its single
+        # frozen ingested_at — in cache for every later consumer. The
+        # enrichment join executes only inside the upsert's write, from
+        # the cached blocks. (localCheckpoint materializes at the RDD
+        # layer, which bypasses SQL observations; counting above the
+        # join lets AQE's empty-relation propagation prune the metrics
+        # node when the batch is all-rejects.)
+        valid = valid.persist()
+        try:
+            # enrichment is row-preserving (left join on launch_id), so
+            # the valid count IS the new-launches count
+            n_new = valid.count()
+            rejected = stats.rejected
 
-        # Watermark candidate from the FETCHED batch (valid or not):
-        # a batch that is 100% rejects must still advance the watermark,
-        # else the same poisoned rows are refetched on every run.
-        batch_max = raw.agg(
-            F.max(F.try_to_timestamp("date_utc")).alias("m")
-        ).first()["m"]
+            # Watermark candidate from the FETCHED batch (valid or not):
+            # a batch that is 100% rejects must still advance the
+            # watermark, else the same poisoned rows are refetched on
+            # every run.
+            batch_max = stats.batch_max_date
 
-        if n_new == 0 and not initial:
-            if rejected > 0 and batch_max is not None:
-                self._append_watermark(_as_utc(batch_max))
+            if n_new == 0 and not initial:
+                if rejected > 0 and batch_max is not None:
+                    self._append_watermark(_as_utc(batch_max), state_max_id)
+                return {
+                    "status": "success",
+                    "early_exit": True,
+                    "snapshot_type": None,
+                    "new_launches": 0,
+                    "rejected_rows": rejected,
+                    "inserted": 0,
+                    "pipeline_run_id": run_id,
+                    "duration_s": round(time.perf_counter() - t0, 3),
+                }
+
+            enriched = enrich_with_payload_mass(valid, self.payloads)
+            if self.partition_by_year:
+                inserted = upsert_parquet_partitioned(
+                    self.spark,
+                    self.launches_path,
+                    enriched.withColumn("launch_year", F.year("date_utc")),
+                    key="launch_id",
+                    order_by=[F.col("ingested_at").desc()],
+                    partition_col="launch_year",
+                )
+            else:
+                inserted = upsert_parquet(
+                    self.spark,
+                    self.launches_path,
+                    enriched,
+                    key="launch_id",
+                    order_by=[F.col("ingested_at").desc()],
+                )
+            if batch_max is not None:
+                self._append_watermark(_as_utc(batch_max), state_max_id)
+            self.aggregations.append_snapshot(
+                self.launches(),
+                snapshot_type=snapshot_type,
+                launches_added_in_batch=inserted,
+                run_id=run_id,
+            )
             return {
                 "status": "success",
-                "early_exit": True,
-                "snapshot_type": None,
-                "new_launches": 0,
+                "early_exit": False,
+                "snapshot_type": snapshot_type,
+                "new_launches": n_new,
                 "rejected_rows": rejected,
-                "inserted": 0,
+                "inserted": inserted,
                 "pipeline_run_id": run_id,
                 "duration_s": round(time.perf_counter() - t0, 3),
             }
-
-        if self.partition_by_year:
-            inserted = upsert_parquet_partitioned(
-                self.spark,
-                self.launches_path,
-                enriched.withColumn("launch_year", F.year("date_utc")),
-                key="launch_id",
-                order_by=[F.col("ingested_at").desc()],
-                partition_col="launch_year",
-            )
-        else:
-            inserted = upsert_parquet(
-                self.spark,
-                self.launches_path,
-                enriched,
-                key="launch_id",
-                order_by=[F.col("ingested_at").desc()],
-            )
-        if batch_max is not None:
-            self._append_watermark(_as_utc(batch_max))
-        self.aggregations.append_snapshot(
-            self.launches(),
-            snapshot_type=snapshot_type,
-            launches_added_in_batch=inserted,
-            run_id=run_id,
-        )
-        return {
-            "status": "success",
-            "early_exit": False,
-            "snapshot_type": snapshot_type,
-            "new_launches": n_new,
-            "rejected_rows": rejected,
-            "inserted": inserted,
-            "pipeline_run_id": run_id,
-            "duration_s": round(time.perf_counter() - t0, 3),
-        }
+        finally:
+            valid.unpersist(blocking=False)
 
 
 def _as_utc(dt) -> datetime:

@@ -33,7 +33,34 @@ RAW_COLUMNS = (
 )
 
 
-def validate_and_conform(raw: DataFrame) -> tuple[DataFrame, int]:
+class ValidationStats:
+    """Batch metrics observed IN-FLIGHT on the validation plan
+    (``df.observe`` → CollectMetrics): the reject count and the batch-max
+    fetch timestamp ride the first action that executes the valid side —
+    zero extra jobs over the raw batch (the reference pays a per-row
+    Python loop for the same numbers, src/ingest.py:314-357).
+
+    Accessors block until that first action has run; in paths that never
+    need the numbers (streaming micro-batches) simply don't read them —
+    the observation then costs one accumulator, not a job.
+    """
+
+    def __init__(self, observation):
+        self._obs = observation
+
+    @property
+    def rejected(self) -> int:
+        return int(self._obs.get["rejected"])
+
+    @property
+    def batch_max_date(self) -> datetime | None:
+        """max(try_to_timestamp(date_utc)) over the WHOLE fetched batch,
+        valid and rejected rows alike — a batch that is 100% rejects
+        must still advance the watermark."""
+        return self._obs.get["batch_max_date"]
+
+
+def validate_and_conform(raw: DataFrame) -> tuple[DataFrame, ValidationStats]:
     """Validation as declarative expressions (SURVEY P7/F5/F8):
 
     - ISO-8601 (incl. 'Z') strings → TimestampType via to_timestamp —
@@ -42,11 +69,12 @@ def validate_and_conform(raw: DataFrame) -> tuple[DataFrame, int]:
       dropped and counted (reference drops per-row at ingest.py:350-353);
     - payload_ids normalized NULL → [] (reference models.py:68-80).
 
-    Returns (valid_conformed_df, rejected_count). The reject count is an
-    action (one extra job over the raw batch); pass ``count_rejects=False``
-    in a latency-critical path — kept simple here because the reference
-    always reports it.
+    Returns (valid_conformed_df, stats). ``stats`` is observe-based:
+    reject counting is single-pass — the metrics are collected by the
+    first action over the valid side, never by a second scan of raw.
     """
+    from pyspark.sql import Observation
+
     parsed = raw.select(
         F.col("launch_id").cast("string").alias("launch_id"),
         F.col("mission_name").cast("string").alias("mission_name"),
@@ -59,9 +87,16 @@ def validate_and_conform(raw: DataFrame) -> tuple[DataFrame, int]:
         F.try_to_timestamp("static_fire_date_utc").alias("static_fire_date_utc"),
     )
     ok = F.col("launch_id").isNotNull() & F.col("date_utc").isNotNull()
-    valid = parsed.filter(ok).withColumn("ingested_at", F.current_timestamp())
-    rejected = parsed.filter(~ok).count()
-    return valid, rejected
+    obs = Observation()
+    observed = parsed.observe(
+        obs,
+        # count(when), not sum(when): count is 0 over an empty batch
+        # where sum degenerates to NULL
+        F.count(F.when(~ok, F.lit(1))).cast("long").alias("rejected"),
+        F.max("date_utc").alias("batch_max_date"),
+    )
+    valid = observed.filter(ok).withColumn("ingested_at", F.current_timestamp())
+    return valid, ValidationStats(obs)
 
 
 def enrich_with_payload_mass(launches: DataFrame, payloads: DataFrame) -> DataFrame:

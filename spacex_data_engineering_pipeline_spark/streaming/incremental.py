@@ -61,7 +61,9 @@ def run_streaming_ingestion(
     aggregations = AggregationService(spark, snapshots_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        valid, _rejected = validate_and_conform(batch_df)
+        # stats intentionally unread: the observation costs one
+        # accumulator, not a job — no reject-count pass per micro-batch
+        valid, _stats = validate_and_conform(batch_df)
         enriched = enrich_with_payload_mass(valid, payloads).localCheckpoint()
         if enriched.count() == 0:
             return

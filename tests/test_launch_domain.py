@@ -115,11 +115,15 @@ def launch_tables(spark, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("launchdom")
     raw = spark.createDataFrame(_raw_launches(), RAW_SCHEMA)
     payloads = spark.createDataFrame(_payloads(), "payload_id string, name string, mass_kg double")
-    valid, rejected = validate_and_conform(raw)
-    assert rejected == 2
+    valid, stats = validate_and_conform(raw)
     launches = enrich_with_payload_mass(valid, payloads)
     lp = str(tmp / "launches.parquet")
     launches.write.parquet(lp)
+    # observe-based: the reject count rode the write action above (and
+    # must not double-count even though the enrichment plan references
+    # the valid side twice)
+    assert stats.rejected == 2
+    assert stats.batch_max_date is not None
     con = duckdb.connect()
     con.execute(f"CREATE VIEW launches AS SELECT * FROM read_parquet('{lp}/*.parquet')")
     return {"launches": spark.read.parquet(lp), "payloads": payloads, "duck": con, "dir": tmp}

@@ -129,9 +129,17 @@ def test_multimodal_stub_contract(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
 
-    approx = QUERIES["approx_distinct_users"](spark, sf_dir).first()["approx_users"]
+    row = QUERIES["approx_distinct_users"](spark, sf_dir).first()
     exact = (
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert row["exact_users"] == exact
+    assert row["approx_within_5pct"] is True
+    # and the raw HLL estimate itself stays in bounds
+    approx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+        .first()["a"]
     )
     assert abs(approx - exact) / exact < 0.05, f"approx {approx} vs exact {exact}"
 
@@ -160,6 +168,47 @@ def test_embedding_near_dup_exactness(spark, sf_dir):
     }
     for r in pairs:
         assert truth.get((r.id_a, r.id_b)) == r.cos_sim
+
+
+def test_embedding_near_dup_multiseed_recall(spark):
+    """Multi-seed LSH union: ≥0.8 recall of true cos≥0.95 pairs on a
+    synthetic corpus where every near-dup is a perturbed copy of a base
+    vector (the single-seed pipeline keeps only ~0.4-0.5 of them)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_base = 32, 60
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, truth = [], set()
+    vecs = {}
+    for i, v in enumerate(base):
+        vecs[i] = v
+        # perturb along a random orthogonal direction to a target angle
+        d = rng.normal(size=dim)
+        d -= d.dot(v) * v
+        d /= np.linalg.norm(d)
+        target_cos = rng.uniform(0.955, 0.99)
+        w = target_cos * v + np.sqrt(1 - target_cos**2) * d
+        vecs[i + n_base] = w
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    sims = M @ M.T
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if round(sims[a][b], 6) >= 0.95:
+                truth.add((ids[a], ids[b]))
+    assert len(truth) >= n_base  # every (base, perturbed) pair qualifies
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids], "vec_id long, embedding array<double>"
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    assert not found - truth, "LSH must emit no false positives"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"multi-seed recall {recall:.2f} < 0.8 ({len(found)}/{len(truth)})"
 
 
 def test_ml_minhash_agrees_with_native(spark, sf_dir):
@@ -216,21 +265,54 @@ def test_ivf_topk_subset_of_bruteforce(spark, sf_dir):
         .first()
         .embedding
     ]
-    ivf = S.ivf_topk(emb, "vec_id", "embedding", query, k=10, n_clusters=8, n_probes=3)
-    got = {r.vec_id: r.cos_sim for r in ivf.collect()}
-    assert len(got) == 10
-    brute = {
-        r.vec_id: r.cos_sim
-        for r in S.cosine_scores(emb, "vec_id", "embedding", query).collect()
-    }
-    # exact scores inside probed lists
-    for vid, cos in got.items():
-        assert brute[vid] == cos
-    # recall sanity: probing 3/8 clusters should still catch most of the
-    # true top-10 (labels cluster the space)
-    true_top = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    overlap = len(set(got) & {vid for vid, _ in true_top})
-    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+    index = S.build_ivf_index(emb, "vec_id", "embedding", n_clusters=8, seed=42)
+    try:
+        ivf = S.ivf_topk(index, query, k=10, n_probes=3)
+        got = {r.vec_id: r.cos_sim for r in ivf.collect()}
+        assert len(got) == 10
+        brute = {
+            r.vec_id: r.cos_sim
+            for r in S.cosine_scores(emb, "vec_id", "embedding", query).collect()
+        }
+        # exact scores inside probed lists
+        for vid, cos in got.items():
+            assert brute[vid] == cos
+        # recall sanity: probing 3/8 clusters should still catch most of
+        # the true top-10 (labels cluster the space)
+        true_top = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        overlap = len(set(got) & {vid for vid, _ in true_top})
+        assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+        # full sweep == brute force: the index is an exact partition of
+        # the corpus (nothing lost or duplicated by assignment)
+        full = [(r.vec_id, r.cos_sim) for r in S.ivf_topk(index, query, k=10, n_probes=8).collect()]
+        assert full == [(vid, cos) for vid, cos in true_top]
+    finally:
+        index.unpersist()
+
+
+def test_ivf_save_load_partition_pruned(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    query = [
+        float(x)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .embedding
+    ]
+    built = S.build_ivf_index(emb, "vec_id", "embedding", n_clusters=8, seed=42)
+    try:
+        built.save(str(tmp_path / "ivf"))
+        expected = [(r.vec_id, r.cos_sim) for r in S.ivf_topk(built, query, k=10, n_probes=3).collect()]
+    finally:
+        built.unpersist()
+
+    loaded = S.load_ivf_index(spark, str(tmp_path / "ivf"), "vec_id", "embedding")
+    probe = S.ivf_topk(loaded, query, k=10, n_probes=3)
+    assert [(r.vec_id, r.cos_sim) for r in probe.collect()] == expected
+    # cluster is a partition column of the saved layout, so the probe's
+    # isin filter must be pruned at scan time, not post-scan
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cluster" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
 
 
 def test_asof_join_semantics(spark):

@@ -30,12 +30,14 @@ def test_every_query_has_oracle_or_reason():
     allowed_missing = {
         # xxhash64 / pandas-UDF / LSH-bucket ops aren't SQL-expressible;
         # each has a dedicated semantic test in test_operators.py instead.
+        # (embedding_ivf_topk regained an oracle via the full-probe
+        # contract; approx_distinct_users via the error-bound boolean.)
         "minhash_near_dup_pairs",
         "simhash_buckets",
         "embedding_ann_lsh",
         "embedding_near_dup_pairs",
-        "embedding_ivf_topk",
-        # HLL sketch values are engine-specific; accuracy asserted in tests
-        "approx_distinct_users",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
+    assert missing == allowed_missing, (
+        f"stale exemptions (now have oracles): {allowed_missing - missing}"
+    )

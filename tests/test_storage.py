@@ -62,6 +62,28 @@ def test_compact_controls_file_count(spark, sf_dir, tmp_path):
     assert len(files) == 2
 
 
+def test_upsert_recovers_from_rename_crash_window(spark, tmp_path):
+    """A crash between rename-old-aside and rename-new-in leaves the
+    table parked at __old_upsert; the next upsert must restore it, not
+    treat the incoming batch as an initial load."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators.upsert import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    upsert_parquet(spark, path, base, "id", [F.col("v")])
+    # simulate the crash instant: old renamed aside, new never landed
+    os.replace(path, path + "__old_upsert")
+
+    batch = spark.createDataFrame([(3, "c")], "id long, v string")
+    n = upsert_parquet(spark, path, batch, "id", [F.col("v")])
+    assert n == 1, "prior rows must count as existing, not as fresh inserts"
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}, "pre-crash rows must survive"
+    assert not os.path.exists(path + "__old_upsert")
+
+
 # -- partition-aware upsert (the scale path for S7) -------------------------
 
 
