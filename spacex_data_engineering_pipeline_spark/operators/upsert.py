@@ -51,10 +51,16 @@ def upsert_parquet(
     incoming: DataFrame,
     key: str,
     order_by: list[Column],
+    probe: DataFrame | None = None,
 ) -> int:
     """Upsert ``incoming`` into the parquet table at ``table_path``;
     returns the number of NEW keys inserted (the reference reports this
     via count-before/after around the transaction, database.py:164-190).
+
+    ``probe``: optional cheaper DataFrame with the same ``key`` values
+    as ``incoming`` (e.g. the slim validated batch an enrichment join
+    was built from); the insert-count probe runs against it so the full
+    incoming plan executes only once, inside the write.
     """
     tmp_path = table_path.rstrip("/") + "__tmp_upsert"
     old_path = table_path.rstrip("/") + "__old_upsert"
@@ -67,15 +73,14 @@ def upsert_parquet(
 
     exists = os.path.exists(table_path)
     existing = spark.read.parquet(table_path) if exists else None
+    keyed = (probe if probe is not None else incoming).select(key).distinct()
     if exists:
         # new-key count via anti-join probe, NOT count-before/count-after
         # full-table scans: one batch-sized job instead of two table-sized
         # ones (the table invariant — one row per key — makes them equal)
-        inserted = (
-            incoming.select(key).distinct().join(existing, key, "left_anti").count()
-        )
+        inserted = keyed.join(existing, key, "left_anti").count()
     else:
-        inserted = incoming.select(key).distinct().count()
+        inserted = keyed.count()
 
     merged = merge_dedup(existing, incoming, key, order_by)
 
@@ -104,6 +109,8 @@ def upsert_parquet_partitioned(
     key: str,
     order_by: list[Column],
     partition_col: str,
+    probe: DataFrame | None = None,
+    probe_stats: tuple[list, int] | None = None,
 ) -> int:
     """Upsert into a parquet table partitioned on ``partition_col``
     (a NON-NULL column of ``incoming``, e.g. ``year(date_utc)``),
@@ -126,6 +133,16 @@ def upsert_parquet_partitioned(
     atomicity needs a transactional format (Delta/Iceberg MERGE);
     callers for whom that matters use ``upsert_parquet``'s whole-table
     swap instead.
+
+    Probe cost: the pre-write probes only touch ``key`` and
+    ``partition_col``. When ``incoming`` is an expensive plan (e.g. an
+    enrichment join), pass ``probe`` — any cheaper DataFrame with the
+    SAME key/partition values (typically the slim validated batch the
+    join was built from) — and the probes never execute the full plan,
+    which then runs exactly once, inside the write job. ``probe_stats``
+    = (incoming partition values, incoming distinct-key count) skips the
+    incoming-side probe job entirely for callers that already computed
+    both riding an earlier action.
     """
     exists = os.path.exists(table_path)
     if not exists:
@@ -135,24 +152,37 @@ def upsert_parquet_partitioned(
         # every later read pays the listing + footer cost). At cluster
         # scale add a second spread key (e.g. bucket(pk)) to keep write
         # parallelism within a huge partition.
-        merge_dedup(None, incoming, key, order_by).repartition(
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        deduped = merge_dedup(None, incoming, key, order_by)
+        # dedup leaves exactly one row per key, so the written row count
+        # IS the insert count — observe it riding the write job instead
+        # of re-scanning the table afterwards
+        deduped.observe(obs, F.count(F.lit(1)).alias("rows")).repartition(
             F.col(partition_col)
         ).write.partitionBy(partition_col).mode("overwrite").parquet(table_path)
-        return spark.read.parquet(table_path).count()
+        return int(obs.get["rows"])
 
     existing = spark.read.parquet(table_path)
 
-    # Two batch-bounded probe jobs replace the old four (count-before,
-    # affected-partition collect, count-after ×2 table scans):
-    # one over incoming (cached upstream) for its partitions + distinct
-    # keys, one semi-join over existing for matched partitions + matched
-    # keys. inserted = incoming keys − matched keys (table invariant:
-    # one row per key), so no post-write table count is ever needed.
-    inc_keys = incoming.select(key).distinct()
-    inc_row = incoming.agg(
-        F.collect_set(partition_col).alias("parts"),
-        F.countDistinct(key).alias("n_keys"),
-    ).first()
+    # Batch-bounded probe jobs replace the old four table-sized ones
+    # (count-before, affected-partition collect, count-after ×2 scans):
+    # one over the incoming side for its partitions + distinct keys
+    # (skipped when probe_stats rode an earlier action), one semi-join
+    # over existing for matched partitions + matched keys. inserted =
+    # incoming keys − matched keys (table invariant: one row per key),
+    # so no post-write table count is ever needed.
+    probe = probe if probe is not None else incoming
+    inc_keys = probe.select(key).distinct()
+    if probe_stats is not None:
+        inc_parts, inc_n_keys = list(probe_stats[0]), int(probe_stats[1])
+    else:
+        inc_row = probe.agg(
+            F.collect_set(partition_col).alias("parts"),
+            F.countDistinct(key).alias("n_keys"),
+        ).first()
+        inc_parts, inc_n_keys = inc_row["parts"], int(inc_row["n_keys"])
     ex_row = (
         existing.join(inc_keys, key, "left_semi")
         .agg(
@@ -161,23 +191,46 @@ def upsert_parquet_partitioned(
         )
         .first()
     )
-    inserted = int(inc_row["n_keys"]) - int(ex_row["n_matched"] or 0)
-    affected = sorted(set(inc_row["parts"]) | set(ex_row["parts"] or []))
+    inserted = inc_n_keys - int(ex_row["n_matched"] or 0)
+    affected = sorted(set(inc_parts) | set(ex_row["parts"] or []))
 
     existing_affected = existing.filter(F.col(partition_col).isin(affected))
-    # eager checkpoint: breaks lineage from table_path so the dynamic
-    # overwrite below isn't a read-from/write-to-same-path plan (which
-    # Spark rejects), and pins the merge result before any file moves.
-    merged = merge_dedup(existing_affected, incoming, key, order_by).localCheckpoint()
-    survivors = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    # ONE job does the whole merge: write straight to a staging sibling
+    # (different path → no read-from/write-to-same-path lineage problem,
+    # so no eager checkpoint materializing the merge twice), then swap
+    # partition directories driver-side. This is dynamic partition
+    # overwrite's own commit protocol (stage, then move) minus the extra
+    # materialization — at scale it halves the merge's write volume.
+    tmp_path = table_path.rstrip("/") + "__tmp_parts"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    merge_dedup(existing_affected, incoming, key, order_by).repartition(
+        F.col(partition_col)
+    ).write.partitionBy(partition_col).mode("overwrite").parquet(tmp_path)
 
-    merged.repartition(F.col(partition_col)).write.partitionBy(partition_col).option(
-        "partitionOverwriteMode", "dynamic"
-    ).mode("overwrite").parquet(table_path)
+    # Partition-dir swap: rename aside → move in → drop old, so no
+    # instant leaves a partition missing. Commit is per partition (a
+    # crash mid-loop leaves a prefix of partitions updated) — the same
+    # guarantee dynamic overwrite gives; cross-partition atomicity needs
+    # a transactional table format.
+    survivors = set()
+    for entry in os.listdir(tmp_path):
+        if not entry.startswith(f"{partition_col}="):
+            continue  # _SUCCESS and friends
+        survivors.add(entry)
+        dest = os.path.join(table_path, entry)
+        aside = dest + "__old"
+        if os.path.exists(dest):
+            os.replace(dest, aside)
+        os.replace(os.path.join(tmp_path, entry), dest)
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(tmp_path, ignore_errors=True)
 
     # A partition whose every row moved away ends with zero surviving
-    # rows; dynamic overwrite never touches it (nothing was written
-    # there), so drop its directory or the stale rows survive.
-    for part in set(affected) - survivors:
-        shutil.rmtree(os.path.join(table_path, f"{partition_col}={part}"), ignore_errors=True)
+    # rows; the staged write produced no directory for it, so drop its
+    # directory or the stale rows survive.
+    for part in affected:
+        if f"{partition_col}={part}" not in survivors:
+            shutil.rmtree(
+                os.path.join(table_path, f"{partition_col}={part}"), ignore_errors=True
+            )
     return inserted

@@ -32,11 +32,11 @@ from spacex_data_engineering_pipeline_spark.operators.upsert import (
     upsert_parquet,
     upsert_parquet_partitioned,
 )
+from spacex_data_engineering_pipeline_spark.pipeline import metalog
 from spacex_data_engineering_pipeline_spark.plans.aggregations import (
     AggregationService,
     new_run_id,
 )
-from spacex_data_engineering_pipeline_spark.schemas import INGESTION_STATE_SCHEMA
 from spacex_data_engineering_pipeline_spark.sources.launches import (
     LaunchSource,
     enrich_with_payload_mass,
@@ -84,29 +84,12 @@ class IncrementalIngestionPipeline:
         return self.spark.read.parquet(self.launches_path)
 
     def _read_state(self) -> tuple[datetime, int]:
-        """One scan of the insert-only state log yields BOTH the current
-        watermark (max-by-updated_at row) and the max id the next append
-        will increment — run() needs both, so reading them separately
-        would double the state jobs per run (reference database.py:64-87).
-        """
-        if not os.path.exists(self.state_path):
-            return EPOCH, 0
-        row = (
-            self.spark.read.parquet(self.state_path)
-            .agg(
-                # struct max = lexicographic (updated_at, id) → the
-                # freshest row's watermark; max(id) stays independent in
-                # case appends ever raced a skewed clock
-                F.max(
-                    F.struct("updated_at", "id", "last_fetched_date")
-                ).alias("top"),
-                F.max("id").alias("max_id"),
-            )
-            .first()
-        )
-        if row is None or row["top"] is None:
-            return EPOCH, 0
-        return row["top"]["last_fetched_date"], int(row["max_id"])
+        """Watermark (freshest row by (updated_at, id)) + max id in one
+        driver-side read of the insert-only state log — run metadata is
+        O(runs) rows, so it never earns a Spark job (metalog.py;
+        reference database.py:64-87)."""
+        wm, max_id = metalog.state_summary(self.state_path)
+        return (wm if wm is not None else EPOCH), max_id
 
     def last_fetched_date(self) -> datetime:
         """Current watermark; epoch default when empty."""
@@ -115,17 +98,15 @@ class IncrementalIngestionPipeline:
     def _append_watermark(self, wm: datetime, prev_id: int | None = None) -> None:
         if prev_id is None:
             prev_id = self._read_state()[1]
-        df = self.spark.createDataFrame(
-            [
-                {
-                    "id": prev_id + 1,
-                    "last_fetched_date": wm,
-                    "updated_at": datetime.now(timezone.utc),
-                }
-            ],
-            INGESTION_STATE_SCHEMA,
+        metalog.append_row(
+            self.state_path,
+            {
+                "id": prev_id + 1,
+                "last_fetched_date": wm,
+                "updated_at": datetime.now(timezone.utc),
+            },
+            metalog.STATE_ARROW_SCHEMA,
         )
-        df.write.mode("append").parquet(self.state_path)
 
     # -- change detection ----------------------------------------------------
 
@@ -136,16 +117,23 @@ class IncrementalIngestionPipeline:
         (reference ingest.py:228-233 fail-open).
         """
         try:
-            api_row = self.source.fetch_latest().collect()
+            # the two latest-probes are independent top-1 jobs; submit
+            # them concurrently (Spark job scheduling is thread-safe) so
+            # the change check costs one job latency, not two
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                api_fut = pool.submit(lambda: self.source.fetch_latest().collect())
+                db_fut = pool.submit(
+                    lambda: self.launches()
+                    .orderBy(F.col("date_utc").desc(), F.col("launch_id").desc())
+                    .limit(1)
+                    .collect()
+                )
+                api_row, db_row = api_fut.result(), db_fut.result()
             if not api_row:
                 return False
             api_latest = api_row[0]
-            db_row = (
-                self.launches()
-                .orderBy(F.col("date_utc").desc(), F.col("launch_id").desc())
-                .limit(1)
-                .collect()
-            )
             if not db_row:
                 return True
             db_latest = db_row[0]
@@ -156,6 +144,40 @@ class IncrementalIngestionPipeline:
             return api_date == db_date and api_latest["launch_id"] != db_latest["launch_id"]
         except Exception:
             return True
+
+    # -- batch materialization ----------------------------------------------
+
+    def _validated_batch(self, raw: DataFrame):
+        """(persisted valid batch, in-flight stats, row count,
+        upsert probe stats) in ONE job.
+
+        The count is a SQL action with the validation observe node
+        directly beneath it: the single scan of raw fills the reject
+        count + batch-max watermark (accumulators riding the job) and
+        pins the batch — with its one frozen ingested_at — in cache for
+        every later consumer. Counting VALID itself, not the enriched
+        join: enrichment is row-preserving (left join on launch_id) so
+        the counts agree, and counting above the join keeps AQE's
+        empty-relation propagation from pruning the metrics node when
+        the batch is all-rejects.
+        """
+        valid, stats = validate_and_conform(raw)
+        valid = valid.persist()
+        try:
+            # the upsert's incoming-side probe (distinct keys, partition
+            # values) rides the same job — year(date_utc) on VALID equals
+            # launch_year on the enriched batch, so the probe costs no
+            # extra pass and the enrichment join is never probed
+            row = valid.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("launch_id").alias("n_keys"),
+                F.collect_set(F.year("date_utc")).alias("parts"),
+            ).first()
+        except Exception:
+            valid.unpersist(blocking=False)  # drop a partially-cached batch
+            raise
+        probe_stats = (list(row["parts"]), int(row["n_keys"]))
+        return valid, stats, int(row["n"]), probe_stats
 
     # -- run -----------------------------------------------------------------
 
@@ -176,44 +198,31 @@ class IncrementalIngestionPipeline:
                 "duration_s": round(time.perf_counter() - t0, 3),
             }
 
-        # one state scan per run: watermark for the fetch window + the
-        # id the watermark append will increment
+        # one state read per run (driver-side): watermark for the fetch
+        # window + the id the watermark append will increment
         wm, state_max_id = self._read_state()
         if initial:
-            raw = self.source.fetch_all()
             snapshot_type = "initial"
+            valid, stats, n_new, probe_stats = self._validated_batch(
+                self.source.fetch_all()
+            )
         else:
+            snapshot_type = "incremental"
             try:
-                # materialize inside the try: a lazy source defers read
-                # failures to action time, which would otherwise bypass
-                # this fallback entirely
+                # the count inside _validated_batch is the materializing
+                # action, so a lazy source's read failure surfaces HERE,
+                # inside the try — validation itself never throws (try_*
+                # conversions), so an exception means the source
                 raw = self.source.fetch_after(wm)
-                raw = raw.localCheckpoint()
+                valid, stats, n_new, probe_stats = self._validated_batch(raw)
             except Exception:
                 # fallback: full fetch + client-side filter (ST5,
                 # reference ingest.py:266-312)
                 raw = self.source.fetch_all().filter(
                     F.try_to_timestamp("date_utc") > F.lit(wm)
                 )
-            snapshot_type = "incremental"
-
-        valid, stats = validate_and_conform(raw)
-        # persist + count VALID itself, NOT localCheckpoint and NOT the
-        # enriched join: the count is a SQL action with the observe node
-        # directly beneath it, so ONE job scans raw once, fills the
-        # validation observation (reject count + batch-max watermark are
-        # accumulators riding it), and pins the batch — with its single
-        # frozen ingested_at — in cache for every later consumer. The
-        # enrichment join executes only inside the upsert's write, from
-        # the cached blocks. (localCheckpoint materializes at the RDD
-        # layer, which bypasses SQL observations; counting above the
-        # join lets AQE's empty-relation propagation prune the metrics
-        # node when the batch is all-rejects.)
-        valid = valid.persist()
+                valid, stats, n_new, probe_stats = self._validated_batch(raw)
         try:
-            # enrichment is row-preserving (left join on launch_id), so
-            # the valid count IS the new-launches count
-            n_new = valid.count()
             rejected = stats.rejected
 
             # Watermark candidate from the FETCHED batch (valid or not):
@@ -236,6 +245,9 @@ class IncrementalIngestionPipeline:
                     "duration_s": round(time.perf_counter() - t0, 3),
                 }
 
+            # the enrichment join executes exactly ONCE, inside the
+            # upsert's write job, from the valid cache: all pre-write
+            # probes run against the slim valid batch (probe/probe_stats)
             enriched = enrich_with_payload_mass(valid, self.payloads)
             if self.partition_by_year:
                 inserted = upsert_parquet_partitioned(
@@ -245,6 +257,8 @@ class IncrementalIngestionPipeline:
                     key="launch_id",
                     order_by=[F.col("ingested_at").desc()],
                     partition_col="launch_year",
+                    probe=valid.withColumn("launch_year", F.year("date_utc")),
+                    probe_stats=probe_stats,
                 )
             else:
                 inserted = upsert_parquet(
@@ -253,6 +267,7 @@ class IncrementalIngestionPipeline:
                     enriched,
                     key="launch_id",
                     order_by=[F.col("ingested_at").desc()],
+                    probe=valid,
                 )
             if batch_max is not None:
                 self._append_watermark(_as_utc(batch_max), state_max_id)

@@ -21,6 +21,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spacex_data_engineering_pipeline_spark.pipeline import metalog
 from spacex_data_engineering_pipeline_spark.schemas import LAUNCH_AGGREGATIONS_SCHEMA
 
 SNAPSHOT_TYPES = ("initial", "incremental", "manual")
@@ -127,20 +128,17 @@ class AggregationService:
             "launches_added_in_batch": launches_added_in_batch,
             "pipeline_run_id": run_id or new_run_id(now),
         }
-        df = self.spark.createDataFrame([record], LAUNCH_AGGREGATIONS_SCHEMA)
-        df.write.mode("append").parquet(self.path)
+        # metrics over the launches TABLE are the one Spark job here;
+        # the snapshot row itself is run metadata and is appended
+        # driver-side (metalog.py — same parquet layout Spark wrote)
+        metalog.append_row(self.path, record, metalog.SNAPSHOT_ARROW_SCHEMA)
         return Row(**record)
 
     def latest(self) -> dict | None:
         """Most recent snapshot: ORDER BY updated_at DESC, id DESC LIMIT 1
-        (reference aggregations.py:157-166)."""
-        rows = (
-            self.snapshots()
-            .orderBy(F.col("updated_at").desc(), F.col("id").desc())
-            .limit(1)
-            .collect()
-        )
-        return rows[0].asDict() if rows else None
+        (reference aggregations.py:157-166) — a driver-side read of the
+        O(runs)-row series, not a Spark job."""
+        return metalog.latest_row(self.path)
 
     def history(self, limit: int = 10) -> DataFrame:
         """Last N snapshots, newest first (reference aggregations.py:192-234)."""
