@@ -80,11 +80,25 @@ def ann_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    hamming_radius: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Multi-probe LSH top-k: score vectors whose bucket signature is
+    within ``hamming_radius`` bits of the query's (radius 0 = the
+    query's own bucket — classic single-probe LSH).
 
-    Recall/cost trade-off is ``n_planes`` (2^planes buckets). Exactness
-    is verified in tests against ``brute_force_topk`` within the bucket.
+    Two recall dials: ``n_planes`` sizes the buckets (2^planes of
+    them), ``hamming_radius`` widens the probe — each extra bit of
+    radius admits the buckets that disagree with the query on one more
+    hyperplane, exactly the near-miss neighbors single-probe loses.
+    At ``hamming_radius == n_planes`` every bucket is probed and the
+    result EQUALS brute force — the oracle-able integrity contract (a
+    vector the bucketing lost or mangled flips the result), same
+    pattern as ``ivf_topk``'s full sweep.
+
+    Exact cosine inside probed buckets, so any-radius results are a
+    subset of brute-force ranking (pytest-pinned, with recall monotone
+    in the radius). At 100 TB: bucketed table partitioned by bucket →
+    a radius-r probe reads C(planes, ≤r) partitions, pruned at scan.
     """
     planes = random_hyperplanes(len(query_vec), n_planes, seed)
     bucketed = rp_lsh_buckets(df, id_col, vec_col, planes)
@@ -93,7 +107,9 @@ def ann_topk(
         s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
         if s >= 0:
             qsig |= 1 << i
-    in_bucket = bucketed.filter(F.col("bucket") == qsig)
+    in_bucket = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig))) <= hamming_radius
+    )
     return brute_force_topk(in_bucket, id_col, vec_col, query_vec, k)
 
 

@@ -28,14 +28,29 @@ from pyspark.sql import functions as F
 
 
 def merge_dedup(
-    existing: DataFrame | None, incoming: DataFrame, key: str, order_by: list[Column]
+    existing: DataFrame | None, incoming: DataFrame, key: str,
+    order_by: list[Column] | None,
 ) -> DataFrame:
     """union + per-key top-1: the relational core of the upsert.
 
     ``order_by`` decides the survivor (typically freshest ingested_at
     first → incoming rows replace matched existing rows, reference
-    ON CONFLICT DO UPDATE semantics).
+    ON CONFLICT DO UPDATE semantics). ``None`` means "incoming wins
+    unconditionally" (SQL MERGE's UPDATE SET *): a plan-internal side
+    marker orders the window and is dropped before the result surfaces,
+    so it never reaches the written table.
     """
+    if order_by is None:
+        incoming = incoming.withColumn("__src", F.lit(1))
+        if existing is not None:
+            existing = existing.withColumn("__src", F.lit(0))
+        unioned = incoming if existing is None else existing.unionByName(incoming)
+        w = Window.partitionBy(key).orderBy(F.col("__src").desc())
+        return (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
     unioned = incoming if existing is None else existing.unionByName(incoming)
     w = Window.partitionBy(key).orderBy(*order_by)
     return (
@@ -50,7 +65,7 @@ def upsert_parquet(
     table_path: str,
     incoming: DataFrame,
     key: str,
-    order_by: list[Column],
+    order_by: list[Column] | None,
     probe: DataFrame | None = None,
 ) -> int:
     """Upsert ``incoming`` into the parquet table at ``table_path``;
@@ -107,7 +122,7 @@ def upsert_parquet_partitioned(
     table_path: str,
     incoming: DataFrame,
     key: str,
-    order_by: list[Column],
+    order_by: list[Column] | None,
     partition_col: str,
     probe: DataFrame | None = None,
     probe_stats: tuple[list, int] | None = None,
@@ -234,3 +249,57 @@ def upsert_parquet_partitioned(
                 os.path.join(table_path, f"{partition_col}={part}"), ignore_errors=True
             )
     return inserted
+
+
+class MergeResult(dict):
+    """``{"inserted": n, "updated_or_unchanged": m}`` with attribute
+    access, mirroring the counters a SQL MERGE reports."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(name) from e
+
+
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    on: str,
+    order_by: list[Column] | None = None,
+    partition_col: str | None = None,
+    probe: DataFrame | None = None,
+) -> MergeResult:
+    """``MERGE INTO target USING source ON target.<on> = source.<on>
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
+    the Delta/Iceberg statement this module's upserts implement over
+    plain parquet (the reference's ``INSERT ... ON CONFLICT (launch_id)
+    DO UPDATE``, src/database.py:133-202).
+
+    Semantics and their SQL counterparts:
+    - ``on``: the merge key (one row per key is the table invariant);
+    - matched rows are REPLACED whole-row (UPDATE SET *): with no
+      ``order_by`` the source row wins outright (``merge_dedup``'s
+      None-order contract); pass e.g. ``[F.col("ingested_at").desc()]``
+      to resolve the survivor by a freshness column instead;
+    - unmatched source rows are INSERTED (count returned);
+    - WHEN NOT MATCHED BY SOURCE THEN DELETE is deliberately absent,
+      as in the reference (ingest never deletes);
+    - ``partition_col`` picks the scale path: only partitions the
+      source touches are rewritten (``upsert_parquet_partitioned``);
+      without it the whole table is swapped (``upsert_parquet`` — the
+      tiny-table / cross-partition-atomicity path).
+
+    Swapping in a real transactional format later means replacing this
+    function's body with ``DeltaTable.merge`` — callers keep the same
+    signature and counters.
+    """
+    if partition_col is not None:
+        inserted = upsert_parquet_partitioned(
+            spark, target_path, source, on, order_by, partition_col, probe=probe
+        )
+    else:
+        inserted = upsert_parquet(spark, target_path, source, on, order_by, probe=probe)
+    n_source = (probe if probe is not None else source).select(on).distinct().count()
+    return MergeResult(inserted=inserted, updated_or_unchanged=n_source - inserted)

@@ -730,14 +730,36 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 10)
 
 
-@_register("embedding_ann_lsh")  # no SQL oracle: LSH bucket membership
+@_register(
+    "embedding_ann_lsh",
+    oracle=f"""
+    SELECT vec_id, cos_sim
+    FROM (
+        SELECT e.vec_id, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    )
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH (8 planes, seed 42):
-    scores only the query's bucket. Tests assert its results are a
-    subset of brute-force cosine ranking within the bucket.
+    """Multi-probe random-hyperplane LSH top-10 (operators/similarity.py).
+
+    Graded at FULL Hamming radius: probing every bucket must EQUAL
+    brute-force top-k, which turns the otherwise engine-specific bucket
+    membership into a DuckDB-checkable integrity contract (a vector the
+    bit-packed bucketing lost or double-counted flips the result) —
+    the same full-sweep pattern as ``embedding_ivf_topk``. The
+    recall/cost dial (radius 0 ⊆ radius 1 ⊆ … ⊆ brute force, recall
+    monotone in radius) is pytest-gated in tests/test_operators.py.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return S.ann_topk(emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 10)
+    return S.ann_topk(
+        emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 10,
+        n_planes=8, hamming_radius=8,
+    )
 
 
 @_register(

@@ -32,6 +32,18 @@ RAW_COLUMNS = (
     "static_fire_date_utc",
 )
 
+# explicit schema for file readers: at 100 TB schema INFERENCE is a
+# full extra pass over the data (and nondeterministic under dirty
+# input) — raw sources always read with this declared shape and leave
+# type conformance to validate_and_conform
+RAW_DDL = (
+    "launch_id string, mission_name string, date_utc string, success boolean, "
+    "payload_ids array<string>, launchpad_id string, static_fire_date_utc string"
+)
+
+# CSV cannot carry arrays: payload_ids travels as a delimited string
+RAW_CSV_DDL = RAW_DDL.replace("payload_ids array<string>", "payload_ids string")
+
 
 class ValidationStats:
     """Batch metrics observed IN-FLIGHT on the validation plan
@@ -43,6 +55,12 @@ class ValidationStats:
     Accessors block until that first action has run; in paths that never
     need the numbers (streaming micro-batches) simply don't read them —
     the observation then costs one accumulator, not a job.
+
+    Contract: the FIRST action over the valid side must execute the
+    scan exactly once — aggregate/count/write actions qualify; a global
+    sort does NOT (its range partitioner samples the child first, a
+    second execution that doubles the metrics). The pipeline's
+    ``_validated_batch`` count is the canonical consumer.
     """
 
     def __init__(self, observation):
@@ -158,6 +176,49 @@ class LocalLaunchSource:
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "LocalLaunchSource":
         return cls(spark, spark.read.parquet(path))
+
+    @classmethod
+    def from_json(
+        cls, spark: SparkSession, path: str, multiline: bool = False
+    ) -> "LocalLaunchSource":
+        """JSON source (JSON Lines by default; ``multiline=True`` for a
+        whole-file array-of-objects dump, e.g. a saved API response).
+        Declared schema, never inference; unparseable rows surface as
+        all-NULL and are dropped + counted by validation (PERMISSIVE
+        mode), keeping the poisoned-batch contract of the parquet path.
+        """
+        reader = spark.read.schema(RAW_DDL).option("mode", "PERMISSIVE")
+        if multiline:
+            reader = reader.option("multiLine", "true")
+        return cls(spark, reader.json(path).select(*RAW_COLUMNS))
+
+    @classmethod
+    def from_csv(
+        cls, spark: SparkSession, path: str, array_delimiter: str = "|"
+    ) -> "LocalLaunchSource":
+        """CSV source with header. CSV has no array type, so
+        ``payload_ids`` travels as an ``array_delimiter``-joined string
+        and is split here; empty/NULL → NULL (validation normalizes
+        NULL → [] exactly as for every other source).
+        """
+        df = (
+            spark.read.schema(RAW_CSV_DDL)
+            .option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .csv(path)
+        )
+        import re
+
+        # split's pattern is a REGEX — escape the delimiter ('|' would
+        # otherwise split between every character)
+        payload_ids = F.when(
+            F.col("payload_ids").isNotNull() & (F.col("payload_ids") != ""),
+            F.split("payload_ids", re.escape(array_delimiter), -1),
+        )
+        return cls(
+            spark,
+            df.withColumn("payload_ids", payload_ids).select(*RAW_COLUMNS),
+        )
 
     def fetch_all(self) -> DataFrame:
         return self._df

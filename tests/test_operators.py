@@ -98,6 +98,26 @@ def test_ann_lsh_consistent_with_bruteforce(spark, sf_dir):
     for vec_id, cos in ann.items():
         assert brute[vec_id] == cos
 
+    # multi-probe dial: wider Hamming radius probes more buckets, so
+    # candidate sets are nested and top-10 recall is monotone; at full
+    # radius the probe IS brute force (the graded oracle contract)
+    true_top = [
+        vid
+        for vid, _ in sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ]
+    prev_recall = -1.0
+    for radius in (0, 2, 4, 8):
+        got = [
+            (r.vec_id, r.cos_sim)
+            for r in S.ann_topk(
+                emb, "vec_id", "embedding", query, 10, hamming_radius=radius
+            ).collect()
+        ]
+        recall = len({vid for vid, _ in got} & set(true_top)) / 10
+        assert recall >= prev_recall, f"recall fell when widening radius {radius}"
+        prev_recall = recall
+    assert [vid for vid, _ in got] == true_top  # radius 8/8 == brute force
+
 
 def test_exact_dedup_deterministic(spark):
     df = spark.createDataFrame(

@@ -30,11 +30,11 @@ def test_every_query_has_oracle_or_reason():
     allowed_missing = {
         # xxhash64 / pandas-UDF / LSH-bucket ops aren't SQL-expressible;
         # each has a dedicated semantic test in test_operators.py instead.
-        # (embedding_ivf_topk regained an oracle via the full-probe
-        # contract; approx_distinct_users via the error-bound boolean.)
+        # (embedding_ivf_topk and embedding_ann_lsh regained oracles via
+        # the full-sweep contract; approx_distinct_users via the
+        # error-bound boolean.)
         "minhash_near_dup_pairs",
         "simhash_buckets",
-        "embedding_ann_lsh",
         "embedding_near_dup_pairs",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
