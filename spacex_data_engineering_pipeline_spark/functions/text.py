@@ -186,3 +186,40 @@ def quality_score(text: Column) -> Column:
     return F.round(
         F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * stop_score, 4
     )
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+# conservative ASCII patterns that behave identically under Java regex
+# (Spark) and RE2 (DuckDB) — no lookbehind, no backrefs
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\[\] .-]{7,}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+PII_PATTERNS = {
+    "email": EMAIL_RE,
+    "url": URL_RE,
+    "phone": PHONE_RE,
+    "ipv4": IPV4_RE,
+}
+
+
+def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "url", "phone", "ipv4")):
+    """Redact PII spans with ``<KIND>`` placeholders — the standard
+    pre-training scrub pass, as pure regexp_replace expressions so a
+    100 TB corpus scrubs at scan speed inside codegen (no UDF).
+
+    Returns (scrubbed_text, counts) where ``counts`` maps each kind to
+    its match-count column — pipelines keep the counts as per-doc
+    scrub metadata. Order matters: URLs before phones (a URL's digit
+    runs would otherwise half-match the phone pattern mid-redaction);
+    the default tuple is already safely ordered.
+    """
+    counts = {}
+    scrubbed = text
+    for kind in kinds:
+        pattern = PII_PATTERNS[kind]
+        counts[kind] = F.regexp_count(scrubbed, F.lit(pattern)).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pattern, f"<{kind.upper()}>")
+    return scrubbed, counts

@@ -357,3 +357,76 @@ def minhash_near_dup_pairs_ml(
             F.floor((1 - F.col("dist")) * 1_000_000).cast("long").alias("jaccard_micro"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation; returns ``(vertex, component)`` with
+    ``component`` = the smallest vertex id reachable.
+
+    THE dedup finisher: near-dup pair ops emit edges, but "keep one doc
+    per duplicate group" needs the transitive closure of those pairs —
+    a pair list alone double-drops docs chained A~B~C. ``vertices``
+    (optional) adds isolated ids as singleton components.
+
+    Plan shape per iteration (diameter-bounded, not size-bounded):
+    neighbor-min aggregation (one shuffle on vertex id) + left join back
+    (same key, same partitioning — AQE reuses the exchange). Labels only
+    ever DECREASE, so convergence is monotone; the loop exits when an
+    iteration changes nothing. Each round is eagerly localCheckpoint-ed:
+    truncated lineage keeps round k's plan O(1) deep, not O(k), and the
+    convergence probe rides the checkpoint job. Duplicate-cluster graphs
+    have tiny diameters (near-cliques), so 2-4 rounds is typical; for
+    general web-scale graphs swap in large-star/small-star (same loop
+    skeleton, fewer rounds on long chains).
+    """
+    both = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).unionByName(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+
+    labels = both.select(F.col("__u").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    if vertices is not None:
+        labels = (
+            vertices.select(F.col(vertices.columns[0]).alias("vertex"))
+            .distinct()
+            .select("vertex", F.col("vertex").alias("component"))
+            .unionByName(labels)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            both.join(labels, both["__v"] == labels["vertex"])
+            .groupBy("__u")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["vertex"] == nbr_min["__u"], "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", "component")
+                ).alias("component"),
+                (F.col("__nbr_min") < F.col("component")).alias("__changed"),
+            )
+        )
+        # eager checkpoint materializes the round and truncates lineage
+        # (an Observation can NOT ride it — RDD-level checkpoints bypass
+        # SQL metrics); the convergence probe is then a short-circuiting
+        # isEmpty over the checkpointed blocks, not a recompute
+        new_labels = new_labels.localCheckpoint()
+        converged = new_labels.filter(F.col("__changed")).isEmpty()
+        labels = new_labels.drop("__changed")
+        if converged:
+            break
+    return labels

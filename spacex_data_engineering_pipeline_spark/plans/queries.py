@@ -1815,3 +1815,157 @@ def purchase_in_click_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         point="purchase_ts", lo="session_start", hi="session_end",
         bucket_seconds=1800,
     ).select("purchase_id", "user_id", "purchase_ts", "session_start", "n_clicks")
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep, round 2: cluster-level dedup, per-group stats, sharding,
+# vocabulary — the remaining table-stakes ops of a training-data pipeline
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "near_dup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE g AS (
+        SELECT doc_id AS doc, source AS block,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, source, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM g a JOIN g b ON a.block = b.block AND a.doc < b.doc
+        WHERE CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))))
+                   AS BIGINT) >= 100000
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(u, m) AS (
+        SELECT u, v FROM edges
+        UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
+    )
+    SELECT d.doc_id,
+           COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS cluster_id
+    FROM documents d
+    LEFT JOIN (SELECT u, MIN(m) AS mn FROM walk GROUP BY u) c
+      ON c.u = d.doc_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: exact n-gram-Jaccard pairs →
+    connected components (operators/dedup.py) → every doc labeled with
+    the min doc_id of its duplicate group (singletons label themselves).
+
+    The transitive closure is what "keep one per group" actually needs —
+    pair lists double-drop chained duplicates A~B~C. The oracle walks
+    the same edges with a recursive CTE, so the component labels are
+    engine-checkable end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, min_jaccard_micro=100_000
+    )
+    return D.connected_components(
+        edges, "doc_a", "doc_b", vertices=docs.select("doc_id")
+    ).select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@_register(
+    "median_tokens_by_source",
+    oracle=rf"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(quantile_cont({_DUCK_NTOK}, 0.5) AS DOUBLE) AS median_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def median_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT interpolated median token count — the corpus-QA
+    cut ("which source feeds us short docs?"). Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear-interpolation semantics, and
+    medians of integer counts land on exact .0/.5 doubles, so the
+    value-hash is float-safe. Scale: exact percentile sorts within each
+    group — fine at source-cardinality groups; the sketch path for
+    million-group shapes is ``approx_percentile`` (quantity_percentiles
+    shows the global version).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile(T.token_count(F.col("text")), F.lit(0.5))
+        .cast("double")
+        .alias("median_tokens"),
+    )
+
+
+@_register(
+    "shard_assignment",
+    oracle="""
+    SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding (mod-N on the stable doc id): the
+    assignment every distributed trainer re-derives identically, plus
+    per-shard balance stats (the skew check before a write). The full
+    writer — repartition by shard, sort within, one file per shard — is
+    ``operators/shard.export_shards`` (pytest-gated; the write itself
+    has no SQL oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.pmod("doc_id", F.lit(16)).cast("long").alias("shard"), "n_chars"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "top_ngrams_vocab",
+    oracle=rf"""
+    WITH g AS (
+        SELECT doc_id AS doc,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (SELECT doc, unnest(grams) AS gram FROM g)
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram ASC
+    LIMIT 25
+    """,
+)
+def top_ngrams_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top word-3-grams by DOCUMENT frequency (each
+    doc votes once — ``distinct=True`` shingles). Vocab building is a
+    one-shuffle groupBy + TakeOrderedAndProject; the (doc_freq, gram)
+    total order makes the top-25 cut deterministic on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_word_ngrams(docs.select("doc_id", "text"), "text", 3, distinct=True)
+    return (
+        grams.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(25)
+    )

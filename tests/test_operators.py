@@ -449,3 +449,84 @@ def test_interval_join_is_hash_join(spark):
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+# -- round-2 corpus ops: clusters, shards, PII scrub -------------------------
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B~C chained near-dups must land in ONE component (the failure
+    mode of pair-list dedup), and isolated vertices stay singletons."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    vertices = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "id long")
+    got = {
+        r.vertex: r.component
+        for r in D.connected_components(edges, "src", "dst", vertices=vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20, 99: 99}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A pure path graph needs multiple propagation rounds — the loop
+    must keep iterating past round one and still hit the fixpoint."""
+    n = 12
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    got = {r.vertex: r.component for r in D.connected_components(edges, "src", "dst").collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_export_shards_roundtrip(spark, sf_dir, tmp_path):
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators import shard as SH
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    SH.export_shards(docs, "doc_id", 8, out)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(8)]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # deterministic assignment: every row sits in pmod(doc_id, 8)
+    mismatched = back.filter(F.pmod("doc_id", F.lit(8)) != F.col("shard")).count()
+    assert mismatched == 0
+    # one file per shard (coalesced write)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {files}"
+    # partition-pruned single-shard read returns exactly that slice
+    one = SH.read_shard(spark, out, 3)
+    assert one.count() == docs.filter(F.pmod("doc_id", F.lit(8)) == 3).count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from spacex_data_engineering_pipeline_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.org or visit https://ex.com/a?b=1 now"),
+        (2, "call +1 (555) 123-4567 from 10.0.0.1 please"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    scrubbed, counts = scrub_pii(F.col("text"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            scrubbed.alias("clean"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1].clean and "<URL>" in out[1].clean
+    assert "jane.doe" not in out[1].clean and "ex.com" not in out[1].clean
+    assert out[1].n_email == 1 and out[1].n_url == 1
+    assert "<PHONE>" in out[2].clean and "<IPV4>" in out[2].clean
+    assert out[2].n_phone == 1 and out[2].n_ipv4 == 1
+    assert out[3].clean == rows[2][1]  # untouched
+    assert out[3].n_email == out[3].n_url == out[3].n_phone == out[3].n_ipv4 == 0
