@@ -359,6 +359,48 @@ def minhash_near_dup_pairs_ml(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination probe: flag corpus documents sharing at
+    least ``min_shared`` distinct word-``n``-grams with ANY benchmark
+    document — the standard check that eval data leaked into training
+    data. Returns ``(doc, n_shared_grams, n_bench_docs)``.
+
+    Plan shape is the same inverted-index discipline as
+    ``ngram_jaccard_pairs``: explode distinct shingles on both sides and
+    equi-join on the gram, so cost is Σ|posting|·|bench posting| — never
+    corpus × benchmark. The benchmark side is tiny by nature (eval sets,
+    not corpora): its exploded gram table broadcasts, making the whole
+    probe a map-side join over the corpus scan — at 100 TB the corpus is
+    read once at scan speed and never shuffled. Hot grams (boilerplate
+    shingles) are the skew risk; raise ``n`` until shingles are
+    discriminative (n=8..13 in published decontamination setups).
+    """
+    cg = (
+        with_word_ngrams(corpus, text_col, n, out_col="grams", distinct=True)
+        .select(F.col(id_col).alias("doc"), F.explode("grams").alias("gram"))
+    )
+    bg = (
+        with_word_ngrams(bench, text_col, n, out_col="grams", distinct=True)
+        .select(F.col(id_col).alias("bench_doc"), F.explode("grams").alias("gram"))
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str,

@@ -1,0 +1,120 @@
+"""Distributed prefix sums and training-sequence packing.
+
+Concat-and-chunk packing — concatenate documents in a stable order and
+cut the token stream every ``seq_len`` tokens — is how most training
+pipelines turn a ragged corpus into fixed-length sequences. The core
+primitive is a GLOBAL running total of token counts in corpus order,
+which a naive ``Window.orderBy(...)`` computes on ONE reducer (Spark
+plans an empty-partitionBy window as a single-partition sort — a
+non-starter at 100 TB).
+
+``with_global_offset`` is the scale-safe version — a two-phase
+distributed prefix sum with exactly ONE full-table shuffle:
+
+1. bucket each row by VALUE range of the order column (cheap min/max
+   probe picks the bucket width), so bucket ids are monotone in the
+   global order — unlike ``spark_partition_id`` after a range shuffle,
+   a value-derived bucket is a plain expression, so the window's own
+   hash shuffle on it is the only time the table moves;
+2. within-bucket exclusive running sum (each bucket sorts only itself);
+3. per-bucket totals via a second column-pruned scan with map-side
+   partial aggregation — its shuffle moves O(buckets × tasks) partial
+   sums, never rows;
+4. exclusive-prefix the totals over bucket id (an O(buckets) metadata
+   window) and broadcast-join the base offsets back.
+
+Bucket boundaries depend only on min/max, so the result is a pure
+function of the data — deterministic whenever the order column is
+unique. Heavily clustered order values can skew buckets (same caveat
+as any range partitioning); AQE's skew handling and a larger
+``n_buckets`` are the dials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_offset(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "offset",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append the EXCLUSIVE global running sum of ``value_col`` in
+    ``order_col`` order (first row gets 0). ``order_col`` must be
+    numeric and unique — ties would make attribution among equal keys
+    ambiguous, and the bucket derivation is integer arithmetic.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    lo_hi = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if lo_hi["lo"] is None:  # empty input: nothing to offset
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    width = max(1, (hi - lo + n) // n)  # ceil(span / n)
+
+    # `div` (integer division) keeps bucket math exact for 64-bit ids —
+    # float `/`+floor would corrupt above 2^53.
+    bucketed = df.withColumn(
+        "__b", F.expr(f"(cast({order_col} as bigint) - {lo}) div {width}")
+    )
+    wl = Window.partitionBy("__b").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = bucketed.withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(wl), F.lit(0)).cast("long")
+    )
+
+    # Bucket totals from a second column-pruned scan: partial (map-side)
+    # aggregation means its shuffle moves only O(buckets × map tasks)
+    # partial sums — never the table. The window's hash shuffle above is
+    # the single full-table movement in the whole plan. (Computing the
+    # totals from the window output instead would need the window's
+    # exchange reused, which column pruning defeats; a second cheap scan
+    # beats a second full shuffle at any scale.)
+    totals = bucketed.groupBy("__b").agg(F.sum(value_col).alias("__bsum"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "__b", F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__base")
+    )
+
+    return (
+        local.join(F.broadcast(bases), "__b")
+        .withColumn(out_col, (F.col("__base") + F.col("__local")).cast("long"))
+        .drop("__b", "__local", "__base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    seq_len: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid head to
+    tail in ``order_col`` order and the stream is cut every ``seq_len``
+    tokens. Adds:
+
+    - ``start_offset`` — the doc's first token's position in the stream;
+    - ``pack_id``      — which sequence the doc STARTS in
+      (``start_offset div seq_len``; a doc longer than the remaining
+      room straddles into the next pack, as in standard
+      concat-and-chunk — no padding, no document reordering);
+    - ``offset_in_pack`` — position within that sequence.
+
+    Deterministic (pure function of the corpus + order), so every
+    re-run and every downstream trainer derives the identical layout.
+    """
+    out = with_global_offset(
+        df, order_col, token_col, out_col="start_offset", n_partitions=n_partitions
+    )
+    return out.withColumn(
+        "pack_id", F.floor(F.col("start_offset") / seq_len).cast("long")
+    ).withColumn(
+        "offset_in_pack", F.pmod(F.col("start_offset"), F.lit(seq_len)).cast("long")
+    )

@@ -487,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
 from spacex_data_engineering_pipeline_spark.functions import text as T  # noqa: E402
 from spacex_data_engineering_pipeline_spark.operators import dedup as D  # noqa: E402
 from spacex_data_engineering_pipeline_spark.operators import multimodal as M  # noqa: E402
+from spacex_data_engineering_pipeline_spark.operators import pack as PK  # noqa: E402
 from spacex_data_engineering_pipeline_spark.operators import similarity as S  # noqa: E402
 
 # DuckDB fragments mirroring functions/text.py exactly (same regexes,
@@ -1968,4 +1969,271 @@ def top_ngrams_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep, round 2b: sequence packing, decontamination, repetition,
+# keep-best dedup, distinctive terms
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sequence_packing",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(off AS BIGINT) AS start_offset,
+           CAST(floor(off / 256) AS BIGINT) AS pack_id,
+           CAST(off % 256 AS BIGINT) AS offset_in_pack
+    FROM (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM (SELECT doc_id, {_DUCK_NTOK} AS n_tok FROM documents)
+    )
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (seq_len=256): each doc's start
+    offset in the concatenated token stream and the training sequence it
+    starts in. The global running sum is ``operators/pack.py``'s
+    two-phase distributed prefix sum — range partition, O(partitions)
+    base offsets, within-partition windows — NOT a single-reducer global
+    window (the oracle's ``SUM() OVER (ORDER BY ...)`` is exactly the
+    plan shape the operator exists to avoid at 100 TB).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return PK.pack_sequences(with_tok, "doc_id", "n_tokens", seq_len=256).select(
+        "doc_id", "n_tokens", "start_offset", "pack_id", "offset_in_pack"
+    )
+
+
+@_register(
+    "benchmark_contamination",
+    oracle=rf"""
+    WITH g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 4),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS grams
+        FROM (SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 5
+    ),
+    bench AS (SELECT doc_id AS bench_doc, unnest(grams) AS gram
+              FROM g WHERE source = 'src0'),
+    corpus AS (SELECT doc_id AS doc, unnest(grams) AS gram
+               FROM g WHERE source <> 'src0')
+    SELECT doc,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT bench_doc) AS BIGINT) AS n_bench_docs
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination probe: corpus docs (source≠src0)
+    sharing any word-5-gram with the held-out benchmark slice
+    (source=src0). Inverted-index join with the tiny benchmark side
+    broadcast — the corpus is scanned once and never shuffled
+    (operators/dedup.py::benchmark_contamination).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return D.benchmark_contamination(corpus, bench, "doc_id", "text", n=5)
+
+
+@_register(
+    "doc_repetition_scores",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+           CAST(floor((len(grams) - len(list_distinct(grams))) * 1000000
+                      / len(grams)) AS BIGINT) AS repetition_micro
+    FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS grams
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (boilerplate/loop detector): the
+    fraction of word-3-gram occurrences that are repeats, in exact
+    integer micro-units. Pure codegen expressions — the shingle array is
+    staged once as an attribute and referenced twice (size +
+    distinct-size), which CollapseProject keeps materialized, so the
+    per-row cost stays linear in words.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = T.with_word_ngrams(docs, "text", 3, out_col="__grams")
+    total = F.size("__grams").cast("long")
+    distinct = F.size(F.array_distinct(F.col("__grams"))).cast("long")
+    return (
+        staged.filter(total > 0)
+        .select(
+            "doc_id",
+            total.alias("n_grams"),
+            distinct.alias("n_distinct_grams"),
+            F.floor(((total - distinct) * F.lit(1_000_000)) / total)
+            .cast("long")
+            .alias("repetition_micro"),
+        )
+    )
+
+
+_DUCK_QUALITY = rf"""
+    SELECT doc_id,
+           ROUND(0.4 * least(1.0, n_tok / 100.0)
+               + 0.3 * greatest(0.0, 1.0 - 5.0 * (p_cnt / greatest(len_c, 1.0)))
+               + 0.3 * least(1.0, 4.0 * stop_hits / greatest(n_tok, 1.0)), 4)
+               AS quality_score
+    FROM (
+        SELECT doc_id,
+               CAST({_DUCK_NTOK} AS DOUBLE) AS n_tok,
+               CAST(length(text) - length(regexp_replace(text, '{_DUCK_PUNCT_RE}', '', 'g')) AS DOUBLE) AS p_cnt,
+               CAST(length(text) AS DOUBLE) AS len_c,
+               CAST(length(list_intersect(
+                        list_distinct(list_transform({_DUCK_WORDS}, w -> lower(w))),
+                        ['the','and','is','of','to'])) AS DOUBLE) AS stop_hits
+        FROM documents
+    )
+"""
+
+
+@_register(
+    "dedup_keep_best",
+    oracle=rf"""
+    WITH RECURSIVE g AS (
+        SELECT doc_id AS doc, source AS block,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, source, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM g a JOIN g b ON a.block = b.block AND a.doc < b.doc
+        WHERE CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))))
+                   AS BIGINT) >= 100000
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(u, m) AS (
+        SELECT u, v FROM edges
+        UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    clusters AS (
+        SELECT d.doc_id,
+               COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT u, MIN(m) AS mn FROM walk GROUP BY u) c
+          ON c.u = d.doc_id
+    ),
+    q AS ({_DUCK_QUALITY})
+    SELECT cluster_id, doc_id, quality_score
+    FROM (
+        SELECT cl.cluster_id, cl.doc_id, q.quality_score,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY q.quality_score DESC, cl.doc_id ASC) AS rn
+        FROM clusters cl JOIN q USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup retention policy end to end: near-dup pairs →
+    connected components → keep the HIGHEST-QUALITY doc per duplicate
+    cluster (ties broken by doc_id). Pair-list dedup can't express
+    "best of the group" at all — it doesn't know the groups; this is
+    why the cluster step exists.
+
+    Plan: cluster labels (diameter-bounded iteration) broadcast-join
+    back to the per-doc quality scores, then a top-1 window partitioned
+    by cluster — one extra shuffle on cluster_id after the CC loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, min_jaccard_micro=100_000
+    )
+    clusters = D.connected_components(
+        edges, "doc_a", "doc_b", vertices=docs.select("doc_id")
+    ).select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))
+    scored = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality_score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", "doc_id", "quality_score")
+    )
+
+
+@_register(
+    "distinctive_terms",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, lower(term) AS term
+        FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents)
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+    )
+    SELECT doc_id, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(floor(tf * 1000000 / doc_freq) AS BIGINT) AS score_micro
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY floor(tf.tf * 1000000 / dfreq.doc_freq) DESC,
+                            tf.term ASC) AS rn
+        FROM tf JOIN dfreq USING (term)
+    ) WHERE rn <= 3
+    """,
+)
+def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by integer-exact
+    TF/DF weighting (``floor(tf·1e6 / doc_freq)`` — the tf-idf ranking
+    signal without engine-varying ``ln`` floats; for equal tf, rarer
+    corpus-wide terms score higher).
+
+    Plan: token explode → (doc, term) count [one shuffle] → term
+    doc-frequency [second shuffle, map-side combined] → join back →
+    per-doc top-3 window. The df table is term-cardinality (vocab-sized,
+    not corpus-sized) — it broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("__w")
+    ).select("doc_id", F.lower(F.col("__w")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score_micro",
+        F.floor((F.col("tf") * F.lit(1_000_000)) / F.col("doc_freq")).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "score_micro")
     )

@@ -530,3 +530,124 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2].n_phone == 1 and out[2].n_ipv4 == 1
     assert out[3].clean == rows[2][1]  # untouched
     assert out[3].n_email == out[3].n_url == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+# -- round-2b: prefix sums / packing, bucketing, decontamination -------------
+
+
+def test_global_offset_matches_single_window(spark, sf_dir):
+    """The two-phase distributed prefix sum must equal the naive
+    single-reducer global window, at several partition counts (including
+    more partitions than rows would ever need)."""
+    from pyspark.sql import Window
+
+    from spacex_data_engineering_pipeline_spark.operators import pack as PK
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").alias("v"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    expected = {
+        r.doc_id: r.off
+        for r in docs.select(
+            "doc_id", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long").alias("off")
+        ).collect()
+    }
+    for n_parts in (1, 7, 32):
+        got = {
+            r.doc_id: r.off
+            for r in PK.with_global_offset(
+                docs, "doc_id", "v", out_col="off", n_partitions=n_parts
+            ).collect()
+        }
+        assert got == expected, f"n_partitions={n_parts}"
+
+
+def test_pack_sequences_chunking(spark):
+    """Chunk boundaries: packs cut every seq_len tokens of the
+    concatenated stream; a doc starting mid-pack straddles without
+    shifting later docs."""
+    from spacex_data_engineering_pipeline_spark.operators import pack as PK
+
+    rows = [(1, 100), (2, 100), (3, 100), (4, 20), (5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.start_offset, r.pack_id, r.offset_in_pack)
+        for r in PK.pack_sequences(df, "doc_id", "n_tok", seq_len=128).collect()
+    }
+    assert got == {
+        1: (0, 0, 0),
+        2: (100, 0, 100),   # starts in pack 0, straddles into 1
+        3: (200, 1, 72),
+        4: (300, 2, 44),
+        5: (320, 2, 64),
+    }
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO Exchange on either side — the write-time shuffle is the
+    whole point of the layout."""
+    from spacex_data_engineering_pipeline_spark.operators import bucketing as B
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        B.write_bucketed(
+            cust, "t_cust_b", ["c_custkey"], 4, sort_cols=["c_custkey"],
+            path=str(tmp_path / "cust"),
+        )
+        B.write_bucketed(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            "t_ord_b", ["c_custkey"], 4, sort_cols=["c_custkey"],
+            path=str(tmp_path / "ord"),
+        )
+        # force the sort-merge path so shuffle elimination is observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = B.colocated_join(spark, "t_cust_b", "t_ord_b", ["c_custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the result is the same join Spark would compute any other way
+        assert joined.count() == orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_benchmark_contamination_semantics(spark):
+    """Only docs sharing ≥min_shared distinct n-grams with ANY benchmark
+    doc are flagged; counts are distinct-gram / distinct-bench-doc."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "he saw the quick brown fox jumps far away"),   # 3 shared 5-grams? no — 1
+         (2, "pack my box with five dozen liquor jugs exactly"),  # long overlap
+         (3, "completely unrelated words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc: (r.n_shared_grams, r.n_bench_docs)
+        for r in D.benchmark_contamination(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert 3 not in got
+    assert got[1] == (1, 1)   # "the quick brown fox jumps"
+    assert got[2] == (4, 1)   # 4 sliding 5-grams of the 8-word overlap
+    # raising the threshold drops the single-gram hit
+    got2 = {
+        r.doc
+        for r in D.benchmark_contamination(
+            corpus, bench, "doc_id", "text", n=5, min_shared=2
+        ).collect()
+    }
+    assert got2 == {2}
