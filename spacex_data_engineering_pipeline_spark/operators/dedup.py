@@ -383,7 +383,12 @@ def benchmark_contamination(
     discriminative (n=8..13 in published decontamination setups).
     """
     cg = (
-        with_word_ngrams(corpus, text_col, n, out_col="grams", distinct=True)
+        # _spread IS safe here (unlike the self-join pipelines): the join
+        # side we widen is the probe of an explicit broadcast join, so
+        # AQE's strategy can't be perturbed — and the shingle+explode map
+        # otherwise serializes on a single input split. Measured 5.5 s →
+        # 2.3 s cold at sf0.1.
+        with_word_ngrams(_spread(corpus), text_col, n, out_col="grams", distinct=True)
         .select(F.col(id_col).alias("doc"), F.explode("grams").alias("gram"))
     )
     bg = (
@@ -428,9 +433,17 @@ def connected_components(
     general web-scale graphs swap in large-star/small-star (same loop
     skeleton, fewer rounds on long chains).
     """
-    both = edges.select(
-        F.col(src).alias("__u"), F.col(dst).alias("__v")
-    ).unionByName(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+    both = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .unionByName(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+        # every round joins the edge list again — and `edges` is often an
+        # EXPENSIVE plan (the near-dup pair pipeline). Persist it for the
+        # loop's lifetime or each round's checkpoint job re-runs that
+        # pipeline twice (once per union branch): measured 5.7 s → 2.9 s
+        # for near_dup_clusters at sf0.1. Edge lists are pair-count-sized,
+        # tiny next to the corpus.
+        .persist()
+    )
 
     labels = both.select(F.col("__u").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("component")
@@ -471,4 +484,7 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if converged:
             break
+    # the final labels are checkpoint-materialized — nothing downstream
+    # re-reads the edge cache, so release it eagerly
+    both.unpersist(blocking=False)
     return labels
