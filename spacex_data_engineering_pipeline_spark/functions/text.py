@@ -111,6 +111,46 @@ def with_word_ngrams(
     )
 
 
+def with_token_chunks(
+    df: DataFrame,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Explode each document into sliding token-window chunks (RAG /
+    context-window prep): chunk ``i`` covers tokens
+    ``[i·stride, i·stride + chunk_tokens)``; the last chunk may be
+    short; empty texts yield no chunks. Adds ``{out}_idx``,
+    ``{out}_text`` and ``{out}_n_tokens`` columns, one output row per
+    chunk.
+
+    The token array is staged as its own projection (an attribute), so
+    the per-chunk ``slice`` references it without re-deriving it — total
+    per-row cost is O(chunks · chunk_tokens), all codegen expressions.
+    Output grows ~(1/stride) rows per token: chunking SHUFFLES nothing
+    by itself — it is a flatMap the scan absorbs.
+    """
+    tmp = f"__{out_col}_words"
+    n_words = F.size(F.col(tmp))
+    idxs = F.sequence(
+        F.lit(0), F.floor((n_words - 1) / stride).cast("int"), F.lit(1)
+    )
+    staged = (
+        df.withColumn(tmp, words(F.col(text_col)))
+        .filter(n_words > 0)
+        .withColumn(f"{out_col}_idx", F.explode(idxs))
+    )
+    piece = F.slice(
+        F.col(tmp), F.col(f"{out_col}_idx") * stride + 1, chunk_tokens
+    )
+    return (
+        staged.withColumn(f"{out_col}_text", F.array_join(piece, " "))
+        .withColumn(f"{out_col}_n_tokens", F.size(piece).cast("long"))
+        .drop(tmp)
+    )
+
+
 def fingerprint(text: Column, n: int = 5) -> Column:
     """Rolling-hash document fingerprint: lexicographic min of the MD5s
     of the word-``n``-gram shingles (a 1-permutation MinHash / winnowing

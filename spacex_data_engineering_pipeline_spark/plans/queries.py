@@ -2237,3 +2237,72 @@ def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .select("doc_id", "term", "tf", "doc_freq", "score_micro")
     )
+
+
+@_register(
+    "corpus_token_budget",
+    oracle=rf"""
+    SELECT doc_id, source,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM (
+        SELECT doc_id, source, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM (SELECT doc_id, source, {_DUCK_NTOK} AS n_tok FROM documents)
+    )
+    WHERE cum_before < 500
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture weighting: cap each source's contribution at a
+    token budget (500), keeping docs in stable doc_id order until the
+    budget fills — the standard way a training mix pins per-source
+    token shares. The running total is a per-SOURCE window (shuffle on
+    source, each group sorts only itself) — grouped prefix sums don't
+    need the global-offset machinery; for pathologically skewed group
+    sizes the two-phase bucketing of ``operators/pack.py`` applies
+    within the group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        docs.select(
+            "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .filter(F.col("cum_before") < 500)
+    )
+
+
+@_register(
+    "document_chunks",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(w, i * 10 + 1, i * 10 + 20), ' ') AS chunk_text,
+           CAST(len(list_slice(w, i * 10 + 1, i * 10 + 20)) AS BIGINT) AS chunk_n_tokens
+    FROM (
+        SELECT doc_id, w, unnest(generate_series(0, CAST(floor((len(w) - 1) / 10) AS BIGINT))) AS i
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) > 0
+    )
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (20-token chunks, stride 10) — the
+    RAG/context-prep flatMap. Pure codegen explode over a staged token
+    array; no shuffle — the scan absorbs the fan-out, so a 100 TB corpus
+    chunks at scan speed straight into the sink.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_token_chunks(docs, "text", chunk_tokens=20, stride=10).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_n_tokens").alias("chunk_n_tokens"),
+    )

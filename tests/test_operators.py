@@ -651,3 +651,22 @@ def test_benchmark_contamination_semantics(spark):
         ).collect()
     }
     assert got2 == {2}
+
+
+def test_token_chunks_edges(spark):
+    """Chunk windows: stride overlap, short tail, single-token and empty
+    docs (empty yields NO rows, not an empty chunk)."""
+    from spacex_data_engineering_pipeline_spark.functions.text import with_token_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = with_token_chunks(df, "text", chunk_tokens=3, stride=2).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_n_tokens) for r in rows}
+    assert got == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("c d e", 3),
+        (1, 2): ("e", 1),
+        (2, 0): ("x", 1),
+    }
