@@ -2306,3 +2306,35 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
         F.col("chunk_n_tokens").alias("chunk_n_tokens"),
     )
+
+
+@_register(
+    "heavy_hitter_terms",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT lower(term) AS term
+        FROM (SELECT unnest({_DUCK_WORDS}) AS term FROM documents)
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(floor(COUNT(*) * 1000000 / (SELECT total FROM tot)) AS BIGINT) AS share_micro
+    FROM tok GROUP BY term
+    HAVING COUNT(*) * 1000000 >= (SELECT total FROM tot) * 20000
+    """,
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms holding ≥2% of all token occurrences — EXACT output at
+    sketch cost. The oracle runs the brute-force vocabulary groupBy; the
+    engine runs freqItems candidates + an exact verify pass over only
+    candidate rows (operators/sketch.py) — no vocabulary-wide shuffle,
+    same rows out (the sketch's no-false-negative guarantee makes the
+    two plans equivalent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.words(F.col("text"))).alias("__w")
+    ).select(F.lower(F.col("__w")).alias("term"))
+    from spacex_data_engineering_pipeline_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(toks, "term", min_share_micro=20_000)

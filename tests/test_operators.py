@@ -670,3 +670,64 @@ def test_token_chunks_edges(spark):
         (1, 2): ("e", 1),
         (2, 0): ("x", 1),
     }
+
+
+def test_pq_codes_and_recall(spark, sf_dir):
+    """PQ contract: codes are structurally valid and seeded-reproducible;
+    ADC top-10 recalls most of the exact-L2 top-10 on real embeddings."""
+    import numpy as np
+
+    from spacex_data_engineering_pipeline_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = PQ.build_pq_index(emb, "vec_id", "embedding", n_subq=32, n_centroids=16, seed=7)
+    try:
+        rows = idx.codes.collect()
+        assert all(len(r.code) == 32 and all(0 <= c < 16 for c in r.code) for r in rows)
+        # seeded determinism
+        idx2 = PQ.build_pq_index(
+            emb, "vec_id", "embedding", n_subq=32, n_centroids=16, seed=7, persist=False
+        )
+        assert np.array_equal(idx.codebooks, idx2.codebooks)
+
+        q = [list(r[0]) for r in emb.filter(F.col("vec_id") == 3).select("embedding").collect()][0]
+        approx = [r.vec_id for r in PQ.pq_topk(idx, q, k=10).collect()]
+        # exact L2 ground truth, driver-side (test scale only)
+        all_vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in emb.collect()}
+        qv = np.asarray(q)
+        exact = sorted(all_vecs, key=lambda i: ((all_vecs[i] - qv) ** 2).sum())[:10]
+        recall = len(set(approx) & set(exact)) / 10
+        assert exact[0] == 3 and 3 in approx  # the query's own vector must dominate
+        assert recall >= 0.6, f"ADC recall@10 too low: {recall} ({approx} vs {exact})"
+        # shortlist + exact rerank recovers the exact top-k in order
+        reranked = [
+            r.vec_id for r in PQ.pq_topk_rerank(idx, emb, "embedding", q, k=10).collect()
+        ]
+        assert reranked == exact, f"{reranked} vs {exact}"
+    finally:
+        idx.unpersist()
+
+
+def test_heavy_hitters_matches_bruteforce(spark, sf_dir):
+    """Sketch-candidates + exact-verify must equal the brute-force
+    vocabulary aggregation bit for bit (no-false-negative guarantee)."""
+    from spacex_data_engineering_pipeline_spark.functions.text import words
+    from spacex_data_engineering_pipeline_spark.operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words(F.col("text"))).alias("w")).select(
+        F.lower(F.col("w")).alias("term")
+    )
+    got = {(r.term, r.cnt, r.share_micro) for r in heavy_hitters(toks, "term", 20_000).collect()}
+    total = toks.count()
+    brute = {
+        (r.term, r.cnt, r.share_micro)
+        for r in toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 1_000_000 >= total * 20_000)
+        .withColumn(
+            "share_micro", F.floor(F.col("cnt") * 1_000_000 / total).cast("long")
+        )
+        .collect()
+    }
+    assert got == brute and len(got) > 0

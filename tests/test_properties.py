@@ -107,3 +107,36 @@ def _spark():
     from spacex_data_engineering_pipeline_spark.session import get_spark
 
     return get_spark(app_name="property-tests", shuffle_partitions=4)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(10**12), 10**12),  # sparse/negative/huge ids
+            st.integers(0, 10**6),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 3, 16]),
+)
+@SETTINGS
+def test_global_offset_property(rows, n_parts):
+    """The distributed prefix sum equals the Python running total for
+    ANY unique id set — sparse, negative, 64-bit-range ids included
+    (the bucket math must not lose precision or mis-order)."""
+    from spacex_data_engineering_pipeline_spark.operators.pack import with_global_offset
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.off
+        for r in with_global_offset(df, "id", "v", out_col="off", n_partitions=n_parts).collect()
+    }
+    run = 0
+    expected = {}
+    for i, v in sorted(rows):
+        expected[i] = run
+        run += v
+    assert got == expected
