@@ -75,6 +75,52 @@ def cmd_aggregations(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """Batch corpus prep over a documents parquet: scrub → gate → exact
+    dedup (content fingerprint) → write clean table (+ optional shard
+    export). One declarative plan end to end — the scrub and scores are
+    codegen expressions, the dedup is one fixed-width-key shuffle."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.functions.text import (
+        quality_score,
+        scrub_pii,
+        token_count,
+    )
+    from spacex_data_engineering_pipeline_spark.operators.dedup import exact_dedup
+    from spacex_data_engineering_pipeline_spark.operators.shard import export_shards
+
+    spark = get_spark(app_name="corpus-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.documents_parquet)
+    scrubbed, counts = scrub_pii(F.col("text"))
+    prepared = docs.withColumn("text", scrubbed).withColumn(
+        "quality_score", quality_score(F.col("text"))
+    ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    for kind, cnt in counts.items():
+        prepared = prepared.withColumn(f"n_scrubbed_{kind}", cnt)
+    gated = prepared.filter(
+        (F.col("quality_score") >= args.min_quality)
+        & (F.col("n_tokens") >= args.min_tokens)
+    )
+    clean = exact_dedup(gated, ["text"], [F.col("doc_id").asc()])
+    clean_path = os.path.join(args.out, "clean")
+    clean.write.mode("overwrite").parquet(clean_path)
+    out = spark.read.parquet(clean_path)
+    stats = {
+        "input_docs": docs.count(),
+        "kept_docs": out.count(),
+        "clean_path": clean_path,
+    }
+    if args.shards > 0:
+        shards_path = os.path.join(args.out, "shards")
+        export_shards(out, "doc_id", args.shards, shards_path)
+        stats["shards_path"] = shards_path
+        stats["n_shards"] = args.shards
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="spacex_data_engineering_pipeline_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -85,10 +131,27 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--payloads-parquet", required=True)
     p_ing.add_argument("--warehouse", required=True,
                        help="directory holding raw_launches / ingestion_state / launch_aggregations")
-    p_ing.add_argument("--partition-by-year", action="store_true",
-                       help="year-partitioned launches table: incremental runs "
-                            "rewrite only the years the batch touches (scale layout)")
+    p_ing.add_argument("--partition-by-year", action=argparse.BooleanOptionalAction,
+                       default=True,
+                       help="year-partitioned launches table (the default — "
+                            "incremental runs rewrite only the years the batch "
+                            "touches); --no-partition-by-year selects the flat "
+                            "whole-table-swap layout")
     p_ing.set_defaults(fn=cmd_ingest)
+
+    p_cor = sub.add_parser(
+        "corpus",
+        help="corpus prep: PII scrub, quality/length gate, exact dedup, "
+             "deterministic shard export",
+    )
+    p_cor.add_argument("--documents-parquet", required=True,
+                       help="parquet with (doc_id, text, ...) columns")
+    p_cor.add_argument("--out", required=True, help="output directory")
+    p_cor.add_argument("--min-quality", type=float, default=0.3)
+    p_cor.add_argument("--min-tokens", type=int, default=5)
+    p_cor.add_argument("--shards", type=int, default=0,
+                       help="also export N deterministic shards (0 = skip)")
+    p_cor.set_defaults(fn=cmd_corpus)
 
     p_agg = sub.add_parser("aggregations", help="inspect snapshots, history, trends")
     p_agg.add_argument("--warehouse", required=True)

@@ -1,0 +1,73 @@
+"""CLI contract tests: the executables a reference user would reach for
+(SURVEY §3.1/§3.3 parity + the corpus-prep command), driven through
+``main(argv)`` in-process so they share the test session's JVM."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.catalog import load_table
+from spacex_data_engineering_pipeline_spark.cli import main
+
+
+def test_cli_corpus_prep_and_shards(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "corpus_out")
+    rc = main([
+        "corpus",
+        "--documents-parquet", os.path.join(sf_dir, "documents.parquet"),
+        "--out", out_dir,
+        "--shards", "4",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] >= stats["kept_docs"] > 0
+    clean = spark.read.parquet(stats["clean_path"])
+    assert {"doc_id", "text", "quality_score", "n_tokens", "n_scrubbed_email"} <= set(
+        clean.columns
+    )
+    # exact dedup happened: content is unique
+    assert clean.select("text").distinct().count() == clean.count()
+    shards = spark.read.parquet(stats["shards_path"])
+    assert shards.count() == clean.count()
+    assert shards.filter(F.pmod("doc_id", F.lit(4)) != F.col("shard")).count() == 0
+
+
+def test_cli_ingest_defaults_partitioned_layout(spark, sf_dir, tmp_path, capsys):
+    """The CLI's default layout must be the scale-safe year-partitioned
+    table (opt OUT via --no-partition-by-year), mirroring the pipeline
+    default."""
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    raw = orders.select(
+        F.col("o_orderkey").cast("string").alias("launch_id"),
+        F.concat(F.lit("Mission "), F.col("o_orderkey")).alias("mission_name"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("date_utc"),
+        (F.col("o_orderkey") % 2 == 0).alias("success"),
+        F.array(F.col("o_orderkey").cast("string")).alias("payload_ids"),
+        F.lit("pad-1").alias("launchpad_id"),
+        F.lit(None).cast("string").alias("static_fire_date_utc"),
+    )
+    src = str(tmp_path / "raw.pq")
+    raw.write.parquet(src)
+    payloads = orders.select(
+        F.col("o_orderkey").cast("string").alias("payload_id"),
+        F.concat(F.lit("Payload "), F.col("o_orderkey")).alias("name"),
+        F.col("o_totalprice").cast("double").alias("mass_kg"),
+    )
+    pay = str(tmp_path / "pay.pq")
+    payloads.write.parquet(pay)
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "ingest", "--source-parquet", src, "--payloads-parquet", pay,
+        "--warehouse", wh,
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["status"] == "success"
+    # year-partitioned directories prove the default layout
+    table_dir = os.path.join(wh, "raw_launches")
+    assert any(e.startswith("launch_year=") for e in os.listdir(table_dir)), os.listdir(
+        table_dir
+    )
