@@ -53,7 +53,12 @@ def heavy_hitters(
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         # integer-exact threshold: cnt/total ≥ share ⟺ cnt·1e6 ≥ total·micro
-        .filter(F.col("cnt") * F.lit(1_000_000) >= F.lit(total) * F.lit(min_share_micro))
+        # (explicit long literals: total·micro overflows INT32 beyond
+        # ~2k-row corpora, and ANSI mode rightly throws instead of wrapping)
+        .filter(
+            F.col("cnt") * F.lit(1_000_000).cast("long")
+            >= F.lit(total).cast("long") * F.lit(min_share_micro).cast("long")
+        )
         .withColumn(
             "share_micro",
             F.floor((F.col("cnt") * F.lit(1_000_000)) / F.lit(total)).cast("long"),

@@ -2338,3 +2338,78 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spacex_data_engineering_pipeline_spark.operators.sketch import heavy_hitters
 
     return heavy_hitters(toks, "term", min_share_micro=20_000)
+
+
+@_register(
+    "user_click_purchase_matrix",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases
+    FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events
+          WHERE event_type = 'click' GROUP BY user_id) c
+    FULL OUTER JOIN
+         (SELECT user_id, COUNT(*) AS n_purchases FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id) p
+      ON c.user_id = p.user_id
+    """,
+)
+def user_click_purchase_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: per-user click and purchase counts
+    keeping users active on either side only (the join type the set-op
+    queries can't express). Aggregation runs BELOW the join on both
+    sides — the join's inputs are user-cardinality, not event-
+    cardinality, and AQE picks the cheapest strategy for the shrunken
+    sides.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.withColumnRenamed("user_id", "__cu")
+        .join(buys.withColumnRenamed("user_id", "__pu"),
+              F.col("__cu") == F.col("__pu"), "full_outer")
+        .select(
+            F.coalesce(F.col("__cu"), F.col("__pu")).alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+    )
+
+
+@_register(
+    "largest_order_per_customer_sql",
+    oracle="""
+    SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def largest_order_per_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, run through the engine's SQL surface
+    verbatim (Catalyst decorrelates it into the same aggregate+join a
+    hand-written window would plan — asserting the SQL-parity of the
+    federated surface, not just the DataFrame API). Float-safe: MAX
+    selects an actual stored value, so the equality compares
+    bit-identical doubles on both engines; ties all survive on both.
+    """
+    from spacex_data_engineering_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
