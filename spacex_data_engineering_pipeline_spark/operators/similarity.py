@@ -321,6 +321,45 @@ def build_ivf_index(
     return IvfIndex(assigned, centers, id_col, vec_col)
 
 
+def append_to_ivf_index(
+    spark, path: str, new_vectors: DataFrame, id_col: str, vec_col: str
+) -> int:
+    """Incremental index maintenance: assign a NEW batch of vectors
+    against the SAVED centroids (no retraining — the quantizer is fixed
+    for the index's lifetime, as in FAISS `add`) and append to the
+    partitioned posting table. The batch is the only thing scanned; the
+    existing 100 TB of postings is untouched — this is why an index at
+    scale can stay fresh per ingest batch instead of being rebuilt.
+    Returns the number of vectors appended. Re-train (a new
+    ``build_ivf_index``) only when drift degrades probe recall.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centers = np.asarray(json.load(f), dtype="float64")
+
+    @F.pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype="float64") for v in batch])
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.where(norms > 0, norms, 1.0)
+        return pd.Series((Mn @ centers.T).argmax(axis=1), dtype="int32")
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = new_vectors.select(
+        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("cluster")
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "postings")
+    )
+    return int(obs.get["n"])
+
+
 def load_ivf_index(spark, path: str, id_col: str, vec_col: str) -> IvfIndex:
     """Open a saved index: postings come back partitioned by ``cluster``
     (probes are partition-pruned), centroids from the JSON sidecar."""

@@ -2413,3 +2413,68 @@ def largest_order_per_customer_sql(spark: SparkSession, sf_dir: str) -> DataFram
                                 WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@_register(
+    "order_price_quartiles",
+    oracle="""
+    SELECT quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM (
+        SELECT o_totalprice,
+               NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    GROUP BY quartile
+    """,
+)
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing with a unique-key tiebreak (both engines split
+    remainders identically given a total order), aggregated to quartile
+    boundaries — min/max are stored values, so floats compare
+    bit-identically. Scale note: a global NTILE is a single-reducer
+    sort by construction; at 100 TB the same report comes from
+    approx_percentile cutpoints (see quantity_percentiles) — this query
+    exists for the exact-small-result shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@_register(
+    "order_status_unpivot",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: a conditional-aggregate wide row (one column
+    per status) melted back with ``unpivot`` — the inverse of
+    ``order_status_pivot``, landing exactly on the long-form aggregate
+    the oracle computes directly. The wide row is 1×|statuses|; the
+    unpivot is a driver-negligible projection, all real work is the one
+    map-side-combined aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    wide = orders.agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(s)
+            for s in statuses
+        ]
+    )
+    return wide.unpivot([], statuses, "status", "n_orders")

@@ -731,3 +731,26 @@ def test_heavy_hitters_matches_bruteforce(spark, sf_dir):
         .collect()
     }
     assert got == brute and len(got) > 0
+
+
+def test_ivf_append_then_probe(spark, sf_dir, tmp_path):
+    """Index lifecycle: build on a prefix of the corpus, save, APPEND the
+    remainder against the saved centroids (no retrain), reload — a
+    full-sweep probe must equal brute force over the WHOLE corpus, and
+    the appended batch must only have touched batch-sized data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first, rest = emb.filter(F.col("vec_id") < 400), emb.filter(F.col("vec_id") >= 400)
+
+    idx = S.build_ivf_index(first, "vec_id", "embedding", n_clusters=8, seed=11, persist=False)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    n = S.append_to_ivf_index(spark, path, rest, "vec_id", "embedding")
+    assert n == rest.count() > 0
+
+    loaded = S.load_ivf_index(spark, path, "vec_id", "embedding")
+    assert loaded.assigned.count() == emb.count()
+    q = [list(r[0]) for r in emb.filter(F.col("vec_id") == 450).select("embedding").collect()][0]
+    # full sweep (all clusters probed) ≡ brute force incl. appended rows
+    swept = [r.vec_id for r in S.ivf_topk(loaded, q, k=5, n_probes=8).collect()]
+    brute = [r.vec_id for r in S.brute_force_topk(emb, "vec_id", "embedding", q, 5).collect()]
+    assert swept == brute and 450 in swept
