@@ -2478,3 +2478,158 @@ def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.unpivot([], statuses, "status", "n_orders")
+
+
+@_register(
+    "event_type_stats_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(MAX(user_id) AS BIGINT) AS max_user_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the SALTED two-phase path
+    (operators/skew.py): event_type has a handful of values, so every
+    row of a 100 TB stream hits ~4 reducer keys — the single-hot-key
+    shape AQE's skew splitting can't fix for aggregation state. Phase 1
+    aggregates per (key, salt) spreading each hot key over 16 reducers;
+    phase 2 merges 16 partial rows per key. The oracle is the plain
+    GROUP BY — salting must be semantically invisible. DECIMAL
+    accumulation keeps the double sum order-independent.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events.withColumn("__v", F.col("value").cast("decimal(18,6)")),
+        key_cols=["event_type"],
+        unique_col="event_id",
+        aggs={
+            "n_events": ("event_id", "count"),
+            "total_value": ("__v", "sum"),
+            "max_user_id": ("user_id", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("max_user_id").cast("long").alias("max_user_id"),
+    )
+
+
+@_register(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+    The returnflag filter is pushed to the lineitem scan (kills ~75% of
+    the fact table before the join); nation broadcasts; the
+    orders⋈customer⋈lineitem chain shuffles on its keys with AQE; the
+    top-20 is TakeOrderedAndProject. DECIMAL-accumulated revenue with a
+    unique-key tiebreak for the cut.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS volume
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice, l.l_discount
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('FRANCE', 'GERMANY') AND nc.n_name IN ('FRANCE', 'GERMANY')
+              AND ns.n_name <> nc.n_name
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    The nation-name filters REACH THE DIM SCANS and broadcast, so the
+    supplier/customer joins semi-reduce the fact flow before the big
+    orders⋈lineitem shuffle; the theta predicate (supp ≠ cust nation)
+    rides the already-joined rows. year() on the NTZ ship date is
+    session-tz-independent.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["FRANCE", "GERMANY"]
+    ns = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("__ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("__nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__ns_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("volume"),
+        )
+    )

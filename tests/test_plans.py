@@ -91,3 +91,19 @@ def test_enrichment_aggregates_before_join(spark):
     assert agg_pos > join_pos >= 0, (
         "partial aggregate must sit under the join, not above it"
     )
+
+
+def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
+    """Catalog-wide hygiene sweep: NO query may plan a CartesianProduct
+    or a (non-broadcast) NestedLoopJoin — the two shapes that silently
+    turn into O(n²) at scale. Plans are built, not executed, so the
+    sweep stays cheap and every future query is covered automatically."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = [m for m in ("CartesianProduct", "NestedLoopJoin") if m in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
