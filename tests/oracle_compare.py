@@ -47,7 +47,25 @@ def _values_equal(a, b) -> bool:
 
 
 def compare_to_oracle(spark_df: DataFrame, duck_con, oracle_sql: str) -> None:
-    """Assert the Spark result matches the DuckDB oracle, order-insensitive."""
+    """Assert the Spark result matches the DuckDB oracle, order-insensitive.
+
+    Instant (LTZ) timestamp columns are rendered to strings JVM-side
+    with ``date_format``, which uses the SESSION timezone (pinned UTC by
+    ``get_spark``) — ``collect()`` would instead convert them through
+    the OS-local zone, making the test's pass/fail depend on the
+    machine's TZ env (caught by running the suite under Asia/Kathmandu).
+    NTZ columns collect as wall-clock and need no help.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    canon = [
+        F.date_format(f.name, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(f.name)
+        if isinstance(f.dataType, TimestampType)
+        else F.col(f.name)
+        for f in spark_df.schema.fields
+    ]
+    spark_df = spark_df.select(canon)
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(_norm(v) for v in row) for row in spark_df.collect()]
 

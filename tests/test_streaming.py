@@ -263,3 +263,56 @@ def test_streaming_corpus_prep_matches_batch(spark, sf_dir, tmp_path):
     assert got_fps == batch_fps
     # scrub metadata came through the stream
     assert {"quality_score", "n_tokens", "n_scrubbed_email"} <= set(got.columns)
+
+
+def test_stream_stream_purchase_attribution(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join, drained with
+    AvailableNow, must produce exactly the pairs the equivalent batch
+    join produces (each purchase × every same-user click in the
+    preceding 30 min)."""
+    from spacex_data_engineering_pipeline_spark.streaming.joins import (
+        attribute_purchases_to_clicks,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_b = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys_b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks_b.write.parquet(csrc)
+    buys_b.write.parquet(psrc)
+
+    out = attribute_purchases_to_clicks(
+        spark.readStream.schema(clicks_b.schema).parquet(csrc),
+        spark.readStream.schema(buys_b.schema).parquet(psrc),
+        attribution_window="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.purchase_user, r.click_ts)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+
+    expected = {
+        (r.event_id, r.user_id, r.click_ts)
+        for r in buys_b.alias("p")
+        .join(
+            clicks_b.select(
+                F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+            ),
+            (F.col("p.user_id") == F.col("cu"))
+            & (F.col("click_ts") <= F.col("p.ts"))
+            & (F.col("click_ts") >= F.col("p.ts") - F.expr("INTERVAL 30 minutes")),
+        )
+        .collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
