@@ -459,6 +459,7 @@ def connected_components(
         )
     labels = labels.localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             both.join(labels, both["__v"] == labels["vertex"])
@@ -487,4 +488,15 @@ def connected_components(
     # the final labels are checkpoint-materialized — nothing downstream
     # re-reads the edge cache, so release it eagerly
     both.unpersist(blocking=False)
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            "fixpoint — labels may span unfinished merges (graph diameter "
+            "exceeds the round budget). Raise max_iter, or swap the loop "
+            "body to large-star/small-star for long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -332,6 +332,12 @@ def append_to_ivf_index(
     scale can stay fresh per ingest batch instead of being rebuilt.
     Returns the number of vectors appended. Re-train (a new
     ``build_ivf_index``) only when drift degrades probe recall.
+
+    NOT idempotent: replaying a batch appends its postings twice (plain
+    parquet append has no transactional dedup). Drive it from a
+    checkpointed stream (foreachBatch) or an ingest log that guarantees
+    each batch commits once — the same exactly-once contract the
+    pipeline's upsert path documents.
     """
     import json
     import os

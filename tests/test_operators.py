@@ -754,3 +754,20 @@ def test_ivf_append_then_probe(spark, sf_dir, tmp_path):
     swept = [r.vec_id for r in S.ivf_topk(loaded, q, k=5, n_probes=8).collect()]
     brute = [r.vec_id for r in S.brute_force_topk(emb, "vec_id", "embedding", q, 5).collect()]
     assert swept == brute and 450 in swept
+
+
+def test_connected_components_warns_on_iteration_budget(spark):
+    """A diameter larger than max_iter must WARN, not silently return
+    half-merged labels."""
+    import warnings
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.connected_components(edges, "src", "dst", max_iter=2)
+        assert any("max_iter" in str(w.message) for w in caught)
+    # and with budget to spare, no warning fires
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.connected_components(edges, "src", "dst", max_iter=20)
+        assert not any("max_iter" in str(w.message) for w in caught)
