@@ -107,6 +107,14 @@ class IncrementalIngestionPipeline:
             },
             metalog.STATE_ARROW_SCHEMA,
         )
+        # opportunistic checkpointing: past ~256 one-row parts, fold the
+        # log so probes stay O(keep_last) listings forever (driver-side,
+        # microseconds at this cardinality — never a Spark job)
+        import glob as _glob
+        import os as _os
+
+        if len(_glob.glob(_os.path.join(self.state_path, "*.parquet"))) > 256:
+            metalog.compact(self.state_path, metalog.STATE_ARROW_SCHEMA, keep_last=64)
 
     # -- change detection ----------------------------------------------------
 

@@ -115,3 +115,36 @@ def state_summary(path: str) -> tuple[datetime | None, int]:
         return None, 0
     top = max(rows, key=lambda r: (r["updated_at"], r["id"]))
     return top["last_fetched_date"], max(r["id"] for r in rows)
+
+
+def compact(
+    path: str,
+    schema: pa.Schema,
+    keep_last: int = 100,
+    order_keys: tuple[str, ...] = ("updated_at", "id"),
+) -> int:
+    """Fold the one-part-file-per-run log down to a single part holding
+    the freshest ``keep_last`` rows — the Delta-checkpoint move for this
+    metadata layout. Without it a long-lived pipeline pays O(runs) file
+    listings on every probe; with it the log is O(keep_last) forever.
+    Crash-safe: the compacted part is written BEFORE the old parts are
+    removed, and every intermediate state is a valid (superset) log.
+    Returns the number of part files removed.
+    """
+    if not os.path.exists(path):
+        return 0
+    old_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if len(old_files) <= 1:
+        return 0
+    rows = read_rows(path)
+    rows.sort(key=lambda r: tuple(r[k] for k in order_keys))
+    keep = rows[-keep_last:]
+    aware = [
+        {name: _to_utc_aware(r.get(name)) for name in schema.names} for r in keep
+    ]
+    table = pa.Table.from_pylist(aware, schema=schema)
+    fname = f"part-meta-{uuid.uuid4().hex}.snappy.parquet"
+    pq.write_table(table, os.path.join(path, fname), compression="snappy")
+    for f in old_files:
+        os.remove(f)
+    return len(old_files)

@@ -178,6 +178,13 @@ class LocalLaunchSource:
         return cls(spark, spark.read.parquet(path))
 
     @classmethod
+    def from_orc(cls, spark: SparkSession, path: str) -> "LocalLaunchSource":
+        """ORC source — same columnar pushdown/pruning properties as
+        parquet via Spark's native reader; schema declared, not
+        inferred, so the validation contract is format-independent."""
+        return cls(spark, spark.read.schema(RAW_DDL).orc(path).select(*RAW_COLUMNS))
+
+    @classmethod
     def from_json(
         cls, spark: SparkSession, path: str, multiline: bool = False
     ) -> "LocalLaunchSource":

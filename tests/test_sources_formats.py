@@ -152,3 +152,53 @@ def test_merge_into_order_by_overrides_survivor(spark, tmp_path):
     r = merge_into(spark, path, stale, on="id", order_by=[F.col("ver").desc()])
     assert r.inserted == 0 and r.updated_or_unchanged == 1
     assert spark.read.parquet(path).first().v == "new"  # higher ver survives
+
+
+def test_orc_source_matches_json_source(spark, tmp_path):
+    """ORC round-trips the same rows/validation stats as the JSON path —
+    the source contract is format-independent."""
+    jpath = str(tmp_path / "launches.jsonl")
+    with open(jpath, "w") as f:
+        for row in RAW_ROWS:
+            f.write(json.dumps(row) + "\n")
+    jrows, jstats = _conform_sorted(LocalLaunchSource.from_json(spark, jpath))
+
+    opath = str(tmp_path / "launches.orc")
+    LocalLaunchSource.from_json(spark, jpath).fetch_all().write.orc(opath)
+    orows, ostats = _conform_sorted(LocalLaunchSource.from_orc(spark, opath))
+    assert orows == jrows
+    assert ostats.rejected == jstats.rejected == 1
+
+
+def test_metalog_compaction(tmp_path):
+    """Compacting the one-file-per-run log keeps the freshest rows in a
+    single part and is invisible to every reader."""
+    from datetime import datetime, timezone
+
+    from spacex_data_engineering_pipeline_spark.pipeline import metalog as ML
+    import pyarrow as pa
+
+    schema = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("last_fetched_date", pa.timestamp("us", tz="UTC")),
+        pa.field("updated_at", pa.timestamp("us", tz="UTC")),
+    ])
+    path = str(tmp_path / "state")
+    for i in range(1, 8):
+        ML.append_row(path, {
+            "id": i,
+            "last_fetched_date": datetime(2021, 1, i, tzinfo=timezone.utc),
+            "updated_at": datetime(2021, 1, i, tzinfo=timezone.utc),
+        }, schema)
+    before_latest = ML.latest_row(path)
+    import glob as g
+    assert len(g.glob(path + "/*.parquet")) == 7
+
+    removed = ML.compact(path, schema, keep_last=3)
+    assert removed == 7
+    assert len(g.glob(path + "/*.parquet")) == 1
+    rows = ML.read_rows(path)
+    assert [r["id"] for r in sorted(rows, key=lambda r: r["id"])] == [5, 6, 7]
+    assert ML.latest_row(path) == before_latest
+    # idempotent: a second compaction is a no-op
+    assert ML.compact(path, schema, keep_last=3) == 0
