@@ -445,8 +445,17 @@ def connected_components(
         .persist()
     )
 
-    labels = both.select(F.col("__u").alias("vertex")).distinct().select(
-        "vertex", F.col("vertex").alias("component")
+    # Initialization IS the first propagation step: label₀(v) =
+    # min(v, neighbors(v)) costs the same one aggregation a self-label
+    # init would, but starts the loop a full round ahead — near-clique
+    # duplicate graphs then converge in ONE loop iteration (the probe
+    # round), saving a checkpoint+probe cycle per call.
+    labels = (
+        both.groupBy(F.col("__u").alias("vertex"))
+        .agg(F.min("__v").alias("__nbr_min"))
+        .select(
+            "vertex", F.least(F.col("vertex"), F.col("__nbr_min")).alias("component")
+        )
     )
     if vertices is not None:
         labels = (
