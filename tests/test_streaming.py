@@ -212,8 +212,14 @@ def test_streaming_dedup_exact(spark, sf_dir, tmp_path):
     got = spark.sql(
         "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_exact"
     ).first()
-    # NTZ input type must survive the operator unchanged
-    assert dict(dedup_exact_stream(events, ["event_id"]).dtypes)["ts"] == "timestamp_ntz"
+    # The input's timestamp flavor must survive the operator unchanged —
+    # both whatever the catalog surfaces (LTZ under the current micros
+    # testdata, NTZ under the earlier nanos testdata) and an explicit NTZ
+    # input (keeps the NTZ path covered regardless of testdata vintage).
+    in_ts = dict(events.dtypes)["ts"]
+    assert dict(dedup_exact_stream(events, ["event_id"]).dtypes)["ts"] == in_ts
+    ntz_events = events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(dedup_exact_stream(ntz_events, ["event_id"]).dtypes)["ts"] == "timestamp_ntz"
     assert got.n == got.d == events.count()
 
 
