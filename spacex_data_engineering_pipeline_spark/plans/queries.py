@@ -2633,3 +2633,431 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relevance search, product analytics, and data profiling (round 2 widening)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@_register(
+    "bm25_keyword_search",
+    oracle=rf"""
+    WITH docs AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(avg(length(w)) AS DOUBLE) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(count(*) AS DOUBLE) AS tf,
+               CAST(max(dl) AS DOUBLE) AS dl
+        FROM (SELECT doc_id, length(w) AS dl, unnest(w) AS term FROM docs)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           ), 4) AS score
+    FROM tf, dfreq, stats
+    WHERE tf.term = dfreq.term
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance: top-10 documents for a 3-term query
+    (Lucene's nonnegative idf formulation, k1=1.2, b=0.75) — the exact
+    ranking a corpus-curation pipeline uses for targeted subset pulls.
+
+    Scale: the term postings are an explode+filter over the tokenized
+    scan (term filter applied BEFORE any shuffle, so the posting list is
+    query-sized, not corpus-sized); per-(doc,term) tf is one shuffle on
+    a composite key; document-frequency and the corpus stats rows are
+    tiny broadcasts; the final per-doc sum reuses the doc_id-clustered
+    exchange, and top-10 is TakeOrderedAndProject (per-partition heaps),
+    never a global sort.
+    """
+    from spacex_data_engineering_pipeline_spark.functions.text import words
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", words(F.col("text")).alias("w"))
+        .withColumn("dl", F.size("w"))
+    )
+    docs.createOrReplaceTempView("__bm25_docs")
+    # Corpus stats (N, avgdl) enter as SCALAR SUBQUERIES, not a 1-row
+    # cross join: Catalyst plans each as a one-row subquery broadcast,
+    # keeping the plan free of nested-loop join nodes (the catalog-wide
+    # hygiene sweep bans them).
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return spark.sql(
+        f"""
+        WITH tf AS (
+            SELECT doc_id, term,
+                   CAST(count(*) AS DOUBLE) AS tf,
+                   CAST(max(dl) AS DOUBLE) AS dl
+            FROM (SELECT doc_id, dl, explode(w) AS term FROM __bm25_docs)
+            WHERE term IN ({terms_in})
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(((SELECT CAST(count(*) AS DOUBLE) FROM __bm25_docs)
+                       - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl
+                      / (SELECT CAST(avg(dl) AS DOUBLE) FROM __bm25_docs)))
+               ), 4) AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+        """
+    )
+
+
+@_register(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT day, day_revenue, rev_7d_sum,
+           ROUND(rev_7d_sum / n_7d, 4) AS rev_7d_avg
+    FROM (
+        SELECT day,
+               ROUND(revenue, 2) AS day_revenue,
+               ROUND(SUM(revenue) OVER (
+                   ORDER BY date_diff('day', DATE '1970-01-01', day)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d_sum,
+               COUNT(*) OVER (
+                   ORDER BY date_diff('day', DATE '1970-01-01', day)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+        FROM daily
+    )
+    ORDER BY day
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-calendar-day revenue via a RANGE-frame window on
+    epoch-days — a VALUE-range frame (missing days widen nothing), not a
+    7-ROW frame, which silently lies across gaps.
+
+    Scale: the daily rollup is a map-side-combined groupBy that shrinks
+    the table to one row per day BEFORE the window, so the unpartitioned
+    ordered window runs over O(days) rows — metadata-sized at any corpus
+    scale (100 TB of orders is still ~10^4 days). The epoch-day cast
+    keeps the frame an integer range (engine-portable, no interval
+    frame support needed).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            F.round(F.col("revenue"), 2).alias("day_revenue"),
+            F.round(F.sum("revenue").over(w), 2).alias("rev_7d_sum"),
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+        )
+        # The rolling avg divides the ROUNDED sum by the exact frame
+        # count (round(sum)/count is IEEE-deterministic; round(avg(raw
+        # doubles)) tips pennies under differing summation order), and
+        # is rounded at 4dp, not 2: cent-sums over frames of n<=7 rows
+        # land EXACTLY on .xx5 at 2dp (e.g. 638577.95/2), where Spark's
+        # shortest-decimal HALF_UP and DuckDB's exact-binary rounding
+        # disagree — at 4dp an integer-cent numerator can never tie.
+        .select(
+            "day",
+            "day_revenue",
+            "rev_7d_sum",
+            F.round(F.col("rev_7d_sum") / F.col("n_7d"), 4).alias("rev_7d_avg"),
+        )
+        .orderBy("day")
+    )
+
+
+@_register(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view_users,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_users,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_users,
+           ROUND(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 4) AS click_rate,
+           ROUND(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM c) AS DOUBLE), 4) AS purchase_rate
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase, strictly
+    increasing event time per user): per-stage user counts + stage
+    conversion rates.
+
+    Scale: each stage is one groupBy(user) min over a type-filtered scan
+    joined to the (strictly shrinking) previous stage — the stage tables
+    are user-cardinality, not event-cardinality, and the user-keyed
+    shuffles reuse one partitioning; no window over the raw event
+    stream, no per-user sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # The three stage counts meet as a 3-row union pivoted by a global
+    # conditional aggregate — no join of 1-row tables (a cross join of
+    # scalars would plan a BroadcastNestedLoopJoin, which the hygiene
+    # sweep bans) and the union sides stay independent parallel jobs.
+    counts = (
+        v.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("n"))
+        .unionByName(c.agg(F.lit("click").alias("stage"), F.count(F.lit(1)).alias("n")))
+        .unionByName(p.agg(F.lit("purchase").alias("stage"), F.count(F.lit(1)).alias("n")))
+    )
+    return (
+        counts.agg(
+            F.max(F.when(F.col("stage") == "view", F.col("n"))).alias("n_view_users"),
+            F.max(F.when(F.col("stage") == "click", F.col("n"))).alias("n_click_users"),
+            F.max(F.when(F.col("stage") == "purchase", F.col("n"))).alias(
+                "n_purchase_users"
+            ),
+        )
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            F.round(
+                F.col("n_click_users").cast("double")
+                / F.col("n_view_users").cast("double"), 4,
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_purchase_users").cast("double")
+                / F.col("n_click_users").cast("double"), 4,
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@_register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firstwk AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN firstwk ON act.user_id = firstwk.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each subsequent week they were active (ISO Monday weeks).
+
+    Scale: both sides reduce to user-cardinality (first-week min, then
+    distinct user-weeks) before the join, and both reductions + the join
+    hash on user_id, so one partitioning carries the whole plan; the
+    final (cohort, offset) rollup is weeks² rows — tiny everywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firstwk = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        act.join(firstwk, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@_register(
+    "event_value_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 3) AS value,
+           ROUND((e.value - s.mu) / s.sd, 2) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sd) > 2.5
+    ORDER BY e.event_id
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value sits more
+    than 2.5 sample standard deviations from their type's mean.
+
+    Scale: the per-type moment table is group-cardinality (5 rows) and
+    broadcasts back onto the scan, so outlier flagging is a single pass
+    with map-side stats lookup — no second shuffle of the fact table.
+    (Rounding is presentation-only; the 2.5σ cut uses full precision.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        events.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 3).alias("value"),
+            F.round(z, 2).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "long"),
+    ("o_custkey", "long"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+)
+
+
+def _profile_str(col: str, kind: str, agg) -> F.Column:
+    """min/max rendered as a canonical string (engine-portable formats)."""
+    if kind == "double":
+        return F.format_string("%.2f", agg(F.col(col)))
+    if kind == "timestamp":
+        return F.date_format(agg(F.col(col)), "yyyy-MM-dd HH:mm:ss")
+    return agg(F.col(col)).cast("string")
+
+
+def _duck_profile_row(col: str, kind: str) -> str:
+    if kind == "double":
+        mn, mx = f"printf('%.2f', min({col}))", f"printf('%.2f', max({col}))"
+    elif kind == "timestamp":
+        mn = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn, mx = f"CAST(min({col}) AS VARCHAR)", f"CAST(max({col}) AS VARCHAR)"
+    return (
+        f"SELECT '{col}' AS column_name, "
+        f"CAST(count(*) - count({col}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+        f"{mn} AS min_val, {mx} AS max_val FROM orders"
+    )
+
+
+@_register(
+    "orders_column_profile",
+    oracle="\n    UNION ALL\n    ".join(
+        _duck_profile_row(c, k) for c, k in _PROFILE_COLS
+    )
+    + "\n    ORDER BY column_name",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (data-quality surface): null count,
+    distinct count, and canonical-string min/max for every orders
+    column, in long form.
+
+    Scale: ALL per-column metrics are computed in a single aggregate
+    over one scan (the oracle's UNION ALL re-scans per column — that is
+    the naive plan this operator exists to avoid); the 1-row result is
+    reshaped with stack(), which is driver-free and shuffle-free.
+    count(DISTINCT) over multiple columns expands via Spark's
+    expand-operator, trading one scan for grouped duplicate rows — at
+    100 TB swap exact distinct for approx_count_distinct per profile
+    policy (documented dial, not a silent cap).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs: list[F.Column] = []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"{c}__n_null")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"{c}__n_distinct"))
+        aggs.append(_profile_str(c, kind, F.min).alias(f"{c}__min"))
+        aggs.append(_profile_str(c, kind, F.max).alias(f"{c}__max"))
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_null, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("column_name")
