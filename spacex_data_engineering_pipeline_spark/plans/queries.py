@@ -3061,3 +3061,41 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (column_name, n_null, n_distinct, min_val, max_val)"
         )
     ).orderBy("column_name")
+
+
+@_register(
+    "approx_quantiles_bounded",
+    oracle="""
+    SELECT ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 2) AS exact_p50,
+           ROUND(percentile_cont(0.9)  WITHIN GROUP (ORDER BY o_totalprice), 2) AS exact_p90,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 2) AS exact_p99,
+           TRUE AS approx_within_2pct
+    FROM orders
+    """,
+)
+def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna, bounded memory) — the 100 TB
+    substitute for exact percentiles, graded the same way as the HLL
+    query: the result carries the EXACT interpolated percentiles plus a
+    boolean asserting every sketch estimate landed within 2% relative of
+    its exact twin. The sketch itself is engine-specific and can't be
+    hash-compared; the error bound is what the driver pins.
+
+    Scale: exact percentile buffers all values per group; the GK sketch
+    holds O(1/accuracy) summaries per partition and merges — swap-in is
+    a one-line change wherever the profile policy allows approximation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [0.5, 0.9, 0.99]
+    exact = [F.percentile("o_totalprice", F.lit(q)) for q in qs]
+    approx = [F.percentile_approx("o_totalprice", F.lit(q), F.lit(10000)) for q in qs]
+    within = [
+        (F.abs(a - e) / e) <= 0.02 for a, e in zip(approx, exact)
+    ]
+    ok = within[0] & within[1] & within[2]
+    return orders.agg(
+        F.round(exact[0], 2).alias("exact_p50"),
+        F.round(exact[1], 2).alias("exact_p90"),
+        F.round(exact[2], 2).alias("exact_p99"),
+        ok.alias("approx_within_2pct"),
+    )

@@ -28,7 +28,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from spacex_data_engineering_pipeline_spark.operators.upsert import upsert_parquet
+from spacex_data_engineering_pipeline_spark.operators.upsert import (
+    upsert_parquet,
+    upsert_parquet_partitioned,
+)
 from spacex_data_engineering_pipeline_spark.plans.aggregations import AggregationService
 from spacex_data_engineering_pipeline_spark.sources.launches import (
     enrich_with_payload_mass,
@@ -56,8 +59,18 @@ def run_streaming_ingestion(
     launches_path: str,
     snapshots_path: str,
     checkpoint_dir: str,
+    partition_by_year: bool = True,
 ) -> None:
-    """Drain all available input batches, then stop (AvailableNow)."""
+    """Drain all available input batches, then stop (AvailableNow).
+
+    ``partition_by_year=True`` (default, matching the batch pipeline):
+    each micro-batch merges through ``upsert_parquet_partitioned`` and
+    rewrites only the year partitions the batch touches — the flat
+    whole-table swap would pay O(table) write amplification PER
+    MICRO-BATCH, which is the worst possible consumer of it. Replay
+    safety is unchanged: a checkpoint-replayed batch re-merges the same
+    keys and the PK dedup absorbs them, partitioned or not.
+    """
     aggregations = AggregationService(spark, snapshots_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -67,13 +80,23 @@ def run_streaming_ingestion(
         enriched = enrich_with_payload_mass(valid, payloads).localCheckpoint()
         if enriched.count() == 0:
             return
-        inserted = upsert_parquet(
-            spark,
-            launches_path,
-            enriched,
-            key="launch_id",
-            order_by=[F.col("ingested_at").desc()],
-        )
+        if partition_by_year:
+            inserted = upsert_parquet_partitioned(
+                spark,
+                launches_path,
+                enriched.withColumn("launch_year", F.year("date_utc")),
+                key="launch_id",
+                order_by=[F.col("ingested_at").desc()],
+                partition_col="launch_year",
+            )
+        else:
+            inserted = upsert_parquet(
+                spark,
+                launches_path,
+                enriched,
+                key="launch_id",
+                order_by=[F.col("ingested_at").desc()],
+            )
         aggregations.append_snapshot(
             spark.read.parquet(launches_path),
             snapshot_type="incremental",

@@ -107,3 +107,43 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning (enabled in get_spark): when a
+    selectively-filtered dimension is TOO BIG to broadcast — the 100 TB
+    regime — Catalyst injects a bloom filter built from the dim keys
+    into the fact side, semi-reducing the big scan before the shuffle.
+    Locally the dim always broadcasts (where the rule correctly skips
+    the bloom), so the test recreates the at-scale regime by disabling
+    broadcast and lowering the application-side size gate.
+    """
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.catalog import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), f"no runtime bloom filter injected:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
