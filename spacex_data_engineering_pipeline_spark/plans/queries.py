@@ -3099,3 +3099,44 @@ def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact[2], 2).alias("exact_p99"),
         ok.alias("approx_within_2pct"),
     )
+
+
+@_register(
+    "training_shuffle_order",
+    oracle="""
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS shuffle_rank
+    FROM (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS shuffle_key
+        FROM documents
+    )
+    ORDER BY shuffle_rank
+    LIMIT 100
+    """,
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (training-order prep): every doc gets
+    a pseudorandom-but-reproducible sort key ``md5(id || seed)`` — an
+    engine-portable hash, so the exact permutation is oracle-checkable —
+    and the first 100 positions are returned with their global rank.
+
+    Scale: the full shuffle is ``orderBy(shuffle_key)`` — Spark's
+    distributed range sort (sample → range-partition → local sort),
+    never a single-partition window; global ranks, when a consumer
+    needs them materialized, come from the two-phase prefix sum
+    (``operators/pack.py::with_global_offset``), not row_number over
+    one partition. Here the top-100 probe plans TakeOrderedAndProject
+    (per-partition heaps) and only the 100 survivors see a window.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42"))).alias(
+            "shuffle_key"
+        ),
+    )
+    head = docs.orderBy("shuffle_key", "doc_id").limit(100)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return head.select(
+        "doc_id", "shuffle_key", F.row_number().over(w).cast("long").alias("shuffle_rank")
+    ).orderBy("shuffle_rank")
