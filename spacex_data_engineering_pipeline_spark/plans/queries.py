@@ -3140,3 +3140,78 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select(
         "doc_id", "shuffle_key", F.row_number().over(w).cast("long").alias("shuffle_rank")
     ).orderBy("shuffle_rank")
+
+
+_IVFPQ_CACHE: dict[str, object] = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once-probe-many IVF-PQ index (same caching contract as
+    ``_ivf_index_for``; production analogue is the cluster-partitioned
+    postings table with JSON sidecars, written offline)."""
+    from spacex_data_engineering_pipeline_spark.operators import ivfpq as IVFPQ
+
+    idx = _IVFPQ_CACHE.get(sf_dir)
+    if idx is None:
+        emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        idx = IVFPQ.build_ivfpq_index(
+            emb, "vec_id", "embedding", n_clusters=8, n_subq=8, n_centroids=16, seed=42
+        )
+        _IVFPQ_CACHE[sf_dir] = idx
+    return idx
+
+
+_DUCK_L2 = """
+    (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+     + list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+"""
+
+
+@_register(
+    "embedding_ivfpq_topk",
+    oracle=f"""
+    SELECT vec_id, dist2
+    FROM (
+        SELECT e.vec_id, ROUND({_DUCK_L2}, 6) AS dist2
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    )
+    ORDER BY dist2 ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ hybrid ANN (operators/ivfpq.py — FAISS IVFADC as a Spark
+    table layout): coarse clusters prune WHICH postings are read, byte
+    codes of residuals shrink WHAT is read 32×, per-cluster ADC LUTs
+    pick a shortlist, floats are fetched for only the shortlist.
+
+    Graded like ``embedding_ivf_topk``: full sweep (all 8 clusters) with
+    a corpus-covering shortlist, and the final rerank computed with the
+    NATIVE fold expressions (dist² = e·e − 2e·q + q·q, the structure the
+    DuckDB oracle mirrors term-for-term) — so the result must EQUAL
+    brute-force L2 top-10, making cluster assignment and code integrity
+    driver-checkable. The recall/cost dials (partial probes, small
+    shortlist, ADC-only ordering) are pytest-gated floors. The
+    corpus-covering shortlist holds at the sf0.01 correctness gate; at
+    larger corpora the same call is a high-recall ANN probe, graded by
+    the pytest contracts instead.
+    """
+    from spacex_data_engineering_pipeline_spark.functions.vectors import dot
+    from spacex_data_engineering_pipeline_spark.operators import ivfpq as IVFPQ
+
+    idx = _ivfpq_index_for(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    shortlist = IVFPQ.ivfpq_shortlist(idx, qv, n_shortlist=640, n_probes=8)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    e = F.col("embedding")
+    dist2 = dot(e, e) - 2 * dot(e, qlit) + dot(qlit, qlit)
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .select("vec_id", F.round(dist2, 6).alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -771,3 +771,60 @@ def test_connected_components_warns_on_iteration_budget(spark):
         warnings.simplefilter("always")
         D.connected_components(edges, "src", "dst", max_iter=20)
         assert not any("max_iter" in str(w.message) for w in caught)
+
+
+def test_ivfpq_full_sweep_equals_bruteforce(spark, sf_dir):
+    """IVF-PQ integrity contract: probing EVERY cluster with a
+    corpus-covering shortlist and exact rerank must equal brute-force
+    squared-L2 top-k in order — any vector lost or duplicated by the
+    assign+encode pass flips the result. Also: seeded builds are
+    bit-reproducible and codes are structurally valid."""
+    import numpy as np
+
+    from spacex_data_engineering_pipeline_spark.operators import ivfpq as IVFPQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFPQ.build_ivfpq_index(
+        emb, "vec_id", "embedding", n_clusters=8, n_subq=8, n_centroids=16, seed=7
+    )
+    try:
+        rows = idx.postings.collect()
+        n = emb.count()
+        assert len(rows) == n
+        assert all(
+            0 <= r.cluster < 8 and len(r.code) == 8 and all(0 <= c < 16 for c in r.code)
+            for r in rows
+        )
+        idx2 = IVFPQ.build_ivfpq_index(
+            emb, "vec_id", "embedding",
+            n_clusters=8, n_subq=8, n_centroids=16, seed=7, persist=False,
+        )
+        assert np.array_equal(idx.centroids, idx2.centroids)
+        assert np.array_equal(idx.codebooks, idx2.codebooks)
+
+        q = [list(r[0]) for r in emb.filter(F.col("vec_id") == 3).select("embedding").collect()][0]
+        all_vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in emb.collect()}
+        qv = np.asarray(q)
+        exact = sorted(all_vecs, key=lambda i: ((all_vecs[i] - qv) ** 2).sum())[:10]
+
+        full = [
+            r.vec_id
+            for r in IVFPQ.ivfpq_topk(
+                idx, emb, "embedding", q, k=10,
+                n_probes=8, shortlist_factor=(n // 10) + 1,
+            ).collect()
+        ]
+        assert full == exact, f"{full} vs {exact}"
+
+        # partial-probe recall floor: the actual ANN operating point
+        part = [
+            r.vec_id
+            for r in IVFPQ.ivfpq_topk(
+                idx, emb, "embedding", q, k=10, n_probes=3, shortlist_factor=4
+            ).collect()
+        ]
+        recall = len(set(part) & set(exact)) / 10
+        assert 3 in part, "the query's own vector must be found"
+        assert recall >= 0.5, f"IVF-PQ recall@10 too low: {recall} ({part} vs {exact})"
+    finally:
+        idx.unpersist()
