@@ -3215,3 +3215,54 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@_register(
+    "large_order_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(big.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 180
+    ) big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a group-by-HAVING over
+    the fact table semi-reduces the orders join to only qualifying keys.
+
+    Scale: the lineitem rollup is map-side combined then HAVING-filtered
+    BEFORE any join, so the join probe side is |qualifying orders|, not
+    |lineitem|; the qualifying-key table is typically small enough that
+    AQE converts the orders join to broadcast at runtime; customer is a
+    broadcast dim; top-20 is TakeOrderedAndProject.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )

@@ -232,3 +232,46 @@ def test_pipeline_partitioned_layout_end_to_end(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert pruned.count() == 2
+
+
+def test_compact_parquet_flat_and_partitioned(spark, sf_dir, tmp_path):
+    """Compaction rewrites fragmented leaves to ceil(bytes/target) files
+    without changing content; compact leaves are untouched; a second run
+    is a no-op."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.catalog import load_table
+    from spacex_data_engineering_pipeline_spark.operators.compact import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    # flat table fragmented into 32 files
+    flat = str(tmp_path / "flat")
+    orders.repartition(32).write.parquet(flat)
+    before = orders.count()
+    stats = compact_parquet(spark, flat, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 32 and stats["files_after"] == 1
+    assert stats["leaves_compacted"] == 1
+    after = spark.read.parquet(flat)
+    assert after.count() == before
+    assert after.agg(F.bit_xor(F.xxhash64(*sorted(orders.columns)))).first()[0] == \
+        orders.agg(F.bit_xor(F.xxhash64(*sorted(orders.columns)))).first()[0]
+    # idempotent: second run touches nothing
+    stats2 = compact_parquet(spark, flat, target_file_bytes=1 << 30)
+    assert stats2["leaves_compacted"] == 0 and stats2["files_after"] == 1
+
+    # partitioned table: each fragmented year leaf compacts independently
+    part = str(tmp_path / "part")
+    orders.withColumn("yr", F.year("o_orderdate")).repartition(8).write.partitionBy(
+        "yr"
+    ).parquet(part)
+    stats3 = compact_parquet(spark, part, target_file_bytes=1 << 30)
+    assert stats3["leaves_compacted"] > 0
+    got = spark.read.parquet(part)
+    assert got.count() == before
+    # per-leaf result: one file per year dir
+    import os
+    for d in os.listdir(part):
+        if d.startswith("yr="):
+            files = [f for f in os.listdir(os.path.join(part, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
