@@ -121,6 +121,24 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Maintenance: compact a fragmented parquet table (flat or
+    partitioned) toward the target file size; prints before/after file
+    counts. Idempotent — already-compact leaves are untouched."""
+    from spacex_data_engineering_pipeline_spark.operators.compact import compact_parquet
+
+    spark = get_spark(app_name="compact-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = compact_parquet(
+        spark,
+        args.table_path,
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+        min_files_to_compact=args.min_files,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="spacex_data_engineering_pipeline_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -152,6 +170,12 @@ def main(argv: list[str] | None = None) -> int:
     p_cor.add_argument("--shards", type=int, default=0,
                        help="also export N deterministic shards (0 = skip)")
     p_cor.set_defaults(fn=cmd_corpus)
+
+    p_cmp = sub.add_parser("compact", help="compact a fragmented parquet table")
+    p_cmp.add_argument("--table-path", required=True)
+    p_cmp.add_argument("--target-file-mb", type=int, default=128)
+    p_cmp.add_argument("--min-files", type=int, default=4)
+    p_cmp.set_defaults(fn=cmd_compact)
 
     p_agg = sub.add_parser("aggregations", help="inspect snapshots, history, trends")
     p_agg.add_argument("--warehouse", required=True)

@@ -71,3 +71,18 @@ def test_cli_ingest_defaults_partitioned_layout(spark, sf_dir, tmp_path, capsys)
     assert any(e.startswith("launch_year=") for e in os.listdir(table_dir)), os.listdir(
         table_dir
     )
+
+
+def test_cli_compact(spark, sf_dir, tmp_path, capsys):
+    import json
+    import os
+
+    from spacex_data_engineering_pipeline_spark.cli import main
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    table = str(tmp_path / "frag")
+    spark.read.parquet(src).repartition(16).write.parquet(table)
+    rc = main(["compact", "--table-path", table, "--target-file-mb", "1024"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_before"] >= 16 and stats["files_after"] == 1
