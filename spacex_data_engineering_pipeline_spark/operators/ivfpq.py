@@ -90,13 +90,11 @@ def build_ivfpq_index(
     so the same byte budget buys materially less quantization error than
     coding raw vectors.
     """
-    sample_rows = [
-        list(r[0])
-        for r in df.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .limit(sample_cap)
-        .collect()
-    ]
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        deterministic_sample_vectors,
+    )
+
+    sample_rows = deterministic_sample_vectors(df, id_col, vec_col, sample_cap)
     if not sample_rows:
         raise ValueError("cannot build an IVF-PQ index over an empty corpus")
     X = np.asarray(sample_rows, dtype="float64")

@@ -73,10 +73,11 @@ def build_pq_index(
     the whole corpus in one Arrow-batched map pass (the only
     corpus-wide work — scan speed, no shuffle; at scale the codes table
     is written once and reused by every query)."""
-    sample_rows = [
-        list(r[0])
-        for r in df.select(vec_col).filter(F.col(vec_col).isNotNull()).limit(sample_cap).collect()
-    ]
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        deterministic_sample_vectors,
+    )
+
+    sample_rows = deterministic_sample_vectors(df, id_col, vec_col, sample_cap)
     if not sample_rows:
         raise ValueError("cannot train PQ codebooks over an empty corpus")
     X = np.asarray(sample_rows, dtype="float64")

@@ -296,10 +296,11 @@ def build_ivf_index(
     partitioned by ``cluster`` (``IvfIndex.save``) exactly once, amortized
     over every subsequent probe.
     """
-    sample = [
-        list(r[0])
-        for r in df.select(vec_col).filter(F.col(vec_col).isNotNull()).limit(sample_cap).collect()
-    ]
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        deterministic_sample_vectors,
+    )
+
+    sample = deterministic_sample_vectors(df, id_col, vec_col, sample_cap)
     if not sample:
         raise ValueError("cannot build an IVF index over an empty corpus")
     centers = _spherical_kmeans(sample, n_clusters, seed)

@@ -31,6 +31,31 @@ def release_caches_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+def deterministic_sample_vectors(
+    df: DataFrame, id_col: str, vec_col: str, cap: int
+) -> list[list[float]]:
+    """Collect up to ``cap`` non-null vectors for driver-side quantizer
+    training, deterministically: the first ``cap`` rows by ``id_col``.
+
+    A bare ``limit(cap)`` is only stable on a single local run — on a
+    cluster (or after a repartition) whichever tasks finish first feed
+    the limit, so a fixed seed no longer reproduces centroids/codebooks.
+    Ordering before the limit plans as TakeOrderedAndProject (per-
+    partition top-cap, then one driver merge — no global sort), making
+    seeded index builds bit-reproducible anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    return [
+        list(r[0])
+        for r in df.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(cap)
+        .select(vec_col)
+        .collect()
+    ]
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Fan a narrow scan out to all cores before a compute-heavy
     per-row stage. A small corpus arrives in 1-2 input splits, which

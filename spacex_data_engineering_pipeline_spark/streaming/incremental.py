@@ -70,8 +70,24 @@ def run_streaming_ingestion(
     MICRO-BATCH, which is the worst possible consumer of it. Replay
     safety is unchanged: a checkpoint-replayed batch re-merges the same
     keys and the PK dedup absorbs them, partitioned or not.
+
+    A pre-existing table written FLAT (no ``launch_year=`` dirs —
+    e.g. a checkpointed stream started before the partitioned default)
+    stays on the flat upsert: the partitioned merge reads the existing
+    table and filters on the partition column, which a flat table lacks
+    (AnalysisException). Resuming such a stream keeps working; migrate
+    by compacting/rewriting the table into the partitioned layout first.
     """
+    import os
+
     aggregations = AggregationService(spark, snapshots_path)
+
+    def table_is_flat() -> bool:
+        try:
+            entries = os.listdir(launches_path)
+        except FileNotFoundError:
+            return False  # no table yet → partitioned layout from batch 0
+        return not any(e.startswith("launch_year=") for e in entries)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # stats intentionally unread: the observation costs one
@@ -80,7 +96,7 @@ def run_streaming_ingestion(
         enriched = enrich_with_payload_mass(valid, payloads).localCheckpoint()
         if enriched.count() == 0:
             return
-        if partition_by_year:
+        if partition_by_year and not table_is_flat():
             inserted = upsert_parquet_partitioned(
                 spark,
                 launches_path,

@@ -795,8 +795,12 @@ def test_ivfpq_full_sweep_equals_bruteforce(spark, sf_dir):
             0 <= r.cluster < 8 and len(r.code) == 8 and all(0 <= c < 16 for c in r.code)
             for r in rows
         )
+        # seeded reproducibility must survive a different physical layout:
+        # the training sample is the first sample_cap rows BY ID, not
+        # whichever rows a bare limit() happened to grab first — so a
+        # repartitioned (cluster-shaped) input yields identical quantizers
         idx2 = IVFPQ.build_ivfpq_index(
-            emb, "vec_id", "embedding",
+            emb.repartition(7), "vec_id", "embedding",
             n_clusters=8, n_subq=8, n_centroids=16, seed=7, persist=False,
         )
         assert np.array_equal(idx.centroids, idx2.centroids)

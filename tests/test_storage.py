@@ -275,3 +275,57 @@ def test_compact_parquet_flat_and_partitioned(spark, sf_dir, tmp_path):
         if d.startswith("yr="):
             files = [f for f in os.listdir(os.path.join(part, d)) if f.endswith(".parquet")]
             assert len(files) == 1, (d, files)
+
+
+def test_compact_parquet_crash_repair(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames parks a leaf at its
+    _old_compact_* aside; the next compact run must restore it BEFORE
+    enumerating leaves (not raise FileNotFoundError / skip the leaf),
+    and staging siblings must never surface in a whole-table read."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.catalog import load_table
+    from spacex_data_engineering_pipeline_spark.operators.compact import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    before = orders.count()
+
+    # --- flat table: simulate dying between rename-aside and rename-in
+    flat = str(tmp_path / "flat_crash")
+    orders.repartition(8).write.parquet(flat)
+    parent = os.path.dirname(flat)
+    os.replace(flat, os.path.join(parent, "_old_compact_flat_crash"))
+    stats = compact_parquet(spark, flat, target_file_bytes=1 << 30)
+    assert stats["leaves_compacted"] == 1 and stats["files_after"] == 1
+    assert spark.read.parquet(flat).count() == before
+    assert not os.path.exists(os.path.join(parent, "_old_compact_flat_crash"))
+
+    # --- partitioned table: one leaf parked aside, plus a stale
+    # incomplete _tmp_compact_* stage from the same imaginary crash
+    part = str(tmp_path / "part_crash")
+    orders.withColumn("yr", F.year("o_orderdate")).repartition(8).write.partitionBy(
+        "yr"
+    ).parquet(part)
+    leaves = sorted(d for d in os.listdir(part) if d.startswith("yr="))
+    enc = lambda b: b.replace("=", "%3D")  # staging names carry no '='
+    victim = os.path.join(part, leaves[0])
+    os.replace(victim, os.path.join(part, "_old_compact_" + enc(leaves[0])))
+    shutil.copytree(
+        os.path.join(part, leaves[1]), os.path.join(part, "_tmp_compact_" + enc(leaves[1]))
+    )
+    # staging dirs are underscore-prefixed → Spark's listing ignores
+    # them even before repair: no phantom partitions, no type widening
+    pre = spark.read.parquet(part)
+    assert pre.select("yr").distinct().count() == len(leaves) - 1  # victim parked
+    assert dict(pre.dtypes)["yr"] == "int"
+    stats2 = compact_parquet(spark, part, target_file_bytes=1 << 30)
+    got = spark.read.parquet(part)
+    assert got.count() == before
+    assert got.select("yr").distinct().count() == len(leaves)
+    assert not any(
+        e.startswith(("_old_compact_", "_tmp_compact_")) for e in os.listdir(part)
+    )
+    assert stats2["leaves_compacted"] > 0

@@ -80,6 +80,55 @@ def test_streaming_ingestion_availablenow(spark, tmp_path):
     assert snaps[0].total_launches == 3
 
 
+def test_streaming_ingestion_resumes_flat_table(spark, tmp_path):
+    """A launches table written FLAT by an earlier deployment must keep
+    working when the stream resumes under the partitioned default — the
+    partitioned merge would reference launch_year, which a flat table
+    lacks (AnalysisException); layout detection falls back to the flat
+    upsert."""
+    payloads = spark.createDataFrame(
+        [("p1", "P1", 100.0)], "payload_id string, name string, mass_kg double"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    args = dict(
+        input_json_dir=str(in_dir),
+        payloads=payloads,
+        launches_path=str(tmp_path / "launches.pq"),
+        snapshots_path=str(tmp_path / "snaps.pq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # seed batch under the FLAT layout
+    _write_batch(
+        in_dir,
+        "batch1.json",
+        [
+            {"launch_id": "l1", "mission_name": "M1", "date_utc": "2022-01-01T00:00:00Z",
+             "success": True, "payload_ids": ["p1"], "launchpad_id": "padA",
+             "static_fire_date_utc": None},
+        ],
+    )
+    run_streaming_ingestion(spark, partition_by_year=False, **args)
+    import os
+
+    assert not any(
+        e.startswith("launch_year=") for e in os.listdir(args["launches_path"])
+    )
+    # resume under the partitioned DEFAULT: must not raise, must upsert
+    _write_batch(
+        in_dir,
+        "batch2.json",
+        [
+            {"launch_id": "l2", "mission_name": "M2", "date_utc": "2023-02-01T00:00:00Z",
+             "success": False, "payload_ids": [], "launchpad_id": "padB",
+             "static_fire_date_utc": None},
+        ],
+    )
+    run_streaming_ingestion(spark, **args)
+    rows = {r.launch_id for r in spark.read.parquet(args["launches_path"]).collect()}
+    assert rows == {"l1", "l2"}
+
+
 def test_windowed_event_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     """Run the windowed agg as a REAL stream (file source over the events
     parquet, AvailableNow) and compare with the batch catalog query."""
