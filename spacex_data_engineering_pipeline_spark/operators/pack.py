@@ -89,6 +89,69 @@ def with_global_offset(
     )
 
 
+def with_distributed_rank(
+    df: DataFrame,
+    order_col: str,
+    part_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "rank",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Append the exact 1-based ``row_number`` of each row within its
+    ``part_cols`` group, ordered by ``(order_col, *tiebreak_cols)`` —
+    WITHOUT the single-reducer sort a ``Window.partitionBy(few-large-
+    strata).orderBy(...)`` (or, with no partitions at all, a global
+    ``Window.orderBy``) plans.
+
+    Same two-phase prefix-sum shape as ``with_global_offset``, extended
+    two ways:
+
+    - sub-bucketing: rows hash-shuffle on ``(part_cols, value-range
+      bucket of order_col)``, so even a single giant stratum spreads
+      over ``n_buckets`` reducers; equal ``order_col`` values share a
+      bucket by construction (the bucket is a pure function of the
+      value), so cross-bucket order is total and exact;
+    - tiebreaks: ``order_col`` need not be unique — ties are resolved
+      inside their bucket by ``tiebreak_cols`` (pass a unique key for a
+      deterministic total order).
+
+    The per-(group, bucket) counts are prefix-summed per group over an
+    O(groups × buckets) metadata table and broadcast back: one
+    full-table shuffle total, never a single-partition exchange of data
+    rows. ``order_col`` must be numeric (bucket arithmetic); the global
+    min/max probe is a column-pruned scan.
+    """
+    parts = list(part_cols or [])
+    ties = list(tiebreak_cols or [])
+    n = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    lo_hi = df.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).first()
+    if lo_hi["lo"] is None:  # empty input
+        return df.withColumn(out_col, F.lit(1).cast("long"))
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    width = max(1, (hi - lo + n) // n)  # ceil(span / n)
+
+    # bigint cast + integer div: monotone (truncation preserves order)
+    # and exact for 64-bit keys; equal values always co-bucket.
+    bucketed = df.withColumn(
+        "__b", F.expr(f"(cast({order_col} as bigint) - {lo}) div {width}")
+    )
+    wl = Window.partitionBy(*parts, "__b").orderBy(order_col, *ties)
+    local = bucketed.withColumn("__lrn", F.row_number().over(wl))
+
+    totals = bucketed.groupBy(*parts, "__b").agg(F.count(F.lit(1)).alias("__bn"))
+    wb = Window.partitionBy(*parts).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.select(
+        *parts, "__b", F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__base")
+    )
+    return (
+        local.join(F.broadcast(bases), parts + ["__b"])
+        .withColumn(out_col, (F.col("__base") + F.col("__lrn")).cast("long"))
+        .drop("__b", "__lrn", "__base")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str,

@@ -1650,20 +1650,23 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((cnt+4) div 5), so engines agree bit-for-bit and re-runs are
     byte-identical (reproducible corpus subsetting).
 
-    Scale: the exact-fraction guarantee costs one rank window per
-    stratum — with few large strata those partitions are huge. At
-    open-corpus scale trade exactness for a shuffle-free narrow map:
-    ``pmod(xxhash64(doc_id), 1000) < 200`` samples ~20% per stratum
-    with no window at all (not oracle-able: xxhash64 is Spark-native).
+    Scale: per-stratum ranks come from ``with_distributed_rank``
+    (operators/pack.py), which sub-buckets each stratum by doc_id range
+    — a handful of huge language strata spread over all reducers
+    instead of one ``Window.partitionBy(lang)`` reducer each; stratum
+    sizes ride a broadcast O(|langs|) join. When approximate fractions
+    suffice, the shuffle-free narrow map ``pmod(xxhash64(doc_id), 1000)
+    < 200`` samples ~20% per stratum with no rank at all (not
+    oracle-able: xxhash64 is Spark-native).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    wc = Window.partitionBy("lang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = PK.with_distributed_rank(
+        docs, "doc_id", part_cols=["lang"], out_col="__rn"
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__cnt"))
     return (
-        docs.select("doc_id", "lang")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count(F.lit(1)).over(wc))
-        .filter(F.col("rn") <= F.expr("(cnt + 4) div 5"))
+        ranked.join(F.broadcast(counts), "lang")
+        .filter(F.col("__rn") <= F.expr("(__cnt + 4) div 5"))
         .select("doc_id", "lang")
     )
 
@@ -2431,18 +2434,31 @@ def largest_order_per_customer_sql(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE bucketing with a unique-key tiebreak (both engines split
-    remainders identically given a total order), aggregated to quartile
-    boundaries — min/max are stored values, so floats compare
-    bit-identically. Scale note: a global NTILE is a single-reducer
-    sort by construction; at 100 TB the same report comes from
-    approx_percentile cutpoints (see quantity_percentiles) — this query
-    exists for the exact-small-result shape.
+    """Exact NTILE(4) with a unique-key tiebreak, WITHOUT the
+    single-reducer global sort ``F.ntile().over(Window.orderBy(...))``
+    plans: the global rank comes from the distributed prefix-sum
+    primitive (operators/pack.py ``with_distributed_rank`` — range-
+    bucket shuffle + per-bucket row_number + O(buckets) base offsets),
+    and the quartile is closed-form integer math on (rank, n) matching
+    SQL NTILE's remainder-first split: with q = n div 4, r = n mod 4,
+    the first r buckets take q+1 rows, the rest q. Aggregated min/max
+    are stored values, so floats compare bit-identically with the
+    oracle's real NTILE. The count-star for n is a column-pruned
+    metadata-cheap probe.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = orders.count()
+    q, r = divmod(n, 4)
+    head = r * (q + 1)  # ranks 1..head fall in the q+1-sized buckets
+    ranked = PK.with_distributed_rank(
+        orders, "o_totalprice", tiebreak_cols=["o_orderkey"], out_col="__rank"
+    )
+    quartile = F.expr(
+        f"CASE WHEN __rank <= {head} THEN (__rank - 1) div {q + 1} + 1 "
+        f"ELSE {r} + (__rank - {head} - 1) div {max(q, 1)} + 1 END"
+    ).cast("int")
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
+        ranked.withColumn("quartile", quartile)
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

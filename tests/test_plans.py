@@ -109,6 +109,36 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_quartiles_have_no_single_reducer_data_window(spark):
+    """order_price_quartiles must compute the global rank via the
+    distributed prefix-sum primitive, not a global NTILE window: no
+    ntile in the plan, the row_number window partitioned by the range
+    bucket, and every SinglePartition exchange sitting above an
+    aggregate (the O(buckets) totals), never above the raw orders scan."""
+    plan = _plan(spark, "order_price_quartiles")
+    assert "ntile" not in plan, "global NTILE window is a single-reducer sort"
+    m = re.search(r"Window \[row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "__b" in m.group(1), (
+        f"row_number window must partition by the range bucket: {m and m.group(1)}"
+    )
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in chunk.split("Scan parquet")[0], (
+            "a SinglePartition exchange feeds raw data rows, not bucket totals"
+        )
+
+
+def test_stratified_sample_has_no_per_stratum_reducer(spark):
+    """stratified_sample_documents must sub-bucket each language stratum:
+    the row_number window partitions by (lang, __b), so one giant
+    stratum spreads over all reducers instead of one."""
+    plan = _plan(spark, "stratified_sample_documents")
+    m = re.search(r"Window \[row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "__b" in m.group(1) and "lang" in m.group(1), (
+        f"per-stratum window must include the range sub-bucket: {m and m.group(1)}"
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Runtime bloom-filter join pruning (enabled in get_spark): when a
     selectively-filtered dimension is TOO BIG to broadcast — the 100 TB

@@ -140,3 +140,44 @@ def test_global_offset_property(rows, n_parts):
         expected[i] = run
         run += v
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),       # few, large strata
+            st.integers(-(10**12), 10**12),            # order values, MAY tie
+            st.integers(0, 10**9),                     # unique tiebreak source
+        ),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda t: t[2],
+    ),
+    st.sampled_from([1, 3, 16]),
+)
+@SETTINGS
+def test_distributed_rank_property(rows, n_buckets):
+    """with_distributed_rank equals a plain per-group row_number over
+    (order, tiebreak) for ANY input — ties in the order column, sparse
+    and negative 64-bit values, empty groups, any bucket count."""
+    from spacex_data_engineering_pipeline_spark.operators.pack import (
+        with_distributed_rank,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "g string, val long, tb long")
+    got = {
+        r.tb: r.rnk
+        for r in with_distributed_rank(
+            df, "val", part_cols=["g"], tiebreak_cols=["tb"],
+            out_col="rnk", n_buckets=n_buckets,
+        ).collect()
+    }
+    expected = {}
+    by_g: dict[str, list] = {}
+    for g, val, tb in rows:
+        by_g.setdefault(g, []).append((val, tb))
+    for g, items in by_g.items():
+        for i, (val, tb) in enumerate(sorted(items)):
+            expected[tb] = i + 1
+    assert got == expected
