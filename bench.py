@@ -163,17 +163,25 @@ def main() -> None:
     timings.update(bench_pipeline_scenarios(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "catalog_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # Durable copy: the driver captures stdout, but a truncated capture
+    # (it happened — BENCH_r02.json lost its head) would lose the
+    # per-query map; a committed artifact survives for round-over-round
+    # regression analysis regardless.
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+        with open(out, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: stdout line still stands
+        print(f"bench: could not write BENCH_local.json: {exc}", file=sys.stderr)
     spark.stop()
 
 

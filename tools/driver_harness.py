@@ -1,12 +1,20 @@
 #!/usr/bin/env python
 """Mimic the driver: vanilla SparkSession (no engine configs), import
 __spark_entry__, smoke entry(), then run queries() vs oracle_sql() via
-DuckDB at sf0.01 with order-insensitive compare."""
+DuckDB at sf0.01 with order-insensitive compare.
+
+Also writes CORRECTNESS_local.json (same per-query record shape as the
+driver's CORRECTNESS_r*.json: rows_match/schema_match/hash_match/
+spark_rows/oracle_rows/err) covering the FULL catalog — the driver's own
+gate checks a frozen subset of keys, so this artifact is the
+gate-fidelity (sf0.01) evidence for every query added since.
+"""
 import sys, os, json, math
 from datetime import datetime, date
 from decimal import Decimal
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -44,16 +52,33 @@ def eq(a, b):
 
 qs, osql = e.queries(), e.oracle_sql()
 fails = []
+records = {}
 for name, fn in sorted(qs.items()):
-    df = fn(spark, SF)
-    s_cols = df.columns
-    s_rows = [tuple(norm(v) for v in r) for r in df.collect()]
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    records[name] = rec
+    try:
+        df = fn(spark, SF)
+        s_cols = df.columns
+        s_rows = [tuple(norm(v) for v in r) for r in df.collect()]
+        rec["spark_rows"] = len(s_rows)
+    except Exception as exc:
+        rec["err"] = f"spark: {type(exc).__name__}: {str(exc)[:200]}"
+        print(f"{name}: SPARK ERROR {rec['err']}"); fails.append(name); continue
     if name not in osql:
+        rec["err"] = "no_oracle"
         print(f"{name}: rows-only, {len(s_rows)} rows"); continue
-    res = con.execute(osql[name])
-    d_cols = [d[0] for d in res.description]
-    d_rows = [tuple(norm(v) for v in r) for r in res.fetchall()]
-    ok = sorted(s_cols) == sorted(d_cols) and len(s_rows) == len(d_rows)
+    try:
+        res = con.execute(osql[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = [tuple(norm(v) for v in r) for r in res.fetchall()]
+    except Exception as exc:
+        rec["err"] = f"oracle: {type(exc).__name__}: {str(exc)[:200]}"
+        print(f"{name}: ORACLE ERROR {rec['err']}"); fails.append(name); continue
+    rec["oracle_rows"] = len(d_rows)
+    rec["rows_match"] = len(s_rows) == len(d_rows)
+    rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+    ok = rec["rows_match"] and rec["schema_match"]
     if ok:
         idx = [s_cols.index(c) for c in d_cols]
         s_sorted = sorted([tuple(r[i] for i in idx) for r in s_rows], key=lambda r: tuple((v is None, str(v)) for v in r))
@@ -61,7 +86,13 @@ for name, fn in sorted(qs.items()):
         bad = [(sr, dr) for sr, dr in zip(s_sorted, d_sorted) if not all(eq(a, b) for a, b in zip(sr, dr))]
         ok = not bad
         if bad: print(f"  sample mismatch {name}: {bad[:2]}")
+    rec["hash_match"] = bool(ok)
     print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(s_rows)} rows)")
     if not ok: fails.append(name)
 
+out = os.path.join(REPO, "CORRECTNESS_local.json")
+with open(out, "w") as f:
+    json.dump(records, f, indent=2)
+    f.write("\n")
+print(f"wrote {out} ({len(records)} queries)")
 print("RESULT:", "ALL MATCH" if not fails else f"FAILS: {fails}")
