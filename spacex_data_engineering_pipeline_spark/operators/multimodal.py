@@ -2,10 +2,12 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step is STUBBED — image/audio codecs aren't in this
-environment — behind ``decode_media`` (raises NotImplementedError) and a
-deterministic fake feature extractor used by tests/queries. Everything
-Spark-side is real: schema, batch shape, partition sizing, UDF signature.
+``decode_media`` REALLY decodes two dependency-free, self-describing
+formats — binary PPM (P6) images and 16-bit PCM RIFF/WAVE audio — with
+pure numpy/struct parsing; codec-heavy formats (JPEG/MP3/MP4) raise
+NotImplementedError since their libraries aren't in this environment,
+and would plug in behind the same signature. Everything Spark-side is
+real either way: schema, batch shape, partition sizing, UDF signature.
 
 Scale notes:
 - binary payloads dominate row width → ``repartition`` by a size-aware
@@ -26,6 +28,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -53,10 +56,74 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_media(content: bytes, fmt: str):
-    """Real decode hook — requires image/audio libs not present here."""
+    """Decode an opaque media payload into a numpy array.
+
+    Real, dependency-free decoders for two self-describing formats:
+
+    - ``image/ppm``: binary PPM (P6) — header ``P6 <w> <h> <maxval>``
+      (whitespace/comment tolerant, as the spec requires) followed by
+      raw interleaved RGB; returns a ``(h, w, 3)`` uint8 array.
+    - ``audio/wav``: RIFF/WAVE with 16-bit PCM — chunk-walks to ``fmt``
+      and ``data``; returns a ``(n_samples, n_channels)`` int16 array.
+
+    Codec-heavy formats (JPEG/PNG/MP3/MP4) raise NotImplementedError —
+    their libraries aren't in this environment; they'd plug in here
+    behind the same signature without touching any Spark-side plumbing.
+    """
+    import struct
+
+    import numpy as np
+
+    if content is None:
+        raise ValueError("cannot decode a NULL payload")
+    if fmt == "image/ppm":
+        if content[:2] != b"P6":
+            raise ValueError("not a binary PPM (P6) payload")
+        # header tokens: P6, width, height, maxval — separated by any
+        # whitespace; '#' starts a comment running to end-of-line
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3 and i < len(content):
+            c = content[i : i + 1]
+            if c == b"#":
+                while i < len(content) and content[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(content) and not content[j : j + 1].isspace():
+                    j += 1
+                tokens.append(content[i:j])
+                i = j
+        i += 1  # exactly one whitespace byte after maxval, per spec
+        w, h, maxval = (int(t) for t in tokens)
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        pixels = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+        return pixels.reshape(h, w, 3)
+    if fmt == "audio/wav":
+        if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, n_channels, bits = 12, None, None
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", content, pos + 4)
+            body = pos + 8
+            if cid == b"fmt ":
+                _, n_channels, _, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", content, body
+                )
+            elif cid == b"data":
+                if bits != 16:
+                    raise ValueError(f"only 16-bit PCM supported, got {bits}")
+                samples = np.frombuffer(content, dtype="<i2", count=size // 2, offset=body)
+                return samples.reshape(-1, n_channels)
+            pos = body + size + (size & 1)  # chunks are word-aligned
+        raise ValueError("no data chunk found")
     raise NotImplementedError(
-        "media decode requires codec libraries (PIL/ffmpeg) not available "
-        "in this environment; use extract_features' deterministic path"
+        f"decode for {fmt!r} requires codec libraries (PIL/ffmpeg) not "
+        "available in this environment"
     )
 
 
@@ -70,6 +137,70 @@ def attach_binary_content(df: DataFrame, id_col: str, text_col: str) -> DataFram
         F.lit("text/plain").alias("format"),
         F.octet_length(F.encode(F.col(text_col), "UTF-8")).alias("byte_len"),
     )
+
+
+def attach_ppm_content(
+    df: DataFrame, id_col: str, shade_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Build REAL binary-PPM (P6) image payloads natively: a flat
+    ``width×height`` RGB image whose every byte is ``shade_col % 95 +
+    32`` (kept in printable ASCII so the UTF-8 encode is byte-exact —
+    ``char()`` of a >=128 code point would encode to two bytes).
+
+    Entirely JVM-side expressions — payload synthesis never crosses into
+    Python; only the DECODE does, which is the honest at-scale shape
+    (payloads arrive in the table, features leave through Arrow).
+    """
+    shade = F.pmod(F.col(shade_col), F.lit(95)) + F.lit(32)
+    body = F.repeat(F.char(shade), width * height * 3)
+    payload = F.encode(
+        F.concat(F.lit(f"P6\n{width} {height}\n255\n"), body), "UTF-8"
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("content"),
+        F.lit("image/ppm").alias("format"),
+        F.octet_length(payload).alias("byte_len"),
+    )
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_pixel", DoubleType(), True),
+    ]
+)
+
+
+def decode_image_stats(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode: each payload is parsed by
+    ``decode_media`` into an ndarray and reduced to (width, height,
+    mean pixel value). Undecodable payloads yield NULL stats instead of
+    failing the batch — at corpus scale a poisoned blob must never kill
+    the job (same row-level fault tolerance as validation P7).
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "mean_pixel": []}
+            for media_id, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                out["media_id"].append(media_id)
+                try:
+                    img = decode_media(bytes(content), fmt)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["mean_pixel"].append(float(img.mean()))
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_pixel"].append(None)
+            yield pd.DataFrame(out)
+
+    return spread(media_df).mapInPandas(_stats, IMAGE_STATS_SCHEMA)
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:

@@ -783,6 +783,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media)
 
 
+@_register(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(n_chars % 95 + 32 AS DOUBLE) AS mean_pixel
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: 8×8 binary-PPM payloads are built
+    JVM-side from each document (flat shade ``n_chars % 95 + 32``), then
+    ``decode_media`` parses every payload — header tokenizer, ndarray
+    reshape — inside an Arrow-batched mapInPandas stage and reduces it
+    to (width, height, mean pixel). The oracle is closed-form because
+    a flat image's mean IS its shade; the decoder doesn't know that —
+    it walks the actual bytes, so any header/layout drift flips the
+    hash. At scale this is the honest shape: blobs stay columnar until
+    the one decode pass, features come back as narrow typed columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_ppm_content(docs, "doc_id", "n_chars")
+    return M.decode_image_stats(media)
+
+
 # ===========================================================================
 # Event-time windows (SURVEY §2.9 formalized) + joins/set-ops (§2.3/2.7)
 # ===========================================================================

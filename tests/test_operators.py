@@ -146,6 +146,70 @@ def test_multimodal_stub_contract(spark, sf_dir):
         M.decode_media(b"\x89PNG", "image/png")
 
 
+def test_decode_media_ppm_and_wav():
+    """decode_media really parses bytes: PPM with comments/odd
+    whitespace, multi-chunk stereo WAV, and malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    # PPM: gradient pixels, comment line, multi-space separators
+    w, h = 4, 3
+    pixels = bytes(range(w * h * 3))
+    ppm = b"P6\n# a comment\n 4  3\n255\n" + pixels
+    img = M.decode_media(ppm, "image/ppm")
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    assert bytes(img.reshape(-1)) == pixels
+
+    # WAV: stereo 16-bit PCM with a junk chunk before data
+    samples = np.arange(-6, 6, dtype="<i2").reshape(-1, 2)  # 6 frames, 2ch
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"info"   # skipped chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    out = M.decode_media(wav, "audio/wav")
+    assert out.shape == (6, 2)
+    assert np.array_equal(out, samples)
+
+    with pytest.raises(ValueError):
+        M.decode_media(b"P3\n1 1\n255\n000", "image/ppm")  # ASCII PPM
+    with pytest.raises(ValueError):
+        M.decode_media(b"RIFFxxxxNOPE", "audio/wav")
+
+
+def test_decode_image_stats_real_decode_and_fault_tolerance(spark, sf_dir):
+    """The decode query path: payloads built JVM-side are genuinely
+    parsed back (width/height/mean from the bytes), and a poisoned blob
+    yields a NULL row, never a failed job."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = M.attach_ppm_content(docs, "doc_id", "n_chars")
+    stats = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    for r in docs.select("doc_id", "n_chars").collect():
+        s = stats[r.doc_id]
+        assert (s.width, s.height) == (8, 8)
+        assert s.mean_pixel == float(r.n_chars % 95 + 32)
+
+    poisoned = media.withColumn(
+        "content",
+        F.when(F.col("media_id") % 2 == 0, F.col("content")).otherwise(
+            F.lit(b"garbage")
+        ),
+    )
+    rows = M.decode_image_stats(poisoned).collect()
+    assert len(rows) == 8
+    for r in rows:
+        if r.media_id % 2 == 0:
+            assert r.width == 8 and r.mean_pixel is not None
+        else:
+            assert r.width is None and r.mean_pixel is None
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
 
