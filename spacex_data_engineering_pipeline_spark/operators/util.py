@@ -18,6 +18,12 @@ def release_caches_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     intact — an early release only costs recomputation), so releasing
     on GC of the handle is safe, and callers that keep the result
     around keep the cache warm.
+
+    The handle also carries an EXPLICIT ``result.release_caches()`` for
+    callers who keep the DataFrame alive past their last action (a
+    notebook cell, a long-lived service): call it after collecting and
+    the operator's blocks are freed immediately, idempotently — no
+    ``spark.catalog.clearCache()`` sledgehammer needed.
     """
 
     def _release(dfs=cached):
@@ -28,6 +34,7 @@ def release_caches_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
                 pass  # session already stopped — nothing to release
 
     weakref.finalize(result, _release)
+    result.release_caches = _release
     return result
 
 

@@ -210,6 +210,24 @@ def test_decode_image_stats_real_decode_and_fault_tolerance(spark, sf_dir):
             assert r.width is None and r.mean_pixel is None
 
 
+def test_pair_operator_explicit_cache_release(spark, sf_dir):
+    """Pair operators persist intermediates; the returned handle must
+    free them on demand (release_caches()) — and stay correct after,
+    since lineage is intact."""
+    from spacex_data_engineering_pipeline_spark.operators import dedup as D
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang")
+    first = pairs.collect()
+    assert not cm.isEmpty(), "shingle table should be cache-registered"
+    pairs.release_caches()
+    assert cm.isEmpty(), "explicit release must drop the operator's blocks"
+    assert pairs.collect() == first  # recomputes from lineage
+    pairs.release_caches()  # idempotent
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
 
