@@ -810,6 +810,139 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming surfaces under the oracle gate: each query below executes a
+# REAL Structured Streaming run (file source → Trigger.AvailableNow →
+# memory sink) and returns the sink as a batch DataFrame, so the DuckDB
+# oracle verifies actual streaming execution — state store, update-mode
+# emission, stream-stream join buffering — not a batch rewrite of it.
+# ===========================================================================
+
+
+def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix):
+    """Drive one AvailableNow streaming run over the events table.
+
+    The events parquet is staged as a single file so the run is exactly
+    ONE micro-batch (deterministic: multi-batch runs would let the
+    watermark advance between batches and evict state mid-corpus,
+    making results depend on file-split boundaries). ``build`` receives
+    a zero-arg factory so joins can open several readStreams over the
+    same staged source. The memory sink bounds this to gate/test scale
+    by design — a production deployment writes to a table sink instead.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    events = load_table(spark, sf_dir, "events")
+    work = _tempfile.mkdtemp(prefix=f"{name_prefix}_")
+    table = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
+    try:
+        src = _os.path.join(work, "src")
+        events.coalesce(1).write.parquet(src)
+
+        def stream():
+            return spark.readStream.schema(events.schema).parquet(src)
+
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the memory sink owns the rows once the query terminates; the
+        # staged source and checkpoint are free to go
+        _shutil.rmtree(work, ignore_errors=True)
+    return spark.table(table)
+
+
+@_register(
+    "streaming_user_stats_final",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6)) * 1000000)
+                AS DOUBLE) AS total_value_micros
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_stats_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (streaming/stateful.py
+    ``applyInPandasWithState``) under the oracle gate: a real streaming
+    run folds every event into per-user state and the final update-mode
+    emission must equal the batch GROUP BY. Values are converted to
+    exact integer micro-units (DECIMAL multiply, then double) BEFORE
+    the stream, so per-key accumulation order — pandas inside the state
+    function vs DuckDB's aggregate — cannot flip a float bit.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    def build(stream):
+        micros = stream().withColumn(
+            "value", (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("double")
+        )
+        return running_user_stats(micros)
+
+    out = _run_events_stream(spark, sf_dir, build, "update", "user_stats")
+    return out.select(
+        "user_id", "n_events", F.col("total_value").alias("total_value_micros")
+    )
+
+
+@_register(
+    "streaming_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+)
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream interval join (streaming/joins.py)
+    under the oracle gate: clicks and purchases stream independently
+    from the same staged source, buffer in the join state store, and
+    every purchase must pair with exactly the clicks the batch interval
+    join finds — a dropped or double-buffered row flips the row count.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.joins import (
+        attribute_purchases_to_clicks,
+    )
+
+    def build(stream):
+        clicks = stream().filter(F.col("event_type") == "click").select(
+            "user_id", "ts"
+        )
+        purchases = stream().filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        return attribute_purchases_to_clicks(
+            clicks, purchases, attribution_window="30 minutes"
+        )
+
+    out = _run_events_stream(spark, sf_dir, build, "append", "attr_join")
+    return out.select(
+        "purchase_id",
+        F.col("purchase_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+
+
+# ===========================================================================
 # Event-time windows (SURVEY §2.9 formalized) + joins/set-ops (§2.3/2.7)
 # ===========================================================================
 
