@@ -2123,8 +2123,16 @@ def top_ngrams_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shuffle groupBy + TakeOrderedAndProject; the (doc_freq, gram)
     total order makes the top-25 cut deterministic on both engines.
     """
+    from spacex_data_engineering_pipeline_spark.operators.util import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = T.with_word_ngrams(docs.select("doc_id", "text"), "text", 3, distinct=True)
+    # spread BEFORE the shingle map: the corpus arrives in one input
+    # split locally, which would serialize the expensive tokenize+
+    # explode on a single task (measured 3.1 s → 1.3 s at sf0.1); safe
+    # here — no self-join downstream for the widening to perturb
+    grams = T.with_word_ngrams(
+        spread(docs.select("doc_id", "text")), "text", 3, distinct=True
+    )
     return (
         grams.select(F.explode("grams").alias("gram"))
         .groupBy("gram")
@@ -2811,6 +2819,428 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H decision-support shapes, round 3 widening: Q4/Q5/Q6/Q12/Q14/Q19/
+# Q21/Q22 adapted to the driver's reduced schemas (no commitdate/shipmode/
+# partsupp — "late" becomes shipdate > orderdate + 60 days, Q12's mode
+# becomes linestatus, Q21/Q22 keep their exists/not-exists skeletons).
+# Each teaches Catalyst a distinct plan discipline: semi/anti joins,
+# disjunctive join predicates, conditional aggregation, scalar-subquery
+# thresholds — the shapes a warehouse migration exercises first.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "late_ship_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE year(o.o_orderdate) = 1996
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def late_ship_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one year) with at least one late-shipped
+    line, counted by priority. The EXISTS is a LEFT SEMI join — each
+    order emits at most once no matter how many lines are late, and the
+    probe side never materializes lineitem columns past the join. The
+    year filter pushes to the orders scan; the date comparison is a
+    residual predicate on the semi join's equi-key match.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 60)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "region_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation ASC
+    """,
+)
+def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from LOCAL trade (customer and supplier
+    in the same nation) within one region and year. The region filter
+    reaches the dim scan and prunes nation via the broadcast chain; the
+    local-trade condition (c_nationkey = s_nationkey) rides the supplier
+    join as an extra equi-key, not a post-join filter — Catalyst hashes
+    on both keys, so non-local pairs never cross the shuffle.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+@_register(
+    "discount_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from eliminating small-quantity
+    discounts — a pure scan-filter-aggregate with NO join and NO
+    shuffle beyond the final 1-row combine. All three predicates push
+    to the parquet scan (range + between); the product accumulates in
+    DECIMAL(18,6) so both engines sum the identical exact values in any
+    order.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * F.col("l_discount").cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "linestatus_priority_split",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE year(l.l_shipdate) = 1996
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus under the reduced schema):
+    line counts split by order priority class per status. The year
+    filter pushes to the lineitem scan BEFORE the join, the conditional
+    split is two CASE aggregates over one pass (never two joins), and
+    the group key has tiny cardinality so map-side partials collapse
+    the shuffle to bytes.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_priority_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0
+               * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                          END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE),
+               4) AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE year(l.l_shipdate) = 1996 AND month(l.l_shipdate) = 9
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue from PROMO
+    parts. The month filter cuts the fact scan ~98% before the join;
+    part broadcasts; numerator and denominator accumulate in exact
+    DECIMAL through ONE aggregation pass (a second join or scan for the
+    conditional sum would double the work). The ratio divides two
+    identical exact doubles on both engines, so the 4dp round cannot
+    land on an engine-dependent tie.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") == 9)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "bracket_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def bracket_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicate spanning BOTH
+    join sides (brand/size from part, quantity from lineitem). Catalyst
+    extracts the common-prefix constraints it can (each disjunct
+    implies p_size >= 1, and brand ∈ {12,23,34} union-folds into an
+    IN) and evaluates the full OR as the join residual; part broadcasts
+    so the disjunction never forces a cartesian fallback — the plan
+    hygiene sweep (no NestedLoopJoin) pins that.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    bracket = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part),
+            (F.col("l_partkey") == F.col("p_partkey")) & bracket,
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "sole_late_supplier_ranking",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN CAST(l.l_shipdate AS DATE)
+                             > CAST(o.o_orderdate AS DATE) + 60
+                        THEN 1 ELSE 0 END) AS supp_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(supp_late) AS n_late
+        FROM li GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM li
+    JOIN per_order po ON li.l_orderkey = po.l_orderkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    WHERE li.supp_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 10
+    """,
+)
+def sole_late_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order. The textbook form is a correlated
+    EXISTS + NOT EXISTS pair of lineitem self-joins; this plan folds
+    both into ONE aggregation cascade — per-(order, supplier) lateness,
+    then per-order supplier/late counts — so lineitem is read once and
+    shuffled once on the order key instead of three self-join passes.
+    ``n_supp > 1`` IS the EXISTS (another supplier); ``n_late = 1``
+    with this supplier late IS the NOT EXISTS (no other late one).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60),
+                    1,
+                ).otherwise(0)
+            ).alias("supp_late")
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late")
+    )
+    return (
+        li.filter(F.col("supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "idle_high_balance_customers",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * pos.n > pos.total
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY nation_key
+    """,
+)
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no recent orders, rolled up by nation. Two plan disciplines:
+    the average threshold is compared CROSS-MULTIPLIED
+    (``acctbal × n > Σbal`` in exact DECIMAL) so no engine ever divides
+    — a divided average is a double whose last ulp differs by sum
+    order, and a boundary customer would flip the result; the "no
+    recent orders" is a LEFT ANTI join against the date-filtered orders
+    scan (filter pushed down, anti side never materializes columns).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("total"),
+    ).first()
+    n_pos, total_pos = int(pos["n"]), pos["total"]
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey"))
+    return (
+        customer.filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.lit(n_pos) > F.lit(total_pos)
+        )
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias(
+                "total_balance"
+            ),
+        )
+        .orderBy("nation_key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relevance search, product analytics, and data profiling (round 2 widening)
 # ---------------------------------------------------------------------------
 
@@ -2859,28 +3289,41 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lucene's nonnegative idf formulation, k1=1.2, b=0.75) — the exact
     ranking a corpus-curation pipeline uses for targeted subset pulls.
 
-    Scale: the term postings are an explode+filter over the tokenized
+    Scale: the term postings are an explode+filter over ONE tokenized
     scan (term filter applied BEFORE any shuffle, so the posting list is
-    query-sized, not corpus-sized); per-(doc,term) tf is one shuffle on
-    a composite key; document-frequency and the corpus stats rows are
-    tiny broadcasts; the final per-doc sum reuses the doc_id-clustered
-    exchange, and top-10 is TakeOrderedAndProject (per-partition heaps),
-    never a global sort.
+    query-sized, not corpus-sized); corpus stats (N, avgdl) ride a
+    driver-side agg of the same cached pass and enter as exact literals;
+    per-(doc,term) tf is one shuffle on a composite key; document
+    frequency is a tiny broadcast; top-10 is TakeOrderedAndProject
+    (per-partition heaps), never a global sort.
     """
     from spacex_data_engineering_pipeline_spark.functions.text import words
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        release_caches_with,
+        spread,
+    )
 
+    # ONE tokenize pass for the whole query: the scalar-subquery form
+    # re-ran the words() scan for N and again for avgdl (3 tokenizations
+    # total — measured ~2 s at sf0.1); persist the tokenized corpus,
+    # take (N, avgdl) driver-side in one tiny agg, and inline them as
+    # exact double literals (dl is integral, so sum/count is the same
+    # exact double on both engines regardless of order). spread() first:
+    # one input split would serialize the tokenize map.
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", words(F.col("text")).alias("w"))
         .withColumn("dl", F.size("w"))
+        .persist()
     )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).first()
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     docs.createOrReplaceTempView("__bm25_docs")
-    # Corpus stats (N, avgdl) enter as SCALAR SUBQUERIES, not a 1-row
-    # cross join: Catalyst plans each as a one-row subquery broadcast,
-    # keeping the plan free of nested-loop join nodes (the catalog-wide
-    # hygiene sweep bans them).
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    return spark.sql(
+    out = spark.sql(
         f"""
         WITH tf AS (
             SELECT doc_id, term,
@@ -2895,11 +3338,10 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                ROUND(SUM(
-                   ln(((SELECT CAST(count(*) AS DOUBLE) FROM __bm25_docs)
-                       - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   ln(({n_docs!r} - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
                    * (tf.tf * ({_BM25_K1} + 1.0))
                    / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl
-                      / (SELECT CAST(avg(dl) AS DOUBLE) FROM __bm25_docs)))
+                      / {avgdl!r}))
                ), 4) AS score
         FROM tf JOIN dfreq ON tf.term = dfreq.term
         GROUP BY doc_id
@@ -2907,6 +3349,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+    return release_caches_with(out, docs)
 
 
 @_register(
