@@ -69,6 +69,44 @@ class IvfPqIndex:
     def unpersist(self) -> None:
         self.postings.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the index: postings ``partitionBy("cluster")`` (the
+        probed-cluster filter then PRUNES AT FILE LISTING — a 2-of-1024
+        probe reads 2 directories of byte codes, not the corpus) plus
+        the KiB-scale quantizer tensors as a JSON sidecar."""
+        import json
+        import os
+
+        self.postings.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(path, "postings")
+        )
+        with open(os.path.join(path, "quantizers.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "codebooks": self.codebooks.tolist(),
+                    "id_col": self.id_col,
+                },
+                f,
+            )
+
+
+def load_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    """Reopen a saved IVF-PQ index: the postings scan stays lazy (probes
+    partition-prune it); quantizers rehydrate driver-side."""
+    import json
+    import os
+
+    with open(os.path.join(path, "quantizers.json")) as f:
+        q = json.load(f)
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    return IvfPqIndex(
+        postings,
+        np.asarray(q["centroids"], dtype="float64"),
+        np.asarray(q["codebooks"], dtype="float64"),
+        q["id_col"],
+    )
+
 
 def build_ivfpq_index(
     df: DataFrame,

@@ -27,6 +27,51 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+_OLD_PART_PREFIX = "_old_part_"
+
+
+def _repair_partition_swaps(table_path: str) -> None:
+    """Restore partition dirs parked aside by a crash inside the swap
+    window below — runs before any partitioned read of the table."""
+    from spacex_data_engineering_pipeline_spark.operators.compact import _decode_base
+
+    try:
+        entries = os.listdir(table_path)
+    except FileNotFoundError:
+        return
+    for e in entries:
+        if not e.startswith(_OLD_PART_PREFIX):
+            continue
+        original = os.path.join(table_path, _decode_base(e[len(_OLD_PART_PREFIX):]))
+        aside = os.path.join(table_path, e)
+        if os.path.exists(original):
+            shutil.rmtree(aside, ignore_errors=True)  # crash after swap-in
+        else:
+            os.replace(aside, original)  # crash between the two renames
+
+
+def _swap_in_partitions(table_path: str, tmp_path: str, partition_col: str) -> set[str]:
+    """Move every staged ``partition_col=...`` dir from ``tmp_path``
+    into the table via rename-aside → rename-in → drop-aside; returns
+    the set of partition dir names that received data. Aside names are
+    underscore-prefixed and ``=``-free so a concurrent Spark listing
+    ignores them."""
+    from spacex_data_engineering_pipeline_spark.operators.compact import _encode_base
+
+    survivors: set[str] = set()
+    for entry in os.listdir(tmp_path):
+        if not entry.startswith(f"{partition_col}="):
+            continue  # _SUCCESS and friends
+        survivors.add(entry)
+        dest = os.path.join(table_path, entry)
+        aside = os.path.join(table_path, _OLD_PART_PREFIX + _encode_base(entry))
+        if os.path.exists(dest):
+            os.replace(dest, aside)
+        os.replace(os.path.join(tmp_path, entry), dest)
+        shutil.rmtree(aside, ignore_errors=True)
+    return survivors
+
+
 def merge_dedup(
     existing: DataFrame | None, incoming: DataFrame, key: str,
     order_by: list[Column] | None,
@@ -159,6 +204,9 @@ def upsert_parquet_partitioned(
     incoming-side probe job entirely for callers that already computed
     both riding an earlier action.
     """
+    # heal any crash-parked partition aside BEFORE reading the table —
+    # a missing partition would silently vanish from the merge input
+    _repair_partition_swaps(table_path)
     exists = os.path.exists(table_path)
     if not exists:
         # cluster rows by partition value before the write so each
@@ -226,18 +274,12 @@ def upsert_parquet_partitioned(
     # instant leaves a partition missing. Commit is per partition (a
     # crash mid-loop leaves a prefix of partitions updated) — the same
     # guarantee dynamic overwrite gives; cross-partition atomicity needs
-    # a transactional table format.
-    survivors = set()
-    for entry in os.listdir(tmp_path):
-        if not entry.startswith(f"{partition_col}="):
-            continue  # _SUCCESS and friends
-        survivors.add(entry)
-        dest = os.path.join(table_path, entry)
-        aside = dest + "__old"
-        if os.path.exists(dest):
-            os.replace(dest, aside)
-        os.replace(os.path.join(tmp_path, entry), dest)
-        shutil.rmtree(aside, ignore_errors=True)
+    # a transactional table format. Asides are `_`-prefixed with `=`
+    # percent-encoded (compact.py's scheme): Spark's listing keeps
+    # `_x=y` names as partition candidates, so a plain `dir__old`
+    # sibling would surface in a concurrent read as a phantom partition
+    # value and widen the column type to string.
+    survivors = _swap_in_partitions(table_path, tmp_path, partition_col)
     shutil.rmtree(tmp_path, ignore_errors=True)
 
     # A partition whose every row moved away ends with zero surviving

@@ -914,3 +914,40 @@ def test_ivfpq_full_sweep_equals_bruteforce(spark, sf_dir):
         assert recall >= 0.5, f"IVF-PQ recall@10 too low: {recall} ({part} vs {exact})"
     finally:
         idx.unpersist()
+
+
+def test_ivfpq_save_load_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """A saved IVF-PQ index must reopen to the identical search result,
+    and a probe over the saved postings must partition-prune to exactly
+    the probed cluster directories (the 100 TB contract: a 2-cluster
+    probe lists 2 directories of byte codes, not the corpus)."""
+    from spacex_data_engineering_pipeline_spark.operators import ivfpq as IVFPQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFPQ.build_ivfpq_index(
+        emb, "vec_id", "embedding", n_clusters=8, n_subq=8, n_centroids=16, seed=7
+    )
+    try:
+        q = [list(r[0]) for r in emb.filter(F.col("vec_id") == 3).select("embedding").collect()][0]
+        mem = [r.vec_id for r in IVFPQ.ivfpq_topk(idx, emb, "embedding", q, k=5, n_probes=3).collect()]
+
+        path = str(tmp_path / "ivfpq_idx")
+        idx.save(path)
+        loaded = IVFPQ.load_ivfpq_index(spark, path)
+        import numpy as np
+
+        assert np.array_equal(loaded.centroids, idx.centroids)
+        assert np.array_equal(loaded.codebooks, idx.codebooks)
+        disk = [r.vec_id for r in IVFPQ.ivfpq_topk(loaded, emb, "embedding", q, k=5, n_probes=3).collect()]
+        assert disk == mem
+
+        probed = loaded.probe_clusters(q, 3)
+        shortlist = IVFPQ.ivfpq_shortlist(loaded, q, n_shortlist=20, n_probes=3)
+        plan = shortlist._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+        assert "cluster" in pf, f"probe must prune on the cluster partition: {plan[:600]}"
+        assert sorted(set(r.cluster for r in loaded.postings.filter(
+            F.col("cluster").isin(probed)).select("cluster").distinct().collect()
+        )) == sorted(probed)
+    finally:
+        idx.unpersist()

@@ -277,6 +277,103 @@ def test_compact_parquet_flat_and_partitioned(spark, sf_dir, tmp_path):
             assert len(files) == 1, (d, files)
 
 
+def test_delete_where_flat_and_partitioned(spark, sf_dir, tmp_path):
+    """DELETE WHERE over parquet: exact deleted-row count, NULL
+    predicate rows kept, partitioned path rewrites only affected
+    partitions and drops fully-emptied ones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.catalog import load_table
+    from spacex_data_engineering_pipeline_spark.operators.delete import (
+        delete_where,
+        retention_delete,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+
+    # flat: delete one status; count exact; NULL-predicate rows kept
+    flat = str(tmp_path / "flat_del")
+    orders.write.parquet(flat)
+    deleted = delete_where(spark, flat, F.col("o_orderstatus") == "F")
+    assert deleted == n_f
+    after = spark.read.parquet(flat)
+    assert after.count() == total - n_f
+    assert after.filter(F.col("o_orderstatus") == "F").count() == 0
+    assert delete_where(spark, flat, F.col("o_orderstatus") == "F") == 0  # idempotent
+
+    # partitioned: retention cutoff drops whole old years, trims one
+    part = str(tmp_path / "part_del")
+    orders.withColumn("yr", F.year("o_orderdate")).repartition(4).write.partitionBy(
+        "yr"
+    ).parquet(part)
+    years = sorted(int(d.split("=")[1]) for d in os.listdir(part) if d.startswith("yr="))
+    cutoff_year = years[2]
+    n_old = orders.filter(F.year("o_orderdate") < cutoff_year).count()
+    before_dirs = {d for d in os.listdir(part) if d.startswith("yr=")}
+    # untouched-partition evidence: record a file mtime in a kept year
+    kept_dir = os.path.join(part, f"yr={years[-1]}")
+    kept_file = sorted(f for f in os.listdir(kept_dir) if f.endswith(".parquet"))[0]
+    mtime_before = os.path.getmtime(os.path.join(kept_dir, kept_file))
+
+    deleted2 = retention_delete(
+        spark, part, "o_orderdate", f"{cutoff_year}-01-01 00:00:00", partition_col="yr"
+    )
+    assert deleted2 == n_old
+    got = spark.read.parquet(part)
+    assert got.count() == total - n_old
+    assert got.agg(F.min(F.year("o_orderdate"))).first()[0] == cutoff_year
+    after_dirs = {d for d in os.listdir(part) if d.startswith("yr=")}
+    assert after_dirs == {d for d in before_dirs if int(d.split("=")[1]) >= cutoff_year}
+    # kept partitions were not rewritten
+    assert os.path.getmtime(os.path.join(kept_dir, kept_file)) == mtime_before
+    # NULL semantics: predicate NULL keeps the row
+    null_del = delete_where(spark, part, F.lit(None).cast("boolean"), partition_col="yr")
+    assert null_del == 0 and spark.read.parquet(part).count() == total - n_old
+
+
+def test_partitioned_upsert_aside_crash_repair(spark, sf_dir, tmp_path):
+    """A crash between the partition swap's two renames parks the dir at
+    a listing-invisible _old_part_* aside; the next partitioned upsert
+    (or delete) must restore it before reading the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.catalog import load_table
+    from spacex_data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    total = orders.count()
+    part = str(tmp_path / "ups_crash")
+    orders.repartition(4).write.partitionBy("yr").parquet(part)
+    leaves = sorted(d for d in os.listdir(part) if d.startswith("yr="))
+    victim = leaves[0]
+    os.replace(
+        os.path.join(part, victim),
+        os.path.join(part, "_old_part_" + victim.replace("=", "%3D")),
+    )
+    # concurrent reader mid-crash: no phantom partition, victim parked
+    pre = spark.read.parquet(part)
+    assert dict(pre.dtypes)["yr"] == "int"
+    # next upsert heals the aside FIRST, so no existing row is lost
+    batch = orders.limit(10)
+    upsert_parquet_partitioned(
+        spark, part, batch, key="o_orderkey",
+        order_by=[F.col("o_orderkey").asc()], partition_col="yr",
+    )
+    got = spark.read.parquet(part)
+    assert got.count() == total
+    assert not any(e.startswith("_old_part_") for e in os.listdir(part))
+
+
 def test_compact_parquet_crash_repair(spark, sf_dir, tmp_path):
     """A crash between the two swap renames parks a leaf at its
     _old_compact_* aside; the next compact run must restore it BEFORE
