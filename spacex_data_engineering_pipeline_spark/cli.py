@@ -139,6 +139,25 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_retention(args: argparse.Namespace) -> int:
+    """Maintenance: drop rows older than the cutoff (retention window /
+    right-to-erasure). With --partition-col only the affected partitions
+    are rewritten; prints the deleted-row count."""
+    from spacex_data_engineering_pipeline_spark.operators.delete import retention_delete
+
+    spark = get_spark(app_name="retention-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    deleted = retention_delete(
+        spark,
+        args.table_path,
+        time_col=args.time_col,
+        cutoff=args.cutoff,
+        partition_col=args.partition_col,
+    )
+    print(json.dumps({"deleted": deleted}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="spacex_data_engineering_pipeline_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -176,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
     p_cmp.add_argument("--target-file-mb", type=int, default=128)
     p_cmp.add_argument("--min-files", type=int, default=4)
     p_cmp.set_defaults(fn=cmd_compact)
+
+    p_ret = sub.add_parser(
+        "retention", help="delete rows older than a cutoff (partition-pruned)"
+    )
+    p_ret.add_argument("--table-path", required=True)
+    p_ret.add_argument("--time-col", required=True)
+    p_ret.add_argument("--cutoff", required=True,
+                       help="timestamp literal, e.g. '1996-01-01 00:00:00'")
+    p_ret.add_argument("--partition-col", default=None,
+                       help="table partition column for the pruned rewrite path")
+    p_ret.set_defaults(fn=cmd_retention)
 
     p_agg = sub.add_parser("aggregations", help="inspect snapshots, history, trends")
     p_agg.add_argument("--warehouse", required=True)

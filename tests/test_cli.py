@@ -86,3 +86,27 @@ def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["files_before"] >= 16 and stats["files_after"] == 1
+
+
+def test_cli_retention(spark, sf_dir, tmp_path, capsys):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.cli import main
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    orders = spark.read.parquet(src).withColumn("yr", F.year("o_orderdate"))
+    table = str(tmp_path / "orders_ret")
+    orders.write.partitionBy("yr").parquet(table)
+    expect = orders.filter(F.col("o_orderdate") < "1997-01-01").count()
+    rc = main([
+        "retention", "--table-path", table, "--time-col", "o_orderdate",
+        "--cutoff", "1997-01-01 00:00:00", "--partition-col", "yr",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] == expect
+    left = spark.read.parquet(table)
+    assert left.filter(F.col("o_orderdate") < "1997-01-01").count() == 0

@@ -142,6 +142,30 @@ def test_global_offset_property(rows, n_parts):
     assert got == expected
 
 
+@given(st.integers(0, 313), st.sampled_from([2, 4, 7]))
+@SETTINGS
+def test_closed_form_ntile_matches_sql_ntile(n, k):
+    """The quartile query's closed-form bucket assignment — q = n div k,
+    r = n mod k, first r buckets take q+1 rows — must agree with SQL
+    NTILE for every (n, k), remainder edge cases included (that is what
+    lets the distributed-rank rewrite keep the NTILE oracle)."""
+    q, r = divmod(n, k)
+    head = r * (q + 1)
+    # independent reference: materialize NTILE's bucket sizes directly
+    # (first r buckets q+1 rows, rest q) and read assignments off it
+    sizes = [q + 1] * r + [q] * (k - r)
+    ref_assign = [b for b, s in enumerate(sizes, start=1) for _ in range(s)]
+    assert len(ref_assign) == n
+    for rank in range(1, n + 1):
+        mine = (
+            (rank - 1) // (q + 1) + 1
+            if rank <= head
+            else r + (rank - head - 1) // max(q, 1) + 1
+        )
+        assert mine == ref_assign[rank - 1]
+        assert 1 <= mine <= min(k, max(n, 1))
+
+
 @given(
     st.lists(
         st.tuples(
