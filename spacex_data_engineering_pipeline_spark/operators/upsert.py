@@ -75,6 +75,7 @@ def _swap_in_partitions(table_path: str, tmp_path: str, partition_col: str) -> s
 def merge_dedup(
     existing: DataFrame | None, incoming: DataFrame, key: str,
     order_by: list[Column] | None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """union + per-key top-1: the relational core of the upsert.
 
@@ -84,19 +85,32 @@ def merge_dedup(
     unconditionally" (SQL MERGE's UPDATE SET *): a plan-internal side
     marker orders the window and is dropped before the result surfaces,
     so it never reaches the written table.
+
+    ``evolve_schema=True`` permits additive drift between the sides
+    (the Delta ``mergeSchema`` analog): columns present on only one
+    side survive with NULLs filled on the other — a new telemetry field
+    appears on incoming rows without a table migration, and a column
+    the producer dropped keeps its historical values. OFF by default:
+    silent drift on a mismatched batch is usually a bug, and the
+    strict union raises it immediately.
     """
+    missing_ok = bool(evolve_schema)
+
+    def _union(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.unionByName(b, allowMissingColumns=missing_ok)
+
     if order_by is None:
         incoming = incoming.withColumn("__src", F.lit(1))
         if existing is not None:
             existing = existing.withColumn("__src", F.lit(0))
-        unioned = incoming if existing is None else existing.unionByName(incoming)
+        unioned = incoming if existing is None else _union(existing, incoming)
         w = Window.partitionBy(key).orderBy(F.col("__src").desc())
         return (
             unioned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
-    unioned = incoming if existing is None else existing.unionByName(incoming)
+    unioned = incoming if existing is None else _union(existing, incoming)
     w = Window.partitionBy(key).orderBy(*order_by)
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
@@ -112,6 +126,7 @@ def upsert_parquet(
     key: str,
     order_by: list[Column] | None,
     probe: DataFrame | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Upsert ``incoming`` into the parquet table at ``table_path``;
     returns the number of NEW keys inserted (the reference reports this
@@ -142,7 +157,7 @@ def upsert_parquet(
     else:
         inserted = keyed.count()
 
-    merged = merge_dedup(existing, incoming, key, order_by)
+    merged = merge_dedup(existing, incoming, key, order_by, evolve_schema)
 
     # Break lineage from the path we're about to replace: write to a
     # sibling tmp dir, then swap — rename old ASIDE, rename new IN.
@@ -171,6 +186,7 @@ def upsert_parquet_partitioned(
     partition_col: str,
     probe: DataFrame | None = None,
     probe_stats: tuple[list, int] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Upsert into a parquet table partitioned on ``partition_col``
     (a NON-NULL column of ``incoming``, e.g. ``year(date_utc)``),
@@ -203,6 +219,14 @@ def upsert_parquet_partitioned(
     = (incoming partition values, incoming distinct-key count) skips the
     incoming-side probe job entirely for callers that already computed
     both riding an earlier action.
+
+    ``evolve_schema=True`` accepts additive column drift (see
+    ``merge_dedup``). Partitioned caveat: only the AFFECTED partitions
+    are rewritten with the merged schema — untouched partitions keep
+    their old-schema files, so whole-table reads that must see the new
+    column need ``spark.read.option("mergeSchema", "true")`` until a
+    compaction or full rewrite homogenizes the files (exactly Delta's
+    behavior minus the transaction log that would record it).
     """
     # heal any crash-parked partition aside BEFORE reading the table —
     # a missing partition would silently vanish from the merge input
@@ -266,7 +290,7 @@ def upsert_parquet_partitioned(
     # materialization — at scale it halves the merge's write volume.
     tmp_path = table_path.rstrip("/") + "__tmp_parts"
     shutil.rmtree(tmp_path, ignore_errors=True)
-    merge_dedup(existing_affected, incoming, key, order_by).repartition(
+    merge_dedup(existing_affected, incoming, key, order_by, evolve_schema).repartition(
         F.col(partition_col)
     ).write.partitionBy(partition_col).mode("overwrite").parquet(tmp_path)
 
@@ -312,6 +336,7 @@ def merge_into(
     order_by: list[Column] | None = None,
     partition_col: str | None = None,
     probe: DataFrame | None = None,
+    evolve_schema: bool = False,
 ) -> MergeResult:
     """``MERGE INTO target USING source ON target.<on> = source.<on>
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
@@ -331,7 +356,9 @@ def merge_into(
     - ``partition_col`` picks the scale path: only partitions the
       source touches are rewritten (``upsert_parquet_partitioned``);
       without it the whole table is swapped (``upsert_parquet`` — the
-      tiny-table / cross-partition-atomicity path).
+      tiny-table / cross-partition-atomicity path);
+    - ``evolve_schema`` = Delta's ``mergeSchema``: additive column
+      drift unions through with NULL fill instead of raising.
 
     Swapping in a real transactional format later means replacing this
     function's body with ``DeltaTable.merge`` — callers keep the same
@@ -339,9 +366,13 @@ def merge_into(
     """
     if partition_col is not None:
         inserted = upsert_parquet_partitioned(
-            spark, target_path, source, on, order_by, partition_col, probe=probe
+            spark, target_path, source, on, order_by, partition_col,
+            probe=probe, evolve_schema=evolve_schema,
         )
     else:
-        inserted = upsert_parquet(spark, target_path, source, on, order_by, probe=probe)
+        inserted = upsert_parquet(
+            spark, target_path, source, on, order_by,
+            probe=probe, evolve_schema=evolve_schema,
+        )
     n_source = (probe if probe is not None else source).select(on).distinct().count()
     return MergeResult(inserted=inserted, updated_or_unchanged=n_source - inserted)

@@ -277,6 +277,65 @@ def test_compact_parquet_flat_and_partitioned(spark, sf_dir, tmp_path):
             assert len(files) == 1, (d, files)
 
 
+def test_upsert_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: an incoming batch may ADD columns (old rows
+    get NULL) or MISS columns (incoming rows get NULL, history kept);
+    strict mode still raises on drift. Partitioned path: merged schema
+    lands in affected partitions; whole-table reads use mergeSchema."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from spacex_data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+        upsert_parquet_partitioned,
+    )
+
+    flat = str(tmp_path / "evo_flat")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+    )
+    upsert_parquet(spark, flat, v1, key="id", order_by=None)
+
+    # strict mode: added column raises, nothing written
+    v2 = spark.createDataFrame(
+        [(2, "b2", 21, "x"), (3, "c", 30, "y")],
+        "id long, name string, v long, extra string",
+    )
+    with pytest.raises(AnalysisException):
+        upsert_parquet(spark, flat, v2, key="id", order_by=None)
+    assert spark.read.parquet(flat).count() == 2
+
+    # evolving mode: column added, old rows NULL-backfilled
+    ins = upsert_parquet(spark, flat, v2, key="id", order_by=None, evolve_schema=True)
+    assert ins == 1
+    rows = {r.id: r for r in spark.read.parquet(flat).collect()}
+    assert rows[1].extra is None and rows[2].extra == "x" and rows[3].extra == "y"
+
+    # evolving mode: column MISSING on incoming — history survives
+    v3 = spark.createDataFrame([(3, "c3", 31)], "id long, name string, v long")
+    upsert_parquet(spark, flat, v3, key="id", order_by=None, evolve_schema=True)
+    rows = {r.id: r for r in spark.read.parquet(flat).collect()}
+    assert rows[3].name == "c3" and rows[3].extra is None and rows[2].extra == "x"
+
+    # partitioned: new column reaches the affected partition; mergeSchema
+    # read exposes it table-wide with NULLs elsewhere
+    part = str(tmp_path / "evo_part")
+    p1 = spark.createDataFrame(
+        [(1, 1995, 10), (2, 1996, 20)], "id long, yr int, v long"
+    )
+    upsert_parquet_partitioned(spark, part, p1, key="id", order_by=None, partition_col="yr")
+    p2 = spark.createDataFrame([(3, 1996, 30, "z")], "id long, yr int, v long, extra string")
+    upsert_parquet_partitioned(
+        spark, part, p2, key="id", order_by=None, partition_col="yr",
+        evolve_schema=True,
+    )
+    got = {r.id: r for r in
+           spark.read.option("mergeSchema", "true").parquet(part).collect()}
+    assert got[3].extra == "z" and got[2].extra is None and got[1].extra is None
+    assert got[2].v == 20  # untouched partition intact
+
+
 def test_delete_where_flat_and_partitioned(spark, sf_dir, tmp_path):
     """DELETE WHERE over parquet: exact deleted-row count, NULL
     predicate rows kept, partitioned path rewrites only affected
