@@ -73,6 +73,26 @@ def probe(spark, n_rows: int) -> dict[str, float]:
     D.exact_dedup(docs, ["text"], [F.col("doc_id").asc()]).count()
     timings["exact_dedup"] = time.perf_counter() - t0
 
+    from spacex_data_engineering_pipeline_spark.operators.pack import (
+        with_distributed_rank,
+    )
+
+    t0 = time.perf_counter()
+    with_distributed_rank(
+        docs.withColumn("n", F.pmod(F.xxhash64("doc_id"), 1000)),
+        "n", part_cols=["source"], tiebreak_cols=["doc_id"], out_col="r",
+    ).select(F.sum("r")).collect()
+    timings["distributed_rank"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    grams8 = with_word_ngrams(docs, "text", 8, out_col="g8", distinct=True)
+    posting = grams8.select("doc_id", F.explode("g8").alias("s"))
+    from pyspark.sql import Window as _W
+
+    dup = F.when(F.count(F.lit(1)).over(_W.partitionBy("s")) > 1, 1).otherwise(0)
+    posting.withColumn("d", dup).groupBy("doc_id").agg(F.sum("d")).count()
+    timings["span_duplication"] = time.perf_counter() - t0
+
     return {k: round(v, 3) for k, v in timings.items()}
 
 
@@ -109,9 +129,18 @@ def main() -> None:
         "shuffle setup) still dominate at these sizes; anything ≥ ~1.3",
         "warrants a plan inspection (see tests/test_plans.py guards).",
     ]
+    # Own ONLY the auto-generated block: everything after the first
+    # `## ` heading is hand-written analysis and must survive re-runs.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALE_NOTES.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    notes = os.path.join(repo, "SCALE_NOTES.md")
+    tail = ""
+    if os.path.exists(notes):
+        existing = open(notes).read()
+        cut = existing.find("\n## ")
+        if cut != -1:
+            tail = existing[cut:]
+    with open(notes, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
     print(json.dumps({"metric": "scale_probe", "results": summary}))
 
 
