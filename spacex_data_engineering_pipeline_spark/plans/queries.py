@@ -916,6 +916,38 @@ def streaming_user_stats_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_hourly_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+    """,
+)
+def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation
+    (streaming/incremental.py ``windowed_event_counts``) under the
+    oracle gate: a real streaming run whose complete-mode window rows
+    must equal the batch GROUP BY hour — watermark handling, the
+    NTZ↔instant boundary cast, and window-state accumulation all
+    graded, completing the streaming trio (stateful op, stream-stream
+    join, windowed agg) under the gate.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    def build(stream):
+        return windowed_event_counts(stream())
+
+    return _run_events_stream(
+        spark, sf_dir, build, "complete", "hourly_counts",
+        columns=["ts", "value"],
+    )
+
+
+@_register(
     "streaming_purchase_attribution",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,

@@ -3,9 +3,18 @@
 Watermarks require an instant-typed (TIMESTAMP) event-time column; the
 engine's tables surface wall-clock TIMESTAMP_NTZ (see catalog.py). The
 pair below makes the NTZ→instant→NTZ round-trip explicit and identical
-everywhere, so no operator mutates its output schema or shifts values
-(an NTZ→LTZ cast uses the session timezone; casting back with the same
-session timezone is an exact inverse).
+everywhere, WITHOUT touching the session timezone: the wall-clock value
+is interpreted AS UTC (``make_timestamp(..., 'UTC')``), not as
+session-local (a plain ``cast`` would be).
+
+Why that matters beyond symmetry: event-time WINDOW buckets align to
+the epoch on the instant timeline. Under a session cast, a fractional-
+offset timezone (Asia/Kathmandu, +05:45) shifts every wall time by
+-05:45 before bucketing, so "hourly" windows cut at :45 past the wall
+hour — values round-trip fine, but the BUCKETING moves. Interpreting
+walls as UTC makes window boundaries, watermark comparisons, and
+restored outputs all session-independent (and sidesteps DST-ambiguous
+wall times entirely — UTC has none, so the mapping is bijective).
 """
 
 from __future__ import annotations
@@ -16,15 +25,27 @@ from pyspark.sql import functions as F
 
 def to_instant_for_watermark(df: DataFrame, event_time_col: str) -> tuple[DataFrame, bool]:
     """Cast an NTZ event-time column to TIMESTAMP so withWatermark
-    accepts it; returns (df, was_ntz) — pass ``was_ntz`` to
+    accepts it — interpreting the wall-clock AS UTC, independent of the
+    session timezone; returns (df, was_ntz) — pass ``was_ntz`` to
     :func:`restore_ntz` on every output time column.
     """
     was_ntz = dict(df.dtypes).get(event_time_col) == "timestamp_ntz"
     if was_ntz:
-        df = df.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+        c = f"`{event_time_col}`"
+        df = df.withColumn(
+            event_time_col,
+            F.expr(
+                f"make_timestamp(year({c}), month({c}), day({c}), hour({c}), "
+                f"minute({c}), cast(date_format({c}, 'ss.SSSSSS') as decimal(16,6)), "
+                f"'UTC')"
+            ),
+        )
     return df, was_ntz
 
 
 def restore_ntz(col: Column, was_ntz: bool) -> Column:
-    """Invert :func:`to_instant_for_watermark` on an output column."""
-    return col.cast("timestamp_ntz") if was_ntz else col
+    """Invert :func:`to_instant_for_watermark` on an output column:
+    the instant's UTC wall time comes back as the NTZ value."""
+    if not was_ntz:
+        return col
+    return F.convert_timezone(None, F.lit("UTC"), col).cast("timestamp_ntz")
