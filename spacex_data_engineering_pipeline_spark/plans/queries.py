@@ -663,11 +663,45 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("simhash_buckets")  # no SQL oracle: pandas-UDF bit-packing
+@_register(
+    "simhash_buckets",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id AS doc,
+               list_transform({_DUCK_WORDS},
+                   tok -> ('0x' || substr(md5(tok), 1, 16))::UBIGINT) AS hs
+        FROM documents
+    ),
+    f AS (
+        SELECT doc,
+            CASE WHEN len(hs) = 0 THEN 0::HUGEINT ELSE
+                list_sum(list_transform(range(64), b ->
+                    CASE WHEN 2 * list_sum(list_transform(hs,
+                                  h -> ((h >> b) & 1)::BIGINT)) > len(hs)
+                         THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))
+            END AS v
+        FROM t
+    )
+    SELECT doc,
+           CAST(v - CASE WHEN v >= 9223372036854775808
+                         THEN 18446744073709551616::HUGEINT ELSE 0 END
+                AS BIGINT) AS simhash,
+           CAST((v >> 0)  & 65535 AS BIGINT) AS band0,
+           CAST((v >> 16) & 65535 AS BIGINT) AS band1,
+           CAST((v >> 32) & 65535 AS BIGINT) AS band2,
+           CAST((v >> 48) & 65535 AS BIGINT) AS band3
+    FROM f
+    """,
+)
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash + 4×16-bit band keys per document (Hamming≤3
     near-dups share a band). Arrow-batched pandas UDF — the one dedup
-    step not expressible with native functions.
+    step not expressible with native Spark functions, but VALUE-EXACT
+    oracle-able anyway: the token hash is portable MD5 (first 8 digest
+    bytes big-endian), so DuckDB replays the per-bit majority vote
+    bit-for-bit with list comprehensions over ``range(64)`` and the
+    two's-complement fold into a signed BIGINT. This upgrades SimHash
+    from a rows-only check to full hash-parity grading.
     """
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_buckets(docs, "doc_id", "text")

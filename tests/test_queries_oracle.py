@@ -28,13 +28,14 @@ def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLE_SQL)
     # Non-SQL-expressible ops may be exempt; keep the list explicit.
     allowed_missing = {
-        # xxhash64 / pandas-UDF / LSH-bucket ops aren't SQL-expressible;
-        # each has a dedicated semantic test in test_operators.py instead.
-        # (embedding_ivf_topk and embedding_ann_lsh regained oracles via
-        # the full-sweep contract; approx_distinct_users via the
-        # error-bound boolean.)
+        # xxhash64-seeded / random-hyperplane LSH candidate generation
+        # isn't SQL-expressible; each has a dedicated semantic test in
+        # test_operators.py instead. (embedding_ivf_topk and
+        # embedding_ann_lsh regained oracles via the full-sweep
+        # contract; approx_distinct_users via the error-bound boolean;
+        # simhash_buckets via a DuckDB replay of the portable-MD5
+        # bit-majority vote.)
         "minhash_near_dup_pairs",
-        "simhash_buckets",
         "embedding_near_dup_pairs",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
