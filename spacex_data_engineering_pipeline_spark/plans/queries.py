@@ -707,6 +707,89 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_buckets(docs, "doc_id", "text")
 
 
+@_register(
+    "simhash_near_dup_pairs",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id AS doc,
+               list_transform({_DUCK_WORDS},
+                   tok -> ('0x' || substr(md5(tok), 1, 16))::UBIGINT) AS hs
+        FROM documents
+    ),
+    f AS (
+        SELECT doc,
+            CASE WHEN len(hs) = 0 THEN 0::HUGEINT ELSE
+                list_sum(list_transform(range(64), b ->
+                    CASE WHEN 2 * list_sum(list_transform(hs,
+                                  h -> ((h >> b) & 1)::BIGINT)) > len(hs)
+                         THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))
+            END AS v
+        FROM t
+    ),
+    bands AS (
+        SELECT doc, v::UBIGINT AS v, i.range AS i,
+               ((v::UBIGINT) >> (i.range * 16)) & 65535 AS bv
+        FROM f, range(4) i
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.v AS va, b.v AS vb
+        FROM bands a JOIN bands b
+          ON a.i = b.i AND a.bv = b.bv AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(va, vb)) <= 3
+    """,
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs, oracle-graded END TO END — the
+    full banded-LSH pipeline shape (signature → band buckets → bucket
+    self-join → exact verify) with every stage value-exact on both
+    engines, which MinHash/RP-LSH can't offer (their candidate sets are
+    engine-hash-specific): the 4×16-bit banding is deterministic
+    pigeonholing, so Hamming≤3 pairs are found with RECALL 1 by
+    construction, and the bit_count(xor) verification kills every
+    band-collision false positive.
+
+    Scale shape is identical to the MinHash pipeline: one narrow
+    signature map, one shuffle on fixed-width (band_idx, band_val)
+    keys, candidate dedup BEFORE verification, Σ|bucket|² bounded by
+    16-bit bucket granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.simhash_buckets(docs, "doc_id", "text")
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"band{i}").alias("bv"))
+            for i in range(4)
+        ]
+    )
+    bands = sh.select("doc", "simhash", F.explode(band_arr).alias("b")).select(
+        "doc", "simhash", "b.i", "b.bv"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("va"),
+            F.col("b.simhash").alias("vb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     """Fixed ANN query vector: embedding of vec_id=0 (a driver-side
     point lookup, the analogue of the reference's /latest probe)."""
