@@ -31,6 +31,7 @@ from pyspark.sql import Column, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from spacex_data_engineering_pipeline_spark.operators.upsert import (
+    _partition_dir_names,
     _repair_partition_swaps,
     _swap_in_partitions,
 )
@@ -95,8 +96,16 @@ def delete_where(
 
     tmp_path = table_path.rstrip("/") + "__tmp_delete_parts"
     shutil.rmtree(tmp_path, ignore_errors=True)
+    # null-safe partition match: a NULL partition value groups on its
+    # own probe row but isin() never matches NULL — without the isNull
+    # arm its survivors would be missing from the staged write and the
+    # whole __HIVE_DEFAULT_PARTITION__ dir would be dropped.
+    non_null = [v for v in affected if v is not None]
+    part_match = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(affected):
+        part_match = part_match | F.col(partition_col).isNull()
     (
-        existing.filter(F.col(partition_col).isin(affected))
+        existing.filter(part_match)
         .filter(keep)
         .repartition(F.col(partition_col))
         .write.partitionBy(partition_col)
@@ -105,13 +114,21 @@ def delete_where(
     )
     survivors = _swap_in_partitions(table_path, tmp_path, partition_col)
     shutil.rmtree(tmp_path, ignore_errors=True)
-    # a partition whose every row matched has no staged dir — drop it
-    for part in affected:
-        if f"{partition_col}={part}" not in survivors:
-            shutil.rmtree(
-                os.path.join(table_path, f"{partition_col}={part}"),
-                ignore_errors=True,
-            )
+    # A partition whose every row matched has no staged dir — drop it.
+    # The on-disk name comes from Spark's own partition-path encoder
+    # (escapePathName + date/timestamp formatting), never an f-string
+    # of the collected value: for a value Spark escapes (':', '=', '%',
+    # spaces) the f-string path doesn't exist and the partition — every
+    # row of which matched the predicate — would silently survive.
+    if len(survivors) < len(affected):
+        affected_dirs = _partition_dir_names(
+            spark,
+            affected,
+            existing.schema[partition_col],
+            table_path.rstrip("/") + "__dirprobe",
+        )
+        for entry in affected_dirs - survivors:
+            shutil.rmtree(os.path.join(table_path, entry), ignore_errors=True)
     return deleted
 
 

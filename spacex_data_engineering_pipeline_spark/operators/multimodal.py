@@ -96,10 +96,21 @@ def decode_media(content: bytes, fmt: str):
                     j += 1
                 tokens.append(content[i:j])
                 i = j
-        i += 1  # exactly one whitespace byte after maxval, per spec
+        # exactly one whitespace byte after maxval, per spec — but
+        # VERIFY it: advancing blindly past a non-whitespace byte (or
+        # only the '\r' of a CRLF-terminated header some writers emit)
+        # would shift the pixel offset and yield silently wrong stats
+        sep = content[i : i + 1]
+        if not sep.isspace():
+            raise ValueError("malformed PPM: maxval not followed by whitespace")
+        i += 1
+        if sep == b"\r" and content[i : i + 1] == b"\n":
+            i += 1  # tolerate CRLF as the single header terminator
         w, h, maxval = (int(t) for t in tokens)
         if maxval > 255:
             raise ValueError("16-bit PPM not supported")
+        if len(content) - i < w * h * 3:
+            raise ValueError("truncated PPM pixel data")
         pixels = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
         return pixels.reshape(h, w, 3)
     if fmt == "audio/wav":

@@ -125,15 +125,25 @@ def with_distributed_rank(
     ties = list(tiebreak_cols or [])
     n = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     lo_hi = df.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).first()
-    if lo_hi["lo"] is None:  # empty input
-        return df.withColumn(out_col, F.lit(1).cast("long"))
-    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
-    width = max(1, (hi - lo + n) // n)  # ceil(span / n)
+    if lo_hi["lo"] is None:
+        # empty input OR every order value NULL: all rows land in the
+        # sentinel bucket below; any lo/width works
+        lo, width = 0, 1
+    else:
+        lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+        width = max(1, (hi - lo + n) // n)  # ceil(span / n)
 
     # bigint cast + integer div: monotone (truncation preserves order)
-    # and exact for 64-bit keys; equal values always co-bucket.
+    # and exact for 64-bit keys; equal values always co-bucket. NULL
+    # order values map to sentinel bucket -1 — before every real bucket,
+    # matching the NULLS FIRST order the Window formulation this
+    # replaces gave them — instead of a NULL __b that would vanish
+    # through the equi-join below.
     bucketed = df.withColumn(
-        "__b", F.expr(f"(cast({order_col} as bigint) - {lo}) div {width}")
+        "__b",
+        F.when(F.col(order_col).isNull(), F.lit(-1).cast("bigint")).otherwise(
+            F.expr(f"(cast({order_col} as bigint) - {lo}) div {width}")
+        ),
     )
     wl = Window.partitionBy(*parts, "__b").orderBy(order_col, *ties)
     local = bucketed.withColumn("__lrn", F.row_number().over(wl))
@@ -142,13 +152,21 @@ def with_distributed_rank(
     wb = Window.partitionBy(*parts).orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # NULL-safe join keys for part_cols: a NULL part group must match
+    # its own base row, not drop out of the inner join. (__b is never
+    # NULL thanks to the sentinel, so plain equality is fine there.)
     bases = totals.select(
-        *parts, "__b", F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__base")
+        *[F.col(c).alias(f"__p{i}") for i, c in enumerate(parts)],
+        F.col("__b").alias("__bb"),
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__base"),
     )
+    cond = F.col("__b") == F.col("__bb")
+    for i, c in enumerate(parts):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__p{i}"))
     return (
-        local.join(F.broadcast(bases), parts + ["__b"])
+        local.join(F.broadcast(bases), cond)
         .withColumn(out_col, (F.col("__base") + F.col("__lrn")).cast("long"))
-        .drop("__b", "__lrn", "__base")
+        .drop("__b", "__bb", "__lrn", "__base", *[f"__p{i}" for i in range(len(parts))])
     )
 
 

@@ -30,6 +30,37 @@ from pyspark.sql import functions as F
 _OLD_PART_PREFIX = "_old_part_"
 
 
+def _partition_dir_names(
+    spark: SparkSession, values: list, field, scratch_path: str
+) -> set[str]:
+    """Spark-encoded partition dir names for the distinct partition
+    ``values`` of column ``field`` (the table's StructField).
+
+    Deleting a zero-survivor partition dir needs its ON-DISK name. A
+    Python f-string of the collected value is wrong for anything Spark
+    escapes via ``escapePathName`` (':', '=', '%', spaces) or formats
+    differently (date/timestamp partitions) — the rmtree would target a
+    nonexistent path and the stale partition would silently survive. So
+    ask Spark itself: write the (metadata-sized) value set partitioned
+    by the column and read back the directory names it produced. Using
+    the table's own StructField makes the round-trip byte-exact with
+    what Spark wrote for the real table.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("__x", T.IntegerType()), T.StructField(field.name, field.dataType)]
+    )
+    shutil.rmtree(scratch_path, ignore_errors=True)
+    spark.createDataFrame(
+        [(1, v) for v in values], schema
+    ).coalesce(1).write.partitionBy(field.name).mode("overwrite").parquet(scratch_path)
+    prefix = f"{field.name}="
+    names = {e for e in os.listdir(scratch_path) if e.startswith(prefix)}
+    shutil.rmtree(scratch_path, ignore_errors=True)
+    return names
+
+
 def _repair_partition_swaps(table_path: str) -> None:
     """Restore partition dirs parked aside by a crash inside the swap
     window below — runs before any partitioned read of the table."""
@@ -231,7 +262,12 @@ def upsert_parquet_partitioned(
     # heal any crash-parked partition aside BEFORE reading the table —
     # a missing partition would silently vanish from the merge input
     _repair_partition_swaps(table_path)
-    exists = os.path.exists(table_path)
+    # an existing-but-empty dir (mkdir'd by an orchestrator, or a crash
+    # before the first commit) is "no table yet", not an unreadable one
+    exists = os.path.exists(table_path) and any(
+        e.startswith(f"{partition_col}=") or e.endswith(".parquet")
+        for e in os.listdir(table_path)
+    )
     if not exists:
         # cluster rows by partition value before the write so each
         # partition directory gets ONE file per holding task, not one
@@ -308,12 +344,18 @@ def upsert_parquet_partitioned(
 
     # A partition whose every row moved away ends with zero surviving
     # rows; the staged write produced no directory for it, so drop its
-    # directory or the stale rows survive.
-    for part in affected:
-        if f"{partition_col}={part}" not in survivors:
-            shutil.rmtree(
-                os.path.join(table_path, f"{partition_col}={part}"), ignore_errors=True
-            )
+    # directory or the stale rows survive. Dir names come from Spark's
+    # own encoder (never an f-string of the value — see
+    # _partition_dir_names), and only when a drop is actually pending.
+    if len(survivors) < len(affected):
+        affected_dirs = _partition_dir_names(
+            spark,
+            affected,
+            existing.schema[partition_col],
+            table_path.rstrip("/") + "__dirprobe",
+        )
+        for entry in affected_dirs - survivors:
+            shutil.rmtree(os.path.join(table_path, entry), ignore_errors=True)
     return inserted
 
 

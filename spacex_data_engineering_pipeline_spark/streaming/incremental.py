@@ -83,11 +83,26 @@ def run_streaming_ingestion(
     aggregations = AggregationService(spark, snapshots_path)
 
     def table_is_flat() -> bool:
+        # Heal crash-parked partition asides FIRST: a crash inside the
+        # partitioned swap can leave every launch_year= dir renamed to
+        # _old_part_*, which would misread as a flat layout here — the
+        # flat route skips the partitioned upsert whose entry repair
+        # would otherwise heal it, so the aside would never be restored.
+        from spacex_data_engineering_pipeline_spark.operators.upsert import (
+            _repair_partition_swaps,
+        )
+
+        _repair_partition_swaps(launches_path)
         try:
             entries = os.listdir(launches_path)
         except FileNotFoundError:
             return False  # no table yet → partitioned layout from batch 0
-        return not any(e.startswith("launch_year=") for e in entries)
+        if any(e.startswith("launch_year=") for e in entries):
+            return False  # partitioned layout present
+        # flat ONLY if top-level parquet data actually exists; an empty
+        # or marker-only dir means no table yet → partitioned from
+        # batch 0, not a flat whole-table swap forever after
+        return any(e.endswith(".parquet") for e in entries)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # stats intentionally unread: the observation costs one

@@ -180,6 +180,18 @@ def test_decode_media_ppm_and_wav():
     with pytest.raises(ValueError):
         M.decode_media(b"RIFFxxxxNOPE", "audio/wav")
 
+    # CRLF-terminated header (some writers): must decode with the
+    # correct pixel offset, never shift by one and return wrong stats
+    crlf = b"P6\r\n4 3\r\n255\r\n" + pixels
+    img2 = M.decode_media(crlf, "image/ppm")
+    assert bytes(img2.reshape(-1)) == pixels
+    # header whose maxval runs straight into pixel data → error, and a
+    # truncated pixel payload → error (not silently short stats)
+    with pytest.raises(ValueError):
+        M.decode_media(b"P6\n4 3\n255" + pixels, "image/ppm")
+    with pytest.raises(ValueError):
+        M.decode_media(b"P6\n4 3\n255\n" + pixels[:-1], "image/ppm")
+
 
 def test_decode_image_stats_real_decode_and_fault_tolerance(spark, sf_dir):
     """The decode query path: payloads built JVM-side are genuinely

@@ -169,9 +169,11 @@ def test_closed_form_ntile_matches_sql_ntile(n, k):
 @given(
     st.lists(
         st.tuples(
-            st.sampled_from(["en", "de", "fr"]),       # few, large strata
-            st.integers(-(10**12), 10**12),            # order values, MAY tie
-            st.integers(0, 10**9),                     # unique tiebreak source
+            st.sampled_from(["en", "de", "fr", None]),  # few, large strata (+NULL group)
+            st.one_of(                                  # order values, MAY tie or be NULL
+                st.none(), st.integers(-(10**12), 10**12)
+            ),
+            st.integers(0, 10**9),                      # unique tiebreak source
         ),
         min_size=0,
         max_size=30,
@@ -183,7 +185,9 @@ def test_closed_form_ntile_matches_sql_ntile(n, k):
 def test_distributed_rank_property(rows, n_buckets):
     """with_distributed_rank equals a plain per-group row_number over
     (order, tiebreak) for ANY input — ties in the order column, sparse
-    and negative 64-bit values, empty groups, any bucket count."""
+    and negative 64-bit values, NULL order values (NULLS FIRST, like
+    the Window it replaces), NULL group keys, empty groups, any bucket
+    count."""
     from spacex_data_engineering_pipeline_spark.operators.pack import (
         with_distributed_rank,
     )
@@ -198,10 +202,13 @@ def test_distributed_rank_property(rows, n_buckets):
         ).collect()
     }
     expected = {}
-    by_g: dict[str, list] = {}
+    by_g: dict[str | None, list] = {}
     for g, val, tb in rows:
         by_g.setdefault(g, []).append((val, tb))
     for g, items in by_g.items():
-        for i, (val, tb) in enumerate(sorted(items)):
+        ordered = sorted(  # Spark default: ascending NULLS FIRST
+            items, key=lambda t: (t[0] is not None, t[0] if t[0] is not None else 0, t[1])
+        )
+        for i, (val, tb) in enumerate(ordered):
             expected[tb] = i + 1
     assert got == expected

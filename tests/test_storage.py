@@ -394,6 +394,58 @@ def test_delete_where_flat_and_partitioned(spark, sf_dir, tmp_path):
     assert null_del == 0 and spark.read.parquet(part).count() == total - n_old
 
 
+def test_delete_where_escaped_partition_values(spark, tmp_path):
+    """Zero-survivor partition drop must target the dir Spark actually
+    wrote. For values Spark escapes in partition paths (':', spaces,
+    '%', '=') or formats itself (date columns), an f-string of the
+    collected value names a nonexistent path — the partition, every row
+    of which matched the predicate, would silently survive (a
+    data-retention bug for a GDPR-erasure operator)."""
+    import datetime
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators.delete import delete_where
+
+    # string partition values exercising escapePathName's charset
+    vals = ["a:b", "c d", "p%q", "e=f", "plain"]
+    rows = [(i, v) for v in vals for i in range(3)]
+    tbl = str(tmp_path / "esc_del")
+    spark.createDataFrame(rows, "id int, k string").repartition(2).write.partitionBy(
+        "k"
+    ).parquet(tbl)
+    # every dir except 'plain' is escaped on disk
+    dirs = {d for d in os.listdir(tbl) if d.startswith("k=")}
+    assert "k=a%3Ab" in dirs and "k=plain" in dirs
+
+    deleted = delete_where(spark, tbl, F.col("k") == "a:b", partition_col="k")
+    assert deleted == 3
+    after = {d for d in os.listdir(tbl) if d.startswith("k=")}
+    assert "k=a%3Ab" not in after, "escaped partition dir must be dropped"
+    got = spark.read.parquet(tbl)
+    assert got.count() == 12 and got.filter(F.col("k") == "a:b").count() == 0
+
+    # mixed: one partition fully deleted, another trimmed
+    deleted2 = delete_where(
+        spark, tbl, (F.col("k") == "c d") | ((F.col("k") == "e=f") & (F.col("id") == 0)),
+        partition_col="k",
+    )
+    assert deleted2 == 4
+    after2 = {d for d in os.listdir(tbl) if d.startswith("k=")}
+    assert "k=c%20d" not in after2 and any(d.startswith("k=e%3D") for d in after2)
+    assert spark.read.parquet(tbl).count() == 8
+
+    # date-typed partition column: Spark formats the dir value itself
+    drows = [(i, datetime.date(2024, 1, 1 + i % 2)) for i in range(6)]
+    dtbl = str(tmp_path / "date_del")
+    spark.createDataFrame(drows, "id int, d date").write.partitionBy("d").parquet(dtbl)
+    assert delete_where(
+        spark, dtbl, F.col("d") == datetime.date(2024, 1, 2), partition_col="d"
+    ) == 3
+    dafter = {x for x in os.listdir(dtbl) if x.startswith("d=")}
+    assert dafter == {"d=2024-01-01"}
+    assert spark.read.parquet(dtbl).count() == 3
+
+
 def test_partitioned_upsert_aside_crash_repair(spark, sf_dir, tmp_path):
     """A crash between the partition swap's two renames parks the dir at
     a listing-invisible _old_part_* aside; the next partitioned upsert

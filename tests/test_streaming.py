@@ -129,6 +129,62 @@ def test_streaming_ingestion_resumes_flat_table(spark, tmp_path):
     assert rows == {"l1", "l2"}
 
 
+def test_streaming_layout_detection_heals_aside_and_empty_dir(spark, tmp_path):
+    """Two states that must NOT be misread as a flat table: (a) a crash
+    that parked every launch_year= dir aside as _old_part_* — the flat
+    route would skip the partitioned upsert's repair and read a table
+    missing partitions forever; (b) a pre-created empty dir — it's
+    'no table yet', so batch 0 takes the partitioned layout."""
+    import os
+
+    payloads = spark.createDataFrame(
+        [("p1", "P1", 100.0)], "payload_id string, name string, mass_kg double"
+    )
+
+    def mk_args(name):
+        in_dir = tmp_path / f"in_{name}"
+        in_dir.mkdir()
+        return dict(
+            input_json_dir=str(in_dir),
+            payloads=payloads,
+            launches_path=str(tmp_path / f"launches_{name}.pq"),
+            snapshots_path=str(tmp_path / f"snaps_{name}.pq"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        ), in_dir
+
+    rec = {"launch_id": "l1", "mission_name": "M1",
+           "date_utc": "2022-01-01T00:00:00Z", "success": True,
+           "payload_ids": ["p1"], "launchpad_id": "padA",
+           "static_fire_date_utc": None}
+
+    # (a) crash-parked aside: seed a partitioned table, park its only
+    # partition aside as the swap's crash window would, then resume
+    args, in_dir = mk_args("aside")
+    _write_batch(in_dir, "b1.json", [rec])
+    run_streaming_ingestion(spark, **args)
+    lp = args["launches_path"]
+    victim = next(e for e in os.listdir(lp) if e.startswith("launch_year="))
+    os.replace(
+        os.path.join(lp, victim),
+        os.path.join(lp, "_old_part_" + victim.replace("=", "%3D")),
+    )
+    _write_batch(in_dir, "b2.json", [dict(rec, launch_id="l2",
+                                          date_utc="2023-05-01T00:00:00Z")])
+    run_streaming_ingestion(spark, **args)
+    assert victim in os.listdir(lp), "aside must be healed, not misread as flat"
+    got = {r.launch_id for r in spark.read.parquet(lp).collect()}
+    assert got == {"l1", "l2"}
+
+    # (b) pre-created empty dir: batch 0 must land PARTITIONED
+    args2, in_dir2 = mk_args("empty")
+    os.makedirs(args2["launches_path"])
+    _write_batch(in_dir2, "b1.json", [rec])
+    run_streaming_ingestion(spark, **args2)
+    assert any(
+        e.startswith("launch_year=") for e in os.listdir(args2["launches_path"])
+    ), "empty dir must take the partitioned layout, not flat-forever"
+
+
 def test_windowed_event_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     """Run the windowed agg as a REAL stream (file source over the events
     parquet, AvailableNow) and compare with the batch catalog query."""
