@@ -120,18 +120,61 @@ def ngram_jaccard_pairs(
 
 
 _MAX_LONG = (1 << 63) - 1
+_MINHASH_P = 2_147_483_647  # 2^31 - 1, prime — universal-hash modulus
 
 
-def _band_minhash(shingles: Column, lo: int, hi: int) -> Column:
-    """Min-hash vector for hash indices [lo, hi) over a shingle-array
-    column: per shingle compute the (hi-lo) hashes, then fold with an
-    element-wise ``least`` — the shingle array is referenced exactly
-    once, so optimizer inlining can't multiply the work (see
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic ``(a_i, b_i)`` coefficients for the classic
+    universal hash family ``h_i(x) = (a_i·x + b_i) mod P`` that drives
+    the MinHash permutations. Derived from MD5 of fixed strings — pure
+    integer literals any engine can consume, which is what lets the
+    DuckDB oracle replay the ENTIRE LSH pipeline value-exactly (the
+    SimHash portable-hash recipe, applied to MinHash)."""
+    import hashlib
+
+    out: list[tuple[int, int]] = []
+    for i in range(num_hashes):
+        a = (
+            int.from_bytes(hashlib.md5(f"minhash:a:{i}".encode()).digest()[:8], "big")
+            % (_MINHASH_P - 1)
+            + 1
+        )
+        b = (
+            int.from_bytes(hashlib.md5(f"minhash:b:{i}".encode()).digest()[:8], "big")
+            % _MINHASH_P
+        )
+        out.append((a, b))
+    return out
+
+
+def _shingle_bases(shingles: Column) -> Column:
+    """Portable 28-bit base hash per shingle: first 7 hex digits of its
+    MD5 (``('0x'||substr(md5(s),1,7))::UBIGINT`` in DuckDB). ONE digest
+    per shingle — the k per-permutation hashes are derived from it by
+    affine arithmetic, so this is cheaper than k engine hashes AND
+    engine-independent. 28 bits keeps every downstream product
+    ``a_i·x + b_i`` (< 2^59) inside exact signed-64 arithmetic on both
+    engines."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+
+
+def _band_minhash(bases: Column, lo: int, hi: int, coeffs: list[tuple[int, int]]) -> Column:
+    """Min-hash vector for permutation indices [lo, hi) over a base-hash
+    array column: per base compute the (hi-lo) affine hashes, then fold
+    with an element-wise ``least`` — the base array is referenced
+    exactly once, so optimizer inlining can't multiply the work (see
     functions/text.py ``ngrams_from_words`` for the full story).
     """
     per_shingle = F.transform(
-        shingles,
-        lambda s: F.transform(F.sequence(F.lit(lo), F.lit(hi - 1)), lambda i: F.xxhash64(s, i)),
+        bases,
+        lambda h: F.array(
+            *[
+                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+                for a, b in coeffs[lo:hi]
+            ]
+        ),
     )
     init = F.array_repeat(F.lit(_MAX_LONG), hi - lo)
     return F.aggregate(
@@ -143,14 +186,18 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: k independent min-hashes of the
-    word-shingle set, via ``xxhash64(shingle, seed_i)`` — all native
-    expressions, one narrow map stage, O(shingles·k) per row.
+    word-shingle set via the portable MD5-seeded affine family — all
+    native expressions, one narrow map stage, one MD5 per shingle plus
+    O(shingles·k) integer arithmetic per row.
     """
+    coeffs = minhash_coeffs(num_hashes)
     return (
         with_word_ngrams(_spread(df), text_col, shingle_n, out_col="shingles", distinct=True)
         .select(F.col(id_col).alias("doc"), "shingles")
         .filter(F.size("shingles") > 0)
-        .withColumn("sig", _band_minhash(F.col("shingles"), 0, num_hashes))
+        .withColumn(
+            "sig", _band_minhash(_shingle_bases(F.col("shingles")), 0, num_hashes, coeffs)
+        )
     )
 
 
@@ -173,6 +220,11 @@ def minhash_near_dup_pairs(
     4. verification — join shingle sets back, exact integer-micro
        Jaccard, threshold filter (kills LSH false positives).
 
+    Every hash in the pipeline is PORTABLE (MD5 base + affine
+    permutations, see ``minhash_coeffs``), so a SQL oracle replays the
+    exact candidate set — the whole operator is value-exact gradable,
+    not just recall-floor testable.
+
     Returns (doc_a, doc_b, jaccard_micro BIGINT).
     """
     if bands <= 0 or num_hashes % bands != 0:
@@ -182,6 +234,7 @@ def minhash_near_dup_pairs(
             "bands > num_hashes degenerates every band to one signature"
         )
     rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
     grams = (
         # NOT _spread here: measured slower end-to-end — widening the
         # input replaces AQE's broadcast of the narrow banded table
@@ -190,6 +243,10 @@ def minhash_near_dup_pairs(
         with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
         .select(F.col(id_col).alias("doc"), "shingles")
         .filter(F.size("shingles") > 0)
+        # stage the per-shingle portable base hash ONCE (one MD5 per
+        # shingle); every band derives its permutations from it by
+        # integer arithmetic
+        .withColumn("bases", _shingle_bases(F.col("shingles")))
         # the shingle table feeds three consumers (banding + both
         # verification joins); materialize it once instead of
         # recomputing the shingling 3x (persist, not lazy checkpoint —
@@ -200,14 +257,25 @@ def minhash_near_dup_pairs(
     # Per-band min-hash directly (never materialize-then-slice the full
     # signature: a sliced signature expression gets inlined into each
     # band lambda and recomputed ``bands`` times). Total work stays
-    # O(shingles · num_hashes) per row.
+    # one MD5 + O(num_hashes) arithmetic per shingle. The band key is
+    # MD5 of the comma-joined minhash vector — fixed-width and portable,
+    # so the DuckDB oracle reproduces the exact candidate set.
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    _band_minhash(
-                        F.col("shingles"), b * rows_per_band, (b + 1) * rows_per_band
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            _band_minhash(
+                                F.col("bases"),
+                                b * rows_per_band,
+                                (b + 1) * rows_per_band,
+                                coeffs,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
                     )
                 ).alias("band_hash"),
             )

@@ -651,11 +651,72 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("minhash_near_dup_pairs")  # no SQL oracle: xxhash64 is Spark-specific
+def _minhash_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, min_jaccard_micro: int = 300_000
+) -> str:
+    """DuckDB replay of the FULL MinHash-LSH pipeline — possible because
+    every hash is portable (MD5 28-bit base per shingle + MD5-derived
+    affine permutation coefficients inlined as integer literals, MD5 of
+    the comma-joined minhash vector as the band key). Signature, band
+    keys, candidate set, and verification all match Spark value-exactly.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.dedup import minhash_coeffs
+
+    coeffs = minhash_coeffs(num_hashes)
+    rpb = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        mins = ", ".join(
+            f"CAST(list_min(list_transform(bases, h -> (h * {a} + {bb}) % 2147483647)) AS VARCHAR)"
+            for a, bb in coeffs[b * rpb : (b + 1) * rpb]
+        )
+        band_selects.append(
+            f"SELECT doc, {b} AS band_idx, md5(concat_ws(',', {mins})) AS band_hash FROM hb"
+        )
+    bands_sql = "\n        UNION ALL ".join(band_selects)
+    return f"""
+    WITH g AS (
+        SELECT doc_id AS doc,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    hb AS (
+        SELECT doc, grams,
+               list_transform(grams,
+                   s -> (('0x' || substr(md5(s), 1, 7))::UBIGINT)::BIGINT) AS bases
+        FROM g WHERE len(grams) > 0
+    ),
+    bands AS (
+        {bands_sql}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(floor(len(list_intersect(ga.grams, gb.grams)) * 1000000
+                / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))))
+                AS BIGINT) AS jaccard_micro
+    FROM pairs p
+    JOIN hb ga ON p.doc_a = ga.doc
+    JOIN hb gb ON p.doc_b = gb.doc
+    WHERE CAST(floor(len(list_intersect(ga.grams, gb.grams)) * 1000000
+               / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))))
+               AS BIGINT) >= {min_jaccard_micro}
+    """
+
+
+@_register("minhash_near_dup_pairs", oracle=_minhash_oracle_sql())
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) → LSH(16 bands × 4 rows) → exact-Jaccard verification.
-    Non-SQL-expressible (xxhash64 signatures); correctness is covered by
-    tests comparing LSH output against exact pairwise Jaccard.
+    """MinHash(64) → LSH(16 bands × 4 rows) → exact-Jaccard verification,
+    oracle-graded END TO END: the portable MD5-seeded affine hash family
+    (operators/dedup.py ``minhash_coeffs``) lets DuckDB replay
+    signatures, band keys, and the exact candidate set — the same
+    upgrade the SimHash pipeline got, applied to MinHash.
     """
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_near_dup_pairs(

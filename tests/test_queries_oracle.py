@@ -28,14 +28,14 @@ def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLE_SQL)
     # Non-SQL-expressible ops may be exempt; keep the list explicit.
     allowed_missing = {
-        # xxhash64-seeded / random-hyperplane LSH candidate generation
-        # isn't SQL-expressible; each has a dedicated semantic test in
-        # test_operators.py instead. (embedding_ivf_topk and
-        # embedding_ann_lsh regained oracles via the full-sweep
-        # contract; approx_distinct_users via the error-bound boolean;
-        # simhash_buckets via a DuckDB replay of the portable-MD5
-        # bit-majority vote.)
-        "minhash_near_dup_pairs",
+        # random-hyperplane LSH candidate generation rides numpy RNG;
+        # it has a dedicated semantic test in test_operators.py
+        # instead. (embedding_ivf_topk and embedding_ann_lsh regained
+        # oracles via the full-sweep contract; approx_distinct_users
+        # via the error-bound boolean; simhash_buckets via a DuckDB
+        # replay of the portable-MD5 bit-majority vote;
+        # minhash_near_dup_pairs via the portable MD5-seeded affine
+        # hash family replayed end to end.)
         "embedding_near_dup_pairs",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
