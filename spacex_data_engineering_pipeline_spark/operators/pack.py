@@ -89,6 +89,23 @@ def with_global_offset(
     )
 
 
+def rank_probe(df: DataFrame, order_col: str) -> tuple[int | None, int | None, int]:
+    """ONE column-pruned job returning ``(min, max, count)`` of
+    ``order_col``. Callers that also need the global row count (e.g.
+    the NTILE closed form in ``order_price_quartiles``) use this
+    instead of a separate ``df.count()``: pass the (min, max) back to
+    ``with_distributed_rank`` via ``probe`` and the rank primitive
+    skips its own min/max job — one probe total."""
+    row = df.agg(
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    lo = int(row["lo"]) if row["lo"] is not None else None
+    hi = int(row["hi"]) if row["hi"] is not None else None
+    return lo, hi, int(row["n"])
+
+
 def with_distributed_rank(
     df: DataFrame,
     order_col: str,
@@ -96,6 +113,7 @@ def with_distributed_rank(
     tiebreak_cols: list[str] | None = None,
     out_col: str = "rank",
     n_buckets: int | None = None,
+    probe: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """Append the exact 1-based ``row_number`` of each row within its
     ``part_cols`` group, ordered by ``(order_col, *tiebreak_cols)`` —
@@ -124,7 +142,12 @@ def with_distributed_rank(
     parts = list(part_cols or [])
     ties = list(tiebreak_cols or [])
     n = n_buckets or df.sparkSession.sparkContext.defaultParallelism
-    lo_hi = df.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).first()
+    if probe is not None:
+        lo_hi = {"lo": probe[0], "hi": probe[1]}  # caller-supplied, one job saved
+    else:
+        lo_hi = df.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).first()
     if lo_hi["lo"] is None:
         # empty input OR every order value NULL: all rows land in the
         # sentinel bucket below; any lo/width works

@@ -54,6 +54,53 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+_QUANT = 1 << 20  # fixed-point scale for the portable sign-LSH path
+
+
+def portable_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[int]]:
+    """INTEGER sign-LSH hyperplanes derived from MD5(seed, plane,
+    coordinate) — plain integer literals any engine regenerates.
+    Combined with the 2^20 fixed-point quantization of the embedding
+    (``_int_bucket_expr``) every bucket bit is the sign of an EXACT
+    signed-64 integer dot product: no float summation-order or rounding
+    divergence between engines, which is what lets a SQL oracle replay
+    the LSH candidate set bit-for-bit. Coefficients are uniform in
+    [-2^19, 2^19); |qv·c| ≤ dim·2^20·2^19 ≪ 2^63 for any dim < 2^24.
+    """
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(f"rplsh:{seed}:{p}:{j}".encode()).digest()[:8], "big"
+            )
+            % (1 << 20)
+            - (1 << 19)
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _int_bucket_expr(vec_col: str, planes: list[list[int]]) -> Column:
+    """Bucket id = bit-packed signs of exact integer dot products of the
+    fixed-point-quantized vector against integer hyperplanes."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * F.lit(float(_QUANT))).cast("long")
+    )
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(int(c)).cast("long") for c in plane])
+        d = F.aggregate(
+            F.zip_with(qv, p, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
 def rp_lsh_buckets(
     df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
 ) -> DataFrame:
@@ -122,8 +169,9 @@ def embedding_near_dup_pairs(
     seeds: tuple[int, ...] = (42, 137, 9001, 271828),
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: multi-seed random-
-    hyperplane LSH bucketing, then EXACT cosine verification on the
+    """Embedding-cosine near-duplicate pairs: multi-seed sign-LSH
+    bucketing (portable integer hyperplanes — see
+    ``portable_hyperplanes``), then EXACT cosine verification on the
     union of candidates.
 
     Recall is a DIAL, not a constant: one 8-plane table keeps only
@@ -153,21 +201,17 @@ def embedding_near_dup_pairs(
             )
         dim = len(probe[0])
 
-    def _bucket_expr(planes: list[list[float]]) -> Column:
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(planes):
-            p = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(dot(F.col(vec_col), p) >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            bucket = bucket + F.shiftleft(bit, i)
-        return bucket
-
+    # portable integer planes + fixed-point quantization: the bucket
+    # keys (and therefore the exact candidate set) are reproducible in
+    # any engine — this is what upgrades the query from a recall-floor
+    # pytest check to full value-exact oracle grading
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                _bucket_expr(random_hyperplanes(dim, n_planes, s)).alias("bucket"),
+                _int_bucket_expr(vec_col, portable_hyperplanes(dim, n_planes, s)).alias(
+                    "bucket"
+                ),
             )
             for b, s in enumerate(seeds)
         ]

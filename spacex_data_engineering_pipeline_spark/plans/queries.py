@@ -1658,11 +1658,85 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("embedding_near_dup_pairs")  # no SQL oracle: LSH bucket recall
+def _embedding_near_dup_oracle_sql(
+    dim: int = 64,
+    n_planes: int = 8,
+    seeds: tuple[int, ...] = (42, 137, 9001, 271828),
+    min_cosine: float = 0.95,
+) -> str:
+    """DuckDB replay of the multi-seed sign-LSH pipeline. Possible
+    because the hyperplanes are MD5-derived INTEGER literals and the
+    embedding is fixed-point quantized (floor(x·2^20)) before the dot
+    product — every bucket bit is the sign of exact integer arithmetic,
+    identical in any engine, so the candidate set matches Spark's
+    bit-for-bit; verification reuses the proven float-cosine parity
+    formula (list_dot_product + ROUND 6)."""
+    from spacex_data_engineering_pipeline_spark.operators.similarity import (
+        portable_hyperplanes,
+    )
+
+    # flatten all coefficients band-major into ONE literal list and
+    # unnest it once into rows — per-element indexing of a literal
+    # nested list inside a lambda re-materializes the matrix per
+    # evaluation in DuckDB (measured: minutes at 5k vectors); the
+    # relational join form scans the 2048 coefficients once
+    flat: list[int] = []
+    for _, s in enumerate(seeds):
+        for row in portable_hyperplanes(dim, n_planes, s):
+            flat.extend(row)
+    n_total = len(flat)
+    per_band = n_planes * dim
+    flat_lit = "[" + ",".join(str(c) for c in flat) + "]"
+    pair_cos = """
+           list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
+    """
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    coef AS (
+        SELECT ((i - 1) // {per_band}) AS band,
+               (((i - 1) % {per_band}) // {dim}) + 1 AS p,
+               ((i - 1) % {dim}) + 1 AS j,
+               c
+        FROM (SELECT unnest({flat_lit}::BIGINT[]) AS c,
+                     unnest(range(1, {n_total + 1})) AS i)
+    ),
+    dots AS (
+        SELECT q.vec_id, c.band, c.p, sum(q.qv[c.j] * c.c) AS d
+        FROM qv q, coef c
+        GROUP BY q.vec_id, c.band, c.p
+    ),
+    bands AS (
+        SELECT vec_id, band,
+               CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p - 1))
+                             ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id, band
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b, ROUND({pair_cos}, 6) AS cos_sim
+    FROM pairs p
+    JOIN embeddings ea ON p.id_a = ea.vec_id
+    JOIN embeddings eb ON p.id_b = eb.vec_id
+    WHERE ROUND({pair_cos}, 6) >= {min_cosine}
+    """
+
+
+@_register("embedding_near_dup_pairs", oracle=_embedding_near_dup_oracle_sql())
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (LSH buckets + exact cosine
-    verification, cos ≥ 0.95). Tests assert zero false positives and
-    value-exactness against brute-force ground truth.
+    """Embedding-cosine near-dup pairs (multi-seed sign-LSH buckets +
+    exact cosine verification, cos ≥ 0.95), oracle-graded END TO END:
+    portable integer hyperplanes + fixed-point quantization make the
+    candidate set engine-independent, closing the last oracle exemption
+    in the catalog.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.95)
@@ -2841,15 +2915,17 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL NTILE's remainder-first split: with q = n div 4, r = n mod 4,
     the first r buckets take q+1 rows, the rest q. Aggregated min/max
     are stored values, so floats compare bit-identically with the
-    oracle's real NTILE. The count-star for n is a column-pruned
-    metadata-cheap probe.
+    oracle's real NTILE. ONE probe job total: (min, max, count) ride
+    the same column-pruned aggregate (``rank_probe``), feeding both the
+    NTILE closed form and the rank primitive's bucket width.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    n = orders.count()
+    lo, hi, n = PK.rank_probe(orders, "o_totalprice")
     q, r = divmod(n, 4)
     head = r * (q + 1)  # ranks 1..head fall in the q+1-sized buckets
     ranked = PK.with_distributed_rank(
-        orders, "o_totalprice", tiebreak_cols=["o_orderkey"], out_col="__rank"
+        orders, "o_totalprice", tiebreak_cols=["o_orderkey"], out_col="__rank",
+        probe=(lo, hi),
     )
     quartile = F.expr(
         f"CASE WHEN __rank <= {head} THEN (__rank - 1) div {q + 1} + 1 "

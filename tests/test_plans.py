@@ -109,6 +109,30 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_no_single_partition_exchange_over_data_anywhere(spark, sf_dir):
+    """Catalog-wide version of the guard that caught round-2's NTILE
+    class: every ``Exchange SinglePartition`` in every query's plan
+    must sit above an aggregate (metadata-sized inputs — bucket totals,
+    global metrics, count probes), never above raw data-bearing rows.
+    A single-partition exchange over data rows is the one-reducer
+    bottleneck that silently serializes at 100 TB. Covers every future
+    query automatically."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    aggs = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for chunk in plan.split("Exchange SinglePartition")[1:]:
+            # the segment between the exchange and the next scan must
+            # contain an aggregate — i.e. the exchange moves aggregate
+            # rows, not table rows
+            head = chunk.split("Scan parquet")[0]
+            if not any(a in head for a in aggs):
+                offenders.setdefault(name, []).append(head[:200])
+    assert not offenders, offenders
+
+
 def test_quartiles_have_no_single_reducer_data_window(spark):
     """order_price_quartiles must compute the global rank via the
     distributed prefix-sum primitive, not a global NTILE window: no

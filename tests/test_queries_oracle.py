@@ -27,17 +27,15 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
 def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLE_SQL)
     # Non-SQL-expressible ops may be exempt; keep the list explicit.
-    allowed_missing = {
-        # random-hyperplane LSH candidate generation rides numpy RNG;
-        # it has a dedicated semantic test in test_operators.py
-        # instead. (embedding_ivf_topk and embedding_ann_lsh regained
-        # oracles via the full-sweep contract; approx_distinct_users
-        # via the error-bound boolean; simhash_buckets via a DuckDB
-        # replay of the portable-MD5 bit-majority vote;
-        # minhash_near_dup_pairs via the portable MD5-seeded affine
-        # hash family replayed end to end.)
-        "embedding_near_dup_pairs",
-    }
+    # Every query is oracle-graded. Historical exemptions and their
+    # cures: embedding_ivf_topk / embedding_ann_lsh via the full-sweep
+    # contract; approx_distinct_users via the error-bound boolean;
+    # simhash_buckets via the portable-MD5 bit-majority replay;
+    # minhash_near_dup_pairs via the portable MD5-seeded affine hash
+    # family; embedding_near_dup_pairs via integer hyperplanes +
+    # fixed-point quantization. New non-SQL-expressible queries must
+    # be added here EXPLICITLY with a reason.
+    allowed_missing: set[str] = set()
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
     assert missing == allowed_missing, (
         f"stale exemptions (now have oracles): {allowed_missing - missing}"
