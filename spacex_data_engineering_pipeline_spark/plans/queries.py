@@ -996,19 +996,39 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix, columns=None):
+def _run_events_stream(
+    spark,
+    sf_dir,
+    build,
+    output_mode,
+    name_prefix,
+    columns=None,
+    n_files: int = 1,
+    max_files_per_trigger: int | None = None,
+    order_col: str = "ts",
+    state_partitions: int = 8,
+):
     """Drive one AvailableNow streaming run over the events table.
 
-    The events parquet is staged as a single file so the run is exactly
-    ONE micro-batch (deterministic: multi-batch runs would let the
-    watermark advance between batches and evict state mid-corpus,
-    making results depend on file-split boundaries). ``columns`` prunes
-    the staged copy to what the stream reads — the staging write is the
-    run's biggest I/O, so project EARLY exactly as a scan would.
-    ``build`` receives a zero-arg factory so joins can open several
-    readStreams over the same staged source. The memory sink bounds
-    this to gate/test scale by design — a production deployment writes
-    to a table sink instead.
+    ``n_files=1`` (default) stages the events parquet as a single file
+    so the run is exactly ONE micro-batch — deterministic regardless of
+    watermark semantics. ``n_files=N`` with ``max_files_per_trigger=1``
+    is the cross-batch grading mode: the corpus is RANGE-SPLIT on
+    ``order_col`` into N files with strictly increasing modification
+    times (the file source processes them oldest-first), so the run is
+    N micro-batches arriving in event-time order — state persists and
+    watermarks advance BETWEEN batches exactly as in production, and
+    the final result must still equal the batch oracle. Event-time
+    ordering is what makes that a theorem rather than luck: a row
+    needed by a later batch (e.g. a click awaiting its purchase) is
+    always within the watermark delay of the batch that buffers it.
+
+    ``columns`` prunes the staged copy to what the stream reads — the
+    staging write is the run's biggest I/O, so project EARLY exactly as
+    a scan would. ``build`` receives a zero-arg factory so joins can
+    open several readStreams over the same staged source. The memory
+    sink bounds this to gate/test scale by design — a production
+    deployment writes to a table sink instead.
 
     State partitioning is sized explicitly (8 here): every stateful
     streaming operator pays per-partition state-store open/snapshot/
@@ -1031,12 +1051,28 @@ def _run_events_stream(spark, sf_dir, build, output_mode, name_prefix, columns=N
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         src = _os.path.join(work, "src")
-        events.coalesce(1).write.parquet(src)
+        if n_files == 1:
+            events.coalesce(1).write.parquet(src)
+        else:
+            split = _os.path.join(work, "split")
+            events.repartitionByRange(n_files, F.col(order_col)).write.parquet(split)
+            _os.makedirs(src)
+            parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+            for i, fname in enumerate(parts):
+                # part-file names order by range-partition id = event-time
+                # order; strictly increasing mtimes make the file source
+                # deliver them as chronological micro-batches
+                dst = _os.path.join(src, f"batch{i:04d}.parquet")
+                _os.replace(_os.path.join(split, fname), dst)
+                _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
         def stream():
-            return spark.readStream.schema(events.schema).parquet(src)
+            reader = spark.readStream.schema(events.schema)
+            if max_files_per_trigger is not None:
+                reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+            return reader.parquet(src)
 
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         q = (
             build(stream)
             .writeStream.format("memory")
@@ -1164,6 +1200,155 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     out = _run_events_stream(
         spark, sf_dir, build, "append", "attr_join",
         columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return out.select(
+        "purchase_id",
+        F.col("purchase_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+
+
+# --- multi-micro-batch variants: same queries, N chronological batches ---
+# The single-batch runs above prove the operators; these prove the
+# CROSS-BATCH contracts — state persisted through the checkpoint,
+# watermarks advancing between batches, join buffers evicting — by
+# splitting the source into 8 event-time-ordered files consumed with
+# maxFilesPerTrigger=1 and grading the FINAL result against the same
+# batch oracle. A state row lost at a batch boundary, an over-eager
+# watermark eviction, or a double emission flips the value hash.
+
+# 4 chronological batches prove the cross-batch contracts (state
+# persists, watermark advances, buffers evict) at half the per-batch
+# state-store lifecycle cost of 8; 4 state partitions because every
+# stateful operator pays open/snapshot/commit PER PARTITION PER BATCH —
+# multi-batch runs multiply that, so idle partitions cost 4× more here
+# than in the single-batch runs (measured: 11.2 s → ~6 s on the
+# stateful op at sf0.1).
+_MULTIBATCH_FILES = 4
+_MULTIBATCH_STATE_PARTS = 4
+
+
+@_register(
+    "streaming_user_stats_multibatch",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6)) * 1000000)
+                AS DOUBLE) AS total_value_micros
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_stats_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful operator across 8 real micro-batches: per-user state
+    must survive every checkpoint round-trip, and the union of
+    update-mode emissions collapses to the final state via top-1 per
+    user on the monotone n_events counter (each emission strictly grows
+    it, so max IS last). Values are integer micro-units held in
+    doubles, so cross-batch accumulation order cannot flip a bit —
+    sums stay exact integers far below 2^53.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    def build(stream):
+        micros = stream().withColumn(
+            "value", (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("double")
+        )
+        return running_user_stats(micros)
+
+    out = _run_events_stream(
+        spark, sf_dir, build, "update", "user_stats_mb",
+        columns=["user_id", "value", "ts"],
+        n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
+        state_partitions=_MULTIBATCH_STATE_PARTS,
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value_micros"),
+    )
+
+
+@_register(
+    "streaming_hourly_event_counts_multibatch",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+    """,
+)
+def streaming_hourly_event_counts_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation across 8 real
+    micro-batches (complete mode): window state accumulates across
+    batches while the watermark advances between them; the final
+    snapshot must equal the batch GROUP BY hour — a window closed too
+    early by the advancing watermark would drop late-bucket rows and
+    flip the hash.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    def build(stream):
+        return windowed_event_counts(stream())
+
+    return _run_events_stream(
+        spark, sf_dir, build, "complete", "hourly_counts_mb",
+        columns=["ts", "value"],
+        n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
+        state_partitions=_MULTIBATCH_STATE_PARTS,
+    )
+
+
+@_register(
+    "streaming_purchase_attribution_multibatch",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+)
+def streaming_purchase_attribution_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join across 8 real micro-batches:
+    clicks buffered in one batch must still match purchases arriving
+    several batches later, and the 10-minute watermark delay must never
+    evict a click a future purchase needs. Chronological file order
+    makes that a provable contract: any click a later-batch purchase
+    needs has click_ts > batch_max_ts − 30 min, while eviction requires
+    click_ts < batch_max_ts − delay − 30 min — the delay IS the safety
+    margin. Emissions accumulate across batches in the append sink;
+    their union must equal the batch interval join row-for-row.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.joins import (
+        attribute_purchases_to_clicks,
+    )
+
+    def build(stream):
+        clicks = stream().filter(F.col("event_type") == "click").select(
+            "user_id", "ts"
+        )
+        purchases = stream().filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        return attribute_purchases_to_clicks(
+            clicks, purchases, attribution_window="30 minutes"
+        )
+
+    out = _run_events_stream(
+        spark, sf_dir, build, "append", "attr_join_mb",
+        columns=["event_id", "user_id", "event_type", "ts"],
+        n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
+        state_partitions=_MULTIBATCH_STATE_PARTS,
     )
     return out.select(
         "purchase_id",
