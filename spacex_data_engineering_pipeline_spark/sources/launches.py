@@ -257,6 +257,18 @@ class SpaceXApiSource:
     PAGE_SIZE = 100
     MAX_PAGES = 50
 
+    # the v4 API names these fields differently from the pipeline's raw
+    # shape; the reference maps them with pydantic aliases
+    # (src/models.py:13-24: id, name, payloads, launchpad) — rows in
+    # either naming are accepted (API payloads use the alias, canned
+    # fixtures may use the canonical name)
+    _API_ALIASES = {
+        "launch_id": "id",
+        "mission_name": "name",
+        "payload_ids": "payloads",
+        "launchpad_id": "launchpad",
+    }
+
     def __init__(self, spark: SparkSession, base_url: str | None = None):
         try:
             import requests  # noqa: F401
@@ -268,25 +280,31 @@ class SpaceXApiSource:
         self.spark = spark
         self.base_url = base_url or self.BASE_URL
 
-    def _rows_to_df(self, rows: list[dict]) -> DataFrame:  # pragma: no cover
-        projected = [{k: r.get(k) for k in RAW_COLUMNS} for r in rows]
-        return self.spark.createDataFrame(projected)
+    def _rows_to_df(self, rows: list[dict]) -> DataFrame:
+        projected = [
+            tuple(r.get(self._API_ALIASES.get(k, k), r.get(k)) for k in RAW_COLUMNS)
+            for r in rows
+        ]
+        # explicit RAW_DDL schema: inference over API dicts is both an
+        # extra pass and ill-defined for an EMPTY page (zero-row fetch
+        # must still return the declared raw shape)
+        return self.spark.createDataFrame(projected, RAW_DDL)
 
-    def fetch_all(self) -> DataFrame:  # pragma: no cover
+    def fetch_all(self) -> DataFrame:
         import requests
 
         resp = requests.get(f"{self.base_url}/launches", timeout=30)
         resp.raise_for_status()
         return self._rows_to_df(resp.json())
 
-    def fetch_latest(self) -> DataFrame:  # pragma: no cover
+    def fetch_latest(self) -> DataFrame:
         import requests
 
         resp = requests.get(f"{self.base_url}/launches/latest", timeout=30)
         resp.raise_for_status()
         return self._rows_to_df([resp.json()])
 
-    def fetch_after(self, watermark: datetime) -> DataFrame:  # pragma: no cover
+    def fetch_after(self, watermark: datetime) -> DataFrame:
         import requests
 
         rows: list[dict] = []
@@ -305,8 +323,12 @@ class SpaceXApiSource:
             )
             resp.raise_for_status()
             body = resp.json()
-            rows.extend(body.get("docs", []))
-            if not body.get("hasNextPage"):
+            docs = body.get("docs", [])
+            rows.extend(docs)
+            # stop on hasNextPage false OR an empty page — the empty-page
+            # guard (reference api.py:155) protects against servers that
+            # keep claiming more pages
+            if not body.get("hasNextPage") or not docs:
                 break
             page += 1
         return self._rows_to_df(rows)
