@@ -1007,6 +1007,8 @@ def _run_events_stream(
     max_files_per_trigger: int | None = None,
     order_col: str = "ts",
     state_partitions: int = 8,
+    pre_stage=None,
+    tail_dfs=None,
 ):
     """Drive one AvailableNow streaming run over the events table.
 
@@ -1046,6 +1048,10 @@ def _run_events_stream(
     events = load_table(spark, sf_dir, "events")
     if columns is not None:
         events = events.select(*columns)
+    if pre_stage is not None:
+        # source-shaping transform (e.g. duplicate injection for dedup
+        # grading) applied BEFORE staging, so the stream sees it as data
+        events = pre_stage(events)
     work = _tempfile.mkdtemp(prefix=f"{name_prefix}_")
     table = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1065,6 +1071,19 @@ def _run_events_stream(
                 dst = _os.path.join(src, f"batch{i:04d}.parquet")
                 _os.replace(_os.path.join(split, fname), dst)
                 _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            for j, tdf in enumerate(tail_dfs or []):
+                # sentinel batches AFTER the corpus (e.g. far-future rows
+                # that advance the watermark so pending EventTimeTimeouts
+                # fire): each is one extra chronological micro-batch
+                tmp = _os.path.join(work, f"tail{j}")
+                tdf.coalesce(1).write.parquet(tmp)
+                tname = next(
+                    f for f in sorted(_os.listdir(tmp)) if f.endswith(".parquet")
+                )
+                k = n_files + j
+                dst = _os.path.join(src, f"batch{k:04d}.parquet")
+                _os.replace(_os.path.join(tmp, tname), dst)
+                _os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
 
         def stream():
             reader = spark.readStream.schema(events.schema)
@@ -1355,6 +1374,146 @@ def streaming_purchase_attribution_multibatch(spark: SparkSession, sf_dir: str) 
         F.col("purchase_user").alias("user_id"),
         "purchase_ts",
         "click_ts",
+    )
+
+
+@_register(
+    "streaming_sessionized_user_stats",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+               CAST(COALESCE(value, 0) AS DECIMAL(18,6)) * 1000000 AS v
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, t, v,
+               CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, t, v,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value_micros
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization with TTL state EVICTION under the gate
+    (streaming/stateful.py ``sessionized_user_stats``): per-user
+    30-min-gap sessions close either on an observed in-batch gap or on
+    an EventTimeTimeout once the watermark passes last_event + gap —
+    and timed-out state is REMOVED, the state-retention dial the other
+    stateful runs leave at NoTimeout. Two far-future sentinel batches
+    (negative-key rows the stateful op consumes statelessly) push the
+    watermark after the corpus:
+    the first advances it past every pending timeout, the second gives
+    the engine a batch in which to fire them — so every session is
+    emitted exactly once and the final state store is EMPTY. The
+    append-mode union of emissions must equal the batch
+    gaps-and-islands rewrite row-for-row; a session closed early by an
+    over-eager timeout, split at a batch boundary, or double-emitted
+    (timeout + gap both firing) flips the hash. Values ride integer
+    micro-units so accumulation order can't flip a bit.
+    """
+    import datetime as _dt
+
+    from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+        restore_ntz,
+        to_instant_for_watermark,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        sessionized_user_stats,
+    )
+
+    def build(stream):
+        s, was_ntz = to_instant_for_watermark(stream(), "ts")
+        s = s.withWatermark("ts", "0 seconds")
+        # NOTE: sentinel rows (user_id = -1) must NOT be filtered here —
+        # a user_id predicate would push below the EventTimeWatermark
+        # node into the parquet scan, the watermark would never see the
+        # far-future rows, and pending timeouts would never fire. The
+        # stateful operator consumes negative keys statelessly instead.
+        s = s.select(
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            (F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)") * 1_000_000)
+            .cast("double")
+            .alias("value_micros"),
+        )
+        sess = sessionized_user_stats(s, gap_us=30 * 60 * 1_000_000)
+        return sess.select(
+            "user_id",
+            restore_ntz(F.timestamp_micros("session_start_us"), was_ntz).alias(
+                "session_start"
+            ),
+            restore_ntz(F.timestamp_micros("session_end_us"), was_ntz).alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value_micros",
+        )
+
+    sel_schema = (
+        load_table(spark, sf_dir, "events").select("user_id", "ts", "value").schema
+    )
+
+    def sentinel(ts):
+        return spark.createDataFrame([(-1, ts, None)], schema=sel_schema)
+
+    return _run_events_stream(
+        spark, sf_dir, build, "append", "sessions_ttl",
+        columns=["user_id", "ts", "value"],
+        n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
+        state_partitions=_MULTIBATCH_STATE_PARTS,
+        tail_dfs=[
+            sentinel(_dt.datetime(2099, 1, 1)),
+            sentinel(_dt.datetime(2099, 6, 1)),
+        ],
+    )
+
+
+@_register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (streaming/dedup.py
+    ``dropDuplicatesWithinWatermark``) under the gate: the staged
+    source is the events table DOUBLED (every row injected twice —
+    at-least-once redelivery), streamed as 4 chronological
+    micro-batches; the deduped append output must equal the original
+    table exactly — a survivor pair (state evicted too early) or a
+    dropped unique row flips the row count. State expires as the
+    watermark passes each key, so state size is bounded by the
+    redelivery window, not the stream length.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    def build(stream):
+        return dedup_within_watermark(
+            stream(), ["event_id"], event_time_col="ts", watermark_delay="10 minutes"
+        )
+
+    return _run_events_stream(
+        spark, sf_dir, build, "append", "dedup_wm",
+        columns=["event_id", "user_id", "ts", "value"],
+        n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
+        state_partitions=_MULTIBATCH_STATE_PARTS,
+        pre_stage=lambda df: df.unionAll(df),
     )
 
 

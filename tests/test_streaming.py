@@ -427,3 +427,106 @@ def test_stream_stream_purchase_attribution(spark, sf_dir, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_sessionized_user_stats_ttl_evicts_state(spark, tmp_path):
+    """Gap-sessionization with EventTimeTimeout: sessions close on
+    in-batch gaps OR on timeout once the watermark passes
+    last_event + gap; a gap of EXACTLY the horizon starts a new session
+    (the batch events_session_windows pin); and — the TTL contract —
+    timed-out state is REMOVED, so the final state store is EMPTY."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+        to_instant_for_watermark,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        sessionized_user_stats,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # file 0: user 1 two close events; user 2 first event; user 4 first
+    # file 1: user 1 after a 40-min gap; user 2 continuation (cross-batch
+    #         SAME session); user 4 at EXACTLY +30 min (new session)
+    batches = [
+        [
+            (1, t0, 1.0),
+            (1, t0 + 10 * m, 2.0),
+            (2, t0 + 5 * m, 10.0),
+            (4, t0 + 1 * m, 5.0),
+        ],
+        [
+            (1, t0 + 50 * m, 4.0),
+            (2, t0 + 20 * m, 20.0),
+            (4, t0 + 31 * m, 6.0),
+        ],
+        [(-1, dt.datetime(2099, 1, 1), None)],
+        [(-1, dt.datetime(2099, 6, 1), None)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        part = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(part)
+        fname = next(f for f in sorted(os.listdir(part)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch{i:04d}.parquet")
+        os.replace(os.path.join(part, fname), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    s, _ = to_instant_for_watermark(stream, "ts")
+    s = s.withWatermark("ts", "0 seconds").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000)
+        .cast("double")
+        .alias("value_micros"),
+    )
+    q = (
+        sessionized_user_stats(s, gap_us=30 * 60 * 1_000_000)
+        .writeStream.format("memory")
+        .queryName("sess_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    us = 60 * 1_000_000
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_value_micros)
+        for r in spark.table("sess_ttl").collect()
+    }
+    base = spark.createDataFrame([(t0,)], "t timestamp").select(
+        F.unix_micros("t")
+    ).first()[0]
+    expected = {
+        (1, base, base + 10 * us, 2, 3_000_000.0),
+        (1, base + 50 * us, base + 50 * us, 1, 4_000_000.0),
+        (2, base + 5 * us, base + 20 * us, 2, 30_000_000.0),
+        (4, base + 1 * us, base + 1 * us, 1, 5_000_000.0),
+        (4, base + 31 * us, base + 31 * us, 1, 6_000_000.0),
+    }
+    assert got == expected
+    # TTL: every session timed out and its state was REMOVED
+    final = q.recentProgress[-1]
+    assert final["stateOperators"][0]["numRowsTotal"] == 0
