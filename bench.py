@@ -210,7 +210,15 @@ def main() -> None:
     # per-query map; a committed artifact survives for round-over-round
     # regression analysis regardless.
     try:
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+        # BENCH_local.json is the driver-scale (sf0.1) artifact; runs at
+        # any other SF write a suffixed file so a smoke run at sf0.001
+        # or a scale probe at sf1.0 can't clobber the headline numbers
+        art = (
+            "BENCH_local.json"
+            if abs(sf - 0.1) < 1e-9
+            else f"BENCH_local_sf{sf}.json"
+        )
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), art)
         with open(out, "w") as f:
             json.dump(record, f, indent=2, sort_keys=True)
             f.write("\n")

@@ -1412,12 +1412,14 @@ def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
     30-min-gap sessions close either on an observed in-batch gap or on
     an EventTimeTimeout once the watermark passes last_event + gap —
     and timed-out state is REMOVED, the state-retention dial the other
-    stateful runs leave at NoTimeout. Two far-future sentinel batches
-    (negative-key rows the stateful op consumes statelessly) push the
-    watermark after the corpus:
-    the first advances it past every pending timeout, the second gives
-    the engine a batch in which to fire them — so every session is
-    emitted exactly once and the final state store is EMPTY. The
+    stateful runs leave at NoTimeout. One far-future sentinel batch
+    (a negative-key row the stateful op consumes statelessly) pushes
+    the watermark past every pending timeout after the corpus; the
+    engine then runs its own no-data cleanup batch (micro-batch
+    execution re-triggers while the advanced watermark leaves state
+    work pending, observed as a final numInputRows=0 batch) in which
+    they all fire — so every session is emitted exactly once and the
+    final state store is EMPTY. The
     append-mode union of emissions must equal the batch
     gaps-and-islands rewrite row-for-row; a session closed early by an
     over-eager timeout, split at a batch boundary, or double-emitted
@@ -1468,17 +1470,22 @@ def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     def sentinel(ts):
-        return spark.createDataFrame([(-1, ts, None)], schema=sel_schema)
+        # built JVM-side from literals: a spark.createDataFrame local
+        # relation costs ~5 s PER WRITE on this path (measured); range(1)
+        # + lit columns writes in <1 s and needs no Python plan at all
+        by_name = {f.name: f for f in sel_schema.fields}
+        return spark.range(1).select(
+            F.lit(-1).cast(by_name["user_id"].dataType).alias("user_id"),
+            F.lit(ts).cast(by_name["ts"].dataType).alias("ts"),
+            F.lit(None).cast(by_name["value"].dataType).alias("value"),
+        )
 
     return _run_events_stream(
         spark, sf_dir, build, "append", "sessions_ttl",
         columns=["user_id", "ts", "value"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
         state_partitions=_MULTIBATCH_STATE_PARTS,
-        tail_dfs=[
-            sentinel(_dt.datetime(2099, 1, 1)),
-            sentinel(_dt.datetime(2099, 6, 1)),
-        ],
+        tail_dfs=[sentinel(_dt.datetime(2099, 1, 1))],
     )
 
 
