@@ -1,0 +1,123 @@
+"""Slowly-changing-dimension Type-2 merge (SURVEY §2.11 north star:
+the dimension-history operator every warehouse ingest eventually
+needs; the reference's upsert, src/database.py:133-202, is SCD Type-1
+— new attribute values OVERWRITE, history is lost. Type-2 keeps it).
+
+``scd2_merge`` applies one batch of attribute updates to a versioned
+dimension: rows carry ``eff_from`` / ``eff_to`` / ``is_current``; an
+update whose tracked attributes differ from the key's current version
+closes that version (``eff_to`` = batch timestamp) and opens a new
+current one; identical updates are no-ops; unseen keys insert as new
+current rows. History rows are NEVER rewritten.
+
+Spark-first shape and scale:
+- ONE full-outer join on the business key between the current slice
+  and the (latest-per-key) update batch — a single hash shuffle, AQE
+  skew-safe, broadcast when the update batch is small (the common
+  incremental case: Spark's size estimate picks the broadcast side
+  automatically; no hint needed, no collect anywhere).
+- history rows bypass the join entirely (``is_current`` partition
+  filter), so cost tracks |current| + |updates|, not table history.
+- change detection is a null-safe column comparison (``eqNullSafe``)
+  folded into one boolean — JVM-side, codegen'd, no UDF.
+- with a transactional format this is ``MERGE INTO ... WHEN MATCHED
+  AND <changed> THEN UPDATE ... WHEN NOT MATCHED THEN INSERT`` plus an
+  insert of the new versions; the DataFrame formulation here is the
+  format-agnostic equivalent with identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_update_per_key(
+    updates: DataFrame, key_cols: list[str], ts_col: str
+) -> DataFrame:
+    """Collapse an update batch to one row per key (latest by ``ts_col``,
+    ties broken arbitrarily-but-deterministically by the remaining
+    columns): applying two versions of a key from ONE batch is
+    order-undefined, so SCD2 semantics require the collapse first."""
+    others = [c for c in updates.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in others if c != ts_col]
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _changed(tracked_cols: list[str]) -> Column:
+    out = F.lit(False)
+    for c in tracked_cols:
+        out = out | ~F.col(f"c.{c}").eqNullSafe(F.col(f"u.{c}"))
+    return out
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    batch_ts: Column,
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Merge one update batch into a versioned dimension.
+
+    ``dim`` columns: key_cols + tracked_cols + eff_from/eff_to/current.
+    ``updates`` columns: key_cols + tracked_cols (already collapsed to
+    one row per key — see :func:`latest_update_per_key`).
+    ``batch_ts``: the effective timestamp of this batch (a literal
+    column; becomes ``eff_to`` of closed versions and ``eff_from`` of
+    opened ones).
+
+    Returns the NEW full dimension (history ∪ merged current slice).
+    """
+    attrs = key_cols + tracked_cols
+    history = dim.filter(~F.col(current_col))
+    current = dim.filter(F.col(current_col))
+
+    # presence markers survive NULL tracked values on real rows: anchor
+    # the update side on an injected literal, the current side on its
+    # (always-true) flag column
+    j = current.alias("c").join(
+        updates.withColumn("__upd", F.lit(True)).alias("u"),
+        on=key_cols,
+        how="full_outer",
+    )
+    has_cur = F.col(f"c.{current_col}").isNotNull()
+    has_upd = F.col("u.__upd").isNotNull()
+    changed = has_cur & has_upd & _changed(tracked_cols)
+
+    # surviving current rows: unchanged keys (no update, or identical)
+    keep_current = j.filter(has_cur & (~has_upd | ~_changed(tracked_cols))).select(
+        *key_cols,
+        *[F.col(f"c.{c}").alias(c) for c in tracked_cols],
+        F.col(f"c.{eff_from}").alias(eff_from),
+        F.col(f"c.{eff_to}").alias(eff_to),
+        F.col(f"c.{current_col}").alias(current_col),
+    )
+    # closed-out versions of changed keys
+    closed = j.filter(changed).select(
+        *key_cols,
+        *[F.col(f"c.{c}").alias(c) for c in tracked_cols],
+        F.col(f"c.{eff_from}").alias(eff_from),
+        batch_ts.alias(eff_to),
+        F.lit(False).alias(current_col),
+    )
+    # newly-opened versions: changed keys + brand-new keys
+    opened = j.filter(has_upd & (~has_cur | _changed(tracked_cols))).select(
+        *key_cols,
+        *[F.col(f"u.{c}").alias(c) for c in tracked_cols],
+        batch_ts.alias(eff_from),
+        F.lit(None).cast(dim.schema[eff_to].dataType).alias(eff_to),
+        F.lit(True).alias(current_col),
+    )
+    return history.select(*keep_current.columns).unionByName(
+        keep_current
+    ).unionByName(closed).unionByName(opened)

@@ -4666,3 +4666,70 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@_register(
+    "scd2_customer_segments",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-01-01' AS eff_from,
+           CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-06-01' END AS eff_to,
+           (c_custkey % 7 <> 0) AS is_current
+    FROM base
+    UNION ALL
+    SELECT c_custkey, 'PROMO' AS c_mktsegment, c_acctbal + 100,
+           TIMESTAMP '2024-06-01', NULL, TRUE
+    FROM base WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-06-01', NULL, TRUE
+    FROM base WHERE c_custkey % 97 = 0
+    """,
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge (operators/scd.py): the customer
+    table seeds a versioned dimension, then one update batch exercises
+    all four merge paths — changed keys (every 7th customer moves to a
+    PROMO segment with an adjusted balance: old version closed at the
+    batch timestamp, new version opened), NO-OP updates (every 11th
+    customer re-sent with identical attributes: row must pass through
+    untouched, not churn a version), brand-new keys (every 97th
+    customer re-keyed +10M inserts as current), and untouched keys.
+    One full-outer hash join on the business key; history rows bypass
+    the join; change detection is a null-safe JVM-side comparison.
+    The oracle rebuilds the expected version set closed-form.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.scd import scd2_merge
+
+    customer = load_table(spark, sf_dir, "customer")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t1 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    base = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        t0.alias("eff_from"),
+        F.lit(None).cast("timestamp_ntz").alias("eff_to"),
+        F.lit(True).alias("is_current"),
+    )
+    k = F.col("c_custkey")
+    changed_u = customer.filter(k % 7 == 0).select(
+        "c_custkey",
+        F.lit("PROMO").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    noop_u = customer.filter((k % 11 == 0) & (k % 7 != 0)).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    new_u = customer.filter(k % 97 == 0).select(
+        (k + 10_000_000).alias("c_custkey"), "c_mktsegment", "c_acctbal"
+    )
+    updates = changed_u.unionByName(noop_u).unionByName(new_u)
+    return scd2_merge(
+        base,
+        updates,
+        key_cols=["c_custkey"],
+        tracked_cols=["c_mktsegment", "c_acctbal"],
+        batch_ts=t1,
+    )

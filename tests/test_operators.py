@@ -963,3 +963,59 @@ def test_ivfpq_save_load_partition_pruned_probe(spark, sf_dir, tmp_path):
         )) == sorted(probed)
     finally:
         idx.unpersist()
+
+
+def test_scd2_merge_paths_null_safety_and_idempotence(spark):
+    """SCD2 merge: changed keys close+reopen, identical updates are
+    no-ops (including NULL==NULL under eqNullSafe), new keys insert,
+    history rows pass through untouched — and re-applying the same
+    batch is a fixed point."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.scd import (
+        latest_update_per_key,
+        scd2_merge,
+    )
+
+    ddl = "k long, attr string, eff_from timestamp_ntz, eff_to timestamp_ntz, is_current boolean"
+    j1 = dt.datetime(2024, 1, 1)
+    m1 = dt.datetime(2024, 3, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "a0", j1, m1, False),   # history (must pass through)
+            (1, "a1", m1, None, True),  # current, will change
+            (2, "b1", j1, None, True),  # current, identical update
+            (3, None, j1, None, True),  # current NULL attr, NULL update
+        ],
+        schema=ddl,
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2"), (2, "b1"), (3, None), (4, "d1")], schema="k long, attr string"
+    )
+    t = dt.datetime(2024, 6, 1)
+    merged = scd2_merge(
+        dim, updates, ["k"], ["attr"], batch_ts=F.lit(t).cast("timestamp_ntz")
+    )
+    got = {tuple(r) for r in merged.collect()}
+    expected = {
+        (1, "a0", j1, m1, False),
+        (1, "a1", m1, t, False),
+        (1, "a2", t, None, True),
+        (2, "b1", j1, None, True),
+        (3, None, j1, None, True),
+        (4, "d1", t, None, True),
+    }
+    assert got == expected
+
+    again = scd2_merge(
+        merged, updates, ["k"], ["attr"], batch_ts=F.lit(t).cast("timestamp_ntz")
+    )
+    assert {tuple(r) for r in again.collect()} == expected
+
+    multi = spark.createDataFrame(
+        [(9, "x", 1), (9, "y", 3), (9, "z", 2)], schema="k long, attr string, ts int"
+    )
+    latest = latest_update_per_key(multi, ["k"], "ts").collect()
+    assert [(r.k, r.attr) for r in latest] == [(9, "y")]
