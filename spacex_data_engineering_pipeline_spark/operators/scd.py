@@ -78,7 +78,6 @@ def scd2_merge(
 
     Returns the NEW full dimension (history ∪ merged current slice).
     """
-    attrs = key_cols + tracked_cols
     history = dim.filter(~F.col(current_col))
     current = dim.filter(F.col(current_col))
 
@@ -121,3 +120,49 @@ def scd2_merge(
     return history.select(*keep_current.columns).unionByName(
         keep_current
     ).unionByName(closed).unionByName(opened)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC extract between two table snapshots: one row per changed key
+    with ``change_type`` ∈ insert/update/delete, old values under
+    ``old_<col>`` and new under ``new_<col>``.
+
+    The reference's change detection (src/pipeline.py early-exit probe)
+    only answers "are there NEW rows?"; a warehouse sync needs the full
+    three-way delta. Same scale shape as :func:`scd2_merge`: ONE
+    full-outer hash join on the key (broadcast when one snapshot is
+    small), null-safe compares JVM-side, unchanged keys dropped before
+    anything materializes. Keys must be unique per snapshot.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    j = old.withColumn("__old", F.lit(True)).alias("o").join(
+        new.withColumn("__new", F.lit(True)).alias("n"),
+        on=key_cols,
+        how="full_outer",
+    )
+    has_old = F.col("o.__old").isNotNull()
+    has_new = F.col("n.__new").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(has_old & ~has_new, F.lit("delete"))
+        .when(~has_old & has_new, F.lit("insert"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )

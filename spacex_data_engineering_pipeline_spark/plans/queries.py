@@ -4733,3 +4733,53 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_cols=["c_mktsegment", "c_acctbal"],
         batch_ts=t1,
     )
+
+
+@_register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice OR o.o_orderstatus <> n.o_orderstatus
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way CDC extract (operators/scd.py snapshot_diff): two
+    deterministic snapshots carved from the orders table — rows leave
+    (deletes), arrive (inserts), and every 4th key reprices (updates);
+    unchanged keys must vanish before materialization. One full-outer
+    hash join on the key, null-safe compares, no UDFs.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(k % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(k % 4 == 0, F.col("o_totalprice") + 10)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

@@ -1019,3 +1019,22 @@ def test_scd2_merge_paths_null_safety_and_idempotence(spark):
     )
     latest = latest_update_per_key(multi, ["k"], "ts").collect()
     assert [(r.k, r.attr) for r in latest] == [(9, "y")]
+
+
+def test_snapshot_diff_classifies_and_null_safe(spark):
+    """CDC snapshot diff: insert/update/delete classified; NULL→NULL is
+    NOT an update (null-safe); unchanged keys are dropped."""
+    from spacex_data_engineering_pipeline_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], schema="k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b2"), (3, None), (4, "d"), (5, "e")], schema="k long, v string"
+    )
+    got = {(r.k, r.change_type, r.old_v, r.new_v) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        (1, "delete", "a", None),
+        (2, "update", "b", "b2"),
+        (5, "insert", None, "e"),
+    }
