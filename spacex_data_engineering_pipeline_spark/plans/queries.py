@@ -4783,3 +4783,44 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@_register(
+    "segment_revenue_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN under the gate (operators/skew.py
+    ``salted_join``): the customer dim replicates n_salts×, the fact
+    side salts deterministically on its unique key, the join runs on
+    (key, salt) — and the result must be semantically IDENTICAL to the
+    plain equi-join the oracle runs (salting is a physical rewrite, not
+    a semantic one; a lost or doubled fact row flips the counts).
+    Companion to ``event_type_stats_salted``, which grades the salted
+    AGGREGATION. Use when one hot key jams a shuffle block AQE can't
+    split further; revenue accumulates in DECIMAL so partial-agg order
+    can't flip the hash.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        orders, customer, "o_custkey", "c_custkey", "o_orderkey", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

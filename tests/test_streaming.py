@@ -530,3 +530,56 @@ def test_sessionized_user_stats_ttl_evicts_state(spark, tmp_path):
     # TTL: every session timed out and its state was REMOVED
     final = q.recentProgress[-1]
     assert final["stateOperators"][0]["numRowsTotal"] == 0
+
+
+def test_streaming_scd2_sync_versions_and_replay_fixed_point(spark, tmp_path):
+    """CDC update stream → versioned dimension: per-batch collapse,
+    change detection, history accumulation; re-draining the same input
+    (fresh checkpoint — a full replay) leaves the dimension unchanged."""
+    import datetime as dt
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming.scd_sync import run_scd2_sync
+
+    ddl = "k long, attr string, ts timestamp_ntz"
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    batches = [
+        # in-batch multi-version for k=1: collapse must keep "a1"
+        [(1, "a0", t0 - dt.timedelta(hours=1)), (1, "a1", t0), (2, "b1", t0)],
+        [(1, "a2", t1), (2, "b1", t1), (3, "c1", t1)],
+    ]
+    src = str(tmp_path / "upd")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        part = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema=ddl).coalesce(1).write.parquet(part)
+        fname = next(f for f in sorted(os.listdir(part)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i:04d}.parquet")
+        os.replace(os.path.join(part, fname), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    dim_path = str(tmp_path / "dim")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        run_scd2_sync(
+            spark, stream, dim_path, ["k"], ["attr"], "ts",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    drain("ck1")
+    expected = {
+        (1, "a1", t0, t1, False),
+        (1, "a2", t1, None, True),
+        (2, "b1", t0, None, True),
+        (3, "c1", t1, None, True),
+    }
+    got = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    assert got == expected
+
+    drain("ck2")  # full replay from scratch: must be a fixed point
+    got2 = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    assert got2 == expected
