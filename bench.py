@@ -35,7 +35,14 @@ from spacex_data_engineering_pipeline_spark.session import get_spark
 
 # Queries whose results are large (one row per key over a big table):
 # count() them instead of collecting to the driver.
-LARGE_RESULT = {"order_discount_enrichment", "latest_event_per_user", "dedup_exact_documents"}
+LARGE_RESULT = {
+    "order_discount_enrichment",
+    "latest_event_per_user",
+    "dedup_exact_documents",
+    # round 4: row-per-key/version outputs — count(), don't collect()
+    "orders_snapshot_diff",
+    "scd2_customer_segments",
+}
 
 
 def _raw_launches_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -583,3 +583,103 @@ def test_streaming_scd2_sync_versions_and_replay_fixed_point(spark, tmp_path):
     drain("ck2")  # full replay from scratch: must be a fixed point
     got2 = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
     assert got2 == expected
+
+
+def test_streaming_scd2_sync_heals_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the dimension parked
+    at __old_scd with nothing at dim_path; the next drain must restore
+    it BEFORE merging — otherwise the batch would seed a fresh dimension
+    and orphan all history."""
+    import datetime as dt
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming.scd_sync import run_scd2_sync
+
+    ddl = "k long, attr string, ts timestamp_ntz"
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    src = str(tmp_path / "upd")
+    os.makedirs(src)
+    part = str(tmp_path / "s0")
+    spark.createDataFrame([(1, "a1", t0)], schema=ddl).coalesce(1).write.parquet(part)
+    f0 = next(f for f in sorted(os.listdir(part)) if f.endswith(".parquet"))
+    os.replace(os.path.join(part, f0), os.path.join(src, "b0.parquet"))
+
+    dim_path = str(tmp_path / "dim")
+    stream = spark.readStream.schema(ddl).parquet(src)
+    run_scd2_sync(spark, stream, dim_path, ["k"], ["attr"], "ts",
+                  checkpoint_dir=str(tmp_path / "ck1"))
+
+    # simulate the crash window: table parked aside, nothing at dim_path
+    os.replace(dim_path, dim_path + "__old_scd")
+
+    part = str(tmp_path / "s1")
+    spark.createDataFrame([(1, "a2", t1)], schema=ddl).coalesce(1).write.parquet(part)
+    f1 = next(f for f in sorted(os.listdir(part)) if f.endswith(".parquet"))
+    os.replace(os.path.join(part, f1), os.path.join(src, "b1.parquet"))
+
+    stream = spark.readStream.schema(ddl).parquet(src)
+    run_scd2_sync(spark, stream, dim_path, ["k"], ["attr"], "ts",
+                  checkpoint_dir=str(tmp_path / "ck2"))
+    got = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    assert got == {
+        (1, "a1", t0, t1, False),
+        (1, "a2", t1, None, True),
+    }
+    assert not os.path.exists(dim_path + "__old_scd")
+
+
+def test_late_data_quarantine_routes_and_replays_identically(spark, tmp_path):
+    """Rows older than the prior-batch high watermark land in the
+    quarantine sink instead of vanishing; a full re-drain (fresh
+    checkpoint, same ledger/sinks) overwrites per-batch dirs and
+    changes nothing."""
+    import datetime as dt
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming.late_data import (
+        run_late_split,
+    )
+
+    ddl = "event_id long, ts timestamp_ntz"
+    h = dt.datetime(2024, 1, 1, 9, 0)
+
+    def m(minutes):
+        return h + dt.timedelta(minutes=minutes)
+
+    batches = [
+        [(1, m(0)), (2, m(60))],                 # hw after b0: 10:00 - 5min = 09:55
+        [(3, m(50)), (4, m(56)), (5, m(65))],    # 09:50 late; 09:56, 10:05 on time
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        part = str(tmp_path / f"s{i}")
+        spark.createDataFrame(rows, schema=ddl).coalesce(1).write.parquet(part)
+        fn = next(f for f in sorted(os.listdir(part)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i:04d}.parquet")
+        os.replace(os.path.join(part, fn), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    paths = dict(
+        on_time_path=str(tmp_path / "ontime"),
+        late_path=str(tmp_path / "late"),
+        ledger_path=str(tmp_path / "hw.json"),
+    )
+
+    def drain(ck):
+        stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+        run_late_split(
+            spark, stream, "ts", delay_seconds=300,
+            checkpoint_dir=str(tmp_path / ck), **paths
+        )
+
+    drain("ck1")
+    on_ids = {r.event_id for r in spark.read.parquet(paths["on_time_path"]).collect()}
+    late_ids = {r.event_id for r in spark.read.parquet(paths["late_path"]).collect()}
+    assert on_ids == {1, 2, 4, 5}
+    assert late_ids == {3}
+
+    drain("ck2")  # full replay: same routing, no duplicates
+    assert spark.read.parquet(paths["on_time_path"]).count() == 4
+    assert spark.read.parquet(paths["late_path"]).count() == 1
+    assert {r.event_id for r in spark.read.parquet(paths["late_path"]).collect()} == {3}
