@@ -23,6 +23,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def instant_expr(df: DataFrame, event_time_col: str) -> Column:
+    """The column's value on the INSTANT timeline, session-independent:
+    an NTZ wall-clock is interpreted AS UTC; an instant column passes
+    through. Use anywhere event times feed epoch arithmetic that must
+    not move with ``spark.sql.session.timeZone``."""
+    if dict(df.dtypes).get(event_time_col) != "timestamp_ntz":
+        return F.col(event_time_col)
+    c = f"`{event_time_col}`"
+    return F.expr(
+        f"make_timestamp(year({c}), month({c}), day({c}), hour({c}), "
+        f"minute({c}), cast(date_format({c}, 'ss.SSSSSS') as decimal(16,6)), "
+        f"'UTC')"
+    )
+
+
 def to_instant_for_watermark(df: DataFrame, event_time_col: str) -> tuple[DataFrame, bool]:
     """Cast an NTZ event-time column to TIMESTAMP so withWatermark
     accepts it — interpreting the wall-clock AS UTC, independent of the
@@ -31,15 +46,7 @@ def to_instant_for_watermark(df: DataFrame, event_time_col: str) -> tuple[DataFr
     """
     was_ntz = dict(df.dtypes).get(event_time_col) == "timestamp_ntz"
     if was_ntz:
-        c = f"`{event_time_col}`"
-        df = df.withColumn(
-            event_time_col,
-            F.expr(
-                f"make_timestamp(year({c}), month({c}), day({c}), hour({c}), "
-                f"minute({c}), cast(date_format({c}, 'ss.SSSSSS') as decimal(16,6)), "
-                f"'UTC')"
-            ),
-        )
+        df = df.withColumn(event_time_col, instant_expr(df, event_time_col))
     return df, was_ntz
 
 

@@ -73,7 +73,13 @@ def run_late_split(
         prior = [v for k, v in ledger.items() if k < int(batch_id)]
         hw_us = max(prior) if prior else None
 
-        ts_us = F.unix_micros(F.col(event_time_col).cast("timestamp"))
+        from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+            instant_expr,
+        )
+
+        # session-independent epoch micros: ledger entries written under
+        # one session timezone must mean the same thing under another
+        ts_us = F.unix_micros(instant_expr(batch_df, event_time_col))
         late_pred = F.lit(False) if hw_us is None else ts_us < F.lit(hw_us)
         batch_df = batch_df.persist()
         try:

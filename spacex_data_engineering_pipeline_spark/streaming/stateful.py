@@ -149,12 +149,23 @@ def _make_session_update(gap_us: int):
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        order = np.argsort(pdf["ts_us"].to_numpy(), kind="stable")
-        ts = pdf["ts_us"].to_numpy()[order].astype(np.int64)
-        vals = pdf["value_micros"].to_numpy()[order].astype(np.float64)
+        ts = pdf["ts_us"].to_numpy().astype(np.int64)
+        vals = pdf["value_micros"].to_numpy().astype(np.float64)
 
+        # carried state joins the batch timeline as a zero-weight MARKER
+        # at its last event time: gap computation then sees the true
+        # interleaving even when in-watermark late rows sort before the
+        # carried last event (a naive "compare against carry.last only
+        # at position 0" both splits sessions a straddling carry event
+        # would bridge AND could regress session_end on late rows).
         carry = state.get if state.exists else None
-        prev = np.concatenate(([carry[1] if carry else ts[0]], ts[:-1]))
+        if carry is not None:
+            ts = np.concatenate((ts, [np.int64(carry[1])]))
+            vals = np.concatenate((vals, [0.0]))
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
+
+        prev = np.concatenate(([ts[0]], ts[:-1]))
         breaks = (ts - prev) >= gap_us
         # segment boundaries: index where each in-batch session starts
         idx = np.flatnonzero(np.concatenate(([True], breaks[1:])))
@@ -165,12 +176,14 @@ def _make_session_update(gap_us: int):
 
         closed: list[tuple[int, int, int, float]] = []
         if carry is not None:
-            if breaks[0]:
-                closed.append(tuple(carry))
-            else:
-                seg_start[0] = carry[0]
-                seg_n[0] += carry[2]
-                seg_total[0] += carry[3]
+            # fold the carried aggregates into the marker's segment
+            # (the marker itself contributed n=1, value=0: back it out)
+            mpos = int(np.flatnonzero(order == len(order) - 1)[0])
+            mseg = int(np.searchsorted(idx, mpos, side="right") - 1)
+            seg_n[mseg] += carry[2] - 1
+            seg_total[mseg] += carry[3]
+            if carry[0] < seg_start[mseg]:
+                seg_start[mseg] = carry[0]
         closed.extend(
             (int(seg_start[i]), int(seg_end[i]), int(seg_n[i]), float(seg_total[i]))
             for i in range(len(idx) - 1)

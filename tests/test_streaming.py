@@ -683,3 +683,69 @@ def test_late_data_quarantine_routes_and_replays_identically(spark, tmp_path):
     assert spark.read.parquet(paths["on_time_path"]).count() == 4
     assert spark.read.parquet(paths["late_path"]).count() == 1
     assert {r.event_id for r in spark.read.parquet(paths["late_path"]).collect()} == {3}
+
+
+def test_session_update_fn_handles_in_watermark_late_rows():
+    """The per-key session update folds carried state into the batch
+    timeline as a marker: a late row inside the gap merges without
+    splitting the session or regressing its end; a late island older
+    than the gap closes as its own session and leaves the carried
+    session open."""
+    import pandas as pd
+
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        _make_session_update,
+    )
+
+    class StubState:
+        hasTimedOut = False
+
+        def __init__(self, tup=None):
+            self._t = tup
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+        def remove(self):
+            self._t = None
+
+    gap = 20_000
+    fn = _make_session_update(gap)
+
+    def run(state, rows):
+        pdf = pd.DataFrame(
+            {"ts_us": [r[0] for r in rows], "value_micros": [r[1] for r in rows]}
+        )
+        return list(fn((7,), [pdf], state)), state
+
+    # late row (3000 < carried last 5000) within gap: merge, end stays 5000
+    st = StubState((1000, 5000, 2, 10.0))
+    out, st = run(st, [(3000, 1.0)])
+    assert out == []
+    assert st.get == (1000, 5000, 3, 11.0)
+
+    # straddling carry: late row + future row bridge THROUGH the marker
+    st = StubState((1000, 5000, 2, 10.0))
+    out, st = run(st, [(3000, 1.0), (6000, 2.0)])
+    assert out == []
+    assert st.get == (1000, 6000, 4, 13.0)
+
+    # late island ≥ gap older than the carried last event: closes alone,
+    # carried session stays open and unchanged
+    st = StubState((90_000, 100_000, 2, 10.0))
+    out, st = run(st, [(10_000, 1.0)])
+    assert len(out) == 1 and out[0].iloc[0].tolist() == [7, 10_000, 10_000, 1, 1.0]
+    assert st.get == (90_000, 100_000, 2, 10.0)
+    assert st.timeout == (100_000 + gap + 999) // 1000
