@@ -1058,6 +1058,13 @@ def _run_events_stream(
     try:
         src = _os.path.join(work, "src")
         if n_files == 1:
+            if tail_dfs:
+                raise ValueError(
+                    "tail_dfs requires the multi-file staging path "
+                    "(n_files > 1): sentinel batches are meaningless in "
+                    "a single-micro-batch run and would be silently "
+                    "ignored here"
+                )
             events.coalesce(1).write.parquet(src)
         else:
             split = _os.path.join(work, "split")

@@ -3,27 +3,43 @@ into a versioned parquet dimension, one ``scd2_merge`` per micro-batch
 (the foreachBatch MERGE pattern of incremental.py, applied to the
 dimension-history operator instead of the PK upsert).
 
+Storage layout — history is APPEND-ONLY, current is a small swap:
+
+    <dim_path>/current/           one row per key (the live slice);
+                                  rewritten per batch via the two-rename
+                                  crash swap (repair on entry)
+    <dim_path>/closed/batch=<id>/ versions closed BY that micro-batch;
+                                  written once with overwrite, never
+                                  touched again
+
+``scd2_merge`` never rewrites history logically; this layout makes the
+physical writes match: per batch the job rewrites |current| + appends
+|closed by this batch| — history bytes are never read or rewritten, so
+a year of CDC against a 100 TB dimension costs the same per batch as
+day one. ``read_dimension`` unions the two (the closed side carries a
+``batch`` partition column, pruned on read when filtering recent
+history).
+
 Semantics per batch: collapse to latest-per-key (two versions of a key
-inside ONE batch are order-undefined otherwise), take the batch's max
-event time as the effective timestamp, merge, atomically swap the
-table (same two-rename crash protocol as operators/upsert.py — repair
-on entry, tmp → aside → in).
+inside ONE batch are order-undefined otherwise), drop updates not
+STRICTLY newer than their key's current version (the late-update
+guard), take the surviving updates' max event time as the effective
+timestamp, merge, write.
 
-Replay safety: a late-update guard drops any update not STRICTLY newer
-(event time) than its key's current version before the merge — without
-it, replaying historical batches against an already-advanced dimension
-would re-apply old attribute values as fresh changes and resurrect old
-versions (caught by the replay test). With it, checkpoint replays and
-even full from-scratch re-drains are fixed points; and since effective
-timestamps come from the surviving DATA (max event time), not the wall
-clock, a replay can't move ``eff_from`` either.
-
-Scale: per batch, cost is |current slice| + |batch| through one hash
-join (broadcast when the batch is small) plus the table rewrite; a
-partitioned variant would rewrite only current-partition files — at
-100 TB keep the current slice in its own partition (``is_current``)
-so history bytes are never rewritten, which is exactly how the merge
-already treats them logically.
+Replay safety rests on two mechanisms, both earned from failing tests:
+the late-update guard (without it, replaying historical batches
+against an already-advanced dimension re-applies old attribute values
+as fresh changes and resurrects old versions), and WRITE-ONCE closed
+dirs (a replayed batch recomputes against the post-merge current
+slice, where e.g. a strictly-newer no-op still passes the guard, so
+its closed set can differ from the original run's — an overwrite would
+wipe correct history). A crash between the closed-write and the
+current-swap replays from the same pre-swap slice: the closed dir
+already holds that computation's output and is kept, and the swap that
+didn't happen, happens. Effective timestamps derive from surviving
+event times, never the wall clock, so a replay can't move ``eff_from``
+either. Closed dirs are keyed by batch id — resume with the same
+checkpoint (or an identical source layout) so ids keep their meaning.
 """
 
 from __future__ import annotations
@@ -38,6 +54,23 @@ from spacex_data_engineering_pipeline_spark.operators.scd import (
     latest_update_per_key,
     scd2_merge,
 )
+
+
+def read_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
+    """The full versioned dimension: live slice ∪ closed history."""
+    from pyspark.errors import AnalysisException
+
+    cur = spark.read.parquet(os.path.join(dim_path, "current"))
+    closed_root = os.path.join(dim_path, "closed")
+    if not os.path.isdir(closed_root):
+        return cur
+    try:
+        closed = spark.read.parquet(closed_root).drop("batch")
+    except AnalysisException:
+        # every batch=<id> dir is empty (no version ever closed): a
+        # schema can't be inferred from zero files
+        return cur
+    return cur.unionByName(closed)
 
 
 def run_scd2_sync(
@@ -55,8 +88,10 @@ def run_scd2_sync(
     ``updates_stream`` columns: key_cols + tracked_cols + ``ts_col``
     (event time of each update).
     """
-    tmp_path = dim_path.rstrip("/") + "__tmp_scd"
-    old_path = dim_path.rstrip("/") + "__old_scd"
+    cur_path = os.path.join(dim_path, "current")
+    closed_root = os.path.join(dim_path, "closed")
+    tmp_path = cur_path + "__tmp_scd"
+    old_path = cur_path + "__old_scd"
     ts_type = updates_stream.schema[ts_col].dataType
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,25 +99,21 @@ def run_scd2_sync(
             return
         collapsed = latest_update_per_key(batch_df, key_cols, ts_col)
 
-        # crash inside a previous swap parked the table aside: restore
-        if not os.path.exists(dim_path) and os.path.exists(old_path):
-            os.replace(old_path, dim_path)
-        exists = os.path.exists(dim_path)
+        # crash inside a previous swap parked the slice aside: restore
+        if not os.path.exists(cur_path) and os.path.exists(old_path):
+            os.replace(old_path, cur_path)
+        exists = os.path.exists(cur_path)
         if exists:
-            dim = spark.read.parquet(dim_path)
-            # LATE-UPDATE GUARD — and what makes full replays fixed
-            # points: only updates strictly newer than the key's current
-            # version apply. A replayed (or out-of-order) batch whose
-            # event times don't advance past eff_from is ignored, so
-            # re-draining history against an already-advanced dimension
-            # can't resurrect old versions. A change at the same instant
-            # as the current version is rejected too (two versions with
-            # eff_from == eff_to would be an empty validity interval).
-            cur = dim.filter(F.col("is_current")).select(
+            current = spark.read.parquet(cur_path)
+            # LATE-UPDATE GUARD — see module docstring. A change at the
+            # same instant as the current version is rejected too (two
+            # versions with eff_from == eff_to would be an empty
+            # validity interval).
+            cur_from = current.select(
                 *key_cols, F.col("eff_from").alias("__cur_from")
             )
             collapsed = (
-                collapsed.join(cur, key_cols, "left")
+                collapsed.join(cur_from, key_cols, "left")
                 .filter(
                     F.col("__cur_from").isNull()
                     | (F.col(ts_col) > F.col("__cur_from"))
@@ -97,25 +128,47 @@ def run_scd2_sync(
             batch_ts = collapsed.agg(F.max(ts_col)).first()[0]
             upd = collapsed.select(*key_cols, *tracked_cols)
             if not exists:
-                dim = (
+                current = (
                     upd.withColumn("eff_from", F.lit(None).cast(ts_type))
                     .withColumn("eff_to", F.lit(None).cast(ts_type))
                     .withColumn("is_current", F.lit(True))
                     .limit(0)
                 )
+            # history bypasses the merge BY CONSTRUCTION here: the dim
+            # argument is only ever the current slice, so the merge
+            # output splits cleanly into closed-by-this-batch rows and
+            # the next current slice
             merged = scd2_merge(
-                dim,
+                current,
                 upd,
                 key_cols=key_cols,
                 tracked_cols=tracked_cols,
                 batch_ts=F.lit(batch_ts).cast(ts_type),
+            ).persist()
+            # closed dirs are WRITE-ONCE, not overwrite: a replayed batch
+            # recomputes against the post-merge current slice (e.g. a
+            # strictly-newer no-op survives the guard), so its closed set
+            # can legitimately differ from the original run's — an
+            # overwrite would wipe correct history (caught by the replay
+            # test). First write wins, staged through an atomic rename;
+            # the `_`-prefixed (no `=`) stage dir is invisible to
+            # partition discovery even if a crash strands it.
+            closed_dir = os.path.join(closed_root, f"batch={int(batch_id)}")
+            if not os.path.exists(closed_dir):
+                stage = os.path.join(closed_root, f"_stage_batch_{int(batch_id)}")
+                merged.filter(~F.col("is_current")).write.mode("overwrite").parquet(
+                    stage
+                )
+                os.replace(stage, closed_dir)
+            merged.filter(F.col("is_current")).write.mode("overwrite").parquet(
+                tmp_path
             )
-            merged.write.mode("overwrite").parquet(tmp_path)
+            merged.unpersist()
         finally:
             collapsed.unpersist()
         if exists:
-            os.replace(dim_path, old_path)
-        os.replace(tmp_path, dim_path)
+            os.replace(cur_path, old_path)
+        os.replace(tmp_path, cur_path)
         shutil.rmtree(old_path, ignore_errors=True)
 
     q = (

@@ -539,7 +539,10 @@ def test_streaming_scd2_sync_versions_and_replay_fixed_point(spark, tmp_path):
     import datetime as dt
     import os
 
-    from spacex_data_engineering_pipeline_spark.streaming.scd_sync import run_scd2_sync
+    from spacex_data_engineering_pipeline_spark.streaming.scd_sync import (
+        read_dimension,
+        run_scd2_sync,
+    )
 
     ddl = "k long, attr string, ts timestamp_ntz"
     t0 = dt.datetime(2024, 1, 1)
@@ -577,11 +580,16 @@ def test_streaming_scd2_sync_versions_and_replay_fixed_point(spark, tmp_path):
         (2, "b1", t0, None, True),
         (3, "c1", t1, None, True),
     }
-    got = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    cols = ["k", "attr", "eff_from", "eff_to", "is_current"]
+    got = {tuple(r) for r in read_dimension(spark, dim_path).select(*cols).collect()}
     assert got == expected
+    # history is append-only batch dirs; the live slice holds only
+    # current rows
+    cur = spark.read.parquet(os.path.join(dim_path, "current"))
+    assert cur.filter("NOT is_current").count() == 0 and cur.count() == 3
 
     drain("ck2")  # full replay from scratch: must be a fixed point
-    got2 = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    got2 = {tuple(r) for r in read_dimension(spark, dim_path).select(*cols).collect()}
     assert got2 == expected
 
 
@@ -593,7 +601,10 @@ def test_streaming_scd2_sync_heals_crashed_swap(spark, tmp_path):
     import datetime as dt
     import os
 
-    from spacex_data_engineering_pipeline_spark.streaming.scd_sync import run_scd2_sync
+    from spacex_data_engineering_pipeline_spark.streaming.scd_sync import (
+        read_dimension,
+        run_scd2_sync,
+    )
 
     ddl = "k long, attr string, ts timestamp_ntz"
     t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
@@ -609,23 +620,28 @@ def test_streaming_scd2_sync_heals_crashed_swap(spark, tmp_path):
     run_scd2_sync(spark, stream, dim_path, ["k"], ["attr"], "ts",
                   checkpoint_dir=str(tmp_path / "ck1"))
 
-    # simulate the crash window: table parked aside, nothing at dim_path
-    os.replace(dim_path, dim_path + "__old_scd")
+    # simulate the crash window: live slice parked aside
+    cur_path = os.path.join(dim_path, "current")
+    os.replace(cur_path, cur_path + "__old_scd")
 
     part = str(tmp_path / "s1")
     spark.createDataFrame([(1, "a2", t1)], schema=ddl).coalesce(1).write.parquet(part)
     f1 = next(f for f in sorted(os.listdir(part)) if f.endswith(".parquet"))
     os.replace(os.path.join(part, f1), os.path.join(src, "b1.parquet"))
 
+    # recovery resumes the SAME checkpoint (closed dirs are keyed by
+    # batch id — a fresh checkpoint over a different file set would
+    # remap them, which the module contract excludes)
     stream = spark.readStream.schema(ddl).parquet(src)
     run_scd2_sync(spark, stream, dim_path, ["k"], ["attr"], "ts",
-                  checkpoint_dir=str(tmp_path / "ck2"))
-    got = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+                  checkpoint_dir=str(tmp_path / "ck1"))
+    cols = ["k", "attr", "eff_from", "eff_to", "is_current"]
+    got = {tuple(r) for r in read_dimension(spark, dim_path).select(*cols).collect()}
     assert got == {
         (1, "a1", t0, t1, False),
         (1, "a2", t1, None, True),
     }
-    assert not os.path.exists(dim_path + "__old_scd")
+    assert not os.path.exists(cur_path + "__old_scd")
 
 
 def test_late_data_quarantine_routes_and_replays_identically(spark, tmp_path):
