@@ -212,3 +212,88 @@ def test_distributed_rank_property(rows, n_buckets):
         for i, (val, tb) in enumerate(ordered):
             expected[tb] = i + 1
     assert got == expected
+
+
+# pure-Python property: no Spark session, so examples are cheap
+@settings(max_examples=200, deadline=None)
+@given(
+    steps=st.lists(st.integers(0, 30), min_size=1, max_size=50),
+    gap=st.integers(1, 25),
+    nb=st.integers(1, 5),
+)
+def test_session_update_fn_equals_gaps_and_islands(steps, gap, nb):
+    """Feeding chronological contiguous batches through the stateful
+    session update (with a final timeout flush) yields exactly the
+    batch gaps-and-islands sessions — for every event pattern, gap
+    horizon, and batch split, including equal timestamps straddling a
+    batch boundary."""
+    import itertools
+
+    import pandas as pd
+
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        _make_session_update,
+    )
+
+    ts = list(itertools.accumulate(steps))
+    vals = [float(i % 7) for i in range(len(ts))]
+
+    ref_sessions = []
+    cur = [0]
+    for i in range(1, len(ts)):
+        if ts[i] - ts[i - 1] >= gap:
+            ref_sessions.append(cur)
+            cur = [i]
+        else:
+            cur.append(i)
+    ref_sessions.append(cur)
+    expected = {
+        (ts[ix[0]], ts[ix[-1]], len(ix), float(sum(vals[i] for i in ix)))
+        for ix in ref_sessions
+    }
+
+    class StubState:
+        hasTimedOut = False
+        _t = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+        def remove(self):
+            self._t = None
+
+    fn = _make_session_update(gap)
+    state = StubState()
+    frames = []
+    n = len(ts)
+    bounds = [round(j * n / nb) for j in range(nb + 1)]
+    for j in range(nb):
+        rows = range(bounds[j], bounds[j + 1])
+        if not len(rows):
+            continue
+        pdf = pd.DataFrame(
+            {"ts_us": [ts[i] for i in rows], "value_micros": [vals[i] for i in rows]}
+        )
+        frames += list(fn((1,), [pdf], state))
+    if state.exists:  # the watermark would eventually fire the timeout
+        state.hasTimedOut = True
+        frames += list(fn((1,), [], state))
+        assert not state.exists, "timeout emission must REMOVE state"
+
+    got = {
+        (r.session_start_us, r.session_end_us, r.n_events, r.total_value_micros)
+        for f in frames
+        for r in f.itertuples()
+    }
+    assert got == expected
