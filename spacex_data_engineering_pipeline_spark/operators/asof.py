@@ -29,18 +29,28 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_tiebreak: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row, plus the right row with the
-    greatest ``right_time`` satisfying ``right_time <= left_time`` for
-    the same ``on`` key (NULL-extended when no right row qualifies).
+    """Left as-of join: every ``left`` row, plus — per ``on`` key —
+    the right row with the greatest ``right_time <= left_time``
+    (``direction="backward"``, the default) or the smallest
+    ``right_time >= left_time`` (``direction="forward"`` — "what
+    happened NEXT": the other half of pandas ``merge_asof`` parity).
+    NULL-extended when no right row qualifies.
 
     Right rows sharing an exact (key, time) are ordered by
-    ``right_tiebreak`` (ascending; the LAST one wins) so the match is
-    deterministic — pass one whenever (key, time) isn't unique on the
-    right, or pre-dedupe the right side.
+    ``right_tiebreak`` so the match is deterministic — backward keeps
+    the tiebreak-ascending LAST, forward the tiebreak-ascending FIRST
+    (the mirror image; both are "the scan's most recent"). Pass one
+    whenever (key, time) isn't unique on the right, or pre-dedupe.
 
     Output: all left columns, then ``right``'s non-key columns.
+
+    Scale is direction-independent: forward is the same single key
+    shuffle + one in-partition sort, just scanned from the other end.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward'|'forward', got {direction!r}")
     lcols = left.columns
     rcols = [c for c in right.columns if c not in on]
 
@@ -63,10 +73,18 @@ def asof_join(
     rt = rt.withColumn("__l", F.lit(None).cast(lt.schema["__l"].dataType))
 
     # sort puts right rows BEFORE left rows at equal __t (side 0 < 1),
-    # so a left row at time t sees a right row at exactly t (<= match)
+    # so a left row at time t sees a right row at exactly t (boundary
+    # match in both directions). Backward scans time ascending — the
+    # running last(right) is the greatest rt <= lt; forward scans time
+    # DESCENDING — the running last(right) is the smallest rt >= lt.
+    # Tiebreak flips with the scan so "last seen" stays deterministic.
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__tie").desc()]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -4831,3 +4831,58 @@ def segment_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@_register(
+    "next_purchase_after_click",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts,
+               row_number() OVER (PARTITION BY c.click_id
+                   ORDER BY p.purchase_ts ASC NULLS LAST,
+                            p.purchase_id ASC NULLS LAST) AS rn
+        FROM c LEFT JOIN p
+          ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+    )
+    SELECT click_id, user_id, click_ts, purchase_id, purchase_ts
+    FROM j WHERE rn = 1
+    """,
+)
+def next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py, direction='forward'):
+    for every click, the same user's EARLIEST purchase at-or-after it —
+    time-to-conversion's building block and the mirror of
+    ``purchase_attribution_asof``. Same single key shuffle + window
+    scanned from the other end; exact-tie matches pick the smallest
+    purchase_id on both engines. The oracle is the quadratic-per-key
+    LEFT JOIN + row_number rewrite the operator avoids.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="click_ts",
+        right_time="purchase_ts",
+        right_tiebreak=F.col("purchase_id"),
+        direction="forward",
+    )

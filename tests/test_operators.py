@@ -1038,3 +1038,33 @@ def test_snapshot_diff_classifies_and_null_safe(spark):
         (2, "update", "b", "b2"),
         (5, "insert", None, "e"),
     }
+
+
+def test_asof_join_forward_boundary_and_tiebreak(spark):
+    """Forward as-of: earliest right at-or-after the left time; exact
+    boundary (rt == lt) matches; equal-time right rows pick the
+    smallest tiebreak; no future right row -> NULL extension."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], schema="k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 101), (1, 20, 102), (1, 30, 103)],
+        schema="k long, rt long, rid long",
+    )
+    got = {
+        (r.k, r.lt, r.rid)
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt",
+            right_tiebreak=F.col("rid"), direction="forward",
+        ).collect()
+    }
+    assert got == {(1, 10, 100), (1, 25, 103), (2, 5, None)}
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "lt", "rt", direction="sideways")
