@@ -30,6 +30,7 @@ def asof_join(
     right_time: str,
     right_tiebreak: Column | None = None,
     direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus — per ``on`` key —
     the right row with the greatest ``right_time <= left_time``
@@ -44,10 +45,17 @@ def asof_join(
     (the mirror image; both are "the scan's most recent"). Pass one
     whenever (key, time) isn't unique on the right, or pre-dedupe.
 
+    ``tolerance`` (merge_asof's third knob): a maximum allowed
+    distance between the matched times, as a Column comparable to their
+    difference — ``F.expr("INTERVAL 30 MINUTES")`` for timestamps, a
+    numeric literal for numeric times. A match farther than the
+    tolerance NULL-extends instead (the left row is kept either way).
+
     Output: all left columns, then ``right``'s non-key columns.
 
     Scale is direction-independent: forward is the same single key
-    shuffle + one in-partition sort, just scanned from the other end.
+    shuffle + one in-partition sort, just scanned from the other end;
+    the tolerance adds one more running column, no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward'|'forward', got {direction!r}")
@@ -87,11 +95,29 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        lt.unionByName(rt)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+    matched = lt.unionByName(rt).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        # the matched right TIME rides the same window pass (no extra
+        # shuffle or sort; just one more running column)
+        matched = matched.withColumn(
+            "__mt",
+            F.last(
+                F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+            ).over(w),
+        )
+    matched = matched.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        dist = (
+            F.col("__t") - F.col("__mt")
+            if direction == "backward"
+            else F.col("__mt") - F.col("__t")
+        )
+        matched = matched.withColumn(
+            "__match",
+            F.when(F.col("__mt").isNotNull() & (dist <= tolerance), F.col("__match")),
+        )
     return matched.select(
         *[F.col("__l")[c].alias(c) for c in lcols],
         *[F.col("__match")[c].alias(c) for c in rcols],

@@ -1068,3 +1068,45 @@ def test_asof_join_forward_boundary_and_tiebreak(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"], "lt", "rt", direction="sideways")
+
+
+def test_asof_join_tolerance_null_extends(spark):
+    """A match farther than the tolerance NULL-extends; within it
+    matches normally — both directions, numeric and timestamp times."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], schema="k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 95, 7), (1, 260, 8)], schema="k long, rt long, rid long"
+    )
+    back = {
+        (r.lt, r.rid)
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", tolerance=F.lit(10)
+        ).collect()
+    }
+    assert back == {(100, 7), (200, None)}  # 200-95=105 > 10 -> NULL
+
+    fwd = {
+        (r.lt, r.rid)
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt",
+            direction="forward", tolerance=F.lit(80),
+        ).collect()
+    }
+    assert fwd == {(100, None), (200, 8)}  # 260-100=160 > 80; 260-200=60 ok
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    lts = spark.createDataFrame([(1, t)], schema="k long, lt timestamp_ntz")
+    rts = spark.createDataFrame(
+        [(1, t - dt.timedelta(minutes=45), 9)], schema="k long, rt timestamp_ntz, rid long"
+    )
+    got = asof_join(
+        lts, rts, ["k"], "lt", "rt",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).collect()
+    assert got[0].rid is None  # 45 min > 30 min tolerance
