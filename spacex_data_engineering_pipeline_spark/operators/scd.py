@@ -166,3 +166,20 @@ def snapshot_diff(
             *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def dimension_as_of(dim: DataFrame, at: Column, eff_from: str = "eff_from",
+                    eff_to: str = "eff_to") -> DataFrame:
+    """Point-in-time reconstruction of a versioned dimension: the rows
+    whose validity interval covers ``at`` — ``eff_from <= at < eff_to``
+    (open current versions have NULL ``eff_to``). Time travel as a
+    filter: at scale this predicate partition-prunes when the dimension
+    is laid out by eff_from (e.g. scd_sync's batch dirs), so "the
+    dimension as of last quarter" never scans versions born later.
+    Returns the version columns minus the bookkeeping flags untouched —
+    callers project what they need.
+    """
+    return dim.filter(
+        (F.col(eff_from).isNull() | (F.col(eff_from) <= at))
+        & (F.col(eff_to).isNull() | (F.col(eff_to) > at))
+    )

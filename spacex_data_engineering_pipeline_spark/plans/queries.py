@@ -4886,3 +4886,45 @@ def next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tiebreak=F.col("purchase_id"),
         direction="forward",
     )
+
+
+@_register(
+    "customer_dim_time_travel",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    dim AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               TIMESTAMP '2024-01-01' AS eff_from,
+               CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-06-01' END AS eff_to,
+               (c_custkey % 7 <> 0) AS is_current
+        FROM base
+        UNION ALL
+        SELECT c_custkey, 'PROMO', c_acctbal + 100,
+               TIMESTAMP '2024-06-01', NULL, TRUE
+        FROM base WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_mktsegment, c_acctbal,
+               TIMESTAMP '2024-06-01', NULL, TRUE
+        FROM base WHERE c_custkey % 97 = 0
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM dim
+    WHERE eff_from <= TIMESTAMP '2024-03-01'
+      AND (eff_to IS NULL OR eff_to > TIMESTAMP '2024-03-01')
+    """,
+)
+def customer_dim_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators/scd.py
+    ``dimension_as_of``): rebuild the SCD2 customer dimension of
+    ``scd2_customer_segments``, then ask for it AS OF a date between
+    the seed and the update batch — every key must come back exactly
+    once with its ORIGINAL attributes (the PROMO repricing hasn't
+    happened yet on that timeline, and the +10M keys don't exist).
+    Time travel is a pure filter over the version intervals — the
+    oracle replays it closed-form.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.scd import dimension_as_of
+
+    dim = QUERIES["scd2_customer_segments"](spark, sf_dir)
+    at = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+    return dimension_as_of(dim, at).select("c_custkey", "c_mktsegment", "c_acctbal")
