@@ -577,3 +577,89 @@ def connected_components(
             stacklevel=2,
         )
     return labels
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    min_jaccard_micro: int = 500_000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs principle) — same output contract as
+    :func:`ngram_jaccard_pairs`, different candidate generation.
+
+    Why: the full inverted index pays Σ|posting|² over EVERY gram. Two
+    sets with Jaccard ≥ t must overlap in o ≥ t·|union| ≥ t·max(na,nb)
+    elements, so under any global total order of grams they must share
+    a gram within the first ``n_i − ⌈t·n_i⌉ + 1`` of each set — only
+    those PREFIX grams need posting lists. At t=0.5 that halves every
+    posting list (quartering Σ|posting|²), and ordering grams
+    rarest-first puts the surviving lists at the SHORT end of the df
+    distribution — the two classic set-similarity-join optimizations,
+    exact by theorem, no recall dial.
+
+    Plan: one global gram-frequency aggregate (vocab-sized), per-doc
+    rarest-first rank (window keyed by doc — no skew: every doc is its
+    own partition key), prefix postings self-join on (block, gram),
+    pair dedup, then ONE exact verify per candidate on the full gram
+    arrays (``array_intersect`` — the arrays travel only to surviving
+    candidates, never through the posting shuffle).
+    """
+    grams = (
+        with_word_ngrams(df, text_col, n, out_col="grams", distinct=True)
+        .select(F.col(id_col).alias("doc"), F.col(block_col).alias("block"), "grams")
+        .filter(F.size("grams") > 0)
+        .select("doc", "block", F.size("grams").cast("long").alias("n_grams"), "grams")
+        .persist()
+    )
+    exploded = grams.select(
+        "doc", "block", "n_grams", F.explode("grams").alias("gram")
+    )
+    freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # exact integer ceil(n_grams · t) via long arithmetic only: the
+    # division operand is first floored to a multiple of 1e6 with %, so
+    # the quotient is an exact integer regardless of double rounding
+    raw = F.col("n_grams") * F.lit(min_jaccard_micro) + F.lit(999_999)
+    ceil_tn = ((raw - raw % F.lit(1_000_000)) / F.lit(1_000_000)).cast("long")
+    prefix_len = F.col("n_grams") - ceil_tn + F.lit(1)
+    w = Window.partitionBy("doc").orderBy(F.col("__df").asc(), F.col("gram").asc())
+    prefix = (
+        exploded.join(freq, "gram")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("doc", "block", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ga = grams.select(
+        F.col("doc").alias("doc_a"), F.col("grams").alias("__ga"),
+        F.col("n_grams").alias("na"),
+    )
+    gb = grams.select(
+        F.col("doc").alias("doc_b"), F.col("grams").alias("__gb"),
+        F.col("n_grams").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("long")
+    union = F.col("na") + F.col("nb") - inter
+    out = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn(
+            "jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long")
+        )
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+        .select("doc_a", "doc_b", "jaccard_micro")
+    )
+    return release_caches_with(out, grams)

@@ -1433,7 +1433,6 @@ def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
     (timeout + gap both firing) flips the hash. Values ride integer
     micro-units so accumulation order can't flip a bit.
     """
-    import datetime as _dt
 
     from spacex_data_engineering_pipeline_spark.streaming.event_time import (
         restore_ntz,
@@ -1483,6 +1482,10 @@ def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
         by_name = {f.name: f for f in sel_schema.fields}
         return spark.range(1).select(
             F.lit(-1).cast(by_name["user_id"].dataType).alias("user_id"),
+            # string literal, not F.lit(datetime): the datetime path
+            # round-trips through the OS timezone (mktime) — harmless
+            # for a far-future sentinel, but string casts are the
+            # engine-wide convention for tz-independent time literals
             F.lit(ts).cast(by_name["ts"].dataType).alias("ts"),
             F.lit(None).cast(by_name["value"].dataType).alias("value"),
         )
@@ -1492,7 +1495,7 @@ def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
         columns=["user_id", "ts", "value"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
         state_partitions=_MULTIBATCH_STATE_PARTS,
-        tail_dfs=[sentinel(_dt.datetime(2099, 1, 1))],
+        tail_dfs=[sentinel("2099-01-01 00:00:00")],
     )
 
 
@@ -4928,3 +4931,40 @@ def customer_dim_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = QUERIES["scd2_customer_segments"](spark, sf_dir)
     at = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
     return dimension_as_of(dim, at).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@_register(
+    "ngram_jaccard_pairs_prefix",
+    oracle=rf"""
+    WITH g AS (
+        SELECT doc_id AS doc, source AS block,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, source, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))))
+                AS BIGINT) AS jaccard_micro
+    FROM g a JOIN g b ON a.block = b.block AND a.doc < b.doc
+    WHERE CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))))
+               AS BIGINT) >= 500000
+    """,
+)
+def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (operators/dedup.py
+    ``ngram_jaccard_pairs_prefix``): candidate pairs come only from the
+    rarest ``n − ⌈t·n⌉ + 1`` grams of each document — exact by the
+    PPJoin prefix theorem, so the oracle is the same brute-force
+    pairwise SQL as ``ngram_jaccard_pairs``, just at the t=0.5
+    threshold where the prefix halves every posting list (quartering
+    the posting-join cost). No recall dial: a candidate the prefix
+    misses provably has Jaccard < t.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", "source", n=3, min_jaccard_micro=500_000
+    )

@@ -124,8 +124,26 @@ def run_scd2_sync(
                 return
         collapsed = collapsed.persist()
         try:
-            # effective timestamp from the SURVIVING updates' event time
-            batch_ts = collapsed.agg(F.max(ts_col)).first()[0]
+            # effective timestamp from the SURVIVING updates' event
+            # time, moved driver-side as EPOCH MICROS and rebuilt as a
+            # literal with the event_time helpers: collecting a
+            # datetime and re-wrapping it with F.lit round-trips
+            # through the OS timezone (TimestampType.toInternal uses
+            # time.mktime), which shifted eff_from/eff_to whenever the
+            # OS tz differed from the session tz — caught by running
+            # the suite under TZ=Asia/Kathmandu.
+            from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+                instant_expr,
+                restore_ntz,
+            )
+
+            batch_us = collapsed.agg(
+                F.max(F.unix_micros(instant_expr(collapsed, ts_col)))
+            ).first()[0]
+            was_ntz = dict(collapsed.dtypes)[ts_col] == "timestamp_ntz"
+            batch_ts_col = restore_ntz(
+                F.timestamp_micros(F.lit(batch_us)), was_ntz
+            )
             upd = collapsed.select(*key_cols, *tracked_cols)
             if not exists:
                 current = (
@@ -143,7 +161,7 @@ def run_scd2_sync(
                 upd,
                 key_cols=key_cols,
                 tracked_cols=tracked_cols,
-                batch_ts=F.lit(batch_ts).cast(ts_type),
+                batch_ts=batch_ts_col.cast(ts_type),
             ).persist()
             # closed dirs are WRITE-ONCE, not overwrite: a replayed batch
             # recomputes against the post-merge current slice (e.g. a

@@ -996,7 +996,7 @@ def test_scd2_merge_paths_null_safety_and_idempotence(spark):
     )
     t = dt.datetime(2024, 6, 1)
     merged = scd2_merge(
-        dim, updates, ["k"], ["attr"], batch_ts=F.lit(t).cast("timestamp_ntz")
+        dim, updates, ["k"], ["attr"], batch_ts=F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
     )
     got = {tuple(r) for r in merged.collect()}
     expected = {
@@ -1010,7 +1010,7 @@ def test_scd2_merge_paths_null_safety_and_idempotence(spark):
     assert got == expected
 
     again = scd2_merge(
-        merged, updates, ["k"], ["attr"], batch_ts=F.lit(t).cast("timestamp_ntz")
+        merged, updates, ["k"], ["attr"], batch_ts=F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
     )
     assert {tuple(r) for r in again.collect()} == expected
 
@@ -1110,3 +1110,54 @@ def test_asof_join_tolerance_null_extends(spark):
         tolerance=F.expr("INTERVAL 30 MINUTES"),
     ).collect()
     assert got[0].rid is None  # 45 min > 30 min tolerance
+
+
+def test_prefix_filtered_jaccard_exact_and_prunes(spark):
+    """Prefix filtering is EXACT (same pairs as the full inverted
+    index at the same threshold — the PPJoin theorem, not a recall
+    dial) while indexing strictly fewer postings."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.functions.text import with_word_ngrams
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "s"),
+        (2, base + " extra", "s"),                      # near-dup of 1
+        (3, "completely different words in this one doc", "s"),
+        (4, base.replace("quick", "slow"), "s"),        # another near-dup
+        (5, "completely different words in this one doc", "s"),  # exact dup of 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    full = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", "source", n=3, min_jaccard_micro=400_000
+        ).collect()
+    }
+    pref = {
+        tuple(r)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", "source", n=3, min_jaccard_micro=400_000
+        ).collect()
+    }
+    assert pref == full and len(full) >= 2  # non-vacuous: dups found
+
+    # the scale claim: prefix postings strictly fewer than full postings
+    grams = with_word_ngrams(docs, "text", 3, out_col="g", distinct=True)
+    n_full = grams.select(F.sum(F.size("g"))).first()[0]
+    t = 400_000
+    n_prefix = grams.select(
+        F.sum(
+            F.size("g")
+            - ((F.size("g").cast("long") * t + 999_999 -
+                (F.size("g").cast("long") * t + 999_999) % 1_000_000) / 1_000_000)
+            .cast("long")
+            + 1
+        )
+    ).first()[0]
+    assert n_prefix < n_full
