@@ -4968,3 +4968,77 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", "source", n=3, min_jaccard_micro=500_000
     )
+
+
+@_register(
+    "frequent_part_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY l_partkey),
+    pc AS (
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY a.l_partkey, c.l_partkey
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           CAST((support * n.n_orders * 1000000) // (ia.cnt * ib.cnt)
+                AS BIGINT) AS lift_micro
+    FROM pc
+    CROSS JOIN n
+    JOIN ic ia ON ia.l_partkey = pc.part_a
+    JOIN ic ib ON ib.l_partkey = pc.part_b
+    WHERE support >= 3
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association analysis: part pairs co-purchased in
+    ≥ 3 orders, with exact integer lift (support·N·10⁶ intdiv
+    supportA·supportB — both engines use INTEGRAL division because the
+    numerator exceeds 2⁵³ at scale and a double quotient could flip the
+    floor). The A-Priori candidate space never materializes: pairs come
+    from a basket SELF-JOIN on the order key, so cost is Σ|basket|²
+    (baskets are small and bounded by order size — the honest scale
+    unit for market-basket), never |parts|². Item supports are a
+    vocab-sized broadcast; the order count is inlined as a literal the
+    way BM25 inlines its corpus stats.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct().persist()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item_cnt = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pair_cnt.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr(
+                f"(support * {n_orders}L * 1000000L) div (cnt_a * cnt_b)"
+            ).alias("lift_micro"),
+        )
+    )
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        release_caches_with,
+    )
+
+    return release_caches_with(out, baskets)
