@@ -1,0 +1,89 @@
+"""Bloom-filter join pruning: cut a huge fact table down to
+probably-matching rows BEFORE the shuffle of a semi join whose dim
+side is too large to broadcast as a hash relation but whose key set
+fits a bloom filter (1 M keys ≈ 1.2 MiB at 10 bits/key).
+
+The filter is exact-by-construction: bloom passes are verified by the
+real semi join, so false positives cost only wasted shuffle rows and
+false negatives are impossible (every dim key sets its bits). Catalyst
+has its own injected runtime bloom filters
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator
+is the explicit form for when the optimizer's heuristics don't fire
+(creation-side thresholds, non-selective-looking builds) or when the
+filter should be built once and reused across several fact scans.
+
+Mechanics: dim keys hash to ``k`` positions in an ``m``-bit array via
+``xxhash64(key, seed)``; the bit array is aggregated JVM-side as
+``m/64`` longs (``bit_or`` over word index — a metadata-sized
+aggregation), collected, and re-broadcast as ONE array<long> literal.
+The fact-side membership test is pure codegen arithmetic
+(element_at + shiftright + bitwise AND), no Python crossing.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_bloom(dim: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5) -> list[int]:
+    """Aggregate the dim key set into an m-bit bloom filter, returned
+    as a list of m/64 longs (dense, zero-filled). The Spark-side cost
+    is one scan of dim + a ≤ m/64-row aggregation."""
+    assert m_bits % 64 == 0
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+    words = (
+        dim.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("mask"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["mask"]
+    return arr
+
+
+def bloom_contains(bloom: list[int], key: Column, m_bits: int, k: int = 5) -> Column:
+    """Codegen membership predicate: all k bit positions of ``key`` set."""
+    lit_arr = F.lit(bloom)
+    checks = []
+    for i in range(k):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(lit_arr, ((p / 64).cast("int") + 1))
+        checks.append(
+            F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+            == 1
+        )
+    return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Semi join fact→dim with a bloom prefilter on the fact side.
+    Result is EXACTLY ``fact SEMI JOIN dim`` — the bloom only shrinks
+    what reaches the shuffle."""
+    bloom = build_bloom(dim, dim_key, m_bits, k)
+    pruned = fact.filter(bloom_contains(bloom, F.col(fact_key), m_bits, k))
+    keys = dim.select(F.col(dim_key).alias("__bloom_k")).distinct()
+    return pruned.join(
+        keys, F.col(fact_key) == F.col("__bloom_k"), "left_semi"
+    )

@@ -5042,3 +5042,164 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return release_caches_with(out, baskets)
+
+
+@_register(
+    "orders_matview_incremental",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(o_totalprice) AS revenue
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+    GROUP BY o_orderstatus, year(o_orderdate)
+    """,
+)
+def orders_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/matview.py):
+    a (status, year) revenue view is seeded from pre-1996 orders, then
+    kept in sync by folding in two deltas — the 1996+ orders as inserts
+    and a RETRACTION batch (sign −1) deleting every finished order above
+    300k — without ever re-scanning the fact table. The oracle is the
+    direct GROUP BY over the equivalent final fact state; matching it
+    value-exact proves insert AND delete maintenance compose correctly.
+
+    Scale: each apply_delta partially aggregates the batch map-side,
+    touches only the hash-bucket partitions containing its groups
+    (partition-pruned read + crash-safe swap rewrite), so per-batch
+    cost is O(|delta| + |touched buckets|) — the 100 TB replacement for
+    the reference's recompute-every-run aggregation snapshots
+    (src/aggregation_service.py).
+    """
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators import matview as MV
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_totalprice",
+    )
+    group_cols = ["o_orderstatus", "order_year"]
+    measures = {"n_orders": ("count", None), "revenue": ("sum", "o_totalprice")}
+    cut = F.col("order_year") < 1996
+
+    path = _tempfile.mkdtemp(prefix="mv_orders_") + "/view"
+    MV.create_matview(spark, path, orders.filter(cut), group_cols, measures)
+    MV.apply_delta(spark, path, orders.filter(~cut), group_cols, measures)
+    retract = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    ).withColumn("__sign", F.lit(-1))
+    MV.apply_delta(spark, path, retract, group_cols, measures, sign_col="__sign")
+    return MV.read_matview(spark, path).select(
+        "o_orderstatus", "order_year", "n_orders", "revenue"
+    )
+
+
+@_register(
+    "gap_filled_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS r
+        FROM orders WHERE o_totalprice > 400000
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT o_orderstatus,
+               CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY o_orderstatus
+    ),
+    j AS (
+        SELECT s.o_orderstatus, s.day, d.r
+        FROM spine s LEFT JOIN daily d
+          ON s.o_orderstatus = d.o_orderstatus AND s.day = d.day
+    ),
+    w AS (
+        SELECT o_orderstatus, day, r,
+            last_value(r IGNORE NULLS) OVER pw AS pv,
+            last_value(CASE WHEN r IS NOT NULL THEN day END IGNORE NULLS) OVER pw AS pd,
+            first_value(r IGNORE NULLS) OVER nw AS nv,
+            first_value(CASE WHEN r IS NOT NULL THEN day END IGNORE NULLS) OVER nw AS nd
+        FROM j
+        WINDOW pw AS (PARTITION BY o_orderstatus ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               nw AS (PARTITION BY o_orderstatus ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderstatus, day,
+           CASE WHEN r IS NOT NULL THEN r
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                      / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                ELSE COALESCE(pv, nv) END AS revenue,
+           r IS NULL AS filled
+    FROM w
+    """,
+)
+def gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (operators/timeseries.py): the daily
+    revenue of high-value orders is sparse (~1/3 of days observed per
+    status at sf0.01), so densify each status series over its own span
+    and linearly interpolate the missing days, flagging imputed rows.
+
+    Scale: per-group sequence/explode spine (no global calendar
+    cross-join), one group-keyed shuffle, frame-bounded window
+    neighbor scans over post-aggregation day counts. The interpolation
+    expression matches the oracle operand-for-operand so the doubles
+    are bit-identical.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.timeseries import (
+        fill_gaps_linear,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy(
+            "o_orderstatus", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    return fill_gaps_linear(
+        daily, ["o_orderstatus"], "day", "revenue"
+    )
+
+
+@_register(
+    "bloom_pruned_high_value_lineitems",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(l_extendedprice) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_pruned_high_value_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloomjoin.py): lineitem rows
+    belonging to very-high-value orders. The order-key set is folded
+    into an m-bit bloom (codegen membership test on the fact scan), so
+    at scale only probably-matching fact rows reach the semi-join
+    shuffle; the exact verify join makes the result identical to the
+    plain IN-subquery oracle regardless of false positives.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.bloomjoin import (
+        bloom_semi_join,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
+    matched = bloom_semi_join(
+        lineitem, orders, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=5
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_extendedprice").alias("revenue"),
+    )
