@@ -5203,3 +5203,203 @@ def bloom_pruned_high_value_lineitems(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_items"),
         F.sum("l_extendedprice").alias("revenue"),
     )
+
+
+@_register(
+    "part_copurchase_pagerank",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+        SELECT a.l_partkey AS s, c.l_partkey AS d
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    edges AS (SELECT s AS src, d AS dst FROM pc
+              UNION ALL SELECT d, s FROM pc),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r, deg FROM deg),
+    c1 AS (SELECT e.dst AS node, SUM((r.r * 85) // (r.deg * 100)) AS s
+           FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+    r1 AS (SELECT d.src AS node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r, d.deg
+           FROM deg d LEFT JOIN c1 c ON c.node = d.src),
+    c2 AS (SELECT e.dst AS node, SUM((r.r * 85) // (r.deg * 100)) AS s
+           FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+    r2 AS (SELECT d.src AS node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r, d.deg
+           FROM deg d LEFT JOIN c2 c ON c.node = d.src),
+    c3 AS (SELECT e.dst AS node, SUM((r.r * 85) // (r.deg * 100)) AS s
+           FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+    r3 AS (SELECT d.src AS node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r, d.deg
+           FROM deg d LEFT JOIN c3 c ON c.node = d.src)
+    SELECT node AS part, r AS rank_micros FROM r3
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality (operators/graph.py): 3 fixed
+    PageRank iterations over the symmetric co-purchase graph (part
+    pairs sharing ≥ 3 orders — the ``frequent_part_pairs`` edge set).
+    Integer fixed-point micro-unit ranks with INTEGRAL damped shares,
+    so DuckDB replays all three iterations bit-for-bit as chained CTEs.
+
+    Scale: each iteration is one dst-keyed aggregation shuffle plus a
+    node-cardinality join (AQE exchange reuse) — the standard
+    distributed PageRank step; edge construction is the
+    inverted-index-style basket self-join (Σ per-order pairs, never
+    parts²).
+    """
+    from spacex_data_engineering_pipeline_spark.operators.graph import pagerank_fixed
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        release_caches_with,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("s", "d")
+    )
+    edges = (
+        pc.select(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .unionAll(pc.select(F.col("d").alias("src"), F.col("s").alias("dst")))
+        .persist()
+    )
+    ranks = pagerank_fixed(edges, iterations=3, damping_pct=85)
+    out = ranks.select(F.col("node").alias("part"), "rank_micros")
+    return release_caches_with(out, edges)
+
+
+@_register(
+    "streaming_matview_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(o_totalprice) AS revenue
+    FROM orders
+    WHERE NOT (o_totalprice > 400000)
+    GROUP BY o_orderpriority
+    """,
+)
+def streaming_matview_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance under the gate
+    (streaming/matview_sync.py): an EMPTY (priority → count, revenue)
+    view is seeded, then the whole orders table streams through as 4
+    insert micro-batches followed by a RETRACTION batch (sign −1
+    deleting every order above 400k), folded in by foreachBatch →
+    apply_delta with the epoch id as the exactly-once batch key. The
+    final view must equal the direct GROUP BY over the equivalent fact
+    state — a double-applied epoch, lost retraction, or partial commit
+    flips counts and the hash. State lives in the view files; the
+    stream itself is stateless.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators import matview as MV
+    from spacex_data_engineering_pipeline_spark.streaming.matview_sync import (
+        sync_matview_stream,
+    )
+
+    group_cols = ["o_orderpriority"]
+    measures = {"n_orders": ("count", None), "revenue": ("sum", "o_totalprice")}
+
+    orders = load_table(spark, sf_dir, "orders")
+    sel = orders.select(
+        "o_orderpriority", "o_totalprice", F.col("o_orderkey").alias("__k")
+    ).withColumn("__sign", F.lit(1))
+
+    work = _tempfile.mkdtemp(prefix="mv_stream_")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    split = _os.path.join(work, "split")
+    sel.repartitionByRange(4, F.col("__k")).write.parquet(split)
+    parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+    for i, fname in enumerate(parts):
+        dst = _os.path.join(src, f"batch{i:04d}.parquet")
+        _os.replace(_os.path.join(split, fname), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    retract = sel.filter(F.col("o_totalprice") > 400000).withColumn(
+        "__sign", F.lit(-1)
+    )
+    tail = _os.path.join(work, "tail")
+    retract.coalesce(1).write.parquet(tail)
+    tname = next(f for f in sorted(_os.listdir(tail)) if f.endswith(".parquet"))
+    k = len(parts)
+    dst = _os.path.join(src, f"batch{k:04d}.parquet")
+    _os.replace(_os.path.join(tail, tname), dst)
+    _os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    view_path = _os.path.join(work, "view")
+    MV.create_matview(
+        spark, view_path, sel.limit(0).drop("__k"), group_cols, measures, n_buckets=4
+    )
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        sync_matview_stream(
+            spark,
+            src,
+            sel.schema,
+            view_path,
+            group_cols,
+            measures,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+            sign_col="__sign",
+            n_buckets=4,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    return MV.read_matview(spark, view_path).select(
+        "o_orderpriority", "n_orders", "revenue"
+    )
+
+
+@_register(
+    "zorder_box_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           SUM(l_extendedprice) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 20 AND 60
+    """,
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering round trip (operators/zorder.py): lineitem is
+    rewritten clustered on the Morton curve over (l_partkey, l_suppkey)
+    and a 2-D box predicate is answered from the clustered copy — the
+    result must equal the same scan of the original table (clustering
+    is a pure layout change). The point of the layout is pytest-graded
+    separately: footer min/max stats exclude most files for box
+    predicates that a single-column sort cannot prune at all
+    (tests/test_zorder.py), which at 100 TB is the difference between
+    scanning a shard and scanning the table.
+    """
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    path = _tempfile.mkdtemp(prefix="zorder_") + "/lineitem"
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("l_partkey").between(200, 400) & F.col("l_suppkey").between(20, 60)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_checksum"),
+        F.sum("l_extendedprice").alias("revenue"),
+    )

@@ -1,0 +1,43 @@
+"""Fixed-iteration integer PageRank (operators/graph.py) vs a
+hand-rolled Python reference on a small symmetric graph."""
+
+from __future__ import annotations
+
+
+def _py_pagerank(edges, iterations, damping_pct=85, init=1_000_000):
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    r = {n: init for n in nodes}
+    base = (100 - damping_pct) * init // 100
+    for _ in range(iterations):
+        nxt = {n: base for n in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * damping_pct) // (deg[s] * 100)
+        r = nxt
+    return r
+
+
+def _sym(pairs):
+    return [(s, d) for a, b in pairs for s, d in ((a, b), (b, a))]
+
+
+def test_pagerank_one_iteration_hand_values(spark):
+    from spacex_data_engineering_pipeline_spark.operators.graph import pagerank_fixed
+
+    edges = _sym([(1, 2), (2, 3), (1, 3), (3, 4)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micros"] for r in pagerank_fixed(df, 1).collect()}
+    assert got == {1: 858333, 2: 858333, 3: 1_850_000, 4: 433333}
+
+
+def test_pagerank_matches_python_reference(spark):
+    from spacex_data_engineering_pipeline_spark.operators.graph import pagerank_fixed
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)]
+    edges = _sym(pairs)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 4):
+        got = {r["node"]: r["rank_micros"] for r in pagerank_fixed(df, k).collect()}
+        assert got == _py_pagerank(edges, k)

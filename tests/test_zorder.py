@@ -1,0 +1,83 @@
+"""Z-order layout (operators/zorder.py): interleave math, round-trip
+fidelity, and the actual point — multi-dimensional file skipping that
+a single-column sort cannot give."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.operators.zorder import (
+    files_overlapping_box,
+    write_zordered,
+    zorder_value,
+)
+
+
+def test_interleave_known_values(spark):
+    # values span [0, 3] with bits=2 → quantization is the identity.
+    # (x=0b11, y=0b01) → z = x0 | y0<<1 | x1<<2 | y1<<3
+    #   = 1 | 1<<1 | 1<<2 | 0<<3 = 0b0111 = 7
+    df = spark.createDataFrame(
+        [(0, 0), (3, 1), (3, 3)], "x long, y long"
+    )
+    zdf, zcol = zorder_value(df, ["x", "y"], bits=2)
+    got = {(r["x"], r["y"]): r[zcol] for r in zdf.collect()}
+    assert got == {(0, 0): 0, (3, 1): 7, (3, 3): 15}
+
+
+def test_zorder_preserves_rows(spark, sf_dir, tmp_path):
+    from spacex_data_engineering_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, str(sf_dir), "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zli")
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+    # checksum equality, order-insensitive
+    chk = lambda d: d.agg(
+        F.sum("l_orderkey"), F.sum("l_partkey"), F.sum(F.round("l_quantity", 2))
+    ).collect()[0]
+    assert chk(back) == chk(li)
+
+
+def test_zorder_skips_files_where_linear_sort_cannot(spark, tmp_path):
+    """A 2-D box predicate over a layout sorted by an UNRELATED column
+    overlaps every file; the z-ordered layout excludes most files for
+    the same box via footer min/max alone."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("b"),
+    ).select("id", F.abs("a").alias("a"), F.abs("b").alias("b"))
+
+    linear = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, ["a", "b"], n_files=16)
+
+    box = {"a": (100, 199), "b": (400, 499)}  # ~1% of the grid
+    lin_hit, lin_total = files_overlapping_box(linear, box)
+    z_hit, z_total = files_overlapping_box(zpath, box)
+    assert lin_total == z_total == 16
+    assert lin_hit == 16  # id-sort gives no (a, b) locality at all
+    assert z_hit <= 6  # Morton clustering excludes most files
+
+    # and the data that survives pruning is still the right data
+    got = (
+        spark.read.parquet(zpath)
+        .filter(F.col("a").between(100, 199) & F.col("b").between(400, 499))
+        .count()
+    )
+    want = df.filter(
+        F.col("a").between(100, 199) & F.col("b").between(400, 499)
+    ).count()
+    assert got == want
