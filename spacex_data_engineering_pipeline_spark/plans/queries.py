@@ -5403,3 +5403,212 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").alias("key_checksum"),
         F.sum("l_extendedprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 statistics tier — trend regression / robust outliers / A/B readout
+# (beyond the reference's averages-and-rates analytics,
+#  reference src/aggregations.py:310-366)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "revenue_trend_by_nation",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name AS nation,
+               date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+                   AS day_x,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(revenue, day_x), 4) AS slope,
+           ROUND(regr_intercept(revenue, day_x), 2) AS intercept,
+           ROUND(regr_r2(revenue, day_x), 4) AS r2
+    FROM daily
+    GROUP BY nation
+    """,
+)
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of daily order revenue (operators/stats.py
+    ``group_trend``): is each market growing, and how linear is it?
+
+    The regr_* aggregates reduce to sufficient statistics (Σx, Σy,
+    Σxy, Σx²) — distributive with map-side combine, so the whole fit
+    is one extra reduce over the already-grouped daily series. Daily
+    revenue is rounded to cents BEFORE the regression on both sides so
+    summation-order ulps can't leak through the fit. Joins: nation is
+    broadcast; orders⋈customer shuffles once on custkey.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.stats import group_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            .cast("bigint")
+            .alias("day_x"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    fit = group_trend(daily, ["nation"], "day_x", "revenue")
+    return fit.select(
+        "nation",
+        "n_points",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 4).alias("r2"),
+    )
+
+
+@_register(
+    "discount_ab_welch",
+    oracle="""
+    WITH armed AS (
+        SELECT l_returnflag,
+               l_discount >= 0.05 AS promo,
+               l_extendedprice AS price
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT l_returnflag,
+               COUNT(CASE WHEN promo THEN 1 END) AS n_a,
+               AVG(CASE WHEN promo THEN price END) AS mean_a,
+               var_samp(CASE WHEN promo THEN price END) AS var_a,
+               COUNT(CASE WHEN NOT promo THEN 1 END) AS n_b,
+               AVG(CASE WHEN NOT promo THEN price END) AS mean_b,
+               var_samp(CASE WHEN NOT promo THEN price END) AS var_b
+        FROM armed
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n_a, n_b,
+           ROUND(mean_a, 2) AS mean_a,
+           ROUND(mean_b, 2) AS mean_b,
+           ROUND(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND var_a / n_a + var_b / n_b > 0
+                 THEN (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+                 END, 4) AS t_stat,
+           ROUND(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND var_a / n_a + var_b / n_b > 0
+                 THEN ((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+                      / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                         + (var_b / n_b) * (var_b / n_b) / (n_b - 1))
+                 END, 2) AS welch_df
+    FROM stats
+    """,
+)
+def discount_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout (operators/stats.py ``welch_t``): does a promo-level
+    discount (≥ 5%) ship systematically different line values, per
+    return flag? Welch's unequal-variance t with Welch–Satterthwaite
+    degrees of freedom, computed closed-form from ONE pass of
+    conditional (n, mean, var_samp) per arm — a single shuffle on the
+    group key with full map-side combine, the cheapest possible plan
+    for an A/B readout over 100 TB of fact rows.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.stats import welch_t
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return welch_t(
+        lineitem,
+        ["l_returnflag"],
+        F.col("l_discount") >= 0.05,
+        "l_extendedprice",
+    )
+
+
+@_register(
+    "order_value_robust_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority,
+               median(o_totalprice) AS med,
+               COUNT(*) AS n_rows
+        FROM orders
+        GROUP BY o_orderpriority
+    ),
+    dev AS (
+        SELECT o.o_orderpriority,
+               m.med, m.n_rows,
+               abs(o.o_totalprice - m.med) AS absdev
+        FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+        SELECT o_orderpriority, median(absdev) AS mad
+        FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           CAST(MIN(d.n_rows) AS BIGINT) AS n_rows,
+           ROUND(MIN(d.med), 2) AS median_value,
+           ROUND(MIN(m.mad), 2) AS mad_value,
+           CAST(SUM(CASE WHEN d.absdev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority
+    """,
+)
+def order_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags (operators/stats.py
+    ``robust_outlier_stats``): per-priority median/MAD of order value
+    and the count of orders beyond 3 MADs — the outlier test that
+    heavy-tailed revenue distributions don't break (mean/stddev flags
+    saturate on the tail itself).
+
+    Median/MAD are non-distributive; the plan is two grouped EXACT
+    ``median`` aggregations with dimension-sized group stats broadcast
+    back onto the fact rows (fact table never re-shuffled for the
+    join). The per-row flag ``absdev > k·mad`` is the same IEEE
+    expression on both engines over the same doubles, so it's
+    hash-stable without rounding tricks.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.stats import (
+        robust_outlier_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return robust_outlier_stats(
+        orders, ["o_orderpriority"], "o_totalprice", k=3.0
+    )
+
+
+@_register(
+    "deterministic_doc_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(doc_id || ':holdout'), 1, 8)) AS UBIGINT)
+          < CAST(0.2 * 4294967296 AS UBIGINT)
+    """,
+)
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% holdout of the corpus (operators/sampling.py
+    ``hash_bernoulli_sample``): the kept set is a pure function of
+    (doc_id, salt, rate) — identical under repartitioning, retries,
+    engine version, and even engine VENDOR (the oracle replays the
+    same md5 coin in DuckDB). ``df.sample`` can't promise any of that.
+
+    Plan: a single narrow filter — no shuffle, no state; composes
+    with column pruning and partition pruning, so at 100 TB the
+    sample costs one scan of the pruned columns and nothing else.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.sampling import (
+        hash_bernoulli_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return hash_bernoulli_sample(docs, "doc_id", 0.2, salt="holdout")

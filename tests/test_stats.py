@@ -1,0 +1,131 @@
+"""Unit tests for the statistics tier (operators/stats.py) and the
+deterministic portable-hash sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.operators.sampling import (
+    hash_bernoulli_sample,
+    stratified_hash_sample,
+)
+from spacex_data_engineering_pipeline_spark.operators.stats import (
+    group_trend,
+    robust_outlier_stats,
+    welch_t,
+)
+
+
+def test_group_trend_recovers_exact_line(spark):
+    # y = 3x + 7 exactly, per group — slope/intercept must be exact, r2 == 1
+    rows = [("g1", float(x), 3.0 * x + 7.0) for x in range(10)]
+    rows += [("g2", float(x), -2.0 * x + 1.0) for x in range(5)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    assert out["g1"]["n_points"] == 10
+    assert math.isclose(out["g1"]["slope"], 3.0, abs_tol=1e-9)
+    assert math.isclose(out["g1"]["intercept"], 7.0, abs_tol=1e-9)
+    assert math.isclose(out["g1"]["r2"], 1.0, abs_tol=1e-9)
+    assert math.isclose(out["g2"]["slope"], -2.0, abs_tol=1e-9)
+
+
+def test_welch_t_matches_hand_computation(spark):
+    a = [10.0, 12.0, 14.0, 16.0]
+    b = [20.0, 21.0, 19.0]
+    rows = [("g", True, v) for v in a] + [("g", False, v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "promo", "v"])
+    r = welch_t(df, ["g"], F.col("promo"), "v").collect()[0]
+    n_a, n_b = len(a), len(b)
+    m_a = sum(a) / n_a
+    m_b = sum(b) / n_b
+    v_a = sum((x - m_a) ** 2 for x in a) / (n_a - 1)
+    v_b = sum((x - m_b) ** 2 for x in b) / (n_b - 1)
+    se2 = v_a / n_a + v_b / n_b
+    t = (m_a - m_b) / math.sqrt(se2)
+    dfree = se2**2 / (
+        (v_a / n_a) ** 2 / (n_a - 1) + (v_b / n_b) ** 2 / (n_b - 1)
+    )
+    assert r["n_a"] == n_a and r["n_b"] == n_b
+    assert math.isclose(r["t_stat"], round(t, 4), abs_tol=1e-9)
+    assert math.isclose(r["welch_df"], round(dfree, 2), abs_tol=1e-9)
+
+
+def test_welch_t_degenerate_arm_yields_null(spark):
+    df = spark.createDataFrame(
+        [("g", True, 1.0), ("g", False, 2.0), ("g", False, 3.0)],
+        ["g", "promo", "v"],
+    )
+    r = welch_t(df, ["g"], F.col("promo"), "v").collect()[0]
+    assert r["t_stat"] is None and r["welch_df"] is None
+
+
+def test_robust_outliers_known_values(spark):
+    # values 1..9 plus an outlier 1000: median 5.5, MAD 2.5
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    r = robust_outlier_stats(df, ["g"], "v", k=6.0).collect()[0]
+    assert r["n_rows"] == 10
+    assert math.isclose(r["median_value"], 5.5, abs_tol=1e-9)
+    assert math.isclose(r["mad_value"], 2.5, abs_tol=1e-9)
+    # only 1000 deviates more than 6 * 2.5 = 15 from 5.5
+    assert r["n_outliers"] == 1
+
+
+def _py_coin(key: str, salt: str) -> int:
+    return int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def test_hash_sample_matches_python_md5_and_is_partition_invariant(spark):
+    keys = [f"k{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    rate = 0.3
+    expected = {k for k in keys if _py_coin(k, "s1") < int(rate * (1 << 32))}
+    got1 = {r["k"] for r in hash_bernoulli_sample(df, "k", rate, "s1").collect()}
+    got2 = {
+        r["k"]
+        for r in hash_bernoulli_sample(
+            df.repartition(7), "k", rate, "s1"
+        ).collect()
+    }
+    assert got1 == expected
+    assert got2 == expected  # invariant under repartitioning
+
+
+def test_hash_sample_monotone_in_rate_and_salt_independent(spark):
+    keys = [f"k{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    s10 = {r["k"] for r in hash_bernoulli_sample(df, "k", 0.1, "s").collect()}
+    s30 = {r["k"] for r in hash_bernoulli_sample(df, "k", 0.3, "s").collect()}
+    assert s10 <= s30  # raising the rate only adds keys
+    assert 0.05 < len(s10) / len(keys) < 0.15
+    other = {r["k"] for r in hash_bernoulli_sample(df, "k", 0.3, "t").collect()}
+    # different salts give (statistically) independent draws
+    overlap = len(s30 & other) / len(keys)
+    assert 0.03 < overlap < 0.16  # ~0.09 expected
+
+
+def test_stratified_rates_respected(spark):
+    rows = [("en", f"e{i}") for i in range(1000)] + [
+        ("fr", f"f{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["lang", "k"])
+    out = stratified_hash_sample(
+        df, "lang", "k", {"en": 0.1, "fr": 1.0}, default_rate=0.0
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("fr") == 200  # rate 1.0 keeps everything
+    assert 50 < by_lang.get("en", 0) < 170
+
+
+def test_hash_sample_rejects_bad_rate(spark):
+    df = spark.createDataFrame([("a",)], ["k"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_bernoulli_sample(df, "k", 1.5)
