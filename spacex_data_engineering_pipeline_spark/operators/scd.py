@@ -183,3 +183,51 @@ def dimension_as_of(dim: DataFrame, at: Column, eff_from: str = "eff_from",
         (F.col(eff_from).isNull() | (F.col(eff_from) <= at))
         & (F.col(eff_to).isNull() | (F.col(eff_to) > at))
     )
+
+
+def apply_cdc_log(
+    base: DataFrame,
+    log: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Replay an ordered change-data-capture log onto a base snapshot:
+    the final state keeps, per key, the payload of the HIGHEST-sequence
+    operation ('I'/'U' upsert wins, 'D' removes the key), with base
+    rows acting as sequence −∞ inserts. The inverse of
+    :func:`snapshot_diff`: replaying a diff's new-side payloads
+    (insert/update → 'U', delete → 'D') onto the old snapshot
+    reconstructs the new one exactly, for any two snapshots.
+
+    Scale shape: one union (no shuffle) + one top-1-per-key window —
+    a single hash shuffle on the business key, the same cost as the
+    upsert dedup it generalizes (operators/upsert.py). Log rows for
+    one key land in one partition regardless of log length, and AQE
+    handles hot keys; nothing collects. With a transactional format
+    this is the engine-side of `MERGE` fed by a CDC stream (Debezium /
+    Delta CDF shape: op ∈ {I, U, D} + a total-order sequence).
+    """
+    payload = [c for c in base.columns if c not in key_cols]
+    missing = set(key_cols + payload + [seq_col, op_col]) - set(log.columns)
+    if missing:
+        raise ValueError(f"log is missing columns: {sorted(missing)}")
+    base_tagged = base.select(
+        *key_cols,
+        *payload,
+        F.lit(-1).cast("long").alias("__seq"),
+        F.lit("I").alias("__op"),
+    )
+    log_tagged = log.select(
+        *key_cols,
+        *payload,
+        F.col(seq_col).cast("long").alias("__seq"),
+        F.col(op_col).alias("__op"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
+    return (
+        base_tagged.unionByName(log_tagged)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__op") != F.lit("D")))
+        .drop("__rn", "__seq", "__op")
+    )

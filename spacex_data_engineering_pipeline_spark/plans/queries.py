@@ -5612,3 +5612,265 @@ def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     return hash_bernoulli_sample(docs, "doc_id", 0.2, salt="holdout")
+
+
+@_register(
+    "customer_name_edit_pairs",
+    oracle="""
+    SELECT a.c_custkey AS a_id,
+           b.c_custkey AS b_id,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance similarity self-join (operators/editjoin.py):
+    all customer-name pairs within Levenshtein distance 1 — the
+    fuzzy-matching primitive behind entity resolution and typo-tolerant
+    dedup. PassJoin segment pigeonhole gives candidate recall EXACTLY 1
+    (unlike MinHash banding), so the result is value-identical to the
+    oracle's brute-force n² verify while the engine only shuffles the
+    segment inverted index (Σ|posting|², never n²). Verification is the
+    JVM ``levenshtein`` — whole-stage codegen, no Python.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    pairs = edit_distance_join(customer, "c_custkey", "c_name", max_d=1)
+    return pairs.select(
+        F.col("a_id"),
+        F.col("b_id"),
+        F.col("edit_dist").cast("bigint").alias("edit_dist"),
+    )
+
+
+@_register(
+    "orders_cdc_applied",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, '6-SYNTH'
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+)
+def orders_cdc_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC-log replay (operators/scd.py ``apply_cdc_log``): a
+    deterministic Debezium-shaped log — price updates at seq 1 for
+    keys ≡ 0 (mod 7), deletes at seq 2 for keys ≡ 0 (mod 13), fresh
+    inserts at seq 3 for keys ≡ 0 (mod 101) — is replayed onto the
+    orders snapshot; per key the highest-sequence op wins and deletes
+    remove the key entirely. The oracle states the closed-form final
+    table, so any wrong op precedence, lost delete, or double-applied
+    update flips rows AND the hash.
+
+    Scale: one union (no shuffle) + one top-1-per-key window — a
+    single hash shuffle on the business key, log length amortized
+    into the same pass; the exact cost profile of the upsert dedup it
+    generalizes. The price mutation is a raw IEEE add (no rounding)
+    so both engines produce bit-identical doubles.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.scd import apply_cdc_log
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    updates = (
+        orders.filter(key % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        orders.filter(key % 13 == 0)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    inserts = (
+        orders.filter(key % 101 == 0)
+        .withColumn("o_orderkey", key + F.lit(2000000000))
+        .withColumn("o_orderpriority", F.lit("6-SYNTH"))
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("I"))
+    )
+    log = updates.unionByName(deletes).unionByName(inserts)
+    return apply_cdc_log(orders, log, ["o_orderkey"], "seq", "op")
+
+
+@_register(
+    "copurchase_triangles",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+        SELECT a.l_partkey AS s, c.l_partkey AS d
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM pc e1
+        JOIN pc e2 ON e1.d = e2.s
+        JOIN pc e3 ON e3.s = e1.s AND e3.d = e2.d
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT v) FROM
+                   (SELECT s AS v FROM pc UNION ALL SELECT d FROM pc))
+                AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pc) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph
+    (operators/graph.py ``triangle_count``): triangles are the unit of
+    clustering-coefficient / community-density analytics. Edges are
+    the support-≥3 co-purchased part pairs (the ``frequent_part_pairs``
+    / PageRank edge set, canonical ``s < d``); the count enumerates
+    id-ordered wedges once and closes them against the edge list, so
+    each triangle is counted exactly once.
+
+    Scale: edge construction is the per-order basket self-join
+    (Σ per-order pairs²); the wedge join is Σ out-degree² on a
+    support-thresholded (hub-free) graph; the closing probe is an
+    equi-join on the canonical pair key. Nothing driver-side.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        release_caches_with,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("src", "dst")
+        .persist()
+    )
+    return release_caches_with(triangle_count(pc), pc)
+
+
+@_register(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(COALESCE(e.value, 0) AS DECIMAL(18,6)) * 1000000)
+                AS DOUBLE) AS total_value_micros
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the gate: the events stream is
+    joined per-micro-batch to a STATIC customer dimension (the one
+    Structured Streaming join shape the catalog didn't yet grade —
+    stream-stream, stateful, and windowed are covered elsewhere) and
+    aggregated to (segment, event_type) totals across 3 real
+    micro-batches. The static side re-resolves each batch and
+    broadcasts (dimension-sized); the join itself holds NO state —
+    only the downstream aggregation does — so cross-batch correctness
+    proves the agg state survives batch boundaries with a stateless
+    join in front. Values ride exact integer micro-units so per-batch
+    accumulation order can't flip a float bit vs the batch oracle.
+    """
+    def build(stream):
+        customer = F.broadcast(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+        )
+        micros = stream().withColumn(
+            "value",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("double"),
+        )
+        return (
+            micros.join(customer, micros.user_id == customer.c_custkey)
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value_micros"),
+            )
+        )
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        build,
+        "complete",
+        "static_enrich",
+        columns=["user_id", "event_type", "value", "ts"],
+        n_files=3,
+        max_files_per_trigger=1,
+    )
+    return out.select(
+        "c_mktsegment", "event_type", "n_events", "total_value_micros"
+    )
+
+
+@_register(
+    "customer_order_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_per_key,
+           ROUND(MAX(c) / AVG(c), 4) AS skew_ratio,
+           ROUND(quantile_cont(c, 0.5), 2) AS p50,
+           ROUND(quantile_cont(c, 0.9), 2) AS p90,
+           ROUND(quantile_cont(c, 0.99), 2) AS p99
+    FROM counts
+    """,
+)
+def customer_order_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic (the measurement half of the
+    salting machinery in operators/skew.py): per-customer order counts
+    reduced to a one-row profile — key count, max rows per key, the
+    max/mean skew ratio, and exact interpolated p50/p90/p99 of the
+    per-key distribution. At 100 TB this is the query you run BEFORE
+    picking a join strategy: skew_ratio ≈ 1 → plain hash join;
+    heavy-tailed p99 ≪ max → a handful of hot keys → salt exactly
+    those (skew.py) or rely on AQE skew split.
+
+    Plan: one shuffle for the per-key counts, then a single-row exact
+    ``percentile`` reduce — the profile side is key-cardinality, never
+    fact-cardinality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    pct = F.percentile(F.col("c"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        F.round(pct.getItem(0), 2).alias("p50"),
+        F.round(pct.getItem(1), 2).alias("p90"),
+        F.round(pct.getItem(2), 2).alias("p99"),
+    )

@@ -41,3 +41,26 @@ def test_pagerank_matches_python_reference(spark):
     for k in (2, 4):
         got = {r["node"]: r["rank_micros"] for r in pagerank_fixed(df, k).collect()}
         assert got == _py_pagerank(edges, k)
+
+
+def test_triangle_count_known_graph(spark):
+    from spacex_data_engineering_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (no new ones)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    from spacex_data_engineering_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # star graph: no triangles
+    df = spark.createDataFrame([(1, i) for i in range(2, 8)], ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_edges"] == 6 and r["n_nodes"] == 7

@@ -129,3 +129,122 @@ def test_hash_sample_rejects_bad_rate(spark):
 
     with pytest.raises(ValueError):
         hash_bernoulli_sample(df, "k", 1.5)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance join (operators/editjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_join_matches_bruteforce_with_indels(spark):
+    # deterministic corpus with substitutions, insertions, deletions,
+    # mixed lengths and short strings (exercises the short route)
+    import random
+
+    from spacex_data_engineering_pipeline_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    rng = random.Random(7)
+    alpha = "abc"
+    words = set()
+    while len(words) < 60:
+        words.add("".join(rng.choice(alpha) for _ in range(rng.randint(0, 8))))
+    words = sorted(words)
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    for d in (1, 2):
+        got = {
+            (r["a_id"], r["b_id"], r["edit_dist"])
+            for r in edit_distance_join(df, "id", "s", max_d=d).collect()
+        }
+        want = {
+            (i, j, _lev(words[i], words[j]))
+            for i in range(len(words))
+            for j in range(i + 1, len(words))
+            if _lev(words[i], words[j]) <= d
+        }
+        assert got == want, f"d={d}: {len(got)} vs {len(want)}"
+
+
+def test_edit_join_null_strings_never_pair(spark):
+    from spacex_data_engineering_pipeline_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "abd")], ["id", "s"]
+    )
+    got = {(r["a_id"], r["b_id"]) for r in edit_distance_join(df, "id", "s").collect()}
+    assert got == {(1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# CDC log replay (operators/scd.py apply_cdc_log)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_cdc_log_inverts_snapshot_diff(spark):
+    from spacex_data_engineering_pipeline_spark.operators.scd import (
+        apply_cdc_log,
+        snapshot_diff,
+    )
+
+    s1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    s2 = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0), (4, "d", 40.0)], ["k", "name", "v"]
+    )
+    diff = snapshot_diff(s1, s2, ["k"])
+    log = diff.select(
+        "k",
+        F.col("new_name").alias("name"),
+        F.col("new_v").alias("v"),
+        F.lit(1).alias("seq"),
+        F.when(F.col("change_type") == "delete", "D").otherwise("U").alias("op"),
+    )
+    got = {tuple(r) for r in apply_cdc_log(s1, log, ["k"], "seq", "op").collect()}
+    want = {tuple(r) for r in s2.collect()}
+    assert got == want
+
+
+def test_apply_cdc_log_sequence_precedence(spark):
+    from spacex_data_engineering_pipeline_spark.operators.scd import apply_cdc_log
+
+    base = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    log = spark.createDataFrame(
+        [
+            (1, 11.0, 1, "U"),
+            (1, 0.0, 2, "D"),
+            (1, 12.0, 3, "U"),  # re-insert after delete: latest seq wins
+            (2, 5.0, 1, "U"),
+            (2, 0.0, 2, "D"),  # ends deleted
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    got = {tuple(r) for r in apply_cdc_log(base, log, ["k"], "seq", "op").collect()}
+    assert got == {(1, 12.0)}
+
+
+def test_apply_cdc_log_rejects_missing_columns(spark):
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.operators.scd import apply_cdc_log
+
+    base = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    bad = spark.createDataFrame([(1, 1, "U")], ["k", "seq", "op"])
+    with pytest.raises(ValueError):
+        apply_cdc_log(base, bad, ["k"], "seq", "op")
