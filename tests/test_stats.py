@@ -248,3 +248,52 @@ def test_apply_cdc_log_rejects_missing_columns(spark):
     bad = spark.createDataFrame([(1, 1, "U")], ["k", "seq", "op"])
     with pytest.raises(ValueError):
         apply_cdc_log(base, bad, ["k"], "seq", "op")
+
+
+def test_fastss_join_matches_bruteforce_with_indels(spark):
+    import random
+
+    from spacex_data_engineering_pipeline_spark.operators.editjoin import (
+        deletion_neighborhood_join,
+    )
+
+    rng = random.Random(11)
+    words = set()
+    while len(words) < 60:
+        words.add("".join(rng.choice("abc") for _ in range(rng.randint(0, 8))))
+    words = sorted(words)
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "s"])
+    for d in (1, 2):
+        got = {
+            (r["a_id"], r["b_id"], r["edit_dist"])
+            for r in deletion_neighborhood_join(df, "id", "s", max_d=d).collect()
+        }
+        want = {
+            (i, j, _lev(words[i], words[j]))
+            for i in range(len(words))
+            for j in range(i + 1, len(words))
+            if _lev(words[i], words[j]) <= d
+        }
+        assert got == want, f"d={d}: {len(got)} vs {len(want)}"
+
+
+def test_fastss_shared_prefix_posting_bound(spark):
+    # the motivating shape: identical long prefixes; every deletion
+    # variant posting stays O(alphabet), unlike prefix segments
+    from spacex_data_engineering_pipeline_spark.operators.editjoin import (
+        deletion_neighborhood_join,
+    )
+
+    names = [f"Customer#{i:09d}" for i in range(300)]
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "s"])
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in deletion_neighborhood_join(df, "id", "s", max_d=1).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(300)
+        for j in range(i + 1, 300)
+        if _lev(names[i], names[j]) <= 1
+    }
+    assert got == want
