@@ -5878,3 +5878,304 @@ def customer_order_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct.getItem(1), 2).alias("p90"),
         F.round(pct.getItem(2), 2).alias("p99"),
     )
+
+
+@_register(
+    "supplier_quantity_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT l_suppkey, l_quantity >= 25 AS ok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ),
+    isl AS (
+        SELECT l_suppkey,
+               rn - ROW_NUMBER() OVER (
+                   PARTITION BY l_suppkey ORDER BY rn
+               ) AS grp
+        FROM seq WHERE ok
+    ),
+    runs AS (
+        SELECT l_suppkey, grp, COUNT(*) AS run_len
+        FROM isl GROUP BY l_suppkey, grp
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY l_suppkey
+    """,
+)
+def supplier_quantity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per supplier, maximal runs of consecutive
+    shipments (ship-date order, unique (orderkey, linenumber)
+    tiebreak) with quantity ≥ 25 — the classic streak/run-length
+    analysis (outage spans, consecutive-day activity) as pure window
+    algebra: global row number minus per-flag row number is constant
+    within an island, so islands fall out of TWO key-partitioned
+    window passes and a grouped count. No self-join, no iteration;
+    every window is partitioned by the supplier key, so the whole
+    query is key-parallel at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = li.select(
+        "l_suppkey",
+        (F.col("l_quantity") >= 25).alias("ok"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_suppkey").orderBy(
+                "l_shipdate", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("rn"),
+    )
+    isl = seq.filter("ok").select(
+        "l_suppkey",
+        (
+            F.col("rn")
+            - F.row_number().over(
+                Window.partitionBy("l_suppkey").orderBy("rn")
+            )
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("l_suppkey", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+    )
+
+
+@_register(
+    "ewma_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d, rev,
+               lag(rev, 1) OVER w AS r1, lag(rev, 2) OVER w AS r2,
+               lag(rev, 3) OVER w AS r3
+        FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT d,
+           ROUND(
+             (rev + COALESCE(r1, 0) * 0.5 + COALESCE(r2, 0) * 0.25
+                  + COALESCE(r3, 0) * 0.125)
+             / (1.0 + CASE WHEN r1 IS NULL THEN 0 ELSE 0.5 END
+                    + CASE WHEN r2 IS NULL THEN 0 ELSE 0.25 END
+                    + CASE WHEN r3 IS NULL THEN 0 ELSE 0.125 END), 2
+           ) AS ewma
+    FROM lagged
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with a
+    one-day half-life over a 4-row horizon — the trend smoother the
+    reference's plain AVG analytics lack. The recursive EWMA is
+    unrolled to a FIXED expression tree over lag() columns with
+    binary-exact weights (1, 0.5, 0.25, 0.125): both engines evaluate
+    the identical IEEE expression, so the result is hash-stable with
+    no summation-order exposure, and truncated history at the series
+    head renormalizes the weight mass instead of leaking zeros.
+
+    Scale: the global-ordered window runs AFTER the daily rollup —
+    |days| cardinality, metadata-sized (the same post-aggregation
+    pattern as rolling_7day_revenue); the fact table itself only sees
+    the grouped sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "rev",
+        F.lag("rev", 1).over(w).alias("r1"),
+        F.lag("rev", 2).over(w).alias("r2"),
+        F.lag("rev", 3).over(w).alias("r3"),
+    )
+    num = (
+        F.col("rev")
+        + F.coalesce(F.col("r1"), F.lit(0.0)) * 0.5
+        + F.coalesce(F.col("r2"), F.lit(0.0)) * 0.25
+        + F.coalesce(F.col("r3"), F.lit(0.0)) * 0.125
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(F.col("r1").isNull(), 0.0).otherwise(0.5)
+        + F.when(F.col("r2").isNull(), 0.0).otherwise(0.25)
+        + F.when(F.col("r3").isNull(), 0.0).otherwise(0.125)
+    )
+    return lagged.select("d", F.round(num / den, 2).alias("ewma"))
+
+
+@_register(
+    "part_hierarchy_rollup",
+    oracle="""
+    WITH direct AS (
+        SELECT l_partkey, SUM(l_extendedprice) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    anc AS (
+        SELECT DISTINCT d.l_partkey, a.node, d.rev
+        FROM direct d,
+             (SELECT unnest(list_distinct([
+                 d2.l_partkey,
+                 d2.l_partkey // 10,
+                 d2.l_partkey // 100,
+                 d2.l_partkey // 1000,
+                 d2.l_partkey // 10000,
+                 d2.l_partkey // 100000,
+                 d2.l_partkey // 1000000])) AS node
+              FROM (SELECT d.l_partkey) d2) a
+    )
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(rev), 2) AS subtree_revenue
+    FROM anc
+    GROUP BY node
+    """,
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup: parts form a decimal-radix tree
+    (parent = key div 10, root 0 — the stand-in for any category /
+    filesystem / org hierarchy) and every node reports its SUBTREE
+    revenue and part count. Instead of an iterative parent-join loop
+    (depth rounds of shuffles), each leaf explodes its ≤ 7-node
+    ancestor PATH (closed form, array_distinct to collapse the root
+    repeats) and one groupBy sums per node — the recursive CTE
+    flattened into a single fanout-by-depth shuffle, the right shape
+    when depth is bounded and known (the common case for real
+    hierarchies).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("rev")
+    )
+    k = F.col("l_partkey")
+    ancestors = F.array_distinct(
+        F.array(*[(k / F.lit(10**j)).cast("long") for j in range(7)])
+    )
+    exploded = direct.select(
+        "l_partkey", "rev", F.explode(ancestors).alias("node")
+    )
+    return exploded.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev"), 2).alias("subtree_revenue"),
+    )
+
+
+@_register(
+    "embedding_dimension_stats",
+    oracle="""
+    SELECT CAST(t.i AS BIGINT) AS dim,
+           ROUND(AVG(CAST(e.embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)), 4)
+               AS mean_val,
+           ROUND(stddev_samp(
+               CAST(e.embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)), 4)
+               AS std_val,
+           ROUND(MIN(CAST(e.embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)), 4)
+               AS min_val,
+           ROUND(MAX(CAST(e.embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)), 4)
+               AS max_val
+    FROM embeddings e, range(0, 64) t(i)
+    GROUP BY t.i
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store standardization pass: per-dimension mean / std /
+    min / max over the embedding column — the statistics every
+    normalization or PCA-whitening stage needs before training. The
+    array column is posexploded once (row → 64 (dim, value) pairs)
+    and reduced in one dimension-keyed aggregation: the shuffle moves
+    only partial aggregates (64 keys × partitions), never the
+    exploded rows, because map-side combine collapses each partition
+    to 64 rows first — the plan that keeps a 100 TB embedding table's
+    profile at dimension-cardinality cost.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select("dim", F.col("val").cast("double").alias("val"))
+    return dims.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.round(F.avg("val"), 4).alias("mean_val"),
+        F.round(F.stddev_samp("val"), 4).alias("std_val"),
+        F.round(F.min("val"), 4).alias("min_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+    )
+
+
+@_register(
+    "segment_priority_chisq",
+    oracle="""
+    WITH obs AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs),
+    rows_t AS (SELECT seg, SUM(n) AS row_n FROM obs GROUP BY seg),
+    cols_t AS (SELECT pri, SUM(n) AS col_n FROM obs GROUP BY pri)
+    SELECT CAST((SELECT COUNT(*) FROM rows_t) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM cols_t) - 1 AS BIGINT) AS dof,
+           CAST((SELECT total FROM tot) AS BIGINT) AS n_orders,
+           ROUND(SUM(
+               (o.n - r.row_n * c.col_n / (SELECT total FROM tot))
+               * (o.n - r.row_n * c.col_n / (SELECT total FROM tot))
+               / (r.row_n * c.col_n / (SELECT total FROM tot))
+           ), 4) AS chi2
+    FROM obs o
+    JOIN rows_t r ON o.seg = r.seg
+    JOIN cols_t c ON o.pri = c.pri
+    """,
+)
+def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order priority — the categorical complement to the
+    Welch readout: one contingency aggregation (the only
+    fact-cardinality pass), then expected counts and the chi² fold
+    computed over the 25-cell table with its margins broadcast back.
+    Everything after the first groupBy is cell-cardinality; the
+    statistic and (rows−1)(cols−1) degrees of freedom come out in one
+    final reduce.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    obs = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    # margins as windows over the cell-cardinality table (25 rows) —
+    # scalar-glue joins would plan as nested-loop crosses, which the
+    # catalog-wide guard rejects; windows post-aggregation are the
+    # approved metadata-sized pattern
+    obs2 = (
+        obs.withColumn(
+            "row_n", F.sum("n").over(Window.partitionBy("seg"))
+        )
+        .withColumn("col_n", F.sum("n").over(Window.partitionBy("pri")))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    exp = F.col("row_n") * F.col("col_n") / F.col("total")
+    cell = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    return obs2.agg(
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.max("total").cast("bigint").alias("n_orders"),
+        F.round(F.sum(cell), 4).alias("chi2"),
+    ).select("dof", "n_orders", "chi2")
