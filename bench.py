@@ -42,6 +42,11 @@ LARGE_RESULT = {
     # round 4: row-per-key/version outputs — count(), don't collect()
     "orders_snapshot_diff",
     "scd2_customer_segments",
+    "customer_name_edit_pairs",
+    "orders_cdc_applied",
+    "customer_rfm_segments",
+    "deterministic_doc_sample",
+    "part_hierarchy_rollup",
 }
 
 

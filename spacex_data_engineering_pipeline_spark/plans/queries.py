@@ -6179,3 +6179,117 @@ def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("bigint").alias("n_orders"),
         F.round(F.sum(cell), 4).alias("chi2"),
     ).select("dof", "n_orders", "chi2")
+
+
+@_register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(MAX(o_orderdate) AS DATE)) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+               AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+               AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+               AS m_score
+    FROM cust
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the
+    warehouse-standard customer scoring — with all three exact
+    NTILE(5) quintiles computed from the distributed prefix-sum rank
+    (operators/pack.py), never a single-reducer global sort: each
+    metric gets one range-bucketed rank pass + the closed-form
+    remainder-first NTILE split, custkey tiebreaks pinning tie order
+    to the oracle's. The ranked table is customer-cardinality (the
+    fact table is reduced first), so the three rank shuffles move
+    dimension-sized rows at any fact scale.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import pack as PK
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.to_date(F.max("o_orderdate")), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+
+    def ntile5(df, metric, out):
+        lo, hi, n = PK.rank_probe(df, metric)
+        q, r = divmod(n, 5)
+        head = r * (q + 1)
+        ranked = PK.with_distributed_rank(
+            df, metric, tiebreak_cols=["o_custkey"], out_col="__rk",
+            probe=(lo, hi),
+        )
+        score = F.expr(
+            f"CASE WHEN __rk <= {head} THEN (__rk - 1) div {q + 1} + 1 "
+            f"ELSE {r} + (__rk - {head} - 1) div {max(q, 1)} + 1 END"
+        ).cast("bigint")
+        return ranked.withColumn(out, score).drop("__rk")
+
+    out = ntile5(cust, "recency_days", "r_score")
+    out = ntile5(out, "frequency", "f_score")
+    out = ntile5(out, "monetary", "m_score")
+    return out.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    )
+
+
+@_register(
+    "rolling_7day_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    span AS (
+        SELECT u.user_id, u.d + CAST(t.i AS INT) AS target_d
+        FROM ud u, range(0, 7) t(i)
+    )
+    SELECT s.target_d AS d,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS distinct_users_7d
+    FROM span s JOIN days dd ON s.target_d = dd.d
+    GROUP BY s.target_d
+    """,
+)
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT count — trailing-7-day active users per
+    day — which no window frame can express (COUNT(DISTINCT) is
+    illegal over frames in Spark AND DuckDB): each (user, day)
+    activity pair is exploded to the ≤ 7 future days it keeps the
+    user 'active' for, and one day-keyed COUNT(DISTINCT) folds the
+    spans. Cost is 7 × |distinct (user, day)| exploded rows into a
+    day-keyed distinct — linear in activity with a constant window
+    factor, versus the 7 full self-joins the naive rewrite runs.
+    Output days are restricted (semi-join on the broadcast day list)
+    to days that actually have events, pinning the frame to the
+    oracle's.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    span = ud.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.date_add("d", i) for i in range(7)])
+        ).alias("target_d"),
+    )
+    return (
+        span.join(F.broadcast(days), span.target_d == days.d, "left_semi")
+        .groupBy(F.col("target_d").alias("d"))
+        .agg(F.countDistinct("user_id").alias("distinct_users_7d"))
+    )

@@ -537,3 +537,78 @@ def test_compact_parquet_crash_repair(spark, sf_dir, tmp_path):
         e.startswith(("_old_compact_", "_tmp_compact_")) for e in os.listdir(part)
     )
     assert stats2["leaves_compacted"] > 0
+
+
+# ---------------------------------------------------------------------------
+# cross-table atomic commit (operators/txn.py)
+# ---------------------------------------------------------------------------
+
+
+def test_txn_commit_all_or_nothing(spark, tmp_path):
+    from spacex_data_engineering_pipeline_spark.operators import txn
+
+    root = str(tmp_path / "txroot")
+    txn.init_txn_root(root)
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    agg = spark.createDataFrame([(30.0,)], ["total"])
+    txn.commit_tables(root, {"fact": fact, "agg": agg})
+
+    ptr = txn.read_pointer(root)
+    assert ptr["version"] == 1
+    assert ptr["tables"] == {"fact": 0, "agg": 0}
+    assert txn.read_table(spark, root, "fact").count() == 2
+    assert txn.read_table(spark, root, "agg").collect()[0]["total"] == 30.0
+
+    # second commit advances both; old generations still readable via
+    # the captured snapshot (cross-table time travel)
+    snap = txn.read_pointer(root)
+    fact2 = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 5.0)], ["k", "v"])
+    agg2 = spark.createDataFrame([(35.0,)], ["total"])
+    txn.commit_tables(root, {"fact": fact2, "agg": agg2})
+    assert txn.read_table(spark, root, "fact").count() == 3
+    assert txn.read_table(spark, root, "fact", pointer=snap).count() == 2
+    assert txn.read_table(spark, root, "agg", pointer=snap).collect()[0][
+        "total"
+    ] == 30.0
+
+
+def test_txn_crash_before_pointer_leaves_old_state(spark, tmp_path):
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators import txn
+
+    root = str(tmp_path / "txroot")
+    txn.init_txn_root(root)
+    txn.commit_tables(
+        root, {"fact": spark.createDataFrame([(1,)], ["k"])}
+    )
+    # simulate a crash AFTER the generation dirs are written but BEFORE
+    # the pointer flip: write gen dirs manually, never touch pointer
+    spark.createDataFrame([(1,), (2,)], ["k"]).write.parquet(
+        os.path.join(root, "fact", "gen=1")
+    )
+    ptr = txn.read_pointer(root)
+    assert ptr["tables"]["fact"] == 0  # reader still sees old version
+    assert txn.read_table(spark, root, "fact").count() == 1
+    # and the next commit simply overwrites the orphaned generation
+    txn.commit_tables(
+        root, {"fact": spark.createDataFrame([(1,), (2,), (3,)], ["k"])}
+    )
+    assert txn.read_table(spark, root, "fact").count() == 3
+
+
+def test_txn_vacuum_keeps_committed(spark, tmp_path):
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators import txn
+
+    root = str(tmp_path / "txroot")
+    txn.init_txn_root(root)
+    for n in range(3):
+        txn.commit_tables(
+            root, {"t": spark.createDataFrame([(i,) for i in range(n + 1)], ["k"])}
+        )
+    removed = txn.vacuum(root, keep_last=1)
+    assert removed == 2
+    assert sorted(os.listdir(os.path.join(root, "t"))) == ["gen=2"]
+    assert txn.read_table(spark, root, "t").count() == 3
