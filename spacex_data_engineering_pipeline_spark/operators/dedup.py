@@ -501,39 +501,84 @@ def connected_components(
     general web-scale graphs swap in large-star/small-star (same loop
     skeleton, fewer rounds on long chains).
     """
-    both = (
-        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-        .unionByName(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
-        # every round joins the edge list again — and `edges` is often an
-        # EXPENSIVE plan (the near-dup pair pipeline). Persist it for the
-        # loop's lifetime or each round's checkpoint job re-runs that
-        # pipeline twice (once per union branch): measured 5.7 s → 2.9 s
-        # for near_dup_clusters at sf0.1. Edge lists are pair-count-sized,
-        # tiny next to the corpus.
-        .persist()
+    # every round joins the edge list again — and `edges` is often an
+    # EXPENSIVE plan (the near-dup pair pipeline). Persist the directed
+    # list ONCE (the union below reads the cache twice — an in-memory
+    # scan) or each round's checkpoint job re-runs that pipeline:
+    # measured 5.7 s → 2.9 s for near_dup_clusters at sf0.1. Edge lists
+    # are pair-count-sized, tiny next to the corpus. The materializing
+    # count() runs BEFORE any caching of the union so the expensive
+    # pipeline itself executes with AQE coalescing fully active
+    # (cached plans pin their partitioning: canChangeCachedPlan-
+    # OutputPartitioning defaults false).
+    session0 = edges.sparkSession
+    _CACHE_AQE = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    saved_cache_aqe = session0.conf.get(_CACHE_AQE, "false")
+    # without this, caching PINS the expensive edge pipeline's shuffle
+    # partitioning at the session default (200+) and AQE cannot
+    # coalesce its near-empty reduce tasks: measured 16.1 s → 13.2 s
+    # on the sf0.01 entity-resolution graph under a vanilla session
+    session0.conf.set(_CACHE_AQE, "true")
+    directed = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).persist()
+    try:
+        n_edges = directed.count()
+    finally:
+        session0.conf.set(_CACHE_AQE, saved_cache_aqe)
+    # The loop materializes every round via localCheckpoint — an
+    # RDD-level action that skips AQE post-shuffle coalescing, so under
+    # a session-default spark.sql.shuffle.partitions (200+) each of the
+    # ~diameter rounds pays hundreds of near-empty tasks (21.9 s for
+    # the sf0.01 entity-resolution graph under a vanilla session).
+    # Size the loop's shuffles from the edge count instead and restore
+    # the session setting after: everything downstream reads
+    # checkpoint-backed labels, so the override cannot leak into
+    # caller plans.
+    session = edges.sparkSession
+    target = max(
+        session.sparkContext.defaultParallelism,
+        min(2048, 1 + n_edges // 200_000),
     )
-
-    # Initialization IS the first propagation step: label₀(v) =
-    # min(v, neighbors(v)) costs the same one aggregation a self-label
-    # init would, but starts the loop a full round ahead — near-clique
-    # duplicate graphs then converge in ONE loop iteration (the probe
-    # round), saving a checkpoint+probe cycle per call.
-    labels = (
-        both.groupBy(F.col("__u").alias("vertex"))
-        .agg(F.min("__v").alias("__nbr_min"))
-        .select(
-            "vertex", F.least(F.col("vertex"), F.col("__nbr_min")).alias("component")
+    saved_sp = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        both = directed.unionByName(
+            directed.select(
+                F.col("__v").alias("__u"), F.col("__u").alias("__v")
+            )
         )
-    )
-    if vertices is not None:
+        # Initialization IS the first propagation step: label₀(v) =
+        # min(v, neighbors(v)) costs the same one aggregation a
+        # self-label init would, but starts the loop a full round
+        # ahead — near-clique duplicate graphs then converge in ONE
+        # loop iteration (the probe round), saving a checkpoint+probe
+        # cycle per call.
         labels = (
-            vertices.select(F.col(vertices.columns[0]).alias("vertex"))
-            .distinct()
-            .select("vertex", F.col("vertex").alias("component"))
-            .unionByName(labels)
-            .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+            both.groupBy(F.col("__u").alias("vertex"))
+            .agg(F.min("__v").alias("__nbr_min"))
+            .select(
+                "vertex",
+                F.least(F.col("vertex"), F.col("__nbr_min")).alias("component"),
+            )
         )
+        if vertices is not None:
+            labels = (
+                vertices.select(F.col(vertices.columns[0]).alias("vertex"))
+                .distinct()
+                .select("vertex", F.col("vertex").alias("component"))
+                .unionByName(labels)
+                .groupBy("vertex")
+                .agg(F.min("component").alias("component"))
+            )
+        labels = _cc_loop(both, labels, max_iter)
+    finally:
+        session.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        directed.unpersist(blocking=False)
+    return labels
+
+
+def _cc_loop(both, labels, max_iter):
     labels = labels.localCheckpoint()
 
     converged = False
@@ -562,9 +607,8 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if converged:
             break
-    # the final labels are checkpoint-materialized — nothing downstream
-    # re-reads the edge cache, so release it eagerly
-    both.unpersist(blocking=False)
+    # the final labels are checkpoint-materialized — the caller
+    # releases the edge cache once the loop returns
     if not converged:
         import warnings
 

@@ -54,7 +54,7 @@ def read_pointer(root: str) -> dict:
 def init_txn_root(root: str) -> None:
     """Create an empty transaction root (version 0, no tables)."""
     os.makedirs(root, exist_ok=True)
-    _commit(root, {"version": 0, "tables": {}})
+    _commit(root, {"version": 0, "tables": {}, "last_batch_id": None})
 
 
 def _commit(root: str, pointer: dict) -> None:
@@ -70,30 +70,83 @@ def _commit(root: str, pointer: dict) -> None:
             os.unlink(tmp)
 
 
-def commit_tables(root: str, tables: dict[str, DataFrame]) -> dict:
+def _hardlink_forward(src_dir: str, dst_dir: str) -> None:
+    """Link the previous generation's data files into the next one —
+    O(#files) metadata, zero bytes copied (copy fallback for
+    filesystems without hardlinks)."""
+    for entry in os.listdir(src_dir):
+        if entry.startswith((".", "_")):  # _SUCCESS, hidden debris
+            continue
+        s, d = os.path.join(src_dir, entry), os.path.join(dst_dir, entry)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+
+def commit_tables(
+    root: str,
+    tables: dict[str, DataFrame] | None = None,
+    appends: dict[str, DataFrame] | None = None,
+    batch_id: int | None = None,
+) -> dict:
     """Atomically publish new versions of every table in ``tables``
-    (name → DataFrame). All writes land in fresh generation dirs;
-    the single pointer replace at the end is the commit point —
-    a crash before it leaves every table at its previous version.
-    Returns the new pointer.
+    (full replacement) and ``appends`` (previous generation's files
+    hardlinked forward + the batch written alongside — O(batch), not
+    O(table)). All writes land in fresh generation dirs; the single
+    pointer replace at the end is the commit point — a crash before
+    it leaves every table at its previous version.
+
+    ``batch_id`` (monotonically increasing, e.g. a streaming epoch)
+    makes the commit EXACTLY-ONCE on an at-least-once feed: a batch
+    at or below the committed ``last_batch_id`` is skipped entirely
+    (same ledger contract as operators/matview.py::apply_delta).
+    Returns the (possibly unchanged) pointer.
     """
     ptr = read_pointer(root)
+    last = ptr.get("last_batch_id")
+    if batch_id is not None and last is not None and batch_id <= last:
+        return ptr
     new_tables = dict(ptr["tables"])
-    for name, df in tables.items():
-        if "/" in name or name.startswith("."):
-            raise ValueError(f"bad table name {name!r}")
-        gen = ptr["tables"].get(name, -1) + 1
-        gdir = os.path.join(root, name, f"gen={gen}")
-        # stage under a dot-name (invisible to directory listings and
-        # any concurrent reader), then rename into place — still
-        # uncommitted until the pointer flips
-        stage = os.path.join(root, name, f".gen_stage_{gen}")
-        shutil.rmtree(stage, ignore_errors=True)
-        df.write.mode("overwrite").parquet(stage)
-        shutil.rmtree(gdir, ignore_errors=True)
-        os.replace(stage, gdir)
-        new_tables[name] = gen
-    new_ptr = {"version": ptr["version"] + 1, "tables": new_tables}
+    for group, is_append in ((tables or {}, False), (appends or {}, True)):
+        for name, df in group.items():
+            if "/" in name or name.startswith("."):
+                raise ValueError(f"bad table name {name!r}")
+            prev = ptr["tables"].get(name)
+            gen = (-1 if prev is None else prev) + 1
+            gdir = os.path.join(root, name, f"gen={gen}")
+            # stage under a dot-name (invisible to directory listings
+            # and any concurrent reader), then rename into place —
+            # still uncommitted until the pointer flips
+            stage = os.path.join(root, name, f".gen_stage_{gen}")
+            shutil.rmtree(stage, ignore_errors=True)
+            if is_append and prev is not None:
+                os.makedirs(stage)
+                tmp = os.path.join(root, name, f".gen_batch_{gen}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                df.write.mode("overwrite").parquet(tmp)
+                _hardlink_forward(
+                    os.path.join(root, name, f"gen={prev}"), stage
+                )
+                for i, entry in enumerate(
+                    sorted(os.listdir(tmp))
+                ):
+                    if entry.endswith(".parquet") or entry.startswith("part-"):
+                        os.replace(
+                            os.path.join(tmp, entry),
+                            os.path.join(stage, f"batch-{gen:06d}-{i:04d}.parquet"),
+                        )
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                df.write.mode("overwrite").parquet(stage)
+            shutil.rmtree(gdir, ignore_errors=True)
+            os.replace(stage, gdir)
+            new_tables[name] = gen
+    new_ptr = {
+        "version": ptr["version"] + 1,
+        "tables": new_tables,
+        "last_batch_id": batch_id if batch_id is not None else last,
+    }
     _commit(root, new_ptr)  # THE commit point
     return new_ptr
 
@@ -122,7 +175,7 @@ def vacuum(root: str, keep_last: int = 1) -> int:
         tdir = os.path.join(root, name)
         for entry in os.listdir(tdir):
             full = os.path.join(tdir, entry)
-            if entry.startswith(".gen_stage_"):
+            if entry.startswith((".gen_stage_", ".gen_batch_")):
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
             elif entry.startswith("gen="):

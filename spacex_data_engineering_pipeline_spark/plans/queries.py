@@ -6293,3 +6293,221 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("target_d").alias("d"))
         .agg(F.countDistinct("user_id").alias("distinct_users_7d"))
     )
+
+
+@_register(
+    "price_drift_psi",
+    oracle="""
+    WITH base AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    cur AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    edges AS (
+        SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS e
+        FROM base
+    ),
+    bb AS (
+        SELECT 1 + list_sum(list_transform(
+                   (SELECT e FROM edges),
+                   v -> CASE WHEN x > v THEN 1 ELSE 0 END)) AS bucket
+        FROM base
+    ),
+    cb AS (
+        SELECT 1 + list_sum(list_transform(
+                   (SELECT e FROM edges),
+                   v -> CASE WHEN x > v THEN 1 ELSE 0 END)) AS bucket
+        FROM cur
+    ),
+    p AS (SELECT bucket, COUNT(*) AS nb FROM bb GROUP BY bucket),
+    q AS (SELECT bucket, COUNT(*) AS nc FROM cb GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM bb) AS n_base,
+                   (SELECT COUNT(*) FROM cb) AS n_cur)
+    SELECT CAST(tot.n_base AS BIGINT) AS n_base,
+           CAST(tot.n_cur AS BIGINT) AS n_cur,
+           ROUND(SUM(
+               (q.nc / CAST(tot.n_cur AS DOUBLE)
+                - p.nb / CAST(tot.n_base AS DOUBLE))
+               * ln((q.nc / CAST(tot.n_cur AS DOUBLE))
+                    / (p.nb / CAST(tot.n_base AS DOUBLE)))
+           ), 4) AS psi
+    FROM p JOIN q USING (bucket), tot
+    GROUP BY tot.n_base, tot.n_cur
+    """,
+)
+def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between pre-/post-1998 order values —
+    the standard distribution-drift monitor for any long-running
+    pipeline (is this month's data still shaped like the training
+    data?). Decile edges come from an EXACT interpolated percentile of
+    the baseline (a 9-value driver probe, same bounded-metadata class
+    as rank_probe); both populations bucket through the identical
+    literal comparisons, so bucket membership is engine-exact, and the
+    10-term PSI fold is rounded after summation. Scale: two
+    column-pruned scans + two 10-key aggregations; the percentile is
+    the only sort and runs on the baseline only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_totalprice").alias("x"))
+    cur = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_totalprice").alias("x"))
+    edges = base.agg(
+        F.percentile(
+            F.col("x"),
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+        ).alias("e")
+    ).collect()[0]["e"]
+
+    def bucket(df):
+        b = F.lit(1)
+        for v in edges:
+            b = b + F.when(F.col("x") > F.lit(float(v)), 1).otherwise(0)
+        return df.select(b.alias("bucket"))
+
+    p = bucket(base).groupBy("bucket").agg(F.count(F.lit(1)).alias("nb"))
+    q = bucket(cur).groupBy("bucket").agg(F.count(F.lit(1)).alias("nc"))
+    j = p.join(q, "bucket")
+    j = (
+        j.withColumn("n_base", F.sum("nb").over(Window.partitionBy()))
+        .withColumn("n_cur", F.sum("nc").over(Window.partitionBy()))
+    )
+    pp = F.col("nb") / F.col("n_base")
+    qq = F.col("nc") / F.col("n_cur")
+    return j.groupBy().agg(
+        F.max("n_base").cast("bigint").alias("n_base"),
+        F.max("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.sum((qq - pp) * F.log(qq / pp)), 4).alias("psi"),
+    )
+
+
+@_register(
+    "revenue_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    cums AS (
+        SELECT d, SUM(rev) OVER (ORDER BY d) AS cum FROM daily
+    ),
+    runs AS (
+        SELECT d, cum, MAX(cum) OVER (ORDER BY d) AS runmax FROM cums
+    ),
+    dd AS (
+        SELECT d, ROUND(runmax - cum, 2) AS drawdown FROM runs
+    )
+    SELECT d AS trough_date, drawdown AS max_drawdown
+    FROM dd
+    ORDER BY drawdown DESC, d ASC
+    LIMIT 1
+    """,
+)
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue (largest
+    peak-to-trough dip) — the running-max-over-running-sum window
+    composition finance stacks live on. Both running aggregates
+    evaluate in the SAME day order on both engines, so the cumulative
+    doubles are IEEE-identical; the top-1 is tiebroken by date. The
+    windows run post-rollup at |days| cardinality (the approved
+    metadata-sized global-window pattern), and the final pick is a
+    TakeOrdered top-1, not a full sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("d")
+    runs = daily.select(
+        "d", F.sum("rev").over(w).alias("cum")
+    )
+    runs = runs.withColumn("runmax", F.max("cum").over(w))
+    dd = runs.select(
+        "d", F.round(F.col("runmax") - F.col("cum"), 2).alias("drawdown")
+    )
+    return (
+        dd.orderBy(F.col("drawdown").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("trough_date"),
+            F.col("drawdown").alias("max_drawdown"),
+        )
+    )
+
+
+@_register(
+    "customer_entity_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    walk(u, m) AS (
+        SELECT u, v FROM edges
+        UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    labels AS (
+        SELECT c.c_custkey,
+               COALESCE(LEAST(x.mn, c.c_custkey), c.c_custkey) AS cluster_id
+        FROM customer c
+        LEFT JOIN (SELECT u, MIN(m) AS mn FROM walk GROUP BY u) x
+          ON x.u = c.c_custkey
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id
+    )
+    SELECT CAST(COUNT(CASE WHEN sz >= 2 THEN 1 END) AS BIGINT)
+               AS n_clusters,
+           CAST(COALESCE(SUM(CASE WHEN sz >= 2 THEN sz END), 0) AS BIGINT)
+               AS clustered_customers,
+           CAST(MAX(sz) AS BIGINT) AS max_cluster_size
+    FROM sizes
+    """,
+)
+def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: FastSS edit-distance blocking
+    (operators/editjoin.py) feeds connected components
+    (operators/dedup.py) — typo-level name variants collapse into
+    entities, and the query reports the cluster census (multi-member
+    cluster count, customers absorbed, largest cluster). This is the
+    composition the individual operators exist for: candidate
+    generation shuffles Σ|posting|² (never n²), the closure is
+    min-label propagation with diameter-bounded checkpointed rounds,
+    and the census is one component-keyed aggregation. The oracle
+    replays blocking as brute force and the closure as a recursive
+    CTE, so the whole composition is value-checked, not just its
+    stages.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import dedup as D
+    from spacex_data_engineering_pipeline_spark.operators.editjoin import (
+        deletion_neighborhood_join,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    edges = deletion_neighborhood_join(
+        customer, "c_custkey", "c_name", max_d=1
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    labels = D.connected_components(
+        edges, "doc_a", "doc_b", vertices=customer.select("c_custkey")
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.when(F.col("sz") >= 2, 1)).alias("n_clusters"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") >= 2, F.col("sz"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("clustered_customers"),
+        F.max("sz").alias("max_cluster_size"),
+    )

@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-coalesce shuffles even under .persist(): cached
+        # plans otherwise pin their partitioning at the session
+        # default, which costs hundreds of near-empty reduce tasks in
+        # iterative operators (see operators/dedup.py::connected_components)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # runtime bloom-filter join pruning: a selective filter on one
         # join side injects a bloom filter into the other side's scan
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
