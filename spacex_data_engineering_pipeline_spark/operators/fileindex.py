@@ -1,0 +1,131 @@
+"""File-level min/max statistics index — scan pruning BETWEEN
+partition pruning and row-group pushdown.
+
+Partition pruning skips directories; parquet row-group stats are only
+consulted AFTER a file is opened. At 100 TB the expensive middle is
+the file LIST: a selective range predicate over a clustered layout
+(operators/zorder.py) excludes most FILES, but a plain
+``spark.read.parquet(dir)`` still lists, opens, and footer-reads all
+of them. This module materializes the footer stats ONCE as a tiny
+queryable table (the role of Delta's add-file stats / Iceberg's
+manifest metrics, built here from plain parquet):
+
+- ``build_file_index``: distribute the file list, each executor reads
+  ONLY footers (pyarrow, no data pages) via ``mapInPandas`` and emits
+  (file, column, min, max, n_rows) rows — index size is
+  O(files × indexed columns), data bytes read: zero.
+- ``prune_files``: intersect a per-column [lo, hi] box with the index
+  — a file survives only if EVERY indexed predicate column overlaps.
+  Driver-side result is the surviving file list (file-list-sized
+  metadata, the same class as partition listings).
+- ``read_pruned``: read exactly those files; the caller re-applies
+  the predicate for row-level exactness (index pruning is
+  file-granular, never row-granular — same contract as any
+  stats-based reader).
+
+Numeric columns only (min/max as doubles); the index is rebuilt (or
+incrementally appended) after compaction/upsert rewrites, exactly
+like any secondary structure.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INDEX_SCHEMA = (
+    "file string, column string, min_val double, max_val double, "
+    "n_rows bigint"
+)
+
+
+def build_file_index(
+    spark: SparkSession, table_path: str, columns: list[str]
+) -> DataFrame:
+    """Footer-stats index for ``columns`` over every parquet file under
+    ``table_path`` (non-recursive flat layout). Footer reads happen on
+    EXECUTORS — the driver only lists file names."""
+    files = sorted(
+        os.path.join(table_path, f)
+        for f in os.listdir(table_path)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {table_path}")
+    cols = list(columns)
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 64))
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            out = []
+            for path in batch["file"]:
+                md = pq.ParquetFile(path).metadata
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                n_rows = md.num_rows
+                for col in cols:
+                    if col not in names:
+                        raise ValueError(f"column {col!r} not in {path}")
+                    lo, hi = None, None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(names[col]).statistics
+                        if st is None or not st.has_min_max:
+                            lo, hi = float("-inf"), float("inf")
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    out.append(
+                        (path, col, float(lo), float(hi), n_rows)
+                    )
+            yield pd.DataFrame(
+                out, columns=["file", "column", "min_val", "max_val", "n_rows"]
+            )
+
+    return files_df.mapInPandas(read_footers, INDEX_SCHEMA)
+
+
+def save_file_index(index: DataFrame, index_path: str) -> None:
+    """Persist the index (tiny: O(files × columns) rows)."""
+    index.write.mode("overwrite").parquet(index_path)
+
+
+def prune_files(
+    index: DataFrame, box: dict[str, tuple[float, float]]
+) -> list[str]:
+    """Files whose stats overlap EVERY [lo, hi] in ``box``. The
+    collect is file-list-sized metadata — the same driver footprint
+    as the file listing a plain scan performs anyway."""
+    surviving = None
+    for col, (lo, hi) in box.items():
+        ok = (
+            index.filter(F.col("column") == col)
+            .filter(
+                (F.col("max_val") >= F.lit(float(lo)))
+                & (F.col("min_val") <= F.lit(float(hi)))
+            )
+            .select("file")
+        )
+        surviving = ok if surviving is None else surviving.intersect(ok)
+    return sorted(r["file"] for r in surviving.collect())
+
+
+def read_pruned(
+    spark: SparkSession, files: list[str], schema=None
+) -> DataFrame:
+    """Read exactly the surviving files. An empty survivor list needs
+    a schema to produce the (empty) result frame."""
+    if files:
+        return spark.read.parquet(*files)
+    if schema is None:
+        raise ValueError("empty file list requires an explicit schema")
+    return spark.createDataFrame([], schema)

@@ -6511,3 +6511,191 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clustered_customers"),
         F.max("sz").alias("max_cluster_size"),
     )
+
+
+@_register(
+    "zorder_indexed_box_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           SUM(l_extendedprice) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 20 AND 60
+    """,
+)
+def zorder_indexed_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full stats-index read path under the gate: lineitem is
+    Z-order-clustered, a file-level min/max index is built from
+    footers only (operators/fileindex.py — executor-side pyarrow,
+    zero data pages read), the 2-D box prunes the FILE LIST through
+    the index, and the residual predicate runs over just the
+    surviving files. The result must equal the plain full scan — an
+    index that drops or duplicates a file flips the checksum. This is
+    the manifest-stats pruning Delta/Iceberg readers do, rebuilt on
+    plain parquet and value-graded end to end.
+    """
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators import fileindex as FI
+    from spacex_data_engineering_pipeline_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    path = _tempfile.mkdtemp(prefix="zidx_") + "/lineitem"
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+    idx = FI.build_file_index(spark, path, ["l_partkey", "l_suppkey"])
+    files = FI.prune_files(idx, {"l_partkey": (200, 400), "l_suppkey": (20, 60)})
+    back = FI.read_pruned(spark, files, schema=li.schema)
+    return back.filter(
+        F.col("l_partkey").between(200, 400) & F.col("l_suppkey").between(20, 60)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_checksum"),
+        F.sum("l_extendedprice").alias("revenue"),
+    )
+
+
+@_register(
+    "orders_table_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(CAST(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                 || o_orderpriority || '|'
+                 || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+               ), 1, 8)) AS UBIGINT) AS DECIMAL(38,0))) AS checksum
+    FROM orders
+    """,
+)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive, ENGINE-PORTABLE table fingerprint: each row
+    hashes a canonical string of its business fields through the md5
+    coin (integer cents and ISO dates — never raw float/timestamp
+    rendering, whose string forms differ across engines) and the
+    fingerprint is the exact DECIMAL(38,0) sum of the coins. Any
+    engine, any row order, any partitioning produces the same pair
+    (n_rows, checksum) — the replication/migration integrity check
+    you run after copying 100 TB between systems. One narrow scan,
+    map-side partial sums, no shuffle beyond the final reduce.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.sampling import hash_coin
+
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.to_date("o_orderdate").cast("string"),
+    )
+    # hash_coin salts with ':<salt>'; fold the canonical string whole
+    coin = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(coin.cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
+@_register(
+    "customer_kanonymity",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(CASE WHEN sz < 5 THEN 1 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+               AS n_exposed_rows,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+)
+def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (market segment, nation)
+    quasi-identifier pair: groups smaller than k=5 re-identify their
+    members, so the release gate needs the violating-group census
+    BEFORE any data leaves. One grouped count + one metadata-sized
+    reduce — the privacy audit costs a single aggregation pass at any
+    scale, which is why it belongs in the engine rather than a
+    post-hoc script.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    g = customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("sz") < 5, 1)).alias("n_violating_groups"),
+        F.coalesce(F.sum(F.when(F.col("sz") < 5, F.col("sz"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+        F.min("sz").alias("min_group_size"),
+    )
+
+
+@_register(
+    "orderkey_gap_summary",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    gaps AS (
+        SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM keys
+    )
+    SELECT CAST(COUNT(CASE WHEN nxt > k + 1 THEN 1 END) AS BIGINT)
+               AS n_gaps,
+           CAST(COALESCE(SUM(CASE WHEN nxt > k + 1 THEN nxt - k - 1 END), 0)
+                AS BIGINT) AS missing_total,
+           CAST(COALESCE(MAX(CASE WHEN nxt > k + 1 THEN nxt - k - 1 END), 0)
+                AS BIGINT) AS max_gap_len
+    FROM gaps
+    """,
+)
+def orderkey_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit: gaps in the order-key space (count,
+    total missing ids, longest run) — the check that catches dropped
+    batches in any id-sequenced feed. The oracle uses the obvious
+    global-ordered lead(); the engine CANNOT (a global window is the
+    single-reducer shape the plan guard bans), so keys bucket by
+    ``k div 8192``: within-bucket lead() runs key-parallel, and the
+    bucket-BOUNDARY gaps come from a bucket-cardinality (min, max)
+    rollup whose own window is metadata-sized. Same answer, no
+    serialized sort — the textbook rewrite of order-dependent logic
+    into partitioned order + small-boundary reconciliation.
+    """
+    B = 8192
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    keys = keys.withColumn("b", (F.col("k") / B).cast("bigint"))
+    in_w = Window.partitionBy("b").orderBy("k")
+    within = keys.select(
+        "b", "k", F.lead("k").over(in_w).alias("nxt")
+    ).filter(F.col("nxt") > F.col("k") + 1)
+    bounds = keys.groupBy("b").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    bw = Window.orderBy("b")
+    boundary = (
+        bounds.select(
+            "b", "hi", F.lead("lo").over(bw).alias("next_lo")
+        )
+        .filter(F.col("next_lo") > F.col("hi") + 1)
+        .select(
+            F.col("hi").alias("k"), F.col("next_lo").alias("nxt")
+        )
+    )
+    gaps = within.select("k", "nxt").unionByName(boundary)
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.coalesce(F.sum(F.col("nxt") - F.col("k") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("missing_total"),
+        F.coalesce(F.max(F.col("nxt") - F.col("k") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("max_gap_len"),
+    )

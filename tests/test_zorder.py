@@ -81,3 +81,68 @@ def test_zorder_skips_files_where_linear_sort_cannot(spark, tmp_path):
         F.col("a").between(100, 199) & F.col("b").between(400, 499)
     ).count()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# file-stats secondary index (operators/fileindex.py)
+# ---------------------------------------------------------------------------
+
+
+def test_file_index_prunes_and_preserves_results(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators import fileindex as FI
+    from spacex_data_engineering_pipeline_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    path = str(tmp_path / "zli")
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+
+    idx = FI.build_file_index(spark, path, ["l_partkey", "l_suppkey"])
+    rows = idx.collect()
+    n_files = len({r["file"] for r in rows})
+    assert n_files >= 8 and len(rows) == 2 * n_files
+
+    box = {"l_partkey": (20, 40), "l_suppkey": (2, 6)}
+    files = FI.prune_files(idx, box)
+    assert 0 < len(files) < n_files  # the index actually excludes files
+
+    pred = F.col("l_partkey").between(20, 40) & F.col("l_suppkey").between(2, 6)
+    got = (
+        FI.read_pruned(spark, files)
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("ck"),
+        )
+        .collect()[0]
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("ck"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["ck"]) == (want["n"], want["ck"]) and got["n"] > 0
+
+
+def test_file_index_save_load_and_empty_prune(spark, tmp_path):
+    from spacex_data_engineering_pipeline_spark.operators import fileindex as FI
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    path = str(tmp_path / "t")
+    df.coalesce(4).write.parquet(path)
+    idx = FI.build_file_index(spark, path, ["k"])
+    FI.save_file_index(idx, str(tmp_path / "idx"))
+    idx2 = spark.read.parquet(str(tmp_path / "idx"))
+    # box beyond the data: every file pruned; empty read needs schema
+    assert FI.prune_files(idx2, {"k": (1000, 2000)}) == []
+    out = FI.read_pruned(spark, [], schema="k long")
+    assert out.count() == 0
