@@ -6699,3 +6699,165 @@ def orderkey_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_gap_len"),
     )
+
+
+@_register(
+    "streaming_click_outcomes_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events c
+    LEFT JOIN events p
+      ON p.event_type = 'purchase' AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    WHERE c.event_type = 'click'
+    """,
+)
+def streaming_click_outcomes_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join under the gate — the one
+    streaming join semantics the inner/stateful/windowed/stream-static
+    runs don't cover: unmatched clicks must surface with NULL
+    purchases, and ONLY once the purchase watermark proves no match
+    can still arrive. The run is 4 real chronological micro-batches
+    plus a far-future sentinel batch (clock-advance rows on BOTH
+    event types, tagged user −999 and filtered from the result) whose
+    only job is to push the watermark past every real click's
+    expiry — without it the final buffers would hold their NULLs
+    forever, which is exactly the semantics being graded. Final table
+    must equal the batch LEFT JOIN with the same interval predicate.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.joins import (
+        clicks_with_purchase_outcome,
+    )
+
+    far = F.lit("2030-01-01 00:00:00").cast("timestamp_ntz")
+    events = load_table(spark, sf_dir, "events")
+    sentinel = (
+        events.limit(1)
+        .select(
+            F.lit(999_991).cast(dict(events.dtypes)["event_id"]).alias("event_id"),
+            F.lit(-999).cast(dict(events.dtypes)["user_id"]).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            far.alias("ts"),
+        )
+        .unionByName(
+            events.limit(1).select(
+                F.lit(999_992).cast(dict(events.dtypes)["event_id"]).alias("event_id"),
+                F.lit(-999).cast(dict(events.dtypes)["user_id"]).alias("user_id"),
+                F.lit("purchase").alias("event_type"),
+                far.alias("ts"),
+            )
+        )
+    )
+
+    def build(stream):
+        clicks = stream().filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        purchases = stream().filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts"
+        )
+        return clicks_with_purchase_outcome(
+            clicks, purchases, attribution_window="30 minutes"
+        )
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        build,
+        "append",
+        "outer_join",
+        columns=["event_id", "user_id", "event_type", "ts"],
+        n_files=_MULTIBATCH_FILES,
+        max_files_per_trigger=1,
+        state_partitions=_MULTIBATCH_STATE_PARTS,
+        tail_dfs=[sentinel],
+    )
+    return out.filter(F.col("click_user") != -999).select(
+        "click_id",
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+
+
+@_register(
+    "orders_partition_checksums",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(CAST(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                 || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 8)) AS UBIGINT) AS DECIMAL(38,0))) AS checksum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition fingerprint table (operators/repair.py
+    ``partition_checksums``) — the comparison unit of anti-entropy
+    reconciliation: two engines (or two replicas) each compute this
+    partition-cardinality table from one narrow scan, and only
+    partitions whose (count, checksum) pair diverges get re-shipped.
+    The oracle IS the second engine here, which is the whole point of
+    the portable md5-coin checksum.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.repair import (
+        partition_checksums,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("bigint")
+    )
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+    )
+    return partition_checksums(orders, "year", canonical)
+
+
+@_register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (how many customers placed exactly N non-urgent orders),
+    INCLUDING zero-order customers — which is why the left join with
+    the filter folded into the JOIN CONDITION (not WHERE, which would
+    silently turn the join inner) is the whole trick of this query.
+    Two-level aggregation: fact-cardinality count per customer, then
+    count-cardinality histogram; the second groupBy moves
+    |distinct counts| rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )

@@ -80,3 +80,64 @@ def attribute_purchases_to_clicks(
     return joined.withColumn(
         "purchase_ts", restore_ntz(F.col("purchase_ts"), p_ntz)
     ).withColumn("click_ts", restore_ntz(F.col("click_ts"), c_ntz))
+
+
+def clicks_with_purchase_outcome(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    attribution_window: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, paired with the
+    purchase(s) the same user made within the FOLLOWING
+    ``attribution_window`` — or a NULL purchase once the purchase
+    stream's watermark proves none can still arrive.
+
+    The outer side is the semantics inner joins can't give you: "which
+    clicks converted, and which definitively didn't". The NULL row for
+    an unmatched click is emitted ONLY when the right watermark passes
+    ``click_ts + window`` (before that, a matching purchase could
+    still be buffered) — so outer results are inherently
+    watermark-delayed, and a bounded run needs a final event-time
+    advance (sentinel rows / next batch) to flush the last buffers.
+    State sizing is identical to the inner form: clicks buffer for
+    ``window + delay`` of event time, keyed by user through one hash
+    shuffle.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+        restore_ntz,
+        to_instant_for_watermark,
+    )
+
+    c, c_ntz = to_instant_for_watermark(
+        clicks.select(
+            F.col(user_col).alias("click_user"),
+            F.col(time_col).alias("click_ts"),
+            "*",
+        ).drop(user_col, time_col),
+        "click_ts",
+    )
+    p, p_ntz = to_instant_for_watermark(
+        purchases.select(
+            F.col(user_col).alias("purchase_user"),
+            F.col(time_col).alias("purchase_ts"),
+        ),
+        "purchase_ts",
+    )
+    c = c.withWatermark("click_ts", watermark_delay)
+    p = p.withWatermark("purchase_ts", watermark_delay)
+    joined = c.join(
+        p,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "leftOuter",
+    ).drop("purchase_user")
+    return joined.withColumn(
+        "click_ts", restore_ntz(F.col("click_ts"), c_ntz)
+    ).withColumn("purchase_ts", restore_ntz(F.col("purchase_ts"), p_ntz))

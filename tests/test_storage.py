@@ -612,3 +612,81 @@ def test_txn_vacuum_keeps_committed(spark, tmp_path):
     assert removed == 2
     assert sorted(os.listdir(os.path.join(root, "t"))) == ["gen=2"]
     assert txn.read_table(spark, root, "t").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# anti-entropy repair (operators/repair.py)
+# ---------------------------------------------------------------------------
+
+
+def _mk_partitioned(spark, path, rows):
+    df = spark.createDataFrame(rows, ["year", "k", "name"])
+    df.repartition("year").write.partitionBy("year").parquet(path)
+
+
+def test_repair_rewrites_only_diverged_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators import repair as R
+
+    rows = [(y, y * 100 + i, f"n{y}_{i}") for y in (2020, 2021, 2022) for i in range(20)]
+    src_path, dst_path = str(tmp_path / "src"), str(tmp_path / "dst")
+    _mk_partitioned(spark, src_path, rows)
+    # target copy diverges in 2021 only: one row mutated, one dropped
+    bad = [r for r in rows if not (r[0] == 2021 and r[1] == 2021 * 100 + 3)]
+    bad = [
+        (y, k, ("CORRUPT" if (y == 2021 and k == 2021 * 100 + 7) else n))
+        for (y, k, n) in bad
+    ]
+    _mk_partitioned(spark, dst_path, bad)
+
+    canonical = F.concat_ws("|", F.col("k").cast("string"), F.col("name"))
+    source = spark.read.parquet(src_path)
+
+    before = {
+        d: os.path.getmtime(os.path.join(dst_path, d))
+        for d in os.listdir(dst_path)
+        if d.startswith("year=")
+    }
+    out = R.repair_table(spark, source, dst_path, "year", canonical)
+    assert out["diverged"] == [2021]
+
+    after = spark.read.parquet(dst_path)
+    got = {tuple(r) for r in after.select("year", "k", "name").collect()}
+    want = {tuple(r) for r in source.select("year", "k", "name").collect()}
+    assert got == want
+    # untouched partitions were not rewritten
+    for d, mt in before.items():
+        if d != "year=2021":
+            assert os.path.getmtime(os.path.join(dst_path, d)) == mt
+
+    # convergence: a second repair finds nothing
+    assert R.repair_table(spark, source, dst_path, "year", canonical) == {
+        "diverged": [],
+        "rewritten": 0,
+    }
+
+
+def test_repair_drops_partition_missing_from_source(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators import repair as R
+
+    rows = [(y, y * 10 + i, f"x{i}") for y in (2020, 2021) for i in range(5)]
+    extra = rows + [(2099, 1, "ghost")]
+    src_path, dst_path = str(tmp_path / "src2"), str(tmp_path / "dst2")
+    _mk_partitioned(spark, src_path, rows)
+    _mk_partitioned(spark, dst_path, extra)
+    canonical = F.concat_ws("|", F.col("k").cast("string"), F.col("name"))
+    out = R.repair_table(
+        spark, spark.read.parquet(src_path), dst_path, "year", canonical
+    )
+    assert out["diverged"] == [2099]
+    assert not os.path.exists(os.path.join(dst_path, "year=2099"))
+    got = {tuple(r) for r in spark.read.parquet(dst_path).select("year", "k", "name").collect()}
+    want = {tuple(r) for r in spark.read.parquet(src_path).select("year", "k", "name").collect()}
+    assert got == want
