@@ -3,7 +3,8 @@ opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
 ``decode_media`` REALLY decodes two dependency-free, self-describing
-formats — binary PPM (P6) images and 16-bit PCM RIFF/WAVE audio — with
+formats — binary PPM (P6) and uncompressed 24-bit BMP images and
+16-bit PCM RIFF/WAVE audio — with
 pure numpy/struct parsing; codec-heavy formats (JPEG/MP3/MP4) raise
 NotImplementedError since their libraries aren't in this environment,
 and would plug in behind the same signature. Everything Spark-side is
@@ -58,11 +59,14 @@ FEATURE_SCHEMA = StructType(
 def decode_media(content: bytes, fmt: str):
     """Decode an opaque media payload into a numpy array.
 
-    Real, dependency-free decoders for two self-describing formats:
+    Real, dependency-free decoders for three self-describing formats:
 
     - ``image/ppm``: binary PPM (P6) — header ``P6 <w> <h> <maxval>``
       (whitespace/comment tolerant, as the spec requires) followed by
       raw interleaved RGB; returns a ``(h, w, 3)`` uint8 array.
+    - ``image/bmp``: uncompressed 24-bit BI_RGB bitmap — honors the
+      4-byte row padding, bottom-up row order, and BGR pixel order;
+      returns a ``(h, w, 3)`` uint8 RGB array.
     - ``audio/wav``: RIFF/WAVE with 16-bit PCM — chunk-walks to ``fmt``
       and ``data``; returns a ``(n_samples, n_channels)`` int16 array.
 
@@ -113,6 +117,37 @@ def decode_media(content: bytes, fmt: str):
             raise ValueError("truncated PPM pixel data")
         pixels = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
         return pixels.reshape(h, w, 3)
+    if fmt == "image/bmp":
+        # uncompressed 24-bit BI_RGB Windows bitmap: the third real
+        # dependency-free decoder. BMP's quirks are the test: rows are
+        # padded to 4-byte boundaries, stored BOTTOM-UP (positive
+        # height), and pixels are BGR — a decoder that ignores any of
+        # the three returns plausible-but-wrong arrays.
+        if content[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        (data_off,) = struct.unpack_from("<I", content, 10)
+        (hdr_size, w, h) = struct.unpack_from("<Iii", content, 14)
+        if hdr_size < 40:
+            raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+        (planes, bpp) = struct.unpack_from("<HH", content, 26)
+        (compression,) = struct.unpack_from("<I", content, 30)
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        row_stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        if len(content) - data_off < row_stride * h:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(
+            content, dtype=np.uint8, count=row_stride * h, offset=data_off
+        ).reshape(h, row_stride)
+        bgr = raw[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            bgr = bgr[::-1]
+        return bgr[:, :, ::-1].copy()  # BGR → RGB
     if fmt == "audio/wav":
         if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE payload")

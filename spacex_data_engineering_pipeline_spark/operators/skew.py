@@ -93,3 +93,62 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def hot_key_salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_unique_col: str,
+    n_salts: int = 16,
+    hot_threshold: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Targeted skew mitigation: salt ONLY the hot keys.
+
+    Blanket salting (:func:`salted_join`) replicates the whole dim
+    side ``n_salts``× even though skew usually lives in a handful of
+    keys — at 100 TB that's n_salts× the broadcast/shuffle bytes for
+    the 99% of keys that never needed it. This variant:
+
+    1. probes per-key fact counts (one column-pruned aggregation) and
+       collects the keys above ``hot_threshold`` — by construction a
+       SMALL set (at most |fact| / hot_threshold keys, e.g. ≤ 1000
+       hot keys per 100M rows at the default), safe to broadcast;
+    2. routes the fact side by membership: cold keys take the plain
+       equi-join (AQE free to broadcast/sort-merge as usual), hot
+       keys take the salted path with the dim slice replicated only
+       for THOSE keys;
+    3. unions the two results — semantically identical to the plain
+       join for 'inner'/'left' (each fact row takes exactly one
+       route; dim replication only ever meets its own salt).
+
+    This is the explicit form of AQE's skew-join split, usable where
+    AQE can't see the skew (e.g. first shuffle of a stage, or
+    pre-aggregated inputs), and the action the
+    ``customer_order_skew_profile`` diagnostic points at.
+    """
+    counts = facts.groupBy(fact_key).agg(F.count(F.lit(1)).alias("__n"))
+    hot = [
+        r[fact_key]
+        for r in counts.filter(F.col("__n") >= hot_threshold)
+        .select(fact_key)
+        .collect()
+    ]
+    if not hot:
+        return facts.join(dim, facts[fact_key] == dim[dim_key], how)
+    is_hot = facts[fact_key].isin(hot)
+    cold_out = facts.filter(~is_hot).join(
+        dim, facts[fact_key] == dim[dim_key], how
+    )
+    hot_out = salted_join(
+        facts.filter(is_hot),
+        dim.filter(dim[dim_key].isin(hot)),
+        fact_key,
+        dim_key,
+        fact_unique_col,
+        n_salts=n_salts,
+        how=how,
+    )
+    return cold_out.unionByName(hot_out)

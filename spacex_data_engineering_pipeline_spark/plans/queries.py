@@ -6861,3 +6861,52 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@_register(
+    "segment_event_hotkey_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(COALESCE(e.value, 0) AS DECIMAL(18,6)) * 1000000)
+                AS DOUBLE) AS total_value_micros
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def segment_event_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted skew mitigation under the gate (operators/skew.py
+    ``hot_key_salted_join``): the events table's user distribution is
+    heavy-tailed, so keys above the hot threshold take a salted route
+    (dim slice replicated for THOSE keys only) while the cold
+    majority runs the plain equi-join — the action the
+    ``customer_order_skew_profile`` diagnostic prescribes, and the
+    explicit form of AQE's skew split for shuffles AQE can't see.
+    Salting must be semantically invisible: the oracle is the plain
+    join + GROUP BY. Values ride exact integer micro-units.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("double")
+        .alias("value_micros"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = hot_key_salted_join(
+        events, customer, "user_id", "c_custkey", "event_id",
+        n_salts=8, hot_threshold=50,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("value_micros"), F.lit(0.0))).alias(
+            "total_value_micros"
+        ),
+    )

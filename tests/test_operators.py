@@ -1161,3 +1161,62 @@ def test_prefix_filtered_jaccard_exact_and_prunes(spark):
         )
     ).first()[0]
     assert n_prefix < n_full
+
+
+def test_decode_bmp_padding_bottomup_bgr():
+    import struct
+
+    import numpy as np
+
+    from spacex_data_engineering_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    # 3×2 image; row stride pads 9 bytes → 12. Bottom-up storage: the
+    # file's FIRST row is the image's BOTTOM row. Pixels written BGR.
+    w, h = 3, 2
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]      # red green blue
+    bottom = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for row in (bottom, top):  # bottom-up
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        rows += line + b"\x00" * (stride - len(line))
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    img = decode_media(header + rows, "image/bmp")
+    assert img.shape == (2, 3, 3)
+    assert [tuple(px) for px in img[0]] == top      # top row first
+    assert [tuple(px) for px in img[1]] == bottom
+    assert img.dtype == np.uint8
+
+    # corrupted payloads raise, never return wrong arrays
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_media(b"XX" + (header + rows)[2:], "image/bmp")
+    with pytest.raises(ValueError):
+        decode_media((header + rows)[:-5], "image/bmp")
+
+
+def test_hash_sample_append_invariance(spark):
+    # sampling is a pure per-key function: sample(A ∪ B) == sample(A) ∪
+    # sample(B) — the property that makes incremental re-sampling of a
+    # growing corpus churn-free
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.sampling import (
+        hash_bernoulli_sample,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(400)], ["k"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], ["k"])
+    u = a.unionByName(b)
+    s_u = {r["k"] for r in hash_bernoulli_sample(u, "k", 0.25, "s").collect()}
+    s_a = {r["k"] for r in hash_bernoulli_sample(a, "k", 0.25, "s").collect()}
+    s_b = {r["k"] for r in hash_bernoulli_sample(b, "k", 0.25, "s").collect()}
+    assert s_u == s_a | s_b

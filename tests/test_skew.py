@@ -73,3 +73,48 @@ def test_salted_join_matches_plain(spark):
         )
     )
     assert salted == plain
+
+
+def test_hot_key_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    # one hot key (0: 5000 rows), many cold keys
+    facts = spark.range(6000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < 5000, 0)
+        .otherwise((F.col("id") % 37) + 1)
+        .alias("k"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], ["dk", "attr"]
+    )
+    for how in ("inner", "left"):
+        got = hot_key_salted_join(
+            facts, dim, "k", "dk", "row_id", n_salts=8,
+            hot_threshold=1000, how=how,
+        )
+        want = facts.join(dim, facts["k"] == dim["dk"], how)
+        g = {tuple(r) for r in got.select("row_id", "k", "attr").collect()}
+        w = {tuple(r) for r in want.select("row_id", "k", "attr").collect()}
+        assert g == w and len(g) == 6000
+
+
+def test_hot_key_salted_join_no_hot_keys_degenerates_to_plain(spark):
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    facts = spark.range(100).select(
+        F.col("id").alias("row_id"), (F.col("id") % 10).alias("k")
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], ["dk", "attr"])
+    got = hot_key_salted_join(
+        facts, dim, "k", "dk", "row_id", hot_threshold=1000
+    )
+    assert got.count() == 100
