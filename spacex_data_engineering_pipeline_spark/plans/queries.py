@@ -6910,3 +6910,109 @@ def segment_event_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value_micros"
         ),
     )
+
+
+@_register(
+    "retention_delete_roundtrip",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def retention_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE machinery under the driver gate (previously
+    pytest-only): orders are written out partitioned by year, a
+    retention cutoff deletes everything before 1998 through
+    ``operators/delete.py`` (partition-pruned probe, expired
+    partitions DROPPED — not rewritten — via Spark's own partition-
+    path encoding), and the surviving table aggregates per year. The
+    oracle computes the same rollup from the predicate directly, so a
+    partition that silently survives (the escaping bug class the
+    round-3 advisory flagged) or a survivor row lost in the swap
+    flips counts AND revenue.
+    """
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators.delete import (
+        retention_delete,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("bigint")
+    )
+    path = _tempfile.mkdtemp(prefix="retention_") + "/orders"
+    orders.repartition(F.col("year")).write.partitionBy("year").parquet(path)
+    retention_delete(
+        spark,
+        path,
+        "o_orderdate",
+        "1998-01-01 00:00:00",
+        partition_col="year",
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("year").cast("bigint").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@_register(
+    "upsert_merge_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    batch AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 500.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    merged AS (
+        SELECT * FROM batch
+        UNION ALL
+        SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert sink (S7, operators/upsert.py) under the driver
+    gate: a base table of even order keys takes a batch that UPDATES
+    every key ≡ 0 (mod 4) (price +500) and INSERTS all odd keys —
+    exercising both MERGE arms through the real staged-swap files,
+    not a mock. The oracle states the merged table in closed form;
+    a lost update, duplicated key, or crash-window artifact flips the
+    rollup. The price mutation is a raw IEEE add — no rounding except
+    at the aggregated edge, identically on both engines.
+    """
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tempfile.mkdtemp(prefix="upsert_rt_") + "/orders"
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(path)
+    batch = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        .unionByName(orders.filter(F.col("o_orderkey") % 2 == 1))
+    )
+    upsert_parquet(spark, path, batch, key="o_orderkey", order_by=None)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
