@@ -158,6 +158,63 @@ def cmd_retention(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_checksum(args: argparse.Namespace) -> int:
+    """Integrity: portable order-insensitive table fingerprint —
+    per-partition (n_rows, checksum) if --partition-col is given, one
+    global pair otherwise. Any engine computing the same md5-coin sum
+    over the same canonical columns reproduces it (operators/repair.py)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.repair import (
+        partition_checksums,
+    )
+
+    spark = get_spark(app_name="checksum-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.table_path)
+    cols = args.columns.split(",")
+    canonical = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    if args.partition_col:
+        out = partition_checksums(df, args.partition_col, canonical)
+        rows = [
+            {
+                args.partition_col: r[args.partition_col],
+                "n_rows": r["n_rows"],
+                "checksum": str(r["checksum"]),
+            }
+            for r in out.collect()
+        ]
+        print(json.dumps(rows, default=str))
+    else:
+        coin = F.conv(F.substring(F.md5(canonical), 1, 8), 16, 10).cast("bigint")
+        r = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(coin.cast("decimal(38,0)")).alias("checksum"),
+        ).collect()[0]
+        print(json.dumps({"n_rows": r["n_rows"], "checksum": str(r["checksum"])}))
+    return 0
+
+
+def cmd_repair(args: argparse.Namespace) -> int:
+    """Integrity: anti-entropy reconciliation — make the target table
+    equal the source by rewriting ONLY partitions whose portable
+    checksums diverge (operators/repair.py)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.repair import repair_table
+
+    spark = get_spark(app_name="repair-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    source = spark.read.parquet(args.source_path)
+    cols = args.columns.split(",")
+    canonical = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    out = repair_table(
+        spark, source, args.target_path, args.partition_col, canonical
+    )
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="spacex_data_engineering_pipeline_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -206,6 +263,27 @@ def main(argv: list[str] | None = None) -> int:
     p_ret.add_argument("--partition-col", default=None,
                        help="table partition column for the pruned rewrite path")
     p_ret.set_defaults(fn=cmd_retention)
+
+    p_chk = sub.add_parser(
+        "checksum", help="portable order-insensitive table fingerprint"
+    )
+    p_chk.add_argument("--table-path", required=True)
+    p_chk.add_argument("--columns", required=True,
+                       help="comma-separated canonical columns (stable "
+                            "renderings only: keys, strings, integer cents)")
+    p_chk.add_argument("--partition-col", default=None,
+                       help="emit per-partition (n_rows, checksum) rows")
+    p_chk.set_defaults(fn=cmd_checksum)
+
+    p_rep = sub.add_parser(
+        "repair",
+        help="anti-entropy: rewrite only partitions diverging from source",
+    )
+    p_rep.add_argument("--source-path", required=True)
+    p_rep.add_argument("--target-path", required=True)
+    p_rep.add_argument("--partition-col", required=True)
+    p_rep.add_argument("--columns", required=True)
+    p_rep.set_defaults(fn=cmd_repair)
 
     p_agg = sub.add_parser("aggregations", help="inspect snapshots, history, trends")
     p_agg.add_argument("--warehouse", required=True)

@@ -110,3 +110,34 @@ def test_cli_retention(spark, sf_dir, tmp_path, capsys):
     assert out["deleted"] == expect
     left = spark.read.parquet(table)
     assert left.filter(F.col("o_orderdate") < "1997-01-01").count() == 0
+
+
+def test_cli_checksum_and_repair(spark, tmp_path, capsys):
+    import json as _json
+
+    from spacex_data_engineering_pipeline_spark.cli import main
+
+    rows = [(y, y * 10 + i, f"n{i}") for y in (2020, 2021) for i in range(6)]
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(rows, ["year", "k", "name"])
+    df.repartition("year").write.partitionBy("year").parquet(src)
+    bad = [(y, k, ("X" if (y, k) == (2021, 20213) else n)) for y, k, n in rows]
+    spark.createDataFrame(bad, ["year", "k", "name"]).repartition(
+        "year"
+    ).write.partitionBy("year").parquet(dst)
+
+    assert main(["checksum", "--table-path", src, "--columns", "k,name"]) == 0
+    whole = _json.loads(capsys.readouterr().out.strip())
+    assert whole["n_rows"] == 12 and int(whole["checksum"]) > 0
+
+    assert main([
+        "repair", "--source-path", src, "--target-path", dst,
+        "--partition-col", "year", "--columns", "k,name",
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["diverged"] == [2021] and rep["rewritten"] == 1
+
+    got = {tuple(r) for r in spark.read.parquet(dst).select("year", "k", "name").collect()}
+    want = {tuple(r) for r in spark.read.parquet(src).select("year", "k", "name").collect()}
+    assert got == want
