@@ -7016,3 +7016,146 @@ def upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@_register(
+    "nation_revenue_share_window",
+    oracle="""
+    WITH nrev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 4)
+               AS region_share
+    FROM nrev
+    """,
+)
+def nation_revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue via
+    a window SUM over the aggregated rollup — the contribution-analysis
+    window shape (§2.5) the catalog lacked. The window runs on the
+    nation-cardinality aggregate (25 rows), never the fact table; the
+    share divides the same rounded doubles on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nrev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return nrev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "region_share"
+        ),
+    )
+
+
+@_register(
+    "part_noun_extract_counts",
+    oracle="""
+    SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(p_retailprice), 2) AS avg_price
+    FROM part
+    GROUP BY 1
+    """,
+)
+def part_noun_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction in the hot path (the F-surface previously only
+    exercised by the pytest-only PII scrubber): pull the trailing noun
+    out of each part name with ``regexp_extract`` — JVM codegen regex,
+    identical RE2-class pattern semantics on both engines — and
+    aggregate per noun. One narrow scan + one tiny-key aggregation.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(
+        F.regexp_extract(F.col("p_name"), r"([a-z]+)$", 1).alias("noun")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+@_register(
+    "region_nation_roster",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): the roster-per-group
+    reshape. collect_list is order-NONDETERMINISTIC under parallel
+    aggregation, so the engine sorts the collected array before
+    joining — the only way a distributed string_agg can be
+    deterministic — which pins it to the oracle's
+    ``ORDER BY``-qualified string_agg.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+    )
+
+
+@_register(
+    "event_props_map_buckets",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+               AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def event_props_map_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: the JSON props column parsed as a
+    ``map<string,bigint>`` (schema-on-read for open-ended keys — the
+    struct variant in ``event_props_json`` needs the key list up
+    front, the map doesn't) with ``element_at`` lookup and integer
+    bucketing. Same single-scan aggregation shape; the map parse is
+    JVM-side from_json, no UDF.
+    """
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.element_at(
+        F.from_json(F.col("props"), MapType(StringType(), LongType())),
+        "k",
+    )
+    return (
+        events.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.expr("k div 10").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
