@@ -7159,3 +7159,80 @@ def event_props_map_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("k div 10").alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@_register(
+    "streaming_txn_fact_summary",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6)) * 1000000)
+                AS DOUBLE) AS total_value_micros
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_txn_fact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once MULTI-TABLE streaming sink under the gate
+    (streaming/txn_sync.py): the events table streams through as 3
+    real micro-batches; each epoch appends the batch to a fact table
+    (previous generation hardlinked forward) AND refreshes the
+    per-type summary, both published by ONE atomic pointer flip keyed
+    on the epoch. The returned summary must equal the direct batch
+    GROUP BY — a lost epoch, double-applied replay, or fact/summary
+    tear flips counts and the hash. Values ride exact integer
+    micro-units so per-batch accumulation order can't flip a bit.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators import txn
+    from spacex_data_engineering_pipeline_spark.streaming.txn_sync import (
+        sync_tables_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("double")
+        .alias("value_micros"),
+    )
+    work = _tempfile.mkdtemp(prefix="txn_stream_")
+    src = _os.path.join(work, "src")
+    split = _os.path.join(work, "split")
+    events.repartitionByRange(3, F.col("event_id")).write.parquet(split)
+    _os.makedirs(src)
+    parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+    for i, fname in enumerate(parts):
+        dst = _os.path.join(src, f"batch{i:04d}.parquet")
+        _os.replace(_os.path.join(split, fname), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def summary(fact):
+        return fact.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value_micros"), F.lit(0.0))).alias(
+                "total_value_micros"
+            ),
+        )
+
+    root = _os.path.join(work, "root")
+    txn.init_txn_root(root)
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        sync_tables_stream(
+            spark,
+            src,
+            events.schema,
+            root,
+            "fact",
+            {"summary": summary},
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    return txn.read_table(spark, root, "summary").select(
+        "event_type", "n_events", "total_value_micros"
+    )
