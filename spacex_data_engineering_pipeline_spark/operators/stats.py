@@ -25,7 +25,7 @@ JVM-side and shuffle exactly once per grouping:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -147,4 +147,80 @@ def welch_t(
             F.when(valid, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)), 4
         ).alias("t_stat"),
         F.round(F.when(valid, num / den), 2).alias("welch_df"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group EXACT weighted median: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    inventory-weighted / volume-weighted center that plain median
+    ignores (a million one-unit rows shouldn't outvote one
+    million-unit row).
+
+    A naive ``Window.partitionBy(group).orderBy(value)`` serializes
+    each group onto one reducer — with few large groups that is the
+    giant-stratum sort the distributed-rank primitive exists to avoid
+    (operators/pack.py). Same cure here, generalized to weighted
+    sums: rows shuffle on (group, value-range bucket), the running
+    weight is base(group, bucket) + within-bucket running sum, where
+    the base offsets come from a prefix over the O(groups × buckets)
+    bucket-total table. Equal values always share a bucket (the
+    bucket is a pure function of the value), so the cumulative weight
+    is exact and total across buckets.
+
+    DETERMINISM CONTRACT: exact for integer-valued weights (double
+    sums of integers are order-independent below 2^53 — quantize
+    fractional weights to micro-units first, the engine's standard
+    discipline); the lower-median convention (first value whose
+    running weight reaches half the total, ties sharing their RANGE-
+    frame cumulative) is closed-form so any engine replays it.
+    """
+    spark = df.sparkSession
+    base_df = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).alias("__w"),
+    )
+    lo_hi = base_df.agg(
+        F.min("__v").alias("lo"), F.max("__v").alias("hi")
+    ).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    n = max(2, spark.sparkContext.defaultParallelism * 4)
+    if lo is None or hi is None or lo == hi:
+        bucket = F.lit(0)
+    else:
+        width = (float(hi) - float(lo)) / n
+        bucket = F.least(
+            F.floor((F.col("__v") - F.lit(float(lo))) / F.lit(width)),
+            F.lit(n - 1),
+        ).cast("int")
+    bucketed = base_df.withColumn("__b", bucket)
+    btot = bucketed.groupBy(*group_cols, "__b").agg(
+        F.sum("__w").alias("__bw")
+    )
+    bw = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = btot.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__bw").over(bw), F.lit(0.0)).alias("__base"),
+        F.sum("__bw").over(Window.partitionBy(*group_cols)).alias("__tw"),
+    )
+    inw = Window.partitionBy(*group_cols, "__b").orderBy("__v")
+    cum = (
+        bucketed.join(F.broadcast(base), [*group_cols, "__b"])
+        .withColumn("__cw", F.col("__base") + F.sum("__w").over(inw))
+    )
+    return (
+        cum.filter(F.col("__cw") * 2 >= F.col("__tw"))
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias("weighted_median"))
     )

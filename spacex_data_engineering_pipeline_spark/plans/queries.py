@@ -7236,3 +7236,42 @@ def streaming_txn_fact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn.read_table(spark, root, "summary").select(
         "event_type", "n_events", "total_value_micros"
     )
+
+
+@_register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH cum AS (
+        SELECT l_returnflag,
+               l_extendedprice AS v,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice
+               ) AS cw,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag
+    (operators/stats.py ``weighted_median``): the volume-weighted
+    center — a million one-unit rows shouldn't outvote one
+    million-unit row, which the plain median lets them do. The
+    lower-median convention (first value whose running weight reaches
+    half the total) is closed-form, so both engines replay it exactly
+    on the same doubles; every window is key-partitioned by the
+    group, no global sort anywhere.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.stats import (
+        weighted_median,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        lineitem, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )

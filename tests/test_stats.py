@@ -297,3 +297,61 @@ def test_fastss_shared_prefix_posting_bound(spark):
         if _lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+def test_weighted_median_hand_case(spark):
+    from spacex_data_engineering_pipeline_spark.operators.stats import (
+        weighted_median,
+    )
+
+    # values 1..4 with weights 1,1,1,10: total 13, half 6.5 — the
+    # running weight first reaches 6.5 at value 4 (cum 13)
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 10.0)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    r = weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert r["weighted_median"] == 4.0
+    # uniform weights recover the (lower) median
+    rows2 = [("h", float(v), 1.0) for v in range(1, 6)]
+    df2 = spark.createDataFrame(rows2, ["g", "v", "w"])
+    assert weighted_median(df2, ["g"], "v", "w").collect()[0][
+        "weighted_median"
+    ] == 3.0
+
+
+def test_weighted_median_bucketed_matches_bruteforce(spark):
+    import random
+
+    from spacex_data_engineering_pipeline_spark.operators.stats import (
+        weighted_median,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(500):
+            rows.append((g, float(rng.randint(0, 10_000)), float(rng.randint(1, 50))))
+    df = spark.createDataFrame(rows, ["g", "v", "w"]).repartition(13)
+    got = {
+        r["g"]: r["weighted_median"]
+        for r in weighted_median(df, ["g"], "v", "w").collect()
+    }
+
+    def brute(g):
+        items = sorted((v, w) for gg, v, w in rows if gg == g)
+        total = sum(w for _, w in items)
+        # lower-median with RANGE-frame tie semantics: ties share their
+        # cumulative weight
+        cum = 0.0
+        i = 0
+        while i < len(items):
+            j = i
+            block = 0.0
+            while j < len(items) and items[j][0] == items[i][0]:
+                block += items[j][1]
+                j += 1
+            cum += block
+            if cum * 2 >= total:
+                return items[i][0]
+            i = j
+
+    assert got == {"a": brute("a"), "b": brute("b")}
