@@ -355,3 +355,31 @@ def test_weighted_median_bucketed_matches_bruteforce(spark):
             i = j
 
     assert got == {"a": brute("a"), "b": brute("b")}
+
+
+def test_apply_cdc_log_randomized_matches_simulation(spark):
+    import random
+
+    from spacex_data_engineering_pipeline_spark.operators.scd import apply_cdc_log
+
+    rng = random.Random(23)
+    for _ in range(3):
+        base_rows = [(k, float(rng.randint(0, 99))) for k in range(30)]
+        log_rows = []
+        for seq in range(1, 60):
+            k = rng.randint(0, 40)  # some ops target unseen keys
+            op = rng.choice(["U", "U", "I", "D"])
+            log_rows.append((k, float(rng.randint(100, 199)), seq, op))
+        base = spark.createDataFrame(base_rows, ["k", "v"])
+        log = spark.createDataFrame(log_rows, ["k", "v", "seq", "op"])
+        got = {
+            (r["k"], r["v"])
+            for r in apply_cdc_log(base, log, ["k"], "seq", "op").collect()
+        }
+        state = dict(base_rows)
+        for k, v, seq, op in sorted(log_rows, key=lambda r: r[2]):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        assert got == set(state.items())
