@@ -44,6 +44,42 @@ INDEX_SCHEMA = (
 )
 
 
+def _footer_stats(files_df: DataFrame, cols: list[str], strict: bool) -> DataFrame:
+    """Executor-side footer scan for a file-list DataFrame: one
+    (file, column, min, max, n_rows) row per indexed column. No data
+    pages are read. ``strict`` raises on a missing column (initial
+    build) — the incremental path shares the same contract because the
+    table schema already validated once."""
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            out = []
+            for path in batch["file"]:
+                md = pq.ParquetFile(path).metadata
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for col in cols:
+                    if col not in names:
+                        raise ValueError(f"column {col!r} not in {path}")
+                    lo, hi = None, None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(names[col]).statistics
+                        if st is None or not st.has_min_max:
+                            lo, hi = float("-inf"), float("inf")
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    out.append((path, col, float(lo), float(hi), md.num_rows))
+            yield pd.DataFrame(
+                out, columns=["file", "column", "min_val", "max_val", "n_rows"]
+            )
+
+    return files_df.mapInPandas(read_footers, INDEX_SCHEMA)
+
+
 def build_file_index(
     spark: SparkSession, table_path: str, columns: list[str]
 ) -> DataFrame:
@@ -57,41 +93,10 @@ def build_file_index(
     )
     if not files:
         raise ValueError(f"no parquet files under {table_path}")
-    cols = list(columns)
     files_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 64))
-
-    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
-        for batch in batches:
-            out = []
-            for path in batch["file"]:
-                md = pq.ParquetFile(path).metadata
-                names = {
-                    md.schema.column(i).name: i for i in range(md.num_columns)
-                }
-                n_rows = md.num_rows
-                for col in cols:
-                    if col not in names:
-                        raise ValueError(f"column {col!r} not in {path}")
-                    lo, hi = None, None
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(names[col]).statistics
-                        if st is None or not st.has_min_max:
-                            lo, hi = float("-inf"), float("inf")
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    out.append(
-                        (path, col, float(lo), float(hi), n_rows)
-                    )
-            yield pd.DataFrame(
-                out, columns=["file", "column", "min_val", "max_val", "n_rows"]
-            )
-
-    return files_df.mapInPandas(read_footers, INDEX_SCHEMA)
+    return _footer_stats(files_df, list(columns), strict=True)
 
 
 def save_file_index(index: DataFrame, index_path: str) -> None:
@@ -129,3 +134,28 @@ def read_pruned(
     if schema is None:
         raise ValueError("empty file list requires an explicit schema")
     return spark.createDataFrame([], schema)
+
+
+def append_to_file_index(
+    spark: SparkSession, table_path: str, columns: list[str], index: DataFrame
+) -> DataFrame:
+    """Incremental index maintenance: footer-read ONLY the files not
+    yet present in ``index`` and union their stats in — O(new files)
+    work after an append/ingest batch, the same train-once/extend-many
+    contract as the ANN index append (similarity.append_to_ivf_index).
+    Files that disappeared (compaction, delete) are dropped from the
+    result so the index never references dead paths."""
+    current = {
+        os.path.join(table_path, f)
+        for f in os.listdir(table_path)
+        if f.endswith(".parquet")
+    }
+    known = {r["file"] for r in index.select("file").distinct().collect()}
+    fresh = sorted(current - known)
+    kept = index.filter(F.col("file").isin(list(current)))
+    if not fresh:
+        return kept
+    fresh_df = spark.createDataFrame(
+        [(f,) for f in fresh], "file string"
+    ).repartition(min(len(fresh), 64))
+    return kept.unionByName(_footer_stats(fresh_df, list(columns), strict=True))

@@ -146,3 +146,35 @@ def test_file_index_save_load_and_empty_prune(spark, tmp_path):
     assert FI.prune_files(idx2, {"k": (1000, 2000)}) == []
     out = FI.read_pruned(spark, [], schema="k long")
     assert out.count() == 0
+
+
+def test_file_index_incremental_append_equals_rebuild(spark, tmp_path):
+    import shutil
+
+    from spacex_data_engineering_pipeline_spark.operators import fileindex as FI
+
+    path = str(tmp_path / "t2")
+    spark.range(100).withColumnRenamed("id", "k").coalesce(2).write.parquet(path)
+    idx = FI.build_file_index(spark, path, ["k"]).cache()
+    idx.count()
+
+    # append a new batch of files (ingest), then drop one original file
+    # (compaction) — the incremental index must track both
+    extra = str(tmp_path / "extra")
+    spark.range(100, 200).withColumnRenamed("id", "k").coalesce(2).write.parquet(extra)
+    import os
+
+    for i, f in enumerate(
+        sorted(x for x in os.listdir(extra) if x.endswith(".parquet"))
+    ):
+        shutil.move(os.path.join(extra, f), os.path.join(path, f"appended-{i}.parquet"))
+    victim = sorted(
+        x for x in os.listdir(path) if x.startswith("part-")
+    )[0]
+    os.remove(os.path.join(path, victim))
+
+    inc = FI.append_to_file_index(spark, path, ["k"], idx)
+    full = FI.build_file_index(spark, path, ["k"])
+    gi = {tuple(r) for r in inc.collect()}
+    gf = {tuple(r) for r in full.collect()}
+    assert gi == gf and len(gi) > 0
