@@ -44,12 +44,11 @@ INDEX_SCHEMA = (
 )
 
 
-def _footer_stats(files_df: DataFrame, cols: list[str], strict: bool) -> DataFrame:
+def _footer_stats(files_df: DataFrame, cols: list[str]) -> DataFrame:
     """Executor-side footer scan for a file-list DataFrame: one
     (file, column, min, max, n_rows) row per indexed column. No data
-    pages are read. ``strict`` raises on a missing column (initial
-    build) — the incremental path shares the same contract because the
-    table schema already validated once."""
+    pages are read. A missing column always raises — both the initial
+    build and the incremental path index a fixed, validated schema."""
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -96,7 +95,7 @@ def build_file_index(
     files_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 64))
-    return _footer_stats(files_df, list(columns), strict=True)
+    return _footer_stats(files_df, list(columns))
 
 
 def save_file_index(index: DataFrame, index_path: str) -> None:
@@ -110,6 +109,12 @@ def prune_files(
     """Files whose stats overlap EVERY [lo, hi] in ``box``. The
     collect is file-list-sized metadata — the same driver footprint
     as the file listing a plain scan performs anyway."""
+    if not box:
+        raise ValueError(
+            "prune_files requires at least one [lo, hi] predicate — an "
+            "empty box would mean 'read everything'; call read_pruned on "
+            "the full listing instead"
+        )
     surviving = None
     for col, (lo, hi) in box.items():
         ok = (
@@ -158,4 +163,4 @@ def append_to_file_index(
     fresh_df = spark.createDataFrame(
         [(f,) for f in fresh], "file string"
     ).repartition(min(len(fresh), 64))
-    return kept.unionByName(_footer_stats(fresh_df, list(columns), strict=True))
+    return kept.unionByName(_footer_stats(fresh_df, list(columns)))

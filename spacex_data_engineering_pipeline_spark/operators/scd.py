@@ -212,22 +212,32 @@ def apply_cdc_log(
     missing = set(key_cols + payload + [seq_col, op_col]) - set(log.columns)
     if missing:
         raise ValueError(f"log is missing columns: {sorted(missing)}")
+    # Base rows tag with the true sequence −∞ (Long.MIN_VALUE) plus a
+    # source rank below every log row, so ANY log sequence — including
+    # negative ones — deterministically beats the base snapshot. Ties
+    # WITHIN the log (two ops sharing a seq for one key) are a contract
+    # violation (seq must totally order ops per key); the source tag
+    # cannot disambiguate those.
     base_tagged = base.select(
         *key_cols,
         *payload,
-        F.lit(-1).cast("long").alias("__seq"),
+        F.lit(-(2**63)).cast("long").alias("__seq"),
+        F.lit(0).alias("__src"),
         F.lit("I").alias("__op"),
     )
     log_tagged = log.select(
         *key_cols,
         *payload,
         F.col(seq_col).cast("long").alias("__seq"),
+        F.lit(1).alias("__src"),
         F.col(op_col).alias("__op"),
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__seq").desc(), F.col("__src").desc()
+    )
     return (
         base_tagged.unionByName(log_tagged)
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("__op") != F.lit("D")))
-        .drop("__rn", "__seq", "__op")
+        .drop("__rn", "__seq", "__src", "__op")
     )

@@ -138,7 +138,11 @@ def hot_key_salted_join(
     ]
     if not hot:
         return facts.join(dim, facts[fact_key] == dim[dim_key], how)
-    is_hot = facts[fact_key].isin(hot)
+    # NULL keys: isin(hot) is NULL for a NULL key, so both filter(is_hot)
+    # and filter(~is_hot) would drop the row — route NULLs to the cold
+    # path explicitly so how='left' keeps them (with NULL dim columns),
+    # matching the plain join.
+    is_hot = F.coalesce(facts[fact_key].isin(hot), F.lit(False))
     cold_out = facts.filter(~is_hot).join(
         dim, facts[fact_key] == dim[dim_key], how
     )

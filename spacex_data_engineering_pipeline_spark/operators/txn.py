@@ -103,6 +103,14 @@ def commit_tables(
     (same ledger contract as operators/matview.py::apply_delta).
     Returns the (possibly unchanged) pointer.
     """
+    overlap = set(tables or {}) & set(appends or {})
+    if overlap:
+        raise ValueError(
+            f"table(s) {sorted(overlap)} appear in both 'tables' and "
+            "'appends' — the two passes would each derive gen=prev+1 from "
+            "the stale pointer and the append would silently discard the "
+            "replacement; commit one operation per table per transaction"
+        )
     ptr = read_pointer(root)
     last = ptr.get("last_batch_id")
     if batch_id is not None and last is not None and batch_id <= last:

@@ -6373,10 +6373,16 @@ def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = bucket(base).groupBy("bucket").agg(F.count(F.lit(1)).alias("nb"))
     q = bucket(cur).groupBy("bucket").agg(F.count(F.lit(1)).alias("nc"))
-    j = p.join(q, "bucket")
+    # Totals are FULL-population counts taken BEFORE the bucket join
+    # (matching the oracle's tot CTE): a decile bucket empty on one
+    # side is excluded from the PSI sum (its term is ±inf — the
+    # standard convention) but its rows still count in n_base/n_cur.
+    tot_b = p.agg(F.sum("nb").cast("bigint").alias("n_base"))
+    tot_c = q.agg(F.sum("nc").cast("bigint").alias("n_cur"))
     j = (
-        j.withColumn("n_base", F.sum("nb").over(Window.partitionBy()))
-        .withColumn("n_cur", F.sum("nc").over(Window.partitionBy()))
+        p.join(q, "bucket")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_c))
     )
     pp = F.col("nb") / F.col("n_base")
     qq = F.col("nc") / F.col("n_cur")

@@ -17,6 +17,7 @@ deployments.
 
 from __future__ import annotations
 
+import collections
 from collections.abc import Iterable
 
 import pandas as pd
@@ -128,8 +129,10 @@ def _make_session_update(gap_us: int):
             # open state or emit sessions. They must NOT be filtered out
             # upstream — a filter pushed below the EventTimeWatermark
             # node would drop them before the watermark ever sees them.
-            for _ in pdfs:
-                pass
+            # The Arrow batch iterator must still be fully consumed
+            # (applyInPandasWithState protocol); deque(maxlen=0) drains
+            # it without materializing.
+            collections.deque(pdfs, maxlen=0)
             return
         if state.hasTimedOut:
             start_us, last_us, n, total = state.get

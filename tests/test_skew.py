@@ -82,10 +82,13 @@ def test_hot_key_salted_join_matches_plain_join(spark):
         hot_key_salted_join,
     )
 
-    # one hot key (0: 5000 rows), many cold keys
+    # one hot key (0: 5000 rows), many cold keys, and NULL join keys —
+    # which must survive a 'left' join (cold path) exactly like the
+    # plain join keeps them with NULL dim columns
     facts = spark.range(6000).select(
         F.col("id").alias("row_id"),
         F.when(F.col("id") < 5000, 0)
+        .when(F.col("id") % 11 == 0, None)
         .otherwise((F.col("id") % 37) + 1)
         .alias("k"),
     )
@@ -100,7 +103,9 @@ def test_hot_key_salted_join_matches_plain_join(spark):
         want = facts.join(dim, facts["k"] == dim["dk"], how)
         g = {tuple(r) for r in got.select("row_id", "k", "attr").collect()}
         w = {tuple(r) for r in want.select("row_id", "k", "attr").collect()}
-        assert g == w and len(g) == 6000
+        assert g == w
+        if how == "left":
+            assert len(g) == 6000  # NULL-key rows kept with NULL attr
 
 
 def test_hot_key_salted_join_no_hot_keys_degenerates_to_plain(spark):

@@ -239,6 +239,21 @@ def test_apply_cdc_log_sequence_precedence(spark):
     assert got == {(1, 12.0)}
 
 
+def test_apply_cdc_log_negative_seq_beats_base(spark):
+    """Base rows carry sequence -inf (Long.MIN_VALUE + source rank 0),
+    so a log op with a negative — even very negative — sequence still
+    deterministically wins over the base snapshot."""
+    from spacex_data_engineering_pipeline_spark.operators.scd import apply_cdc_log
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    log = spark.createDataFrame(
+        [(1, 99.0, -5, "U"), (2, 0.0, -(2**63), "D")],
+        "k int, v double, seq long, op string",
+    )
+    got = {tuple(r) for r in apply_cdc_log(base, log, ["k"], "seq", "op").collect()}
+    assert got == {(1, 99.0)}
+
+
 def test_apply_cdc_log_rejects_missing_columns(spark):
     import pytest
 

@@ -614,6 +614,18 @@ def test_txn_vacuum_keeps_committed(spark, tmp_path):
     assert txn.read_table(spark, root, "t").count() == 3
 
 
+def test_txn_rejects_table_in_both_replace_and_append(spark, tmp_path):
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.operators import txn
+
+    root = str(tmp_path / "txroot")
+    txn.init_txn_root(root)
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError, match="both 'tables' and 'appends'"):
+        txn.commit_tables(root, tables={"t": df}, appends={"t": df})
+
+
 # ---------------------------------------------------------------------------
 # anti-entropy repair (operators/repair.py)
 # ---------------------------------------------------------------------------

@@ -146,6 +146,11 @@ def test_file_index_save_load_and_empty_prune(spark, tmp_path):
     assert FI.prune_files(idx2, {"k": (1000, 2000)}) == []
     out = FI.read_pruned(spark, [], schema="k long")
     assert out.count() == 0
+    # an empty box is a caller bug (it would mean "read everything")
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        FI.prune_files(idx2, {})
 
 
 def test_file_index_incremental_append_equals_rebuild(spark, tmp_path):
