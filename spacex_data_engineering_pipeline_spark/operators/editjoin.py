@@ -173,11 +173,112 @@ def edit_distance_join(
     )
 
 
+def _chunked_self_pairs(
+    variants: DataFrame,
+    hot_threshold: int,
+    n_chunks: int,
+) -> DataFrame:
+    """Candidate pairs (a_id, a_s, b_id, b_s) from a variant table
+    ``(id, s, v)`` self-joined on ``v`` — with oversized postings
+    split into a chunk grid so no single reducer owns a |posting|²
+    cross.
+
+    A variant key shared by p rows yields p² join rows IN ONE TASK
+    under a plain self-join — at 100 TB one pathological posting (a
+    boilerplate string, an empty-ish value) is a straggler no AQE
+    split can fully rescue, because the hot key's build side is
+    irreducible. Here postings with ≥ ``hot_threshold`` rows route
+    through a triangular chunk grid instead: each row gets a
+    deterministic chunk c = hash(id) mod g, the left role fans out to
+    cells (c, j ≥ c), the right role to cells (i ≤ c, c), and the
+    join key becomes (v, i, j) — every unordered pair meets in exactly
+    the cell (min(cx,cy), max(cx,cy)), per-cell work is (p/g)², and
+    the g(g+1)/2 cells spread over the cluster. Fan-out per hot row is
+    ~g, paid only by hot postings. Cold postings take the plain
+    self-join untouched. Same trick as operators/skew.py's hot-key
+    split, adapted to a SELF-join's triangular output.
+    """
+    sizes = variants.groupBy("v").agg(F.count(F.lit(1)).alias("__p"))
+    # by construction ≤ |variants| / hot_threshold keys survive —
+    # bounded driver metadata, same class as skew.py's hot-key probe
+    hot = [
+        r["v"]
+        for r in sizes.filter(F.col("__p") >= hot_threshold)
+        .select("v")
+        .collect()
+    ]
+    a_cols = [
+        F.col("id").alias("a_id"),
+        F.col("s").alias("a_s"),
+        "v",
+    ]
+    b_cols = [
+        F.col("id").alias("b_id"),
+        F.col("s").alias("b_s"),
+        "v",
+    ]
+    if not hot:
+        a = variants.select(*a_cols)
+        b = variants.select(*b_cols)
+        return (
+            a.join(b, "v")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "a_s", "b_id", "b_s")
+        )
+    is_hot = F.coalesce(F.col("v").isin(hot), F.lit(False))
+    cold = variants.filter(~is_hot)
+    cold_pairs = (
+        cold.select(*a_cols)
+        .join(cold.select(*b_cols), "v")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_s", "b_id", "b_s")
+    )
+    g = int(n_chunks)
+    hotv = variants.filter(is_hot).withColumn(
+        "__c", F.pmod(F.xxhash64(F.col("id")), F.lit(g)).cast("int")
+    )
+    # left role: row with chunk c covers cells (c, j) for j >= c
+    left = hotv.select(
+        *a_cols,
+        F.col("__c").alias("__ci"),
+        F.explode(
+            F.sequence(F.col("__c"), F.lit(g - 1))
+        ).alias("__cj"),
+    )
+    # right role: row with chunk c covers cells (i, c) for i <= c
+    right = hotv.select(
+        *b_cols,
+        F.explode(
+            F.sequence(F.lit(0), F.col("__c"))
+        ).alias("__ci"),
+        F.col("__c").alias("__cj"),
+    )
+    # a cross-chunk pair meets in exactly ONE orientation (left=the
+    # smaller chunk), so a_id<b_id filtering would drop pairs whose id
+    # order disagrees with the chunk order — canonicalize by id
+    # instead (diagonal cells emit both orientations; the caller's
+    # pair-dedup collapses them)
+    swap = F.col("a_id") > F.col("b_id")
+    hot_pairs = (
+        left.join(right, ["v", "__ci", "__cj"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.when(swap, F.col("b_id")).otherwise(F.col("a_id")).alias("a_id"),
+            F.when(swap, F.col("b_s")).otherwise(F.col("a_s")).alias("a_s"),
+            F.when(swap, F.col("a_id")).otherwise(F.col("b_id")).alias("b_id"),
+            F.when(swap, F.col("a_s")).otherwise(F.col("b_s")).alias("b_s"),
+        )
+    )
+    return cold_pairs.unionAll(hot_pairs)
+
+
 def deletion_neighborhood_join(
     df: DataFrame,
     id_col: str,
     str_col: str,
     max_d: int = 1,
+    hot_posting_threshold: int = 10_000,
+    n_chunks: int = 16,
 ) -> DataFrame:
     """Exact edit-distance self-join via the FastSS deletion
     neighborhood (Bocek/Hunt/Stiller, "Fast Similarity Search in
@@ -200,6 +301,11 @@ def deletion_neighborhood_join(
     O(alphabet) regardless of shared prefixes. The trade: each string
     emits O(L^d) variant keys, so FastSS wants short strings / small d
     and PassJoin wants long strings — both are exact; pick by shape.
+
+    Postings with ≥ ``hot_posting_threshold`` rows (mass-duplicate
+    strings, boilerplate values) are additionally split into an
+    ``n_chunks``-way triangular grid (:func:`_chunked_self_pairs`) so
+    no reducer owns a |posting|² cross alone — exactness unchanged.
     """
     if max_d < 1:
         raise ValueError("max_d must be >= 1")
@@ -220,20 +326,16 @@ def deletion_neighborhood_join(
             "id", "s", F.explode(F.expr(del1.format(v="v"))).alias("v")
         )
         variants = variants.unionAll(layer)
-    variants = variants.dropDuplicates(["id", "v"])
+    # materialize the variant table ONCE: the posting-size probe, the
+    # cold self-join and the hot grid would each recompute the
+    # explode-union lineage otherwise (the probe alone added ~50% at
+    # sf0.1); the checkpoint is variant-count-sized and truncates the
+    # plan for every consumer
+    variants = variants.dropDuplicates(["id", "v"]).localCheckpoint()
 
-    a = variants.select(
-        F.col("id").alias("a_id"), F.col("s").alias("a_s"), "v"
-    )
-    b = variants.select(
-        F.col("id").alias("b_id"), F.col("s").alias("b_s"), "v"
-    )
-    candidates = (
-        a.join(b, "v")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "a_s", "b_id", "b_s")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    candidates = _chunked_self_pairs(
+        variants, hot_posting_threshold, n_chunks
+    ).dropDuplicates(["a_id", "b_id"])
     return (
         candidates.withColumn(
             "edit_dist", F.levenshtein(F.col("a_s"), F.col("b_s"))

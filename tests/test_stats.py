@@ -314,6 +314,44 @@ def test_fastss_shared_prefix_posting_bound(spark):
     assert got == want
 
 
+def test_fastss_hot_posting_chunk_grid_exact(spark):
+    """Force the triangular chunk-grid path (hot_posting_threshold low
+    enough that the mass-duplicate string's postings qualify) and
+    assert the output is identical to the plain-self-join path on a
+    skewed corpus: 80 copies of one boilerplate string + near
+    neighbors + unrelated strings, ids shuffled so chunk order and id
+    order disagree (the orientation-coverage regression trap)."""
+    import random
+
+    from spacex_data_engineering_pipeline_spark.operators.editjoin import (
+        deletion_neighborhood_join,
+    )
+
+    rng = random.Random(7)
+    strings = (
+        ["boilerplate"] * 80
+        + ["boilerplate", "boilerplat", "bo1lerplate"]
+        + ["".join(rng.choice("xyz") for _ in range(6)) for _ in range(40)]
+    )
+    ids = list(range(len(strings)))
+    rng.shuffle(ids)
+    df = spark.createDataFrame(list(zip(ids, strings)), ["id", "s"])
+    plain = {
+        tuple(r)
+        for r in deletion_neighborhood_join(
+            df, "id", "s", max_d=1, hot_posting_threshold=10**9
+        ).collect()
+    }
+    chunked = {
+        tuple(r)
+        for r in deletion_neighborhood_join(
+            df, "id", "s", max_d=1, hot_posting_threshold=5, n_chunks=4
+        ).collect()
+    }
+    assert chunked == plain
+    assert len(plain) >= 80 * 79 // 2  # the duplicate clique is present
+
+
 def test_weighted_median_hand_case(spark):
     from spacex_data_engineering_pipeline_spark.operators.stats import (
         weighted_median,

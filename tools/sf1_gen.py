@@ -77,6 +77,22 @@ def _copy_select(df, table: str, i: int):
         c = F.col(name)
         if name in SHIFTS:
             c = (c + F.lit(i * SHIFTS[name])).alias(name)
+        elif name == "c_name" and i > 0:
+            # re-derive the name from the SHIFTED key: leaving names
+            # untouched would make every c_name a 10-way verbatim
+            # duplicate (the exact failure mode the docstring bans for
+            # documents) — at sf1.0 that manufactured 26.9M edit pairs
+            # (the all-copies cross product: 262500*100 + 15000*45),
+            # measuring pair-output blowup, not operator scaling.
+            c = F.format_string(
+                "Customer#%09d",
+                F.col("c_custkey") + F.lit(i * SHIFTS["c_custkey"]),
+            ).alias(name)
+        elif name == "s_name" and i > 0:
+            c = F.format_string(
+                "Supplier#%09d",
+                F.col("s_suppkey") + F.lit(i * SHIFTS["s_suppkey"]),
+            ).alias(name)
         elif table == "documents" and name == "text" and i > 0:
             c = F.array_join(
                 F.transform(
