@@ -1668,16 +1668,27 @@ def daily_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (SURVEY J2's change-detection shape: rows in the
     source with no match in the target). Spark plans a broadcast/SMJ
-    left-anti; only the key column of orders is scanned (pruned).
+    left-anti; only the key+priority columns of orders are scanned
+    (pruned) and the priority filter pushes below the join.
+
+    The probe side is orders RESTRICTED to urgent priority: the gate
+    data gives every customer at least one order, so an unfiltered
+    anti-join passes trivially on ∅ (round-4 verdict) — ~13% of
+    customers lack an urgent order at every SF, so this grade carries
+    actual unmatched keys.
     """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -1742,15 +1753,26 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "click_not_purchase_users",
     oracle="""
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-28'
     EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28'
     """,
 )
 def click_not_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (EXCEPT DISTINCT) — SURVEY §2.7 notes the
-    reference has no set ops; the engine supports the full trio."""
-    events = load_table(spark, sf_dir, "events")
+    reference has no set ops; the engine supports the full trio.
+
+    Scoped to the final 3 days of the event window: over the full
+    month every user does everything, so the unbounded difference is
+    ∅ at every SF (round-4 verdict — a hash match on the empty set
+    grades nothing). In the recent slice 20-30% of clickers haven't
+    purchased, so the EXCEPT is exercised with real survivors.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-28 00:00:00").cast("timestamp_ntz")
+    )
     clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
     buys = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return clicks.subtract(buys)
@@ -2054,10 +2076,27 @@ def _embedding_near_dup_oracle_sql(
               * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
     """
     return f"""
-    WITH qv AS (
+    WITH embeddings_aug AS (
+        -- the base corpus plus a deterministically perturbed copy of
+        -- every 20th vector (+0.0625 on coordinate 1 — a dyadic
+        -- rational, so the literal parses to the IDENTICAL double in
+        -- any engine): guarantees true near-dup pairs exist at every
+        -- SF, so the grade carries rows instead of a trivially-empty
+        -- hash match on ∅
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings WHERE embedding IS NOT NULL
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              (x, i) -> CASE WHEN i = 1 THEN x + 0.0625
+                                        ELSE x END)
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 20 = 0
+    ),
+    qv AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings_aug
     ),
     coef AS (
         SELECT ((i - 1) // {per_band}) AS band,
@@ -2085,8 +2124,8 @@ def _embedding_near_dup_oracle_sql(
     )
     SELECT p.id_a, p.id_b, ROUND({pair_cos}, 6) AS cos_sim
     FROM pairs p
-    JOIN embeddings ea ON p.id_a = ea.vec_id
-    JOIN embeddings eb ON p.id_b = eb.vec_id
+    JOIN embeddings_aug ea ON p.id_a = ea.vec_id
+    JOIN embeddings_aug eb ON p.id_b = eb.vec_id
     WHERE ROUND({pair_cos}, 6) >= {min_cosine}
     """
 
@@ -2098,9 +2137,29 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable integer hyperplanes + fixed-point quantization make the
     candidate set engine-independent, closing the last oracle exemption
     in the catalog.
+
+    The input unions a deterministically perturbed copy of every 20th
+    vector (+0.0625 — a dyadic rational, bit-identical in any engine's
+    literal parse — on coordinate 1, id offset +1e6): the synthetic
+    corpus has no true cos≥0.95 pairs, so the round-4 grade passed on
+    ∅; the perturbed twins give the LSH + verify path real survivors
+    at every SF while staying exactly DuckDB-replayable.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.95)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 20 == 0)
+    ).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return S.embedding_near_dup_pairs(
+        emb.unionByName(pert), "vec_id", "embedding", min_cosine=0.95
+    )
 
 
 @_register(
@@ -3439,26 +3498,32 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
         JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
-        WHERE ns.n_name IN ('FRANCE', 'GERMANY') AND nc.n_name IN ('FRANCE', 'GERMANY')
-              AND ns.n_name <> nc.n_name
+        WHERE ns.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND ns.n_name <> nc.n_name
     )
     GROUP BY supp_nation, cust_nation, l_year
     """,
 )
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: shipping volume between two nations by year.
-    The nation-name filters REACH THE DIM SCANS and broadcast, so the
-    supplier/customer joins semi-reduce the fact flow before the big
-    orders⋈lineitem shuffle; the theta predicate (supp ≠ cust nation)
-    rides the already-joined rows. year() on the NTZ ship date is
-    session-tz-independent.
+    """TPC-H Q7 shape: shipping volume between nations of a trade
+    bloc by year. The nation-name filters REACH THE DIM SCANS and
+    broadcast, so the supplier/customer joins semi-reduce the fact
+    flow before the big orders⋈lineitem shuffle; the theta predicate
+    (supp ≠ cust nation) rides the already-joined rows. year() on the
+    NTZ ship date is session-tz-independent.
+
+    The bloc is four of the testdata's NATION_k dims (Q7's literal
+    FRANCE/GERMANY names don't exist in the synthetic dims, which made
+    the round-4 grade a trivially-empty ∅ hash match); NATION_1..4
+    trade in both directions at every SF.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    pair = ["FRANCE", "GERMANY"]
+    pair = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
     ns = nation.filter(F.col("n_name").isin(pair)).select(
         F.col("n_nationkey").alias("__ns_key"), F.col("n_name").alias("supp_nation")
     )
