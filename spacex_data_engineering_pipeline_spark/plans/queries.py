@@ -1253,6 +1253,15 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 # stateful op at sf0.1).
 _MULTIBATCH_FILES = 4
 _MULTIBATCH_STATE_PARTS = 4
+# Python-stateful runs (applyInPandasWithState) obey a DIFFERENT dial
+# than JVM state: per-batch cost there is ~1 ms × (groups in batch) of
+# Python update calls, so extra partitions buy parallel Arrow workers
+# and win until store-lifecycle overhead catches up. Measured sweep at
+# sf0.1 (4/8/16/32 parts): sessionized 11.8/7.7/9.3/9.2 s, running
+# user stats 7.4/4.4/4.6/5.7 s — 8 is the knee. Stream-stream JOINS
+# (JVM state, no Python) stay at 4: purchase attribution measured
+# 5.0/6.6/11.2/22.7 s over the same sweep.
+_PYSTATE_PARTS = 8
 
 
 @_register(
@@ -1289,7 +1298,7 @@ def streaming_user_stats_multibatch(spark: SparkSession, sf_dir: str) -> DataFra
         spark, sf_dir, build, "update", "user_stats_mb",
         columns=["user_id", "value", "ts"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_MULTIBATCH_STATE_PARTS,
+        state_partitions=_PYSTATE_PARTS,
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -1494,7 +1503,7 @@ def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
         spark, sf_dir, build, "append", "sessions_ttl",
         columns=["user_id", "ts", "value"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_MULTIBATCH_STATE_PARTS,
+        state_partitions=_PYSTATE_PARTS,
         tail_dfs=[sentinel("2099-01-01 00:00:00")],
     )
 
