@@ -14,14 +14,19 @@ manifest metrics, built here from plain parquet):
   ONLY footers (pyarrow, no data pages) via ``mapInPandas`` and emits
   (file, column, min, max, n_rows) rows — index size is
   O(files × indexed columns), data bytes read: zero.
-- ``prune_files``: intersect a per-column [lo, hi] box with the index
-  — a file survives only if EVERY indexed predicate column overlaps.
-  Driver-side result is the surviving file list (file-list-sized
-  metadata, the same class as partition listings).
-- ``read_pruned``: read exactly those files; the caller re-applies
-  the predicate for row-level exactness (index pruning is
-  file-granular, never row-granular — same contract as any
-  stats-based reader).
+- ``prune_files_df``: intersect a per-column [lo, hi] box with the
+  index — a file survives only if EVERY indexed predicate column
+  overlaps. Stays a DataFrame: at 100 TB a weak predicate can survive
+  millions of paths, and those never need to land in Python.
+- ``prune_files``: the driver-side list variant, guarded by a
+  ``max_files`` bound with a clear error pointing at the distributed
+  path.
+- ``read_pruned`` / ``read_pruned_df``: read exactly those files —
+  the ``_df`` form consumes the surviving set in bounded batches via
+  ``toLocalIterator`` so Python driver memory is O(batch), not
+  O(selected files). The caller re-applies the predicate for
+  row-level exactness (index pruning is file-granular, never
+  row-granular — same contract as any stats-based reader).
 
 Numeric columns only (min/max as doubles); the index is rebuilt (or
 incrementally appended) after compaction/upsert rewrites, exactly
@@ -103,12 +108,14 @@ def save_file_index(index: DataFrame, index_path: str) -> None:
     index.write.mode("overwrite").parquet(index_path)
 
 
-def prune_files(
+def prune_files_df(
     index: DataFrame, box: dict[str, tuple[float, float]]
-) -> list[str]:
-    """Files whose stats overlap EVERY [lo, hi] in ``box``. The
-    collect is file-list-sized metadata — the same driver footprint
-    as the file listing a plain scan performs anyway."""
+) -> DataFrame:
+    """Surviving-file set as a DataFrame (one ``file`` column):
+    files whose stats overlap EVERY [lo, hi] in ``box``. Fully
+    distributed — nothing lands on the driver; feed it to
+    :func:`read_pruned_df`, join it against other metadata, or
+    collect a bounded list via :func:`prune_files`."""
     if not box:
         raise ValueError(
             "prune_files requires at least one [lo, hi] predicate — an "
@@ -126,7 +133,61 @@ def prune_files(
             .select("file")
         )
         surviving = ok if surviving is None else surviving.intersect(ok)
+    return surviving
+
+
+def prune_files(
+    index: DataFrame,
+    box: dict[str, tuple[float, float]],
+    max_files: int = 1_000_000,
+) -> list[str]:
+    """Surviving files as a driver-side list — bounded by
+    ``max_files``. At 100 TB a weak predicate can survive millions of
+    paths; rather than silently materializing them, this raises and
+    points at the distributed variants (:func:`prune_files_df` +
+    :func:`read_pruned_df`), which never hold the full list in Python.
+    (The JVM's own scan file-listing is O(selected files) either way —
+    that bound is Spark's, not this module's.)"""
+    surviving = prune_files_df(index, box)
+    n = surviving.count()
+    if n > max_files:
+        raise ValueError(
+            f"{n} files survive the box predicate (> max_files="
+            f"{max_files}); use prune_files_df + read_pruned_df to keep "
+            "the file set distributed, or tighten the predicate"
+        )
     return sorted(r["file"] for r in surviving.collect())
+
+
+def read_pruned_df(
+    spark: SparkSession,
+    surviving: DataFrame,
+    schema=None,
+    batch_size: int = 10_000,
+) -> DataFrame:
+    """Read the files named by a surviving-file DataFrame without ever
+    materializing more than ``batch_size`` paths in Python at once:
+    the set streams to the driver via ``toLocalIterator`` and each
+    batch becomes one reader in a union. Python-side driver memory is
+    O(batch_size); the JVM file index still tracks O(selected files)
+    — the same footprint any Spark scan of those files carries."""
+    readers = []
+    batch: list[str] = []
+    for row in surviving.select("file").toLocalIterator():
+        batch.append(row["file"])
+        if len(batch) >= batch_size:
+            readers.append(spark.read.parquet(*batch))
+            batch = []
+    if batch:
+        readers.append(spark.read.parquet(*batch))
+    if not readers:
+        if schema is None:
+            raise ValueError("empty file list requires an explicit schema")
+        return spark.createDataFrame([], schema)
+    out = readers[0]
+    for r in readers[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def read_pruned(
@@ -150,17 +211,22 @@ def append_to_file_index(
     contract as the ANN index append (similarity.append_to_ivf_index).
     Files that disappeared (compaction, delete) are dropped from the
     result so the index never references dead paths."""
-    current = {
+    # The directory listing is O(table files) driver metadata — the
+    # same listing any scan of the table performs. The KNOWN set never
+    # comes back to the driver: new files are found by anti-joining the
+    # listing against the index, and dead paths drop via a semi-join —
+    # both distributed, so the index itself can be arbitrarily large.
+    current = sorted(
         os.path.join(table_path, f)
         for f in os.listdir(table_path)
         if f.endswith(".parquet")
-    }
-    known = {r["file"] for r in index.select("file").distinct().collect()}
-    fresh = sorted(current - known)
-    kept = index.filter(F.col("file").isin(list(current)))
-    if not fresh:
-        return kept
-    fresh_df = spark.createDataFrame(
-        [(f,) for f in fresh], "file string"
-    ).repartition(min(len(fresh), 64))
+    )
+    current_df = spark.createDataFrame(
+        [(f,) for f in current], "file string"
+    )
+    fresh_df = (
+        current_df.join(index, "file", "left_anti")
+        .repartition(min(max(len(current), 1), 64))
+    )
+    kept = index.join(F.broadcast(current_df), "file", "left_semi")
     return kept.unionByName(_footer_stats(fresh_df, list(columns)))

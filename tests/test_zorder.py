@@ -153,6 +153,35 @@ def test_file_index_save_load_and_empty_prune(spark, tmp_path):
         FI.prune_files(idx2, {})
 
 
+def test_file_index_distributed_prune_and_batched_read(spark, tmp_path):
+    """The 100 TB path: the surviving-file set stays a DataFrame and
+    the read consumes it in bounded batches (batch_size=2 over ~8
+    surviving files forces several union legs); result equals the
+    direct filtered scan. The list API refuses to materialize beyond
+    max_files."""
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.operators import fileindex as FI
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    path = str(tmp_path / "t")
+    df.repartitionByRange(16, "k").write.parquet(path)
+    idx = FI.build_file_index(spark, path, ["k"])
+    surv = FI.prune_files_df(idx, {"k": (100, 550)})
+    n_surv = surv.count()
+    assert 0 < n_surv < 16
+    out = FI.read_pruned_df(spark, surv, batch_size=2).filter(
+        "k BETWEEN 100 AND 550"
+    )
+    assert out.count() == 451
+    assert sorted(r["k"] for r in out.collect()) == list(range(100, 551))
+    with pytest.raises(ValueError, match="max_files"):
+        FI.prune_files(idx, {"k": (100, 550)}, max_files=1)
+    # empty survivor set still needs a schema
+    empty = FI.prune_files_df(idx, {"k": (5000, 6000)})
+    assert FI.read_pruned_df(spark, empty, schema="k long").count() == 0
+
+
 def test_file_index_incremental_append_equals_rebuild(spark, tmp_path):
     import shutil
 
