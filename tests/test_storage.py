@@ -614,6 +614,101 @@ def test_txn_vacuum_keeps_committed(spark, tmp_path):
     assert txn.read_table(spark, root, "t").count() == 3
 
 
+def test_txn_crash_sweep_every_step_boundary(spark, tmp_path):
+    """Kill the multi-table commit protocol at EVERY filesystem step
+    boundary (each os.replace — per-batch-file renames, generation-dir
+    renames, and the pointer flip itself) and assert
+    reader-visible atomicity after each: a reader sees BOTH tables at
+    the previous committed state (crash before the flip) or BOTH at
+    the new state (crash at/after it), never a mix; then a retried
+    commit with the same batch_id converges exactly-once."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators import txn
+
+    def snapshot(root):
+        ptr = txn.read_pointer(root)
+        fact = sorted(
+            tuple(r)
+            for r in txn.read_table(spark, root, "fact", pointer=ptr).collect()
+        )
+        summ = sorted(
+            tuple(r)
+            for r in txn.read_table(spark, root, "summary", pointer=ptr).collect()
+        )
+        return ptr, fact, summ
+
+    batch2 = spark.createDataFrame([(3, 30.0), (4, 40.0)], ["k", "v"])
+    old_expected_summ = [(30.0,)]
+    new_expected_fact = [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]
+    new_expected_summ = [(100.0,)]
+
+    real_replace = os.replace
+    fail_at = 0
+    while True:
+        fail_at += 1
+        root = str(tmp_path / f"root{fail_at}")
+        txn.init_txn_root(root)
+        txn.commit_tables(
+            root,
+            tables={"summary": spark.createDataFrame([(30.0,)], ["total"])},
+            appends={"fact": spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])},
+            batch_id=1,
+        )
+        v0 = txn.read_pointer(root)["version"]
+
+        calls = {"n": 0}
+
+        def crashing_replace(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == fail_at:
+                raise RuntimeError("injected crash")
+            return real_replace(*a, **kw)
+
+        os.replace = crashing_replace
+        crashed = False
+        try:
+            txn.commit_tables(
+                root,
+                tables={"summary": spark.createDataFrame([(100.0,)], ["total"])},
+                appends={"fact": batch2},
+                batch_id=2,
+            )
+        except RuntimeError:
+            crashed = True
+        finally:
+            os.replace = real_replace
+
+        ptr, fact, summ = snapshot(root)
+        if ptr["version"] == v0:
+            # crash before the pointer flip: EVERYTHING at previous state
+            assert fact == [(1, 10.0), (2, 20.0)], f"fail_at={fail_at}"
+            assert summ == old_expected_summ, f"fail_at={fail_at}"
+            assert ptr["last_batch_id"] == 1
+        else:
+            # pointer flipped: EVERYTHING at new state
+            assert fact == new_expected_fact, f"fail_at={fail_at}"
+            assert summ == new_expected_summ, f"fail_at={fail_at}"
+            assert ptr["last_batch_id"] == 2
+
+        # the at-least-once redelivery: same batch retried after the
+        # crash must converge to the committed state exactly once
+        txn.commit_tables(
+            root,
+            tables={"summary": spark.createDataFrame([(100.0,)], ["total"])},
+            appends={"fact": batch2},
+            batch_id=2,
+        )
+        ptr, fact, summ = snapshot(root)
+        assert fact == new_expected_fact, f"retry after fail_at={fail_at}"
+        assert summ == new_expected_summ, f"retry after fail_at={fail_at}"
+        assert ptr["last_batch_id"] == 2
+
+        if not crashed:
+            break  # swept past the last os.replace in the protocol
+    assert fail_at >= 4  # batch files + 2 gen dirs + pointer flip
+
+
 def test_txn_rejects_table_in_both_replace_and_append(spark, tmp_path):
     import pytest
 
