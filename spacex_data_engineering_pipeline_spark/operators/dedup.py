@@ -13,6 +13,7 @@ Four tiers, all shuffle-disciplined for the 100 TB path:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -243,10 +244,6 @@ def minhash_near_dup_pairs(
         with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
         .select(F.col(id_col).alias("doc"), "shingles")
         .filter(F.size("shingles") > 0)
-        # stage the per-shingle portable base hash ONCE (one MD5 per
-        # shingle); every band derives its permutations from it by
-        # integer arithmetic
-        .withColumn("bases", _shingle_bases(F.col("shingles")))
         # the shingle table feeds three consumers (banding + both
         # verification joins); materialize it once instead of
         # recomputing the shingling 3x (persist, not lazy checkpoint —
@@ -254,37 +251,58 @@ def minhash_near_dup_pairs(
         .persist()
     )
 
-    # Per-band min-hash directly (never materialize-then-slice the full
-    # signature: a sliced signature expression gets inlined into each
-    # band lambda and recomputed ``bands`` times). Total work stays
-    # one MD5 + O(num_hashes) arithmetic per shingle. The band key is
-    # MD5 of the comma-joined minhash vector — fixed-width and portable,
-    # so the DuckDB oracle reproduces the exact candidate set.
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            _band_minhash(
-                                F.col("bases"),
-                                b * rows_per_band,
-                                (b + 1) * rows_per_band,
-                                coeffs,
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ).alias("band_hash"),
+    # ALL bands' keys in ONE Arrow-vectorized pass. The pure-expression
+    # form (num_hashes affine hashes per shingle inside nested
+    # transform/aggregate lambdas) is interpreted per element — the
+    # same never-enters-codegen wall the sign-LSH banding hit
+    # (operators/similarity.py) — measured ~2 s of the 5 s total at
+    # sf0.1. The replacement computes the IDENTICAL portable math in
+    # numpy: base = first 7 MD5 hex digits (hashlib == F.md5 on UTF-8
+    # bytes), h = (base·a + b) mod P in exact int64 (base < 2^28,
+    # a < P ⇒ product < 2^59), per-band min, band key = MD5 of the
+    # comma-joined vector — so the candidate set, and the DuckDB
+    # oracle replay, are unchanged bit-for-bit.
+    import hashlib as _hashlib
+
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @pandas_udf("array<string>")
+    def _band_hashes(shingle_col: pd.Series) -> pd.Series:
+        out = []
+        for shingles in shingle_col:
+            if shingles is None or len(shingles) == 0:
+                out.append(None)
+                continue
+            bases = np.array(
+                [
+                    int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+                    for s in shingles
+                ],
+                dtype=np.int64,
             )
-            for b in range(bands)
-        ]
-    )
+            hs = (bases[:, None] * a_vec + b_vec) % _MINHASH_P  # (m, k)
+            sig = hs.min(axis=0)  # (k,)
+            out.append(
+                [
+                    _hashlib.md5(
+                        ",".join(
+                            str(v)
+                            for v in sig[b * rows_per_band : (b + 1) * rows_per_band]
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
     banded = (
-        grams.select("doc", F.explode(band_arr).alias("band"))
-        .select("doc", "band.band_idx", "band.band_hash")
+        grams.select(
+            "doc",
+            F.posexplode(_band_hashes(F.col("shingles"))).alias(
+                "band_idx", "band_hash"
+            ),
+        )
         # materialize once: both self-join branches read the same blocks
         # (an explicit repartition here measured SLOWER — AQE picks a
         # broadcast join for the narrow banded table and skips the
