@@ -6538,13 +6538,17 @@ def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (matching the oracle's tot CTE): a decile bucket empty on one
     # side is excluded from the PSI sum (its term is ±inf — the
     # standard convention) but its rows still count in n_base/n_cur.
-    tot_b = p.agg(F.sum("nb").cast("bigint").alias("n_base"))
-    tot_c = q.agg(F.sum("nc").cast("bigint").alias("n_cur"))
-    j = (
-        p.join(q, "bucket")
-        .crossJoin(F.broadcast(tot_b))
-        .crossJoin(F.broadcast(tot_c))
+    # totals via global windows over the UNJOINED 10-row bucket tables
+    # (post-rollup metadata-sized, the approved global-window pattern —
+    # a 1-row broadcast join would plan as BroadcastNestedLoopJoin,
+    # which the catalog-wide plan guard bans)
+    p = p.withColumn(
+        "n_base", F.sum("nb").over(Window.partitionBy()).cast("bigint")
     )
+    q = q.withColumn(
+        "n_cur", F.sum("nc").over(Window.partitionBy()).cast("bigint")
+    )
+    j = p.join(q, "bucket")
     pp = F.col("nb") / F.col("n_base")
     qq = F.col("nc") / F.col("n_cur")
     return j.groupBy().agg(
