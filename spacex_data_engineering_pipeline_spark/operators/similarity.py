@@ -61,7 +61,8 @@ def portable_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[int]]:
     """INTEGER sign-LSH hyperplanes derived from MD5(seed, plane,
     coordinate) — plain integer literals any engine regenerates.
     Combined with the 2^20 fixed-point quantization of the embedding
-    (``_int_bucket_expr``) every bucket bit is the sign of an EXACT
+    (floor(x·2^20), see the banding UDF in ``embedding_near_dup_pairs``)
+    every bucket bit is the sign of an EXACT
     signed-64 integer dot product: no float summation-order or rounding
     divergence between engines, which is what lets a SQL oracle replay
     the LSH candidate set bit-for-bit. Coefficients are uniform in
@@ -80,38 +81,6 @@ def portable_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[int]]:
         ]
         for p in range(n_planes)
     ]
-
-
-def _quantize_expr(vec_col: str) -> Column:
-    """Fixed-point quantization floor(x·2^20) as long — hoist this to
-    its own column ONCE per vector; every band's bucket expression then
-    reads the quantized column instead of re-running the transform
-    (bands × planes times per row — measured the dominant cost of the
-    multi-seed LSH projection)."""
-    return F.transform(
-        F.col(vec_col), lambda x: F.floor(x * F.lit(float(_QUANT))).cast("long")
-    )
-
-
-def _int_bucket_expr(
-    vec_col: str, planes: list[list[int]], quantized: bool = False
-) -> Column:
-    """Bucket id = bit-packed signs of exact integer dot products of the
-    fixed-point-quantized vector against integer hyperplanes.
-    ``quantized=True`` means ``vec_col`` already holds floor(x·2^20)
-    longs (see :func:`_quantize_expr`)."""
-    qv = F.col(vec_col) if quantized else _quantize_expr(vec_col)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(int(c)).cast("long") for c in plane])
-        d = F.aggregate(
-            F.zip_with(qv, p, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
 
 
 def rp_lsh_buckets(
