@@ -90,6 +90,46 @@ def stratified_hash_sample(
     return df.filter(hash_coin(F.col(key_col), salt) < thr)
 
 
+def weight_proportional_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    max_weight: int,
+    rate_num: int = 1,
+    rate_den: int = 1,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Poisson/Bernoulli sampling with inclusion probability
+    PROPORTIONAL to an integer weight: row kept iff
+
+        coin(key) * max_weight * rate_den  <  weight * 2^32 * rate_num
+
+    i.e. p(keep) = weight/max_weight * rate_num/rate_den — the
+    Horvitz-Thompson design a corpus pipeline uses to oversample long
+    or high-quality documents while keeping every estimate unbiased
+    (reweight by 1/p downstream).
+
+    Everything is EXACT 64-bit integer arithmetic — no float division,
+    no transcendentals — so the kept set is a pure function of
+    (key, weight, salt, rate) and any engine with md5 replays it
+    bit-for-bit (products bounded by 2^32·max_weight·rate_den, which
+    the caller keeps under 2^62). Plan: one narrow filter, no shuffle;
+    like :func:`hash_bernoulli_sample` it composes with partition
+    pruning and survives repartitioning/retries unchanged.
+
+    ``max_weight`` is an explicit argument (a scalar the caller probes
+    or knows from stats) so the filter itself stays a literal
+    expression that Catalyst can push into the scan.
+    """
+    if max_weight <= 0 or rate_num < 0 or rate_den <= 0:
+        raise ValueError("max_weight/rate_den must be > 0, rate_num >= 0")
+    if (_SCALE - 1) * max_weight * rate_den >= 1 << 62:
+        raise ValueError("max_weight * rate_den too large for exact bigint math")
+    lhs = hash_coin(F.col(key_col), salt) * F.lit(max_weight * rate_den)
+    rhs = F.col(weight_col).cast("bigint") * F.lit(_SCALE * rate_num)
+    return df.filter(lhs < rhs)
+
+
 def oracle_coin_sql(key_expr: str, salt: str) -> str:
     """DuckDB expression replaying :func:`hash_coin` bit-for-bit."""
     return (

@@ -7446,3 +7446,171 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     return weighted_median(
         lineitem, ["l_returnflag"], "l_extendedprice", "l_quantity"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 north-star batch: LM perplexity filtering, weight-proportional
+# sampling, k-means assignment, and the TPC-H Q17 correlated-scalar shape
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_lm_perplexity",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+    occ AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY w1, w2),
+    c1 AS (SELECT u AS w, COUNT(*) AS c1
+           FROM (SELECT unnest(w) AS u FROM toks) t(u) GROUP BY u),
+    v AS (SELECT COUNT(DISTINCT u) AS v
+          FROM (SELECT unnest(w) AS u FROM toks) t(u))
+    SELECT o.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(c1.c1 + (SELECT v FROM v))
+                     - ln(COALESCE(c2.c2, 0) + 1)), 6) AS avg_nll
+    FROM occ o
+    LEFT JOIN c2 ON o.w1 = c2.w1 AND o.w2 = c2.w2
+    JOIN c1 ON o.w1 = c1.w
+    GROUP BY o.doc_id
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-style LM quality filter: train a bigram LM on the
+    corpus itself (two map-side-combined count shuffles), score every
+    document by average add-one-smoothed negative log-likelihood via a
+    fact→dim join on the bigram key — no per-doc loop, no driver state
+    beyond the vocab-size scalar (operators/lm.py). Low = boilerplate,
+    high = gibberish; the production filter keeps the middle band. At
+    100 TB the bigram table is vocab-bounded, the occurrence join is
+    the only data-sized shuffle, and AQE picks broadcast for the
+    unigram side when it fits.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.score_docs_nll(docs, "doc_id", "text")
+
+
+@_register(
+    "weighted_doc_sample",
+    oracle="""
+    SELECT doc_id, n_chars, lang
+    FROM (SELECT doc_id, n_chars, lang,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8))
+                 AS UBIGINT) AS coin,
+            (SELECT MAX(n_chars) FROM documents) AS mx
+          FROM documents)
+    WHERE CAST(coin AS BIGINT) * mx * 4 < CAST(n_chars AS BIGINT) * 4294967296 * 3
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional Horvitz-Thompson sampling: keep each doc
+    with probability (3/4)·n_chars/max_chars via the portable-coin
+    contract in EXACT integer arithmetic (operators/sampling.py::
+    weight_proportional_sample) — deterministic under repartitioning,
+    retries, and engines, so the SAMPLE ITSELF is oracle-gradable.
+    max_chars is a one-row agg probe folded in as a literal; the kept
+    set is one narrow filter that pushes through column pruning.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.sampling import (
+        weight_proportional_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = int(docs.agg(F.max("n_chars").alias("m")).first()["m"])
+    return weight_proportional_sample(
+        docs.select("doc_id", "n_chars", "lang"),
+        "doc_id",
+        "n_chars",
+        max_weight=mx,
+        rate_num=3,
+        rate_den=4,
+    )
+
+
+@_register(
+    "embedding_kmeans_assign",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, q FROM qv WHERE vec_id < 8),
+    dist AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) AS d
+        FROM qv e, cent c
+    )
+    SELECT vec_id, cluster, qdist
+    FROM (SELECT vec_id, cid AS cluster, d AS qdist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, cid ASC) AS rn
+          FROM dist)
+    WHERE rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style k-means assignment: every embedding to its
+    nearest of 8 deterministic seed centroids (the vec_id 0..7
+    vectors) by EXACT fixed-point integer L2 — one Arrow-batched
+    mapInPandas pass, the distance matrix one int64 matmul per batch,
+    no shuffle (operators/cluster.py). Quantized integer distances
+    make the argmin (ties → lowest centroid id) bit-identical across
+    Spark, numpy, and DuckDB — float L2 would flip near-ties with
+    accumulation order. Centroids ride in as a model-sized literal,
+    the k-means scale contract (assignment never shuffles; only the
+    Lloyd UPDATE aggregates, model-sized).
+    """
+    from spacex_data_engineering_pipeline_spark.operators.cluster import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return kmeans_assign(emb, "vec_id", "embedding", cents)
+
+
+@_register(
+    "small_quantity_part_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly_loss
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated SCALAR subquery with a per-group
+    threshold (each lineitem compared to 0.5·avg quantity OF ITS OWN
+    PART). Catalyst decorrelates it into an aggregate + equi-join on
+    l_partkey (the catalog-wide plan sweep proves no NestedLoopJoin
+    survives), so the 100 TB plan is two scans, one partial-agg
+    shuffle, one keyed join — never a per-row subquery execution.
+    Completes the correlated-subquery family next to the EXISTS (Q4)
+    and multi-condition anti (Q21) shapes.
+    """
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly_loss
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )

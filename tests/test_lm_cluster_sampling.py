@@ -1,0 +1,216 @@
+"""Round-5 north-star operators: bigram-LM scoring, weight-proportional
+sampling, fixed-point k-means assignment. Each test pins the EXACT
+semantics against an independent pure-Python computation (not Spark
+re-run through Spark), the same style as the MinHash/SimHash pins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.operators import cluster, lm
+from spacex_data_engineering_pipeline_spark.operators.sampling import (
+    weight_proportional_sample,
+)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _py_bigram_nll(corpus: dict[int, str]) -> dict[int, tuple[int, float]]:
+    """Independent add-one bigram LM: per-doc (n_bigrams, avg_nll)."""
+    toks = {d: t.split() for d, t in corpus.items()}
+    c1: dict[str, int] = {}
+    c2: dict[tuple[str, str], int] = {}
+    for ws in toks.values():
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    v = len(c1)
+    out = {}
+    for d, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        nll = [
+            math.log(c1[a] + v) - math.log(c2.get((a, b), 0) + 1)
+            for a, b in pairs
+        ]
+        out[d] = (len(pairs), round(sum(nll) / len(nll), 6))
+    return out
+
+
+def test_bigram_lm_exact_vs_python(spark):
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "dog",  # single token: no bigrams, must vanish
+        4: "zx qq zx qq zx",  # repeated bigrams: multiplicity matters
+        5: "   ",  # whitespace-only: no tokens at all
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in lm.score_docs_nll(docs, "doc_id", "text").collect()
+    }
+    assert got == _py_bigram_nll(corpus)
+
+
+def test_bigram_lm_duplicate_doc_scores_lower(spark):
+    """A document repeated 10× drags its own bigram probabilities up —
+    the boilerplate-detection property the filter exists for."""
+    rows = [(i, "copy paste copy paste copy") for i in range(10)]
+    rows.append((99, "entirely novel sequence of rare words"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    scores = {
+        r["doc_id"]: r["avg_nll"]
+        for r in lm.score_docs_nll(docs, "doc_id", "text").collect()
+    }
+    assert scores[0] == scores[5]  # identical docs score identically
+    assert scores[99] > scores[0]  # novel text is higher-NLL
+
+
+# ---------------------------------------------------------------------------
+# weight-proportional sampling
+# ---------------------------------------------------------------------------
+
+
+def _py_coin(key: str, salt: str) -> int:
+    return int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def test_weight_proportional_exact_and_invariant(spark):
+    rows = [(i, (i * 37) % 100 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    kept = {
+        r["k"]
+        for r in weight_proportional_sample(
+            df, "k", "w", max_weight=100, rate_num=1, rate_den=2
+        ).collect()
+    }
+    expect = {
+        k
+        for k, w in rows
+        if _py_coin(str(k), "wsample") * 100 * 2 < w * (1 << 32) * 1
+    }
+    assert kept == expect and 0 < len(kept) < 400
+    # partitioning-invariance: the defining contract
+    kept2 = {
+        r["k"]
+        for r in weight_proportional_sample(
+            df.repartition(13, "w"), "k", "w", 100, 1, 2
+        ).collect()
+    }
+    assert kept2 == kept
+
+
+def test_weight_proportional_monotone_in_weight_and_rate(spark):
+    rows = [(i, w) for i in range(200) for w in (10, 100)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    # same key at higher weight is kept whenever the lower weight was
+    low = {
+        r["k"]
+        for r in weight_proportional_sample(
+            df.filter(F.col("w") == 10), "k", "w", 100
+        ).collect()
+    }
+    high = {
+        r["k"]
+        for r in weight_proportional_sample(
+            df.filter(F.col("w") == 100), "k", "w", 100
+        ).collect()
+    }
+    assert low <= high
+    # raising the rate only ADDS rows (monotone re-sampling, no churn)
+    half = {
+        r["k"]
+        for r in weight_proportional_sample(
+            df.filter(F.col("w") == 100), "k", "w", 100, 1, 2
+        ).collect()
+    }
+    assert half <= high
+
+
+def test_weight_proportional_validation():
+    with pytest.raises(ValueError):
+        weight_proportional_sample(None, "k", "w", 0)
+    with pytest.raises(ValueError):
+        weight_proportional_sample(None, "k", "w", 1 << 40, rate_den=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment
+# ---------------------------------------------------------------------------
+
+
+def _py_assign(vecs, cents):
+    q = lambda v: [math.floor(x * cluster.QUANT) for x in v]
+    out = {}
+    for vid, v in vecs:
+        qv = q(v)
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(qv, q(c))), i)
+            for i, c in enumerate(cents)
+        )
+        out[vid] = (best[1], best[0])
+    return out
+
+
+def test_kmeans_assign_exact_and_tiebreak(spark):
+    cents = [[0.0, 0.0], [1.0, 0.0], [0.0, 0.0]]  # c2 duplicates c0
+    vecs = [
+        (1, [0.1, 0.1]),
+        (2, [0.9, -0.2]),
+        (3, [0.5, 0.0]),  # exactly between c0 and c1 pre-quantization
+        (4, [-0.7, 0.3]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["qdist"])
+        for r in cluster.kmeans_assign(df, "vec_id", "embedding", cents).collect()
+    }
+    assert got == _py_assign(vecs, cents)
+    # duplicate centroid: every vector must pick the LOWER id, never 2
+    assert all(c != 2 for c, _ in got.values())
+
+
+def test_kmeans_update_sums_match_numpy(spark):
+    import numpy as np
+
+    rng = [(i, [((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(4)]) for i in range(60)]
+    cents = [rng[0][1], rng[1][1], rng[2][1]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rng], "vec_id long, embedding array<double>"
+    )
+    assigned = cluster.kmeans_assign(df, "vec_id", "embedding", cents)
+    sums = {
+        (r["cluster"], r["j"]): (r["qsum"], r["n"])
+        for r in cluster.cluster_coordinate_sums(
+            assigned, df, "vec_id", "embedding"
+        ).collect()
+    }
+    # independent recompute
+    py = _py_assign(rng, cents)
+    expect: dict[tuple[int, int], list[int]] = {}
+    for vid, v in rng:
+        c = py[vid][0]
+        for j, x in enumerate(v):
+            qx = math.floor(x * cluster.QUANT)
+            cur = expect.setdefault((c, j), [0, 0])
+            cur[0] += qx
+            cur[1] += 1
+    assert sums == {k: tuple(v) for k, v in expect.items()}
+    # the shuffle is model-sized: k*dim rows exactly
+    assert len(sums) == len({c for c, _ in py.values()}) * 4
