@@ -7614,3 +7614,198 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE l2.l_partkey = l.l_partkey)
         """
     )
+
+
+@_register(
+    "streaming_session_window_native",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+               CAST(COALESCE(value, 0) AS DECIMAL(18,6)) * 1000000 AS v
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, t, v,
+               CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, t, v,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           MIN(t) AS window_start,
+           MAX(t) + INTERVAL '30 minutes' AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value_micros
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-NATIVE sessionization under the gate: the same 30-min-gap
+    session semantics as ``streaming_sessionized_user_stats``, but via
+    Spark's built-in ``session_window`` aggregation — state merging,
+    gap extension, and watermark eviction all inside the JVM state
+    store, zero Python in the loop. This is the scale-preferred path
+    (the Python stateful variant exists for semantics the built-in
+    can't express: TTL hooks, custom emission); benching both under
+    identical 5-micro-batch runs measures the Arrow-stateful tax
+    directly. Append mode only emits a session once the watermark
+    passes its END (last event + gap) — the far-future sentinel's own
+    session stays pending forever, which is itself the eviction
+    semantics being graded: it must NOT leak into the sink. Oracle =
+    the batch gaps-and-islands rewrite with window_end = last + gap.
+    """
+    from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+        restore_ntz,
+        to_instant_for_watermark,
+    )
+
+    def build(stream):
+        s, was_ntz = to_instant_for_watermark(stream(), "ts")
+        s = s.withWatermark("ts", "0 seconds")
+        agg = s.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)")
+                * 1_000_000
+            )
+            .cast("double")
+            .alias("total_value_micros"),
+        )
+        return agg.select(
+            "user_id",
+            restore_ntz(F.col("w.start"), was_ntz).alias("window_start"),
+            restore_ntz(F.col("w.end"), was_ntz).alias("window_end"),
+            "n_events",
+            "total_value_micros",
+        )
+
+    sel_schema = (
+        load_table(spark, sf_dir, "events").select("user_id", "ts", "value").schema
+    )
+    by_name = {f.name: f for f in sel_schema.fields}
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast(by_name["user_id"].dataType).alias("user_id"),
+        F.lit("2099-01-01 00:00:00").cast(by_name["ts"].dataType).alias("ts"),
+        F.lit(None).cast(by_name["value"].dataType).alias("value"),
+    )
+    out = _run_events_stream(
+        spark, sf_dir, build, "append", "sess_native",
+        columns=["user_id", "ts", "value"],
+        n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
+        state_partitions=_MULTIBATCH_STATE_PARTS,
+        tail_dfs=[sentinel],
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
+@_register(
+    "embedding_kmeans_update",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, q FROM qv WHERE vec_id < 8),
+    dist AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) AS d
+        FROM qv e, cent c
+    ),
+    assign AS (
+        SELECT vec_id, cluster
+        FROM (SELECT vec_id, cid AS cluster,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rn
+              FROM dist)
+        WHERE rn = 1
+    ),
+    coords AS (
+        SELECT vec_id, i - 1 AS j, q[i] AS qx
+        FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM qv)
+    )
+    SELECT a.cluster, c.j,
+           CAST(SUM(c.qx) AS BIGINT) AS qsum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM coords c JOIN assign a ON c.vec_id = a.vec_id
+    GROUP BY a.cluster, c.j
+    """,
+)
+def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd UPDATE stage graded end-to-end: per-(cluster,
+    coordinate) exact quantized sums + member counts after the
+    assignment pass (operators/cluster.py::cluster_coordinate_sums).
+    The posexplode groupBy's map-side combine means the shuffle
+    carries k·dim (= 512) rows regardless of corpus size — the
+    model-sized-update contract that makes distributed k-means viable
+    at 100 TB. New centroids are qsum/n/2^20, a driver division over
+    model-sized output.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.cluster import (
+        cluster_coordinate_sums,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    assigned = kmeans_assign(emb, "vec_id", "embedding", cents)
+    return cluster_coordinate_sums(assigned, emb, "vec_id", "embedding")
+
+
+@_register(
+    "bpe_merge_pairs",
+    oracle=r"""
+    WITH wf AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> regexp_matches(x, '^[a-z]+$'))) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    sym AS (SELECT w, freq, regexp_split_to_array(w, '') AS s
+            FROM wf WHERE len(w) >= 2),
+    pairs AS (
+        SELECT s[i] || ' ' || s[i+1] AS pair, SUM(freq) AS weighted_count
+        FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM sym)
+        GROUP BY pair
+    )
+    SELECT pair, CAST(weighted_count AS BIGINT) AS weighted_count
+    FROM pairs
+    ORDER BY weighted_count DESC, pair ASC
+    LIMIT 10
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1 graded: the top-10 adjacent
+    symbol pairs by corpus-frequency weight — the merge candidates of
+    the first BPE round (operators/bpe.py). The statistic runs on the
+    WORD-FREQUENCY table, so after the one corpus-sized word count
+    every BPE round is vocab-sized work: at 100 TB the tokenizer
+    trains on gigabytes of vocab, not the corpus. Iterated merges
+    (driver-coordinated like Lloyd/PageRank, one job per round) are
+    pytest-pinned against a pure-Python Sennrich reference; ties
+    break (count DESC, pair ASC) so the learned table is a pure
+    function of the corpus.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    sym = bpe.char_symbols(bpe.word_frequencies(docs, "text"))
+    return bpe.top_pairs(sym, 10)

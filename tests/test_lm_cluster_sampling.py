@@ -214,3 +214,68 @@ def test_kmeans_update_sums_match_numpy(spark):
     assert sums == {k: tuple(v) for k, v in expect.items()}
     # the shuffle is model-sized: k*dim rows exactly
     assert len(sums) == len({c for c, _ in py.values()}) * 4
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(corpus: list[str], n_merges: int):
+    """Pure-Python Sennrich BPE reference: (merge table, final vocab)."""
+    wf: dict[str, int] = {}
+    for text in corpus:
+        for w in text.lower().split():
+            if w and all("a" <= c <= "z" for c in w):
+                wf[w] = wf.get(w, 0) + 1
+    sym = {w: list(w) for w in wf if len(w) >= 2}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in sym.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wf[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, s in sym.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = out
+    return merges, sym
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from spacex_data_engineering_pipeline_spark.operators import bpe
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide wide widest",
+        "Mixed-CASE and punct! are filtered 123",
+        "aaa aaa aaab",  # overlapping-merge semantics: 'aaa' -> [aa, a]
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    merges, sym = bpe.train_bpe(docs, "text", n_merges=6)
+    py_merges, py_sym = _py_bpe(corpus, 6)
+    assert merges == py_merges
+    got = {r["w"]: list(r["s"]) for r in sym.collect()}
+    assert got == py_sym
+
+
+def test_bpe_overlap_and_tiebreak():
+    from spacex_data_engineering_pipeline_spark.operators.bpe import _apply_merge_py
+
+    assert _apply_merge_py(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _apply_merge_py(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert _apply_merge_py(["x", "y", "z"], "y", "z") == ["x", "yz"]
