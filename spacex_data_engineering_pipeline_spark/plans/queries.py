@@ -7809,3 +7809,79 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sym = bpe.char_symbols(bpe.word_frequencies(docs, "text"))
     return bpe.top_pairs(sym, 10)
+
+
+@_register(
+    "orders_expectations_audit",
+    oracle="""
+    WITH m AS (
+        SELECT
+            ROUND(AVG(CASE WHEN o_custkey IS NULL THEN 0.0 ELSE 1.0 END), 6) AS m0,
+            ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                  / COUNT(*), 6) AS m1,
+            ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+                  / COUNT(*), 6) AS m2,
+            ROUND(AVG(CASE WHEN o_totalprice IS NULL THEN NULL
+                           WHEN o_totalprice BETWEEN 0 AND 600000 THEN 1.0
+                           ELSE 0.0 END), 6) AS m3,
+            ROUND(AVG(CASE WHEN o_orderstatus IS NULL THEN NULL
+                           WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1.0
+                           ELSE 0.0 END), 6) AS m4,
+            CAST(COUNT(*) AS DOUBLE) AS m5
+        FROM orders
+    ),
+    ri AS (
+        SELECT ROUND(AVG(CASE WHEN o.o_custkey IS NULL THEN NULL
+                              WHEN c.c_custkey IS NOT NULL THEN 1.0
+                              ELSE 0.0 END), 6) AS metric
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+    )
+    SELECT 'completeness(o_custkey)' AS constraint, m0 AS metric,
+           m0 >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness(o_orderkey)', m1, m1 >= 1.0 FROM m
+    UNION ALL
+    SELECT 'uniqueness(o_custkey)', m2, m2 >= 1.0 FROM m
+    UNION ALL
+    SELECT 'in_range(o_totalprice)', m3, m3 >= 0.99 FROM m
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)', m4, m4 >= 1.0 FROM m
+    UNION ALL
+    SELECT 'min_count', m5, m5 >= 1000.0 FROM m
+    UNION ALL
+    SELECT 'referential(o_custkey)', metric, metric >= 1.0 FROM ri
+    """,
+)
+def orders_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality contract over the orders
+    load (operators/expect.py): completeness, key uniqueness, range,
+    accepted values, and minimum volume ALL computed in one shared
+    scan-and-aggregate pass (re-scanning per constraint multiplies
+    100 TB cost by the constraint count), unpivoted post-agg to the
+    (constraint, metric, passed) long form; referential integrity —
+    every order's customer exists — rides one LEFT join with its own
+    aggregate and unions into the same shape. The deliberately
+    over-strict uniqueness(o_custkey) contract FAILS (customers place
+    many orders), proving the verdict logic grades both outcomes.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import expect as E
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    audit = E.run_expectations(
+        orders,
+        [
+            E.completeness("o_custkey"),
+            E.uniqueness("o_orderkey"),
+            E.uniqueness("o_custkey"),
+            E.in_range("o_totalprice", 0, 600000, at_least=0.99),
+            E.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            E.min_count(1000),
+        ],
+    )
+    ri = E.referential_integrity(
+        orders, "o_custkey", customer, "c_custkey", name="referential(o_custkey)"
+    )
+    return audit.unionByName(ri)

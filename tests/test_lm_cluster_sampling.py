@@ -279,3 +279,64 @@ def test_bpe_overlap_and_tiebreak():
     assert _apply_merge_py(list("aaa"), "a", "a") == ["aa", "a"]
     assert _apply_merge_py(list("aaaa"), "a", "a") == ["aa", "aa"]
     assert _apply_merge_py(["x", "y", "z"], "y", "z") == ["x", "yz"]
+
+
+# ---------------------------------------------------------------------------
+# declarative expectations (operators/expect.py)
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_metrics_and_null_semantics(spark):
+    from spacex_data_engineering_pipeline_spark.operators import expect as E
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, None), (4, "z", -1.0)],
+        "id long, status string, v double",
+    )
+    out = {
+        r["constraint"]: (r["metric"], r["passed"])
+        for r in E.run_expectations(
+            df,
+            [
+                E.completeness("status"),
+                E.uniqueness("id"),
+                E.in_range("v", 0.0, 10.0),
+                E.accepted_values("status", ["a", "b"]),
+                E.min_count(3),
+            ],
+        ).collect()
+    }
+    assert out["completeness(status)"] == (0.75, False)
+    assert out["uniqueness(id)"] == (0.75, False)
+    # NULL v is excluded from the range denominator: 1 of 3 in [0,10]... 5 and -1 and 50 -> 1/3
+    assert out["in_range(v)"] == (round(1 / 3, 6), False)
+    # NULL status excluded: a,b of a,b,z -> 2/3
+    assert out["accepted_values(status)"] == (round(2 / 3, 6), False)
+    assert out["min_count"] == (4.0, True)
+
+
+def test_expectations_single_scan_and_ri(spark):
+    from spacex_data_engineering_pipeline_spark.operators import expect as E
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    ri = E.referential_integrity(child, "k", parent, "p").collect()[0]
+    # non-NULL child keys: 1,2,2,9 -> 3 of 4 matched
+    assert (ri["constraint"], ri["metric"], ri["passed"]) == (
+        "referential(k)",
+        0.75,
+        False,
+    )
+    # the row-level audit is ONE aggregation pass over ONE scan
+    audit = E.run_expectations(
+        child, [E.completeness("k"), E.uniqueness("k"), E.min_count(1)]
+    )
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        E.run_expectations(child, [])
