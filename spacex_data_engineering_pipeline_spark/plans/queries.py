@@ -7885,3 +7885,122 @@ def orders_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_custkey", customer, "c_custkey", name="referential(o_custkey)"
     )
     return audit.unionByName(ri)
+
+
+def _semantic_dedup_oracle_sql(min_cosine: float = 0.95, k: int = 8) -> str:
+    """DuckDB replay of the SemDeDup pipeline: same augmentation as the
+    LSH near-dup oracle, fixed-point k-means assignment (integer argmin,
+    low-id ties), candidate pairs ONLY within a cluster, exact rounded
+    cosine threshold."""
+    pair_cos = """
+           list_dot_product(ea.embedding, eb.embedding)
+           / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+              * sqrt(list_dot_product(eb.embedding, eb.embedding)))
+    """
+    return f"""
+    WITH embeddings_aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings WHERE embedding IS NOT NULL
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              (x, i) -> CASE WHEN i = 1 THEN x + 0.0625
+                                        ELSE x END)
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 20 = 0
+    ),
+    qv AS (
+        SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings_aug
+    ),
+    cent AS (SELECT vec_id AS cid, q FROM qv WHERE vec_id < {k}),
+    dist AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) AS d
+        FROM qv e, cent c
+    ),
+    assign AS (
+        SELECT vec_id, cluster
+        FROM (SELECT vec_id, cid AS cluster,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rn
+              FROM dist)
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b, p.cluster, ROUND({pair_cos}, 6) AS cos_sim
+    FROM pairs p
+    JOIN embeddings_aug ea ON p.id_a = ea.vec_id
+    JOIN embeddings_aug eb ON p.id_b = eb.vec_id
+    WHERE ROUND({pair_cos}, 6) >= {min_cosine}
+    """
+
+
+@_register("semantic_dedup_pairs", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (Abbas et al. 2023): k-means partitions the
+    embedding space, near-duplicate candidates are generated ONLY
+    within a cluster (Σ|cluster|² work instead of n² — the clustered
+    counterpart of LSH banding), then exact rounded cosine ≥ 0.95
+    keeps true semantic twins. Composes the round's fixed-point
+    assignment primitive (operators/cluster.py) with the exact-cosine
+    verify stage; the same perturbed-twin augmentation as
+    ``embedding_near_dup_pairs`` guarantees survivors at every SF. A
+    twin assigned across a cluster boundary is LOST by design — that
+    recall/cost trade is SemDeDup's actual contract, and the oracle
+    replays the identical assignment so the grade stays exact. At
+    100 TB the pair join shuffles on the cluster id, so each
+    cluster's candidates co-locate on one executor group; k dials
+    the Σ|cluster|² bound.
+    """
+    from spacex_data_engineering_pipeline_spark.functions.vectors import cosine
+    from spacex_data_engineering_pipeline_spark.operators.cluster import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("embedding").isNotNull())
+    pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(pert)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    assigned = kmeans_assign(aug, "vec_id", "embedding", cents).select(
+        "vec_id", "cluster"
+    )
+    with_vec = assigned.join(aug, ["vec_id"])
+    a = with_vec.select(
+        F.col("vec_id").alias("id_a"),
+        "cluster",
+        F.col("embedding").alias("vec_a"),
+    )
+    b = with_vec.select(
+        F.col("vec_id").alias("id_b"),
+        "cluster",
+        F.col("embedding").alias("vec_b"),
+    )
+    pairs = a.join(b, ["cluster"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("id_a", "id_b", "cluster", "cos_sim")
+    )
