@@ -21,8 +21,86 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spacex_data_engineering_pipeline_spark.functions.vectors import cosine, dot
+from spacex_data_engineering_pipeline_spark.functions.vectors import cosine, cosine_arrow, dot
 from spacex_data_engineering_pipeline_spark.operators.util import release_caches_with
+
+
+def grouped_allpairs_cosine(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """All-pairs cosine WITHIN each group, emitting only pairs whose
+    raw cosine clears ``min_cosine - margin`` — the verify stage for
+    any blocked candidate scheme (LSH buckets, k-means clusters).
+
+    Why not a self-join: joining the group table to itself
+    materializes every candidate pair carrying BOTH vectors — at
+    sf1.0 that was 3.4M rows × two 64-dim arrays ≈ 3.5 GB through
+    the shuffle and the Arrow boundary, 40+ s of pure data movement.
+    Here the shuffle moves each ROW once (groupBy the block key), and
+    the pair enumeration happens inside an ``applyInPandas`` group as
+    numpy C loops; only survivors (near-dup pairs are rare by
+    definition) ever become rows again.
+
+    Exactness: dot products and norms use ``np.cumsum`` — the strict
+    left-to-right summation, bit-identical to the zip_with/aggregate
+    fold and DuckDB's list_dot_product — and the returned ``cos_raw``
+    is UNROUNDED; callers apply the engine's own ``F.round`` + the
+    exact threshold, so ``margin`` only admits a few extra pairs for
+    the exact filter to drop (it can never lose one: any pair whose
+    rounded cosine ≥ t has raw ≥ t − 0.5·10⁻⁶ > t − margin).
+    Zero-norm vectors produce non-finite ratios that fail the
+    threshold — the NULL-cosine exclusion, decided in the same place.
+
+    Scale: per-group work is O(m²·dim) C flops with O(m·dim) memory
+    (one i-row against all j>i at a time); group size is the blocking
+    scheme's own dial (planes per band / cluster count), the same
+    Σ|block|² bound the join formulation had — minus the pair
+    materialization. Output: group cols + id_a, id_b (id_a < id_b),
+    cos_raw.
+    """
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*group_cols).schema.fields
+    )
+    out_schema = f"{fields}, id_a long, id_b long, cos_raw double"
+    thr = float(min_cosine) - float(margin)
+
+    def verify(key, pdf):
+        m = len(pdf)
+        if m < 2:
+            res = {c: [] for c in group_cols}
+            res.update({"id_a": [], "id_b": [], "cos_raw": []})
+            return pd.DataFrame(res)
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        out_a, out_b, out_c = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(m - 1):
+                dots = np.cumsum(mat[i][None, :] * mat[i + 1 :], axis=1)[:, -1]
+                cos = dots / (norms[i] * norms[i + 1 :])
+                # STRICT id inequality, not positional: duplicate ids
+                # (two rows sharing a key) must never self-pair — the
+                # join formulation's id_a < id_b predicate, preserved
+                hit = np.nonzero((cos >= thr) & (ids[i + 1 :] > ids[i]))[0]
+                if hit.size:
+                    out_a.append(np.full(hit.size, ids[i]))
+                    out_b.append(ids[i + 1 :][hit])
+                    out_c.append(cos[hit])
+        n = sum(a.size for a in out_a)
+        res = {c: [key[gi]] * n for gi, c in enumerate(group_cols)}
+        res["id_a"] = np.concatenate(out_a) if n else []
+        res["id_b"] = np.concatenate(out_b) if n else []
+        res["cos_raw"] = np.concatenate(out_c) if n else []
+        return pd.DataFrame(res)
+
+    return df.groupBy(*group_cols).applyInPandas(verify, out_schema)
 
 
 def cosine_scores(
@@ -221,42 +299,28 @@ def embedding_near_dup_pairs(
                 res[pos] = row
         return pd.Series(res, dtype=object)
 
-    # persist, not lazy localCheckpoint: the checkpoint's separate job
-    # races SQL-metric accumulator cleanup (noisy DAGScheduler errors);
-    # persist materializes inside the consuming action.
-    banded = (
-        df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.posexplode(_buckets(F.col(vec_col))).alias("band", "bucket"),
-        )
-        .persist()
+    banded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(_buckets(F.col(vec_col))).alias("band", "bucket"),
     )
 
-    bl, br = banded.alias("l"), banded.alias("r")
-    cand = (
-        bl.join(
-            br,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"l.{vec_col}").alias("vec_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"r.{vec_col}").alias("vec_b"),
-        )
-        # union across seeds: verify each candidate pair exactly once
-        .groupBy("id_a", "id_b")
-        .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
+    # per-(band, bucket) all-pairs verify inside applyInPandas — the
+    # self-join formulation materialized every candidate pair carrying
+    # both vectors (8.3M pairs ≈ 3.5 GB through shuffle + Arrow at
+    # sf1.0, 60.7 s); here each banded row shuffles ONCE and only
+    # survivors come back. A pair colliding in several bands is
+    # re-verified per band to identical bits (same exact C ops on the
+    # same doubles), deduped on the id pair.
+    survivors = grouped_allpairs_cosine(
+        banded, ["band", "bucket"], id_col, vec_col, min_cosine
     )
-    out = (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+    return (
+        survivors.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", F.round(F.col("cos_raw"), 6))
         .filter(F.col("cos_sim") >= min_cosine)
         .select("id_a", "id_b", "cos_sim")
     )
-    return release_caches_with(out, banded)
 
 
 class IvfIndex:

@@ -340,3 +340,48 @@ def test_expectations_single_scan_and_ri(spark):
 
     with _pytest.raises(ValueError):
         E.run_expectations(child, [])
+
+
+# ---------------------------------------------------------------------------
+# Arrow cosine twin: bitwise-exact vs the HOF fold
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_arrow_bitwise_equals_hof(spark):
+    """cosine_arrow must produce the EXACT bits of the zip_with +
+    aggregate fold (same left-to-right summation) — a last-ulp drift
+    here could flip a ROUND(·, 6) oracle grade. 500 pseudo-random
+    64-dim pairs plus zero-norm / NULL edges, compared with struct
+    packing so -0.0 vs 0.0 or NaN sneaking through would fail too."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.functions.vectors import (
+        cosine,
+        cosine_arrow,
+    )
+
+    rows = []
+    for i in range(500):
+        a = [(((i * 131 + j * 17) % 997) - 498) / 499.0 for j in range(64)]
+        b = [(((i * 257 + j * 29) % 991) - 495) / 496.0 for j in range(64)]
+        rows.append((i, a, b))
+    rows.append((9001, [0.0] * 64, [1.0] * 64))  # zero norm -> NULL
+    rows.append((9002, None, [1.0] * 64))  # NULL input -> NULL
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        "id",
+        cosine(F.col("a"), F.col("b")).alias("hof"),
+        cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert len(got) == 502
+    for r in got:
+        if r["hof"] is None or r["arrow"] is None:
+            assert r["hof"] is None and r["arrow"] is None, r
+        else:
+            assert struct.pack("<d", r["hof"]) == struct.pack(
+                "<d", r["arrow"]
+            ), (r["id"], r["hof"].hex(), r["arrow"].hex())
