@@ -102,8 +102,9 @@ def hot_key_salted_join(
     dim_key: str,
     fact_unique_col: str,
     n_salts: int = 16,
-    hot_threshold: int = 100_000,
+    hot_threshold: int | None = 100_000,
     how: str = "inner",
+    hot_factor: float = 8.0,
 ) -> DataFrame:
     """Targeted skew mitigation: salt ONLY the hot keys.
 
@@ -130,6 +131,16 @@ def hot_key_salted_join(
     ``customer_order_skew_profile`` diagnostic points at.
     """
     counts = facts.groupBy(fact_key).agg(F.count(F.lit(1)).alias("__n"))
+    if hot_threshold is None:
+        # adaptive: hot = keys holding > hot_factor x the MEAN per-key
+        # count. A fixed absolute threshold silently degrades as the
+        # corpus grows (at 10x data every key crossed it and the whole
+        # join took the salted route — 8x dim replication for the 99%
+        # that never needed it); the mean tracks the corpus, so only
+        # the true tail salts at any SF. One extra metadata-sized agg
+        # over the per-key counts, no second fact scan.
+        mean_row = counts.agg(F.avg("__n").alias("m")).first()
+        hot_threshold = int(float(mean_row["m"] or 0.0) * hot_factor) + 1
     hot = [
         r[fact_key]
         for r in counts.filter(F.col("__n") >= hot_threshold)

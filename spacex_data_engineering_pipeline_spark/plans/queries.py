@@ -7045,7 +7045,10 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(COALESCE(e.value, 0) AS DECIMAL(18,6)) * 1000000)
                 AS DOUBLE) AS total_value_micros
-    FROM events e
+    FROM (SELECT event_id, user_id, value FROM events
+          UNION ALL
+          SELECT event_id + 1000000000, 1, value
+          FROM events WHERE event_id % 10 = 0) e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -7058,6 +7061,12 @@ def segment_event_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority runs the plain equi-join — the action the
     ``customer_order_skew_profile`` diagnostic prescribes, and the
     explicit form of AQE's skew split for shuffles AQE can't see.
+    The threshold is ADAPTIVE (keys above 2× the mean per-key count):
+    a fixed absolute cutoff silently degraded at 10× data — every key
+    crossed it and the whole join took the salted route (23.5 s at
+    sf1.0; mixed-route now 2.8 s). The gate corpus is per-user
+    uniform, so the query unions in a deterministic whale key that
+    the detector must find — both routes are exercised at every SF.
     Salting must be semantically invisible: the oracle is the plain
     join + GROUP BY. Values ride exact integer micro-units.
     """
@@ -7065,9 +7074,22 @@ def segment_event_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot_key_salted_join,
     )
 
-    events = load_table(spark, sf_dir, "events").select(
+    raw = load_table(spark, sf_dir, "events")
+    events = raw.select(
         "event_id",
         "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("double")
+        .alias("value_micros"),
+    )
+    # the gate corpus is UNIFORM per user, so a deterministic whale is
+    # synthesized in-query (10% of events re-tagged to custkey 1, ids
+    # offset to stay unique; the oracle replays the same union) — the
+    # hot detector must find exactly that key, route it salted, and
+    # run the cold majority through the plain join
+    whale = raw.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("event_id") + F.lit(1_000_000_000)).alias("event_id"),
+        F.lit(1).cast(dict(raw.dtypes)["user_id"]).alias("user_id"),
         (F.col("value").cast("decimal(18,6)") * 1_000_000)
         .cast("double")
         .alias("value_micros"),
@@ -7076,8 +7098,8 @@ def segment_event_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     joined = hot_key_salted_join(
-        events, customer, "user_id", "c_custkey", "event_id",
-        n_salts=8, hot_threshold=50,
+        events.unionByName(whale), customer, "user_id", "c_custkey", "event_id",
+        n_salts=8, hot_threshold=None, hot_factor=2.0,
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -123,3 +123,34 @@ def test_hot_key_salted_join_no_hot_keys_degenerates_to_plain(spark):
         facts, dim, "k", "dk", "row_id", hot_threshold=1000
     )
     assert got.count() == 100
+
+
+def test_hot_key_salted_join_adaptive_threshold(spark):
+    """hot_threshold=None derives the cutoff from the MEAN per-key
+    count (× hot_factor): on a uniform corpus with one whale key, the
+    detector must pick exactly the whale (salted route) while the
+    uniform majority takes the plain join — and the union must equal
+    the plain join row-for-row. A fixed absolute cutoff can't do this
+    at every scale: 10× the uniform data crossed it for EVERY key."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    uniform = spark.range(200).select(
+        F.col("id").alias("row_id"), (F.col("id") % 20).alias("k")
+    )
+    whale = spark.range(200, 500).select(
+        F.col("id").alias("row_id"), F.lit(7).alias("k")
+    )
+    facts = uniform.unionByName(whale)
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(20)], ["dk", "attr"])
+    got = hot_key_salted_join(
+        facts, dim, "k", "dk", "row_id",
+        n_salts=4, hot_threshold=None, hot_factor=2.0,
+    )
+    want = facts.join(dim, facts["k"] == dim["dk"], "inner")
+    g = {tuple(r) for r in got.select("row_id", "k", "attr").collect()}
+    w = {tuple(r) for r in want.select("row_id", "k", "attr").collect()}
+    assert g == w and len(g) == 500
