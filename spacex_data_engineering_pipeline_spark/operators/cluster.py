@@ -55,18 +55,38 @@ def kmeans_assign(
     id_col: str,
     vec_col: str,
     centroids: list[list[float]],
+    centroid_ids: list[int] | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by EXACT quantized
-    L2 distance; ties go to the lowest centroid index.
+    L2 distance; ties go to the lowest centroid ID.
+
+    ``centroid_ids`` names each centroid (default: positional 0..k-1).
+    Passing the REAL source ids (e.g. the vec_id each centroid was
+    collected from) makes the cluster labels robust to gaps in the id
+    space instead of coincidentally aligned with list position; the
+    pairs are sorted by id internally so the argmin-first tie-break is
+    always "lowest centroid id", whatever order the caller passed.
+
+    NULL-vector contract matches the rest of the vector surface
+    (cosine/near-dup paths): rows with a NULL vector are FILTERED, not
+    crashed on — callers that need them must handle NULLs upstream.
 
     Returns (id, cluster, qdist) where qdist is the integer squared
     distance in quantized units. One narrow Arrow pass — the plan is
-    scan → mapInPandas, nothing else — so it composes with partition
-    pruning and column pruning upstream.
+    scan → filter → mapInPandas, nothing else — so it composes with
+    partition pruning and column pruning upstream.
     """
     import numpy as np
 
-    cq = np.asarray([quantize_vec(c) for c in centroids], dtype=np.int64)
+    if centroid_ids is None:
+        centroid_ids = list(range(len(centroids)))
+    if len(centroid_ids) != len(centroids):
+        raise ValueError("centroid_ids and centroids must align")
+    order = sorted(range(len(centroids)), key=lambda i: centroid_ids[i])
+    cid = np.asarray([centroid_ids[i] for i in order], dtype=np.int64)
+    cq = np.asarray(
+        [quantize_vec(centroids[i]) for i in order], dtype=np.int64
+    )
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -93,12 +113,16 @@ def kmeans_assign(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "cluster": cluster.astype(np.int64),
+                    "cluster": cid[cluster],
                     "qdist": d[np.arange(len(cluster)), cluster],
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(assign, out_schema)
+    )
 
 
 def cluster_coordinate_sums(

@@ -84,7 +84,13 @@ def run_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
     if not checks:
         raise ValueError("no checks given")
     agg = df.agg(*[c.metric.alias(f"m{i}") for i, c in enumerate(checks)])
-    stack_args = ", ".join(f"'{c.name}', m{i}" for i, c in enumerate(checks))
+    # names are interpolated into a SQL string literal — double any
+    # single quote so a name derived from an exotic column name (e.g.
+    # completeness(o'brien)) can't malform the stack() expression
+    stack_args = ", ".join(
+        "'{}', m{}".format(c.name.replace("'", "''"), i)
+        for i, c in enumerate(checks)
+    )
     long = agg.select(
         F.expr(
             f"stack({len(checks)}, {stack_args}) AS (constraint, metric)"

@@ -98,6 +98,7 @@ def weight_proportional_sample(
     rate_num: int = 1,
     rate_den: int = 1,
     salt: str = "wsample",
+    validate_weights: bool = False,
 ) -> DataFrame:
     """Poisson/Bernoulli sampling with inclusion probability
     PROPORTIONAL to an integer weight: row kept iff
@@ -112,10 +113,21 @@ def weight_proportional_sample(
     Everything is EXACT 64-bit integer arithmetic — no float division,
     no transcendentals — so the kept set is a pure function of
     (key, weight, salt, rate) and any engine with md5 replays it
-    bit-for-bit (products bounded by 2^32·max_weight·rate_den, which
-    the caller keeps under 2^62). Plan: one narrow filter, no shuffle;
-    like :func:`hash_bernoulli_sample` it composes with partition
-    pruning and survives repartitioning/retries unchanged.
+    bit-for-bit. BOTH products are validated against 2^62: the coin
+    side (2^32·max_weight·rate_den) and the weight side
+    (max_weight·2^32·rate_num) — rate_num > rate_den (p > 1 designs)
+    or a huge max_weight would otherwise wrap int64 silently under
+    non-ANSI Spark and break the exact-replay contract. Plan: one
+    narrow filter, no shuffle; like :func:`hash_bernoulli_sample` it
+    composes with partition pruning and survives repartitioning/
+    retries unchanged.
+
+    PRECONDITION: every row's weight must lie in [0, max_weight] —
+    the overflow bounds are stated in terms of max_weight, so a
+    larger weight voids them. ``validate_weights=True`` enforces this
+    per row (fails the job on the first violating row via a
+    conditional raise_error); it is off by default because the guard
+    expression blocks filter pushdown into the scan.
 
     ``max_weight`` is an explicit argument (a scalar the caller probes
     or knows from stats) so the filter itself stays a literal
@@ -125,8 +137,21 @@ def weight_proportional_sample(
         raise ValueError("max_weight/rate_den must be > 0, rate_num >= 0")
     if (_SCALE - 1) * max_weight * rate_den >= 1 << 62:
         raise ValueError("max_weight * rate_den too large for exact bigint math")
+    if max_weight * _SCALE * rate_num >= 1 << 62:
+        raise ValueError("max_weight * rate_num too large for exact bigint math")
+    w = F.col(weight_col).cast("bigint")
+    if validate_weights:
+        w = F.when(
+            (w < 0) | (w > F.lit(max_weight)),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"weight outside [0, {max_weight}]: "),
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(w)
     lhs = hash_coin(F.col(key_col), salt) * F.lit(max_weight * rate_den)
-    rhs = F.col(weight_col).cast("bigint") * F.lit(_SCALE * rate_num)
+    rhs = w * F.lit(_SCALE * rate_num)
     return df.filter(lhs < rhs)
 
 

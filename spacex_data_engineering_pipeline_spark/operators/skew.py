@@ -137,16 +137,29 @@ def hot_key_salted_join(
         # corpus grows (at 10x data every key crossed it and the whole
         # join took the salted route — 8x dim replication for the 99%
         # that never needed it); the mean tracks the corpus, so only
-        # the true tail salts at any SF. One extra metadata-sized agg
-        # over the per-key counts, no second fact scan.
-        mean_row = counts.agg(F.avg("__n").alias("m")).first()
-        hot_threshold = int(float(mean_row["m"] or 0.0) * hot_factor) + 1
-    hot = [
-        r[fact_key]
-        for r in counts.filter(F.col("__n") >= hot_threshold)
-        .select(fact_key)
-        .collect()
-    ]
+        # the true tail salts at any SF. counts is persisted across the
+        # mean probe and the hot-key collect so the fact table is
+        # scanned ONCE for both actions (without the persist each
+        # action would recompute the full groupBy).
+        counts = counts.persist()
+        try:
+            mean_row = counts.agg(F.avg("__n").alias("m")).first()
+            hot_threshold = int(float(mean_row["m"] or 0.0) * hot_factor) + 1
+            hot = [
+                r[fact_key]
+                for r in counts.filter(F.col("__n") >= hot_threshold)
+                .select(fact_key)
+                .collect()
+            ]
+        finally:
+            counts.unpersist()
+    else:
+        hot = [
+            r[fact_key]
+            for r in counts.filter(F.col("__n") >= hot_threshold)
+            .select(fact_key)
+            .collect()
+        ]
     if not hot:
         return facts.join(dim, facts[fact_key] == dim[dim_key], how)
     # NULL keys: isin(hot) is NULL for a NULL key, so both filter(is_hot)

@@ -7563,7 +7563,7 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH qv AS (
         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     cent AS (SELECT vec_id AS cid, q FROM qv WHERE vec_id < 8),
     dist AS (
@@ -7597,14 +7597,22 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 8)
+    seed = (
+        emb.filter(F.col("vec_id") < 8)
+        .filter(F.col("embedding").isNotNull())
         .orderBy("vec_id")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
-    ]
-    return kmeans_assign(emb, "vec_id", "embedding", cents)
+    )
+    # cluster id = the ACTUAL vec_id of each seed centroid (not its
+    # list position): robust to gaps/nulls among the first k ids
+    return kmeans_assign(
+        emb,
+        "vec_id",
+        "embedding",
+        [[float(x) for x in r["embedding"]] for r in seed],
+        centroid_ids=[r["vec_id"] for r in seed],
+    )
 
 
 @_register(
@@ -7740,7 +7748,7 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
     WITH qv AS (
         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     cent AS (SELECT vec_id AS cid, q FROM qv WHERE vec_id < 8),
     dist AS (
@@ -7784,14 +7792,20 @@ def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 8)
+    seed = (
+        emb.filter(F.col("vec_id") < 8)
+        .filter(F.col("embedding").isNotNull())
         .orderBy("vec_id")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
-    ]
-    assigned = kmeans_assign(emb, "vec_id", "embedding", cents)
+    )
+    assigned = kmeans_assign(
+        emb,
+        "vec_id",
+        "embedding",
+        [[float(x) for x in r["embedding"]] for r in seed],
+        centroid_ids=[r["vec_id"] for r in seed],
+    )
     return cluster_coordinate_sums(assigned, emb, "vec_id", "embedding")
 
 
@@ -8002,16 +8016,19 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     aug = emb.unionByName(pert)
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 64)
+    seed = (
+        emb.filter(F.col("vec_id") < 64)
         .orderBy("vec_id")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
-    ]
-    assigned = kmeans_assign(aug, "vec_id", "embedding", cents).select(
-        "vec_id", "cluster"
     )
+    assigned = kmeans_assign(
+        aug,
+        "vec_id",
+        "embedding",
+        [[float(x) for x in r["embedding"]] for r in seed],
+        centroid_ids=[r["vec_id"] for r in seed],
+    ).select("vec_id", "cluster")
     # per-cluster all-pairs verify inside applyInPandas (operators/
     # similarity.py::grouped_allpairs_cosine): each row shuffles once
     # on the cluster id; the cluster-squared pair enumeration happens

@@ -145,6 +145,24 @@ def test_weight_proportional_validation():
         weight_proportional_sample(None, "k", "w", 0)
     with pytest.raises(ValueError):
         weight_proportional_sample(None, "k", "w", 1 << 40, rate_den=1 << 30)
+    # the WEIGHT side wraps too: max_weight * 2^32 * rate_num >= 2^62
+    with pytest.raises(ValueError):
+        weight_proportional_sample(None, "k", "w", 1 << 20, rate_num=1 << 12)
+
+
+def test_weight_proportional_validate_weights_guard(spark):
+    df = spark.createDataFrame([(1, 5), (2, 250)], ["k", "w"])
+    # violating row (w=250 > max_weight=100) fails the job when asked
+    with pytest.raises(Exception, match="weight outside"):
+        weight_proportional_sample(
+            df, "k", "w", max_weight=100, validate_weights=True
+        ).collect()
+    # clean data passes with the guard on, identical kept-set
+    ok = spark.createDataFrame([(i, (i * 37) % 100 + 1) for i in range(50)], ["k", "w"])
+    kept_g = {r["k"] for r in weight_proportional_sample(
+        ok, "k", "w", 100, validate_weights=True).collect()}
+    kept = {r["k"] for r in weight_proportional_sample(ok, "k", "w", 100).collect()}
+    assert kept_g == kept
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +202,42 @@ def test_kmeans_assign_exact_and_tiebreak(spark):
     assert got == _py_assign(vecs, cents)
     # duplicate centroid: every vector must pick the LOWER id, never 2
     assert all(c != 2 for c, _ in got.values())
+
+
+def test_kmeans_assign_real_centroid_ids_and_nulls(spark):
+    """cluster labels are the ACTUAL centroid ids (robust to gaps in
+    the id space), ties break to the lowest ID even when centroids are
+    passed unsorted, and NULL vectors are filtered per the vector-
+    surface contract instead of crashing np.stack."""
+    cents = [[1.0, 0.0], [0.0, 0.0], [0.0, 0.0]]  # ids 17, 5, 3: 5 dups 3
+    ids = [17, 5, 3]
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.1]),  # nearest the duplicated origin -> id 3, not 5
+            (2, [0.9, 0.0]),  # nearest id 17
+            (3, None),  # NULL vector: dropped, not a crash
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in cluster.kmeans_assign(
+            df, "vec_id", "embedding", cents, centroid_ids=ids
+        ).collect()
+    }
+    assert got == {1: 3, 2: 17}
+    with pytest.raises(ValueError):
+        cluster.kmeans_assign(df, "vec_id", "embedding", cents, centroid_ids=[1])
+
+
+def test_expectations_quoted_name_survives(spark):
+    from spacex_data_engineering_pipeline_spark.operators import expect as E
+
+    df = spark.createDataFrame([(1,), (None,)], "`o'key` long")
+    out = E.run_expectations(df, [E.completeness("`o'key`")]).collect()
+    assert len(out) == 1
+    assert out[0]["constraint"] == "completeness(`o'key`)"
+    assert out[0]["metric"] == 0.5
 
 
 def test_kmeans_update_sums_match_numpy(spark):
