@@ -1009,6 +1009,7 @@ def _run_events_stream(
     state_partitions: int = 8,
     pre_stage=None,
     tail_dfs=None,
+    state_store: str | None = None,
 ):
     """Drive one AvailableNow streaming run over the events table.
 
@@ -1039,11 +1040,27 @@ def _run_events_stream(
     sf0.1 going 32 → 8. On a real cluster this number is the state
     parallelism dial (match it to executor count × a small factor),
     and it is frozen into the checkpoint at first start.
+
+    ``state_store`` ('rocksdb'/'hdfs'/fully-qualified class, or the
+    SPARK_GRAFT_STATE_STORE env default) picks the state-store
+    provider for THIS run: the default HDFS-backed store holds all
+    state on-heap (heap and GC scale with total state — the 100 TB
+    scale-killer for billion-key sessionization); RocksDB keeps it
+    off-heap in an LSM tree with incremental snapshots, the
+    production choice at scale. Like the partition count it is frozen
+    into the checkpoint at first start.
     """
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
     import uuid as _uuid
+
+    from spacex_data_engineering_pipeline_spark.session import (
+        state_store_provider_class,
+    )
+
+    _STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+    state_store = state_store or _os.environ.get("SPARK_GRAFT_STATE_STORE")
 
     events = load_table(spark, sf_dir, "events")
     if columns is not None:
@@ -1055,6 +1072,7 @@ def _run_events_stream(
     work = _tempfile.mkdtemp(prefix=f"{name_prefix}_")
     table = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_store = spark.conf.get(_STORE_KEY, None)
     try:
         src = _os.path.join(work, "src")
         if n_files == 1:
@@ -1099,6 +1117,8 @@ def _run_events_stream(
             return reader.parquet(src)
 
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if state_store:
+            spark.conf.set(_STORE_KEY, state_store_provider_class(state_store))
         q = (
             build(stream)
             .writeStream.format("memory")
@@ -1111,6 +1131,11 @@ def _run_events_stream(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        if state_store:
+            if saved_store is None:
+                spark.conf.unset(_STORE_KEY)
+            else:
+                spark.conf.set(_STORE_KEY, saved_store)
         # the memory sink owns the rows once the query terminates; the
         # staged source and checkpoint are free to go
         _shutil.rmtree(work, ignore_errors=True)

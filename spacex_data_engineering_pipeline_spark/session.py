@@ -20,12 +20,42 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Streaming state-store providers. The default (HDFS-backed) keeps every
+# partition's ENTIRE state map as JVM objects on-heap with full snapshot
+# files per maintenance interval — fine for bounded test state, a
+# scale-killer for 100 TB-class state (sessionization over billions of
+# keys): heap = total state, GC pauses scale with it. RocksDB keeps
+# state off-heap in an LSM tree with incremental changelog/snapshot
+# upload, bounding heap by the write buffer, which is why it is the
+# production default on large clusters. Dial via get_spark(
+# state_store_provider="rocksdb") or SPARK_GRAFT_STATE_STORE=rocksdb;
+# per-run override on the streaming harness (plans/queries.py::
+# _run_events_stream). NOTE: the provider is frozen into a query's
+# checkpoint at first start — changing it requires a new checkpoint.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+def state_store_provider_class(name: str) -> str:
+    """Resolve a short provider name ('rocksdb'/'hdfs') or pass through
+    a fully-qualified provider class."""
+    return STATE_STORE_PROVIDERS.get(name, name)
+
 
 def get_spark(
     app_name: str = "spacex-pipeline-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store_provider: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -64,6 +94,12 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    provider = state_store_provider or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if provider:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            state_store_provider_class(provider),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

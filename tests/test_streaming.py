@@ -865,3 +865,57 @@ def test_streaming_txn_sync_redrain_is_fixed_point(spark, tmp_path):
     assert ptr["version"] == v1
     assert txn.read_table(spark, root, "fact").count() == 2
     assert txn.read_table(spark, root, "summary").collect()[0]["total_v"] == 3.0
+
+
+def test_state_store_provider_dial_rocksdb_parity(spark, sf_dir):
+    """The RocksDB state-store dial (session.py STATE_STORE_PROVIDERS,
+    _run_events_stream(state_store=...)): the same stateful windowed
+    aggregation run under the default HDFS-backed provider and under
+    RocksDB must produce IDENTICAL results, and the session conf must
+    be restored afterwards. RocksDB is the 100 TB-state choice (state
+    off-heap in an LSM tree, incremental snapshots, heap bounded by
+    write buffer); the provider is frozen into a checkpoint at first
+    start, which is why the dial lives at run level."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import (
+        _run_events_stream,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming.event_time import (
+        restore_ntz,
+        to_instant_for_watermark,
+    )
+
+    def build(stream):
+        s, was_ntz = to_instant_for_watermark(stream(), "ts")
+        s = s.withWatermark("ts", "1 hour")
+        agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        return agg.select(
+            restore_ntz(F.col("w.start"), was_ntz).alias("hour_start"),
+            "n_events",
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    runs = {}
+    for store in (None, "rocksdb"):
+        out = _run_events_stream(
+            spark, sf_dir, build, "append", "storedial",
+            columns=["ts"], n_files=3, max_files_per_trigger=1,
+            state_partitions=4, state_store=store,
+            tail_dfs=[
+                spark.range(1).select(
+                    F.lit("2099-01-01 00:00:00")
+                    .cast(
+                        load_table(spark, sf_dir, "events")
+                        .schema["ts"].dataType
+                    )
+                    .alias("ts")
+                )
+            ],
+        )
+        runs[store] = sorted(
+            (str(r["hour_start"]), r["n_events"]) for r in out.collect()
+        )
+    assert runs[None] == runs["rocksdb"] and len(runs[None]) > 0
+    assert spark.conf.get(key, None) == before
