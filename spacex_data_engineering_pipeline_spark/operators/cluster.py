@@ -76,17 +76,34 @@ def kmeans_assign(
     scan → filter → mapInPandas, nothing else — so it composes with
     partition pruning and column pruning upstream.
     """
-    import numpy as np
-
     if centroid_ids is None:
         centroid_ids = list(range(len(centroids)))
     if len(centroid_ids) != len(centroids):
         raise ValueError("centroid_ids and centroids must align")
-    order = sorted(range(len(centroids)), key=lambda i: centroid_ids[i])
-    cid = np.asarray([centroid_ids[i] for i in order], dtype=np.int64)
-    cq = np.asarray(
-        [quantize_vec(centroids[i]) for i in order], dtype=np.int64
+    return kmeans_assign_q(
+        df, id_col, vec_col, [quantize_vec(c) for c in centroids], centroid_ids
     )
+
+
+def kmeans_assign_q(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_q: list[list[int]],
+    centroid_ids: list[int],
+) -> DataFrame:
+    """:func:`kmeans_assign` for centroids ALREADY in quantized integer
+    space — the Lloyd-iteration form, where each round's centroids are
+    exact integer floor-means of quantized sums and never round-trip
+    through floats (a float round-trip could flip a near-tied argmin
+    between engines)."""
+    import numpy as np
+
+    if len(centroid_ids) != len(centroids_q):
+        raise ValueError("centroid_ids and centroids_q must align")
+    order = sorted(range(len(centroids_q)), key=lambda i: centroid_ids[i])
+    cid = np.asarray([centroid_ids[i] for i in order], dtype=np.int64)
+    cq = np.asarray([centroids_q[i] for i in order], dtype=np.int64)
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -102,14 +119,12 @@ def kmeans_assign(
             vq = np.floor(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * QUANT
             ).astype(np.int64)
-            # ||v-c||² = ||v||² - 2v·c + ||c||²; the cross term is one
-            # exact int64 matmul (n × dim) @ (dim × k)
             d = (
                 (vq * vq).sum(axis=1, keepdims=True)
                 - 2 * (vq @ cq.T)
                 + (cq * cq).sum(axis=1)[None, :]
             )
-            cluster = d.argmin(axis=1)  # argmin takes the FIRST minimum: low id wins ties
+            cluster = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -123,6 +138,75 @@ def kmeans_assign(
         .filter(F.col(vec_col).isNotNull())
         .mapInPandas(assign, out_schema)
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: list[list[float]],
+    centroid_ids: list[int] | None = None,
+    max_iters: int = 20,
+) -> tuple[DataFrame, dict[int, list[int]], int]:
+    """Full Lloyd iteration to a FIXED POINT, entirely in quantized
+    integer space so every round — and therefore the converged model —
+    is a pure function of (data, init), replayable bit-for-bit by any
+    engine with 64-bit integers:
+
+    - assignment: exact int64 L2 argmin, ties → lowest centroid id
+      (zero-shuffle Arrow pass per round);
+    - update: per-(cluster, coordinate) integer sums via the map-side-
+      combined posexplode groupBy — the shuffle carries k·dim rows per
+      round regardless of corpus size;
+    - new centroid: FLOOR division qsum // n (numpy ``//`` and DuckDB
+      ``//`` both floor, so negatives agree); an empty cluster keeps
+      its previous centroid;
+    - convergence: centroids unchanged between rounds (integer
+      equality — no epsilon), or ``max_iters``.
+
+    The driver holds only model-sized state (k·dim ints per round, the
+    documented probe class) and coordinates the loop exactly as
+    MLlib's KMeans does; each round is one Spark job over the
+    persisted input. Returns (final assignment DataFrame, final
+    centroids {cid: quantized ints}, rounds run).
+    """
+    if centroid_ids is None:
+        centroid_ids = list(range(len(init_centroids)))
+    cents: dict[int, list[int]] = {
+        cid: quantize_vec(c) for cid, c in zip(centroid_ids, init_centroids)
+    }
+    data = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    data = data.persist()
+    iters = 0
+    try:
+        for _ in range(max_iters):
+            ids = sorted(cents)
+            assigned = kmeans_assign_q(
+                data, id_col, vec_col, [cents[i] for i in ids], ids
+            )
+            sums = cluster_coordinate_sums(assigned, data, id_col, vec_col)
+            rows = sums.collect()  # k*dim rows: model-sized driver probe
+            iters += 1
+            new_cents = {cid: list(q) for cid, q in cents.items()}
+            per_cluster: dict[int, list[tuple[int, int, int]]] = {}
+            for r in rows:
+                per_cluster.setdefault(r["cluster"], []).append(
+                    (r["j"], r["qsum"], r["n"])
+                )
+            for cid, triples in per_cluster.items():
+                vec = new_cents[cid]
+                for j, qsum, n in triples:
+                    vec[j] = qsum // n  # floor division: portable
+            if new_cents == cents:
+                break
+            cents = new_cents
+        ids = sorted(cents)
+        final = kmeans_assign_q(
+            data, id_col, vec_col, [cents[i] for i in ids], ids
+        )
+        return final, cents, iters
+    finally:
+        data.unpersist()
 
 
 def cluster_coordinate_sums(

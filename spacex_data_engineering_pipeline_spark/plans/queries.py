@@ -8069,3 +8069,116 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.95)
         .select("id_a", "id_b", "cluster", "cos_sim")
     )
+
+
+def _kmeans_converged_oracle_sql(k: int = 8, n_iters: int = 4) -> str:
+    """DuckDB replay of ``n_iters`` full Lloyd rounds in quantized
+    integer space. Each round: exact int64 argmin assignment (ties →
+    lowest cid), per-(cluster, coordinate) integer sums, new centroid
+    = FLOOR(qsum / n) — written as the exact integer identity
+    (qsum - ((qsum % n) + n) % n) // n because DuckDB's ``//``
+    TRUNCATES while Python's floors (they disagree on negative sums);
+    the subtraction makes the dividend exactly divisible so truncation
+    and floor coincide. Empty clusters keep their previous centroid
+    via the LEFT-join COALESCE. A fixed point reached before round N
+    makes the remaining rounds no-ops, so the engine's early-stop and
+    this fixed unroll agree by construction."""
+    parts = [
+        """
+    WITH qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    coords AS (
+        SELECT vec_id, i - 1 AS j, q[i] AS qx
+        FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM qv)
+    ),
+    c0 AS (SELECT vec_id AS cid, q FROM qv WHERE vec_id < %d)""" % k
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+    d{t} AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) AS d
+        FROM qv e, c{t-1} c
+    ),
+    a{t} AS (
+        SELECT vec_id, cluster
+        FROM (SELECT vec_id, cid AS cluster,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rn
+              FROM d{t})
+        WHERE rn = 1
+    ),
+    s{t} AS (
+        SELECT a.cluster AS cid, c.j,
+               CAST((SUM(c.qx) - ((SUM(c.qx) % COUNT(*)) + COUNT(*))
+                     % COUNT(*)) // COUNT(*) AS BIGINT) AS qc
+        FROM coords c JOIN a{t} a ON c.vec_id = a.vec_id
+        GROUP BY a.cluster, c.j
+    ),
+    c{t} AS (
+        SELECT p.cid, COALESCE(n.q, p.q) AS q
+        FROM c{t-1} p
+        LEFT JOIN (SELECT cid, list(qc ORDER BY j) AS q
+                   FROM s{t} GROUP BY cid) n
+          ON p.cid = n.cid
+    )""")
+    parts.append(f""",
+    dfin AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) AS d
+        FROM qv e, c{n_iters} c
+    )
+    SELECT vec_id, cluster, qdist
+    FROM (SELECT vec_id, cid AS cluster, d AS qdist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, cid ASC) AS rn
+          FROM dfin)
+    WHERE rn = 1
+    """)
+    return "".join(parts)
+
+
+@_register("embedding_kmeans_converged", oracle=_kmeans_converged_oracle_sql())
+def embedding_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's algorithm iterated to a FIXED POINT (operators/
+    cluster.py::kmeans_fit), graded end-to-end: 4 full rounds (or
+    early stop when centroids are integer-identical between rounds)
+    from the vec_id<8 seeds, returning the final assignment. The whole
+    iteration lives in quantized integer space — assignment argmin,
+    coordinate sums, and the floor-division centroid update are all
+    exact int64 — so the converged model is a pure function of (data,
+    init) that DuckDB replays round-for-round (the unrolled oracle).
+    Scale shape per round: one zero-shuffle Arrow assignment pass plus
+    one k·dim-row model-sized update shuffle; the driver holds k·dim
+    ints and coordinates the loop exactly as MLlib's KMeans does
+    (localCheckpoint-free because each round re-reads the persisted
+    input, keeping lineage flat). Early stop means extra oracle rounds
+    are no-ops, so the fixed unroll and the engine's convergence test
+    agree by construction.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.cluster import (
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = (
+        emb.filter(F.col("vec_id") < 8)
+        .filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    final, _cents, _iters = kmeans_fit(
+        emb,
+        "vec_id",
+        "embedding",
+        [[float(x) for x in r["embedding"]] for r in seed],
+        centroid_ids=[r["vec_id"] for r in seed],
+        max_iters=4,
+    )
+    return final

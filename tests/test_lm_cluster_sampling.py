@@ -270,6 +270,80 @@ def test_kmeans_update_sums_match_numpy(spark):
     assert len(sums) == len({c for c, _ in py.values()}) * 4
 
 
+def _py_lloyd(vecs, cents_by_id, max_iters):
+    """Pure-Python quantized Lloyd: floor-div update, empty clusters
+    keep their centroid, stop at integer fixed point."""
+    q = lambda v: [math.floor(x * cluster.QUANT) for x in v]
+    qvecs = [(vid, q(v)) for vid, v in vecs]
+    cents = {cid: q(c) for cid, c in cents_by_id.items()}
+    iters = 0
+    for _ in range(max_iters):
+        assign = {}
+        for vid, qv in qvecs:
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(qv, cq)), cid)
+                for cid, cq in sorted(cents.items())
+            )
+            assign[vid] = best[1]
+        new = {cid: list(v) for cid, v in cents.items()}
+        members: dict[int, list[list[int]]] = {}
+        for vid, qv in qvecs:
+            members.setdefault(assign[vid], []).append(qv)
+        for cid, vs in members.items():
+            new[cid] = [
+                sum(col) // len(vs) for col in zip(*vs)
+            ]
+        iters += 1
+        if new == cents:
+            break
+        cents = new
+    final = {}
+    for vid, qv in qvecs:
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(qv, cq)), cid)
+            for cid, cq in sorted(cents.items())
+        )
+        final[vid] = (best[1], best[0])
+    return final, cents, iters
+
+
+def test_kmeans_fit_fixed_point_matches_python(spark):
+    """kmeans_fit: the full Lloyd loop converges to the same integer
+    fixed point as an independent pure-Python implementation — same
+    final assignment, same centroids, same round count (early stop
+    before max_iters on this well-separated set)."""
+    vecs = [
+        (i, [bx + dx / 10.0, by + dy / 10.0])
+        for i, (bx, by, dx, dy) in enumerate(
+            (bx, by, (i * 7) % 3 - 1, (i * 5) % 3 - 1)
+            for i, (bx, by) in enumerate(
+                [(0.0, 0.0)] * 6 + [(5.0, 5.0)] * 6 + [(-5.0, 5.0)] * 6
+            )
+        )
+    ]
+    # deliberately bad init: both seeds in the SAME true cluster
+    init = {10: vecs[0][1], 20: vecs[1][1]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    got_df, got_cents, got_iters = cluster.kmeans_fit(
+        df,
+        "vec_id",
+        "embedding",
+        [init[10], init[20]],
+        centroid_ids=[10, 20],
+        max_iters=10,
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["qdist"]) for r in got_df.collect()
+    }
+    py_final, py_cents, py_iters = _py_lloyd(vecs, init, 10)
+    assert got == py_final
+    assert got_cents == py_cents
+    assert got_iters == py_iters
+    assert got_iters < 10  # genuinely converged, not capped
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training
 # ---------------------------------------------------------------------------
