@@ -4664,6 +4664,66 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_column_profile_approx",
+    oracle="\n    UNION ALL\n    ".join(
+        _duck_profile_row(c, k).replace(
+            f"AS n_distinct, ",
+            "AS n_distinct, TRUE AS approx_within_5pct, ",
+        )
+        for c, k in _PROFILE_COLS
+    )
+    + "\n    ORDER BY column_name",
+)
+def orders_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile's documented 100 TB dial, GRADED: per-column
+    distinct counts via approx_count_distinct (HyperLogLog++) instead
+    of exact count_distinct. The exact profiler's multi-count_distinct
+    expands the scan |cols|× through Spark's Expand operator and
+    shuffles the deduplicated key sets; the HLL profile keeps one
+    fixed-size sketch per aggregation task per column — no expand, no
+    distinct shuffle, sketch merge only — which is the difference
+    between a profile you run per-load and one you schedule nightly at
+    100 TB. rsd=0.03 is the MEASURED sweet spot (SCALE_NOTES r6,
+    interleaved medians on cached sf1.0): 0.84 s vs 2.54 s exact
+    (3.0x) with max relative error <=1.9% across every SF, while the
+    deeper rsd=0.02 sketch costs 1.23 s for no extra headroom under
+    the 5% contract. Graded like
+    ``approx_distinct_users``: the result carries the EXACT distinct
+    count per column plus a boolean asserting the sketch landed
+    within 5% — a drifting estimate flips the hash and fails the
+    gate. (The exact twin rides along for grading only; the measured
+    approx-vs-exact cost delta is recorded in SCALE_NOTES from
+    separate aggregation-only runs.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs: list[F.Column] = []
+    for c, kind in _PROFILE_COLS:
+        exact = F.count_distinct(F.col(c))
+        approx = F.approx_count_distinct(c, 0.03)
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"{c}__n_null")
+        )
+        aggs.append(exact.cast("long").alias(f"{c}__n_distinct"))
+        aggs.append(
+            ((F.abs(approx - exact) / exact) <= 0.05).alias(f"{c}__ok")
+        )
+        aggs.append(_profile_str(c, kind, F.min).alias(f"{c}__min"))
+        aggs.append(_profile_str(c, kind, F.max).alias(f"{c}__max"))
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__ok, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_null, n_distinct, approx_within_5pct, "
+            "min_val, max_val)"
+        )
+    ).orderBy("column_name")
+
+
+@_register(
     "approx_quantiles_bounded",
     oracle="""
     SELECT ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 2) AS exact_p50,
