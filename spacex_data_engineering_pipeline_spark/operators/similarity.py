@@ -261,6 +261,39 @@ def embedding_near_dup_pairs(
             )
         dim = len(probe[0])
 
+    banded = banded_signatures(df, id_col, vec_col, n_planes, seeds, dim)
+
+    # per-(band, bucket) all-pairs verify inside applyInPandas — the
+    # self-join formulation materialized every candidate pair carrying
+    # both vectors (8.3M pairs ≈ 3.5 GB through shuffle + Arrow at
+    # sf1.0, 60.7 s); here each banded row shuffles ONCE and only
+    # survivors come back. A pair colliding in several bands is
+    # re-verified per band to identical bits (same exact C ops on the
+    # same doubles), deduped on the id pair.
+    survivors = grouped_allpairs_cosine(
+        banded, ["band", "bucket"], id_col, vec_col, min_cosine
+    )
+    return (
+        survivors.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", F.round(F.col("cos_raw"), 6))
+        .filter(F.col("cos_sim") >= min_cosine)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seeds: tuple[int, ...],
+    dim: int,
+) -> DataFrame:
+    """The sign-LSH candidate stage of :func:`embedding_near_dup_pairs`,
+    exposed so independent verify formulations (tools/formulation_diff)
+    can diff against the SAME candidate set: (id, vec, band, bucket)
+    rows, one per seed table per vector.
+    """
     # portable integer planes + fixed-point quantization: the bucket
     # keys (and therefore the exact candidate set) are reproducible in
     # any engine — this is what upgrades the query from a recall-floor
@@ -299,27 +332,10 @@ def embedding_near_dup_pairs(
                 res[pos] = row
         return pd.Series(res, dtype=object)
 
-    banded = df.select(
+    return df.select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(_buckets(F.col(vec_col))).alias("band", "bucket"),
-    )
-
-    # per-(band, bucket) all-pairs verify inside applyInPandas — the
-    # self-join formulation materialized every candidate pair carrying
-    # both vectors (8.3M pairs ≈ 3.5 GB through shuffle + Arrow at
-    # sf1.0, 60.7 s); here each banded row shuffles ONCE and only
-    # survivors come back. A pair colliding in several bands is
-    # re-verified per band to identical bits (same exact C ops on the
-    # same doubles), deduped on the id pair.
-    survivors = grouped_allpairs_cosine(
-        banded, ["band", "bucket"], id_col, vec_col, min_cosine
-    )
-    return (
-        survivors.dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_sim", F.round(F.col("cos_raw"), 6))
-        .filter(F.col("cos_sim") >= min_cosine)
-        .select("id_a", "id_b", "cos_sim")
     )
 
 

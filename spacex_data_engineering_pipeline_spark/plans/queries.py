@@ -8067,6 +8067,43 @@ def _semantic_dedup_oracle_sql(min_cosine: float = 0.95, k: int = 64) -> str:
     """
 
 
+def _semantic_dedup_blocked(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
+    """The SemDeDup pipeline up to (and including) cluster blocking:
+    augmented embeddings with their k-means cluster assignment —
+    (vec_id, cluster, embedding). Shared by the catalog query and by
+    tools/formulation_diff.py so two independent verify formulations
+    are diffed against the IDENTICAL candidate set."""
+    from spacex_data_engineering_pipeline_spark.operators.cluster import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("embedding").isNotNull())
+    pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(pert)
+    seed = (
+        emb.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assigned = kmeans_assign(
+        aug,
+        "vec_id",
+        "embedding",
+        [[float(x) for x in r["embedding"]] for r in seed],
+        centroid_ids=[r["vec_id"] for r in seed],
+    ).select("vec_id", "cluster")
+    return assigned.join(aug, ["vec_id"])
+
+
 @_register("semantic_dedup_pairs", oracle=_semantic_dedup_oracle_sql())
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end (Abbas et al. 2023): k-means partitions the
@@ -8086,41 +8123,13 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k ≈ n/100) — k=8 measured 12.3 s at sf0.1 (3.4M candidate
     pairs); k=64 cuts candidates ~60× for the same survivor set.
     """
-    from spacex_data_engineering_pipeline_spark.operators.cluster import (
-        kmeans_assign,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).filter(F.col("embedding").isNotNull())
-    pert = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x),
-        ).alias("embedding"),
-    )
-    aug = emb.unionByName(pert)
-    seed = (
-        emb.filter(F.col("vec_id") < 64)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    assigned = kmeans_assign(
-        aug,
-        "vec_id",
-        "embedding",
-        [[float(x) for x in r["embedding"]] for r in seed],
-        centroid_ids=[r["vec_id"] for r in seed],
-    ).select("vec_id", "cluster")
     # per-cluster all-pairs verify inside applyInPandas (operators/
     # similarity.py::grouped_allpairs_cosine): each row shuffles once
     # on the cluster id; the cluster-squared pair enumeration happens
     # as numpy C loops with exact sequential sums, and only survivors
     # materialize (the self-join formulation moved 3.4M pair rows with
     # both vectors attached — 49 s at sf1.0, now 11 s).
-    with_vec = assigned.join(aug, ["vec_id"])
+    with_vec = _semantic_dedup_blocked(spark, sf_dir, k=64)
     survivors = S.grouped_allpairs_cosine(
         with_vec, ["cluster"], "vec_id", "embedding", min_cosine=0.95
     )
