@@ -47,6 +47,11 @@ LARGE_RESULT = {
     "customer_rfm_segments",
     "deterministic_doc_sample",
     "part_hierarchy_rollup",
+    # round 6: row-per-key outputs whose sf1.0 collect() dominated the
+    # measurement (150k / ~950k rows to the driver) — count() instead,
+    # like their row-per-key peers above (verdict task 2 plan-diff)
+    "customers_with_orders",
+    "events_session_windows",
 }
 
 
@@ -172,10 +177,38 @@ def _warm_streaming(spark: SparkSession) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _calibrate() -> float:
+    """Deterministic single-core CPU probe: a fixed integer-hash loop
+    timed in seconds. Host throughput drifts round to round (a uniform
+    ~1.29x shift on unchanged scan-aggs was measured r3->r4); this
+    number, written into the artifact at bench start AND end, turns
+    that drift from a hand-waved constant into a measured divisor —
+    cross-round comparisons should normalize query times by the ratio
+    of calibration values before calling anything a regression. Pure
+    Python on purpose: no numpy/JVM so the probe measures the CPU, not
+    library versions. Min over 5 short loops, not one long loop: a
+    single probe is inflated by scheduler preemption (the end probe
+    runs beside a live Spark JVM and read 1.4x the start probe in a
+    trial run); the MIN of repeated fixed-work timings is the
+    standard noise-robust speed estimate — preemption only ever adds
+    time, so the fastest repetition is the closest to bare CPU speed.
+    """
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        h = 0
+        for i in range(1_200_000):
+            h = (h * 1_000_003 + i) & 0xFFFFFFFFFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+        assert h != 0
+    return round(best * 5, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    cal_start = _calibrate()
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -215,6 +248,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host-speed probes bracketing the run: normalize cross-round
+        # deltas by the calibration ratio before reading regressions
+        "calibration_sec": {"start": cal_start, "end": _calibrate()},
     }
     print(json.dumps(record))
     # Durable copy: the driver captures stdout, but a truncated capture
