@@ -1840,7 +1840,20 @@ def click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (priority → status → grand total) —
-    subtotal rows carry NULL group keys in both engines."""
+    subtotal rows carry NULL group keys in both engines.
+
+    Scale note (round 6): the native ROLLUP plans an Expand that emits
+    every fact row 3× (once per grouping set) ahead of the partial
+    aggregate; re-aggregating subtotal levels from the finest
+    (priority, status) cells — valid here because count/sum are
+    additive and the keys non-null — cuts agg input 3× but MEASURED
+    SLOWER at every available SF (sf1.0: 0.27 s native vs 0.36 s
+    re-agg, min-of-3 warm): with 15 cells the Expand's extra hash
+    probes are cheaper than two extra stages. The committed r5
+    artifact's 5.6× sf0.1→sf1.0 slope does not reproduce (≤0.9 s
+    one-shot at sf1.0 even after heavy alphabetical neighbors) —
+    see SCALE_NOTES round 6. Re-agg remains the dial if the
+    hierarchy ever deepens (d levels ⇒ (d+1)× Expand)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -7099,25 +7112,30 @@ def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: the distribution of per-customer order counts
     (how many customers placed exactly N non-urgent orders),
-    INCLUDING zero-order customers — which is why the left join with
-    the filter folded into the JOIN CONDITION (not WHERE, which would
-    silently turn the join inner) is the whole trick of this query.
-    Two-level aggregation: fact-cardinality count per customer, then
-    count-cardinality histogram; the second groupBy moves
-    |distinct counts| rows.
+    INCLUDING zero-order customers — the filter belongs in the join
+    condition of the textbook left join, NOT the WHERE clause.
+
+    Plan (round 6, was a literal left-join-then-count): aggregate the
+    FACT on the join key first — one scan of orders with map-side
+    partial count reduces the shuffle from |orders| full rows to
+    |active custkeys| (count, key) pairs; the per-customer counts then
+    join back onto customer — AQE sees a ~16-byte-per-row build side
+    and picks broadcast at every test SF, and at 100 TB (where the
+    per-key table is dim-sized) it degrades gracefully to a shuffle
+    join of two NARROW tables, so no hint is forced. Zero-order
+    customers fall out of the left join as NULL → coalesce 0;
+    semantically identical to counting over the filtered left join.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        customer.join(
-            orders,
-            (customer.c_custkey == orders.o_custkey)
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_key = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    per_cust = customer.join(
+        per_key, customer.c_custkey == per_key.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )

@@ -93,6 +93,24 @@ def test_enrichment_aggregates_before_join(spark):
     )
 
 
+def test_q13_aggregates_fact_before_dim_join(spark):
+    """Round-6 Q13 discipline: the per-customer order counts must be
+    aggregated on the FACT side before the customer join (the shuffle
+    then moves |custkeys| (key, count) pairs, not |orders| rows), and
+    at test SF the narrow count table must broadcast."""
+    df = QUERIES["customer_order_distribution"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = optimized.find("Join")
+    agg_pos = optimized.find("Aggregate", join_pos)
+    assert agg_pos > join_pos >= 0, (
+        "orders must pre-aggregate on o_custkey under the join"
+    )
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, (
+        "narrow per-key count table should broadcast at test SF"
+    )
+
+
 def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
     """Catalog-wide hygiene sweep: NO query may plan a CartesianProduct
     or a (non-broadcast) NestedLoopJoin — the two shapes that silently
