@@ -202,6 +202,59 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_hashes_udf(num_hashes: int, bands: int):
+    """ALL bands' LSH keys in ONE Arrow-vectorized pass. The pure-
+    expression form (num_hashes affine hashes per shingle inside nested
+    transform/aggregate lambdas) is interpreted per element — the same
+    never-enters-codegen wall the sign-LSH banding hit
+    (operators/similarity.py) — measured ~2 s of the 5 s total at
+    sf0.1. This computes the IDENTICAL portable math in numpy: base =
+    first 7 MD5 hex digits (hashlib == F.md5 on UTF-8 bytes), h =
+    (base·a + b) mod P in exact int64 (base < 2^28, a < P ⇒ product
+    < 2^59), per-band min, band key = MD5 of the comma-joined vector —
+    so the candidate set, and the DuckDB oracle replay, are unchanged
+    bit-for-bit. Shared by the batch all-pairs pipeline and the
+    incremental index probe (same builder ⇒ the probe's index keys are
+    the batch pipeline's keys by construction)."""
+    import hashlib as _hashlib
+
+    coeffs = minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @pandas_udf("array<string>")
+    def _band_hashes(shingle_col: pd.Series) -> pd.Series:
+        out = []
+        for shingles in shingle_col:
+            if shingles is None or len(shingles) == 0:
+                out.append(None)
+                continue
+            bases = np.array(
+                [
+                    int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+                    for s in shingles
+                ],
+                dtype=np.int64,
+            )
+            hs = (bases[:, None] * a_vec + b_vec) % _MINHASH_P  # (m, k)
+            sig = hs.min(axis=0)  # (k,)
+            out.append(
+                [
+                    _hashlib.md5(
+                        ",".join(
+                            str(v)
+                            for v in sig[b * rows_per_band : (b + 1) * rows_per_band]
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return _band_hashes
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -234,8 +287,6 @@ def minhash_near_dup_pairs(
             f"bands ({bands}) — uneven bands silently drop hashes, and "
             "bands > num_hashes degenerates every band to one signature"
         )
-    rows_per_band = num_hashes // bands
-    coeffs = minhash_coeffs(num_hashes)
     grams = (
         # NOT _spread here: measured slower end-to-end — widening the
         # input replaces AQE's broadcast of the narrow banded table
@@ -251,50 +302,7 @@ def minhash_near_dup_pairs(
         .persist()
     )
 
-    # ALL bands' keys in ONE Arrow-vectorized pass. The pure-expression
-    # form (num_hashes affine hashes per shingle inside nested
-    # transform/aggregate lambdas) is interpreted per element — the
-    # same never-enters-codegen wall the sign-LSH banding hit
-    # (operators/similarity.py) — measured ~2 s of the 5 s total at
-    # sf0.1. The replacement computes the IDENTICAL portable math in
-    # numpy: base = first 7 MD5 hex digits (hashlib == F.md5 on UTF-8
-    # bytes), h = (base·a + b) mod P in exact int64 (base < 2^28,
-    # a < P ⇒ product < 2^59), per-band min, band key = MD5 of the
-    # comma-joined vector — so the candidate set, and the DuckDB
-    # oracle replay, are unchanged bit-for-bit.
-    import hashlib as _hashlib
-
-    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
-    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
-
-    @pandas_udf("array<string>")
-    def _band_hashes(shingle_col: pd.Series) -> pd.Series:
-        out = []
-        for shingles in shingle_col:
-            if shingles is None or len(shingles) == 0:
-                out.append(None)
-                continue
-            bases = np.array(
-                [
-                    int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
-                    for s in shingles
-                ],
-                dtype=np.int64,
-            )
-            hs = (bases[:, None] * a_vec + b_vec) % _MINHASH_P  # (m, k)
-            sig = hs.min(axis=0)  # (k,)
-            out.append(
-                [
-                    _hashlib.md5(
-                        ",".join(
-                            str(v)
-                            for v in sig[b * rows_per_band : (b + 1) * rows_per_band]
-                        ).encode("utf-8")
-                    ).hexdigest()
-                    for b in range(bands)
-                ]
-            )
-        return pd.Series(out)
+    _band_hashes = _minhash_band_hashes_udf(num_hashes, bands)
 
     banded = (
         grams.select(
@@ -339,6 +347,100 @@ def minhash_near_dup_pairs(
     )
     # cache residency is bounded by the returned handle's lifetime
     return release_caches_with(out, grams, banded)
+
+
+def minhash_probe_pairs(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard_micro: int = 500_000,
+) -> DataFrame:
+    """Incremental near-dup detection: probe NEW documents against an
+    existing corpus INDEX — corpus×corpus pairs are never enumerated.
+
+    The operation every continuously-ingesting pipeline actually runs:
+    yesterday's 100 TB corpus is already deduplicated; today's batch
+    must be checked against it (and itself is deduplicated separately
+    or not at all — caller's choice). Re-running the batch all-pairs
+    pipeline over corpus+batch redoes O(corpus) signature work and
+    re-meets every historical bucket; the probe instead banding-hashes
+    ONLY the new side and joins it against the corpus band index —
+    O(new) hash work, one shuffle keyed on (band_idx, band_hash), and
+    candidate volume proportional to new-side bucket occupancy. The
+    band index is exactly the banded signature table a production
+    deployment persists between ingest runs (hash keys are portable
+    MD5+affine, so the persisted index is engine-stable); here it is
+    built in-job from ``corpus_df`` so the operator stays
+    deterministic and self-contained.
+
+    Same hash family, band layout, and verification math as
+    ``minhash_near_dup_pairs`` — one shared builder
+    (``_minhash_band_hashes_udf``), so a doc flagged by the batch
+    pipeline is flagged by the probe and vice versa, and the DuckDB
+    oracle replays the probe value-exactly.
+
+    Returns (new_doc, corpus_doc, jaccard_micro BIGINT).
+    """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — uneven bands silently drop hashes, and "
+            "bands > num_hashes degenerates every band to one signature"
+        )
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return (
+            with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
+            .select(F.col(id_col).alias("doc"), "shingles")
+            .filter(F.size("shingles") > 0)
+            .persist()
+        )
+
+    gc, gn = grams_of(corpus_df), grams_of(new_df)
+    band_hashes = _minhash_band_hashes_udf(num_hashes, bands)
+
+    def banded_of(grams: DataFrame) -> DataFrame:
+        return grams.select(
+            "doc",
+            F.posexplode(band_hashes(F.col("shingles"))).alias("band_idx", "band_hash"),
+        )
+
+    index, probe = banded_of(gc).alias("c"), banded_of(gn).alias("n")
+    candidates = (
+        probe.join(
+            index,
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            # ids may overlap between sides (re-ingested doc): a doc is
+            # never its own near-duplicate
+            & (F.col("n.doc") != F.col("c.doc")),
+        )
+        .select(F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc"))
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+
+    ga = gn.select(F.col("doc").alias("new_doc"), F.col("shingles").alias("grams_n"))
+    gb = gc.select(F.col("doc").alias("corpus_doc"), F.col("shingles").alias("grams_c"))
+    inter = F.size(F.array_intersect(F.col("grams_n"), F.col("grams_c"))).cast("long")
+    union = (
+        F.size(F.col("grams_n")).cast("long")
+        + F.size(F.col("grams_c")).cast("long")
+        - inter
+    )
+    out = (
+        candidates.join(ga, "new_doc")
+        .join(gb, "corpus_doc")
+        .withColumn(
+            "jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long")
+        )
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+        .select("new_doc", "corpus_doc", "jaccard_micro")
+    )
+    return release_caches_with(out, gc, gn)
 
 
 def _simhash64_udf():

@@ -724,6 +724,92 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_probe_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, min_jaccard_micro: int = 300_000
+) -> str:
+    """DuckDB replay of the incremental index probe: same portable
+    signature/band math as ``_minhash_oracle_sql``, but candidates come
+    from joining NEW-side bands against CORPUS-side bands only (split
+    on doc_id % 5) — never corpus×corpus."""
+    from spacex_data_engineering_pipeline_spark.operators.dedup import minhash_coeffs
+
+    coeffs = minhash_coeffs(num_hashes)
+    rpb = num_hashes // bands
+
+    def bands_sql(src: str) -> str:
+        selects = []
+        for b in range(bands):
+            mins = ", ".join(
+                f"CAST(list_min(list_transform(bases, h -> (h * {a} + {bb}) % 2147483647)) AS VARCHAR)"
+                for a, bb in coeffs[b * rpb : (b + 1) * rpb]
+            )
+            selects.append(
+                f"SELECT doc, {b} AS band_idx, md5(concat_ws(',', {mins})) AS band_hash FROM {src}"
+            )
+        return "\n        UNION ALL ".join(selects)
+
+    return f"""
+    WITH g AS (
+        SELECT doc_id AS doc, doc_id % 5 = 0 AS is_new,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    hb AS (
+        SELECT doc, is_new, grams,
+               list_transform(grams,
+                   s -> (('0x' || substr(md5(s), 1, 7))::UBIGINT)::BIGINT) AS bases
+        FROM g WHERE len(grams) > 0
+    ),
+    hbn AS (SELECT * FROM hb WHERE is_new),
+    hbc AS (SELECT * FROM hb WHERE NOT is_new),
+    bn AS (
+        {bands_sql("hbn")}
+    ),
+    bc AS (
+        {bands_sql("hbc")}
+    ),
+    pairs AS (
+        SELECT DISTINCT n.doc AS new_doc, c.doc AS corpus_doc
+        FROM bn n JOIN bc c
+          ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+         AND n.doc <> c.doc
+    )
+    SELECT p.new_doc, p.corpus_doc,
+           CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
+                / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
+                AS BIGINT) AS jaccard_micro
+    FROM pairs p
+    JOIN hbn gn ON p.new_doc = gn.doc
+    JOIN hbc gc ON p.corpus_doc = gc.doc
+    WHERE CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
+               / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
+               AS BIGINT) >= {min_jaccard_micro}
+    """
+
+
+@_register("minhash_index_probe", oracle=_minhash_probe_oracle_sql())
+def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py
+    ``minhash_probe_pairs``): the 20% "new batch" (doc_id % 5 = 0) is
+    probed against the 80% "existing corpus" band index — corpus×corpus
+    pairs are never enumerated, so per-ingest cost is O(batch) hashing
+    plus one band-key shuffle instead of re-running the all-pairs
+    pipeline over the full corpus. Same portable hash family and
+    verification as ``minhash_near_dup_pairs`` (one shared band-key
+    builder), so the DuckDB oracle replays the probe end-to-end
+    value-exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.minhash_probe_pairs(
+        corpus, new, "doc_id", "text", num_hashes=64, bands=16, min_jaccard_micro=300_000
+    )
+
+
 @_register(
     "simhash_buckets",
     oracle=rf"""
@@ -3222,6 +3308,82 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
         )
         .filter(F.col("cum_before") < 500)
+    )
+
+
+@_register(
+    "quality_budget_selection",
+    oracle=rf"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(0.4 * least(1.0, n_tok / 100.0)
+                   + 0.3 * greatest(0.0, 1.0 - 5.0 * (p_cnt / greatest(len_c, 1.0)))
+                   + 0.3 * least(1.0, 4.0 * stop_hits / greatest(n_tok, 1.0)), 4)
+                   AS quality_score,
+               CAST(n_tok AS BIGINT) AS n_tokens
+        FROM (
+            SELECT doc_id,
+                   CAST({_DUCK_NTOK} AS DOUBLE) AS n_tok,
+                   CAST(length(text) - length(regexp_replace(text, '{_DUCK_PUNCT_RE}', '', 'g')) AS DOUBLE) AS p_cnt,
+                   CAST(length(text) AS DOUBLE) AS len_c,
+                   CAST(length(list_intersect(
+                            list_distinct(list_transform({_DUCK_WORDS}, w -> lower(w))),
+                            ['the','and','is','of','to'])) AS DOUBLE) AS stop_hits
+            FROM documents
+        )
+    ),
+    k AS (
+        SELECT doc_id, quality_score, n_tokens,
+               (10000 - CAST(round(quality_score * 10000) AS BIGINT)) * 17179869184
+                   + doc_id AS order_key
+        FROM q
+    )
+    SELECT doc_id, quality_score, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+    FROM (
+        SELECT doc_id, quality_score, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY order_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM k
+    )
+    WHERE cum_before < 8000
+    """,
+)
+def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection by quality: keep the BEST documents
+    (quality desc, doc_id tiebreak) until a global token budget (8000)
+    fills — "select the top-quality 100B tokens" is how curated
+    pre-training mixes are actually cut, and it needs an exact GLOBAL
+    running sum over a total order, the shape that naively plans a
+    single-reducer Window.orderBy. Here the order collapses into one
+    unique integer key — (10000 − quality·10⁴)·2³⁴ + doc_id, exact
+    int64 since quality is already pinned at 4dp and doc_id < 2³⁴ —
+    and the running sum comes from the distributed prefix-sum
+    primitive (operators/pack.py ``with_global_offset``: range-bucket
+    shuffle, per-bucket window, O(buckets) base offsets), so no data
+    row ever crosses a SinglePartition exchange. Second catalog
+    surface for the primitive (order_price_quartiles is the first) —
+    this one exercises the skewed-key-range path: quality scores
+    cluster, so bucket occupancy is non-uniform by construction.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.pack import (
+        with_global_offset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality_score"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "order_key",
+        (F.lit(10000) - F.round(F.col("quality_score") * 10000).cast("long"))
+        * F.lit(17179869184).cast("long")
+        + F.col("doc_id"),
+    )
+    return (
+        with_global_offset(scored, "order_key", "n_tokens", out_col="cum_before")
+        .filter(F.col("cum_before") < 8000)
+        .select("doc_id", "quality_score", "n_tokens", "cum_before")
     )
 
 

@@ -60,6 +60,39 @@ def test_minhash_lsh_recall_and_exactness(spark, sf_dir):
     assert high <= set(lsh_pairs), f"missed high-jaccard pairs: {high - set(lsh_pairs)}"
 
 
+def test_minhash_probe_consistent_with_batch_pipeline(spark, sf_dir):
+    """The incremental index probe and the batch all-pairs pipeline use
+    one shared band-key builder, so their verdicts must coincide on the
+    cross partition: a (new, corpus) pair survives the probe iff the
+    batch pipeline over the full corpus reports the same pair with the
+    same exact jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    probe = {
+        (r.new_doc, r.corpus_doc): r.jaccard_micro
+        for r in D.minhash_probe_pairs(
+            corpus, new, "doc_id", "text", min_jaccard_micro=300_000
+        ).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard_micro
+        for r in D.minhash_near_dup_pairs(
+            docs, "doc_id", "text", min_jaccard_micro=300_000
+        ).collect()
+    }
+    # batch emits doc_a < doc_b; probe emits (new, corpus) either order
+    batch_cross = {
+        (a, b): m
+        for (a, b), m in batch.items()
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    probe_norm = {
+        ((n, c) if n < c else (c, n)): m for (n, c), m in probe.items()
+    }
+    assert probe_norm == batch_cross
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [
