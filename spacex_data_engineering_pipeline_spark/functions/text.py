@@ -164,6 +164,30 @@ def fingerprint(text: Column, n: int = 5) -> Column:
     ).otherwise(F.md5(F.trim(text)))
 
 
+def hashed_linear_logit(text: Column, salt: str = "qcls") -> Column:
+    """Feature-hashed linear classifier logit over whitespace tokens —
+    the fastText-style shape production quality classifiers run at
+    corpus scale: every token hashes into a weight, the document's
+    logit is the sum. Weights here are DERIVED from the hash itself
+    (no trained artifact ships with the engine): w(tok) =
+    base28(md5(salt:lower(tok))) % 2001 − 1000 ∈ [−1000, 1000] milli-
+    units, so the logit is an order-free BIGINT sum — bit-exact on any
+    engine (the portable-hash discipline of ``fingerprint``/MinHash,
+    applied to model scoring). Swapping in learned weights means
+    replacing the hash-derived lookup with a broadcast weight-table
+    join — the plan shape (one narrow map, no shuffle) is unchanged.
+    """
+    token_w = F.transform(
+        words(text),
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.lower(t))), 1, 7), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000,
+    )
+    return F.aggregate(token_w, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def lang_marker_hits(text: Column, markers: list[str]) -> Column:
     """How many tokens of ``text`` are in the marker list (case-insensitive)."""
     lowered = F.transform(words(text), F.lower)

@@ -552,6 +552,94 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_quality_classifier",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(length(w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(w,
+               tok -> CAST(('0x' || substr(md5('qcls:' || lower(tok)), 1, 7))::UBIGINT
+                          % 2001 AS BIGINT) - 1000)), 0) AS BIGINT) AS logit_milli,
+           COALESCE(list_sum(list_transform(w,
+               tok -> CAST(('0x' || substr(md5('qcls:' || lower(tok)), 1, 7))::UBIGINT
+                          % 2001 AS BIGINT) - 1000)), 0) > 0 AS keep
+    FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear classifier scoring (functions/text.py
+    ``hashed_linear_logit``) — the fastText-shaped quality filter
+    production pipelines run over every document: token → hashed
+    weight, logit = order-free integer sum, keep = logit > 0. One
+    narrow map stage, no shuffle, whole corpus scored in a single
+    pass; weights are hash-derived milli-units so the DuckDB oracle
+    replays the model bit-for-bit (a trained model swaps in as a
+    broadcast weight table, same plan shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    logit = T.hashed_linear_logit(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        logit.alias("logit_milli"),
+        (logit > 0).alias("keep"),
+    )
+
+
+@_register(
+    "lang_mixture_weights",
+    oracle=rf"""
+    WITH per AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    i AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS isq
+        FROM per
+    ),
+    t AS (SELECT *, CAST(SUM(isq) OVER () AS BIGINT) AS tot FROM i)
+    SELECT lang, n_docs, n_tokens,
+           CAST((isq * 1000000) // tot AS BIGINT) AS weight_ppm,
+           CAST(((isq * 1000000) // tot) * 100000 // 1000000 AS BIGINT) AS alloc_tokens
+    FROM t
+    """,
+)
+def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (UniMax / multilingual-LM
+    sampling, T=2): per-language sampling weight ∝ (token share)^(1/2),
+    up-weighting tail languages relative to their raw share — the knob
+    every multilingual pre-training mix turns. Computed engine-exactly:
+    isq = floor(sqrt(n_tokens·10⁶)) (IEEE sqrt of an exactly-
+    representable integer — correctly rounded on every engine, and a
+    floor flip would need the true root within one ulp of an integer),
+    then ppm weights and a 100k-token allocation by pure integer
+    division. One groupBy(lang) scan; the normalizing total is a
+    window over the |langs|-row aggregate, never over data rows.
+    General real-exponent temperatures (T≠2) ride double ``pow`` with
+    a tolerance-graded oracle instead — the T=2 integer path is the
+    value-exact demonstrator.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    i = per.withColumn(
+        "isq",
+        F.floor(F.sqrt((F.col("n_tokens") * 1000000).cast("double"))).cast("long"),
+    )
+    t = i.withColumn("tot", F.sum("isq").over(Window.partitionBy()))
+    return t.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("(isq * 1000000) div tot").alias("weight_ppm"),
+        F.expr("((isq * 1000000) div tot) * 100000 div 1000000").alias("alloc_tokens"),
+    )
+
+
+@_register(
     "lang_id_heuristic",
     oracle=rf"""
     SELECT doc_id,
