@@ -134,6 +134,41 @@ def apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
     return sym.select("w", "freq", "s").mapInPandas(run, schema)
 
 
+def encode_token_counts(
+    docs: DataFrame, text_col: str, id_col: str, n_merges: int
+) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE story: encode every
+    document with the learned merge table and return per-document
+    (n_words, n_bpe_tokens).
+
+    The scale insight: applying BPE to a corpus is NOT a per-document
+    merge loop. ``train_bpe``'s final vocab table already maps every
+    distinct word to its fully-merged symbol sequence, so encoding is
+    one explode + one broadcast join against the vocab-sized dimension
+    (w → symbol count) + one groupBy — zero per-document Python, the
+    corpus streams through codegen. Words with a single character never
+    enter the vocab (no pairs to merge) and count as one token.
+
+    Returns (id_col, n_words BIGINT, n_bpe_tokens BIGINT); documents
+    with no ASCII words produce no row (nothing to encode).
+    """
+    from spacex_data_engineering_pipeline_spark.functions.text import words
+
+    _, sym = train_bpe(docs, text_col, n_merges)
+    vocab = sym.select("w", F.size("s").cast("long").alias("n_sym"))
+    docw = docs.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.col("w").rlike(ASCII_WORD_RE))
+    return (
+        docw.join(F.broadcast(vocab), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sym"), F.lit(1))).alias("n_bpe_tokens"),
+        )
+    )
+
+
 def train_bpe(
     docs: DataFrame, text_col: str, n_merges: int
 ) -> tuple[list[tuple[str, str]], DataFrame]:

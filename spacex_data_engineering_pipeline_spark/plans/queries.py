@@ -8204,6 +8204,91 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.top_pairs(sym, 10)
 
 
+def _bpe_encode_oracle_sql(n_merges: int = 5) -> str:
+    """DuckDB replay of BPE training AND encoding, unrolled per merge
+    round (the kmeans-oracle pattern). Each round: adjacent-pair counts
+    from the spaced symbol string, the argmax pair as a scalar
+    subquery (count DESC, pair ASC — the engine's tiebreak), then the
+    merge applied by TWO passes of padded ``replace(' a b ', ' ab ')``.
+    Two passes are exact Sennrich left-to-right non-overlapping
+    semantics: pass one consumes the shared delimiter of adjacent
+    occurrences so it merges every other pair of a consecutive run;
+    the survivors are then isolated between merged tokens with intact
+    delimiters, so pass two catches all of them and no third pass can
+    match. Every CTE is MATERIALIZED: the scalar merge subqueries are
+    referenced four times per round, and DuckDB's default CTE inlining
+    re-expands the whole prior chain at each reference — exponential
+    in rounds (the unmarked form never finishes at 5 merges)."""
+    parts = [
+        r"""
+    WITH wf AS MATERIALIZED (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> regexp_matches(x, '^[a-z]+$'))) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+        SELECT w, freq, array_to_string(regexp_split_to_array(w, ''), ' ') AS s
+        FROM wf WHERE len(w) >= 2
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f""",
+    p{i} AS MATERIALIZED (
+        SELECT l[j] || ' ' || l[j + 1] AS pair, SUM(freq) AS cnt
+        FROM (SELECT freq, l, unnest(range(1, len(l))) AS j
+              FROM (SELECT freq, string_split(s, ' ') AS l FROM {prev}))
+        GROUP BY pair
+    ),
+    b{i} AS MATERIALIZED (SELECT pair FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s{i} AS MATERIALIZED (
+        SELECT w, freq,
+               trim(replace(replace(' ' || s || ' ',
+                   ' ' || (SELECT pair FROM b{i}) || ' ',
+                   ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+                   ' ' || (SELECT pair FROM b{i}) || ' ',
+                   ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS s
+        FROM {prev}
+    )"""
+        )
+    parts.append(
+        f""",
+    vocab AS MATERIALIZED (SELECT w, len(string_split(s, ' ')) AS n_sym FROM s{n_merges}),
+    docw AS MATERIALIZED (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> regexp_matches(x, '^[a-z]+$'))) AS w
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(v.n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+    FROM docw d LEFT JOIN vocab v ON d.w = v.w
+    GROUP BY d.doc_id"""
+    )
+    return "".join(parts)
+
+
+@_register("bpe_encode_docs", oracle=_bpe_encode_oracle_sql())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (operators/bpe.py ``encode_token_counts``):
+    encode the corpus with a 5-merge learned BPE table. Encoding is a
+    broadcast join against the trained vocab dimension (word → merged
+    symbol count), NOT a per-document merge loop — the corpus streams
+    through codegen and the only Python is the vocab-sized training
+    already graded by ``bpe_merge_pairs``. The DuckDB oracle replays
+    training AND encoding end-to-end (unrolled rounds, two-pass padded
+    replace = exact Sennrich merge semantics), so the learned merges,
+    the tiebreaks, and every document's token count are value-pinned.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.encode_token_counts(docs, "text", "doc_id", n_merges=5)
+
+
 @_register(
     "orders_expectations_audit",
     oracle="""

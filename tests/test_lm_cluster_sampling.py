@@ -409,6 +409,33 @@ def test_bpe_overlap_and_tiebreak():
     assert _apply_merge_py(["x", "y", "z"], "y", "z") == ["x", "yz"]
 
 
+def test_bpe_encode_matches_python_reference(spark):
+    """encode_token_counts must equal per-word application of the
+    Python Sennrich reference: the broadcast-join formulation (vocab
+    carries fully-merged symbol counts) is an optimization, not a
+    semantics change; 1-char words count as one token."""
+    from spacex_data_engineering_pipeline_spark.operators import bpe
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide wide widest a",
+        "aaa aaa aaab a b",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    _, py_sym = _py_bpe(corpus, 6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe.encode_token_counts(docs, "text", "doc_id", 6).collect()
+    }
+    for i, t in enumerate(corpus):
+        ws = [w for w in t.lower().split() if w.isalpha() and w.isascii()]
+        want = sum(len(py_sym[w]) if w in py_sym else 1 for w in ws)
+        assert got[i] == (len(ws), want), f"doc {i}"
+
+
 # ---------------------------------------------------------------------------
 # declarative expectations (operators/expect.py)
 # ---------------------------------------------------------------------------
