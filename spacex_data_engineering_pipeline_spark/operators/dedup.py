@@ -349,6 +349,109 @@ def minhash_near_dup_pairs(
     return release_caches_with(out, grams, banded)
 
 
+def _minhash_grams(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    return (
+        with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+
+
+def build_minhash_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persisted corpus side of incremental dedup ONCE:
+    returns ``(grams, banded)`` — the shingle table (for exact
+    verification) and the (doc, band_idx, band_hash) band-key index
+    (for candidate generation). Both persisted: a continuously-
+    ingesting deployment probes MANY batches against one index, and
+    the hash keys are portable MD5+affine so the index can equally be
+    written to parquet and reloaded across jobs/engines. Callers own
+    unpersisting (or tie lifetime via ``release_caches_with``)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — uneven bands silently drop hashes, and "
+            "bands > num_hashes degenerates every band to one signature"
+        )
+    grams = _minhash_grams(corpus_df, id_col, text_col, shingle_n)
+    band_hashes = _minhash_band_hashes_udf(num_hashes, bands)
+    banded = grams.select(
+        "doc",
+        F.posexplode(band_hashes(F.col("shingles"))).alias("band_idx", "band_hash"),
+    ).persist()
+    return grams, banded
+
+
+def probe_minhash_index(
+    index_grams: DataFrame,
+    index_banded: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard_micro: int = 500_000,
+) -> DataFrame:
+    """Probe a batch of NEW documents against a prebuilt corpus index
+    (``build_minhash_index``): banding-hash ONLY the new side, join its
+    band keys against the index, verify candidates with exact Jaccard.
+    O(batch) hash work per ingest, one shuffle keyed on (band_idx,
+    band_hash), candidate volume proportional to new-side bucket
+    occupancy — corpus×corpus pairs are never enumerated.
+
+    Returns (new_doc, corpus_doc, jaccard_micro BIGINT).
+    """
+    gn = _minhash_grams(new_df, id_col, text_col, shingle_n)
+    band_hashes = _minhash_band_hashes_udf(num_hashes, bands)
+    probe = gn.select(
+        "doc",
+        F.posexplode(band_hashes(F.col("shingles"))).alias("band_idx", "band_hash"),
+    ).alias("n")
+    candidates = (
+        probe.join(
+            index_banded.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            # ids may overlap between sides (re-ingested doc): a doc is
+            # never its own near-duplicate
+            & (F.col("n.doc") != F.col("c.doc")),
+        )
+        .select(F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc"))
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+
+    ga = gn.select(F.col("doc").alias("new_doc"), F.col("shingles").alias("grams_n"))
+    gb = index_grams.select(
+        F.col("doc").alias("corpus_doc"), F.col("shingles").alias("grams_c")
+    )
+    inter = F.size(F.array_intersect(F.col("grams_n"), F.col("grams_c"))).cast("long")
+    union = (
+        F.size(F.col("grams_n")).cast("long")
+        + F.size(F.col("grams_c")).cast("long")
+        - inter
+    )
+    out = (
+        candidates.join(ga, "new_doc")
+        .join(gb, "corpus_doc")
+        .withColumn(
+            "jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long")
+        )
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+        .select("new_doc", "corpus_doc", "jaccard_micro")
+    )
+    return release_caches_with(out, gn)
+
+
 def minhash_probe_pairs(
     corpus_df: DataFrame,
     new_df: DataFrame,
@@ -368,14 +471,11 @@ def minhash_probe_pairs(
     or not at all — caller's choice). Re-running the batch all-pairs
     pipeline over corpus+batch redoes O(corpus) signature work and
     re-meets every historical bucket; the probe instead banding-hashes
-    ONLY the new side and joins it against the corpus band index —
-    O(new) hash work, one shuffle keyed on (band_idx, band_hash), and
-    candidate volume proportional to new-side bucket occupancy. The
-    band index is exactly the banded signature table a production
-    deployment persists between ingest runs (hash keys are portable
-    MD5+affine, so the persisted index is engine-stable); here it is
-    built in-job from ``corpus_df`` so the operator stays
-    deterministic and self-contained.
+    ONLY the new side and joins it against the corpus band index. This
+    convenience form builds the index in-job (``build_minhash_index``)
+    and probes once; a stream probes many batches against the one
+    index (``probe_minhash_index`` directly — see the
+    streaming_dedup_against_index catalog entry).
 
     Same hash family, band layout, and verification math as
     ``minhash_near_dup_pairs`` — one shared builder
@@ -385,62 +485,14 @@ def minhash_probe_pairs(
 
     Returns (new_doc, corpus_doc, jaccard_micro BIGINT).
     """
-    if bands <= 0 or num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be a positive multiple of "
-            f"bands ({bands}) — uneven bands silently drop hashes, and "
-            "bands > num_hashes degenerates every band to one signature"
-        )
-
-    def grams_of(df: DataFrame) -> DataFrame:
-        return (
-            with_word_ngrams(df, text_col, shingle_n, out_col="shingles", distinct=True)
-            .select(F.col(id_col).alias("doc"), "shingles")
-            .filter(F.size("shingles") > 0)
-            .persist()
-        )
-
-    gc, gn = grams_of(corpus_df), grams_of(new_df)
-    band_hashes = _minhash_band_hashes_udf(num_hashes, bands)
-
-    def banded_of(grams: DataFrame) -> DataFrame:
-        return grams.select(
-            "doc",
-            F.posexplode(band_hashes(F.col("shingles"))).alias("band_idx", "band_hash"),
-        )
-
-    index, probe = banded_of(gc).alias("c"), banded_of(gn).alias("n")
-    candidates = (
-        probe.join(
-            index,
-            (F.col("n.band_idx") == F.col("c.band_idx"))
-            & (F.col("n.band_hash") == F.col("c.band_hash"))
-            # ids may overlap between sides (re-ingested doc): a doc is
-            # never its own near-duplicate
-            & (F.col("n.doc") != F.col("c.doc")),
-        )
-        .select(F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc"))
-        .dropDuplicates(["new_doc", "corpus_doc"])
+    gc, banded = build_minhash_index(
+        corpus_df, id_col, text_col, num_hashes, bands, shingle_n
     )
-
-    ga = gn.select(F.col("doc").alias("new_doc"), F.col("shingles").alias("grams_n"))
-    gb = gc.select(F.col("doc").alias("corpus_doc"), F.col("shingles").alias("grams_c"))
-    inter = F.size(F.array_intersect(F.col("grams_n"), F.col("grams_c"))).cast("long")
-    union = (
-        F.size(F.col("grams_n")).cast("long")
-        + F.size(F.col("grams_c")).cast("long")
-        - inter
+    out = probe_minhash_index(
+        gc, banded, new_df, id_col, text_col,
+        num_hashes, bands, shingle_n, min_jaccard_micro,
     )
-    out = (
-        candidates.join(ga, "new_doc")
-        .join(gb, "corpus_doc")
-        .withColumn(
-            "jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long")
-        )
-        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
-        .select("new_doc", "corpus_doc", "jaccard_micro")
-    )
-    return release_caches_with(out, gc, gn)
+    return release_caches_with(out, gc, banded)
 
 
 def _simhash64_udf():

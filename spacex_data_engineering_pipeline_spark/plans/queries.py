@@ -1742,6 +1742,73 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@_register("streaming_dedup_against_index", oracle=_minhash_probe_oracle_sql())
+def streaming_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup probe in its REAL deployment shape: the
+    corpus band index is built and persisted ONCE
+    (operators/dedup.py ``build_minhash_index``), then the "new docs"
+    arrive as a 3-micro-batch file stream and each batch is probed
+    against that one index inside foreachBatch
+    (``probe_minhash_index``) — per-batch cost is O(batch) hashing +
+    one band-key shuffle, and the index blocks stay resident across
+    batches instead of being rebuilt per ingest. Flagged pairs append
+    to a parquet sink. Disjoint batches ⇒ the union over batches
+    equals the one-shot batch probe, so the SAME DuckDB oracle grades
+    the streaming run (the minhash_index_probe oracle) — a dropped
+    micro-batch, a double-probed file, or index staleness all flip
+    the result. Wall time is JOB-COUNT-bound, not data-bound (16.6 s
+    at sf0.01 AND sf0.1: stream setup + 3 probe rounds × [persist,
+    band, verify, sink write]); at production scale the per-batch
+    fixed cost amortizes over real batch sizes.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+
+    work = _tempfile.mkdtemp(prefix="dedup_idx_stream_")
+    src = _os.path.join(work, "src")
+    split = _os.path.join(work, "split")
+    out = _os.path.join(work, "pairs")
+    new.repartitionByRange(3, F.col("doc_id")).write.parquet(split)
+    _os.makedirs(src)
+    parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+    for i, fname in enumerate(parts):
+        dst = _os.path.join(src, f"batch{i:04d}.parquet")
+        _os.replace(_os.path.join(split, fname), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    grams, banded = build_minhash_index(corpus, "doc_id", "text")
+    try:
+        def handle(batch_df, epoch_id: int) -> None:
+            probe_minhash_index(
+                grams, banded, batch_df, "doc_id", "text",
+                min_jaccard_micro=300_000,
+            ).write.mode("append").parquet(out)
+
+        q = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        grams.unpersist()
+        banded.unpersist()
+    return spark.read.parquet(out).select("new_doc", "corpus_doc", "jaccard_micro")
+
+
 # ===========================================================================
 # Event-time windows (SURVEY §2.9 formalized) + joins/set-ops (§2.3/2.7)
 # ===========================================================================
