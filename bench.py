@@ -52,6 +52,8 @@ LARGE_RESULT = {
     # like their row-per-key peers above (verdict task 2 plan-diff)
     "customers_with_orders",
     "events_session_windows",
+    # row-per-doc with the full cleaned text riding along
+    "dedup_trim_spans",
 }
 
 

@@ -831,6 +831,95 @@ def _cc_loop(both, labels, max_iter):
     return labels
 
 
+def trim_duplicated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact substring dedup, the ACTION stage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): remove
+    every token covered by an ``n``-gram that appears in ≥ ``min_df``
+    documents. ``duplicated_span_docs`` is the measurement that sets
+    the policy; this operator applies it and returns the cleaned text.
+
+    Plan — all native expressions, linear in (tokens + duplicated
+    windows), never quadratic:
+    1. gram inventory: per doc, (start, n-gram) pairs from one
+       sequence/slice expression over the token array;
+    2. duplicated grams: per-doc-distinct grams → groupBy(gram) →
+       document frequency ≥ min_df (one shuffle keyed on the gram);
+    3. covered positions: duplicated (doc, start) windows explode to
+       (doc, pos) via sequence(start, start+n−1), deduped — bounded by
+       n × duplicated-window count, not tokens²;
+    4. kept tokens: anti-join (doc, pos) against covered; reassemble
+       with sort_array(collect_list(struct(pos, tok))) per doc.
+
+    Output: (id_col, n_tokens, n_kept, cleaned_text) for every doc
+    with ≥1 token; cleaned_text is single-space-normalized (both
+    engines reassemble from tokens, so normalization is part of the
+    contract). At 100 TB the gram shuffle key gets xxhash64-compressed
+    (fixed 8-byte keys) at the cost of oracle exactness — same dial
+    ``duplicated_span_docs`` documents.
+    """
+    from spacex_data_engineering_pipeline_spark.functions.text import words
+
+    base = docs.select(
+        F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
+    ).filter(F.size("w") > 0)
+
+    grams = base.filter(F.size("w") >= n).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.struct(
+                    i.alias("s"),
+                    F.concat_ws(" ", F.slice("w", i + 1, n)).alias("g"),
+                ),
+            )
+        ).alias("sg"),
+    ).select("doc", F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+
+    dup_grams = (
+        grams.select("doc", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup_grams, "g")
+        .select("doc", F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+
+    toks = base.select("doc", F.posexplode("w").alias("pos", "tok"))
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc", F.size("w").cast("long").alias("n_tokens"))
+        .join(kept_agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

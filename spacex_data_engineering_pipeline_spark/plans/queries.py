@@ -3925,6 +3925,64 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_trim_spans",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, w FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) > 0
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS s, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+              FROM base WHERE len(w) >= 8)
+    ),
+    dup AS (
+        SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT g2.doc_id, g2.s + d.d AS pos
+        FROM (SELECT grams.doc_id, grams.s FROM grams JOIN dup USING (g)) g2,
+             (SELECT unnest(range(0, 8)) AS d) d
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM base)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks t
+        LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.doc_id IS NULL
+    ),
+    ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(ka.cleaned_text, '') AS cleaned_text
+    FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id
+    """,
+)
+def dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, ACTION stage (operators/dedup.py
+    ``trim_duplicated_spans``; Lee et al. 2022): every token covered by
+    an 8-gram appearing in ≥2 documents is removed and the cleaned
+    text returned — ``duplicated_span_docs`` measures the policy, this
+    applies it. Inverted-index plan: one gram shuffle for document
+    frequency, duplicated windows explode to covered positions
+    (bounded by n × dup windows), anti-join tokens, per-doc ordered
+    reassembly. The full cleaned string rides the hash compare, so a
+    single mis-kept or mis-ordered token anywhere in the corpus flips
+    the grade.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.trim_duplicated_spans(docs, "doc_id", "text", n=8, min_df=2)
+
+
+@_register(
     "duplicated_span_docs",
     oracle=rf"""
     WITH g AS (
