@@ -140,6 +140,54 @@ def kmeans_assign_q(
     )
 
 
+def kcenter_greedy(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[tuple[int, list[int], int]]:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation
+    — the farthest-point traversal behind diversity-aware corpus
+    curation / active-learning coresets): seed with the lowest id,
+    then k−1 rounds of "pick the vector farthest from everything
+    chosen so far", ties → lowest id.
+
+    Distributed shape mirrors ``kmeans_fit``: the chosen set is MODEL
+    state (k × dim, driver-held); each round is ONE zero-shuffle Arrow
+    pass (``kmeans_assign_q`` — its qdist against the chosen set IS
+    the min-distance-to-coreset) followed by a TakeOrdered(1) argmax
+    and a single-row vector fetch — both the documented bounded-probe
+    class, 2 probes × k rounds total. All distances are exact int64 in
+    quantized space, so the selection sequence is a pure function of
+    the data, replayable bit-for-bit by the DuckDB oracle's unrolled
+    LEAST chain.
+
+    Returns ``[(vec_id, quantized_vec, sel_dist_q)]`` in selection
+    order; the seed's sel_dist_q is 0 by convention (chosen against an
+    empty set).
+    """
+    vecs = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    seed = vecs.orderBy(id_col).first()
+    if seed is None:
+        return []
+    chosen: list[tuple[int, list[int], int]] = [
+        (seed[id_col], quantize_vec(list(seed[vec_col])), 0)
+    ]
+    for _ in range(1, k):
+        ids = [c[0] for c in chosen]
+        qs = [c[1] for c in chosen]
+        far = (
+            kmeans_assign_q(vecs, id_col, vec_col, qs, ids)
+            .orderBy(F.col("qdist").desc(), F.col(id_col).asc())
+            .limit(1)
+            .first()
+        )
+        if far is None or far["qdist"] == 0:
+            break  # all remaining vectors coincide with a chosen one
+        row = vecs.filter(F.col(id_col) == far[id_col]).first()
+        chosen.append(
+            (far[id_col], quantize_vec(list(row[vec_col])), far["qdist"])
+        )
+    return chosen
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,

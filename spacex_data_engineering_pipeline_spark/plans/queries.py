@@ -8035,6 +8035,96 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """DuckDB replay of greedy k-center selection + assignment,
+    unrolled per round (the kmeans/BPE oracle pattern, CTEs
+    MATERIALIZED against exponential inlining): round r keeps each
+    vector's running min distance to the chosen set via LEAST, picks
+    the argmax (d DESC, vec_id ASC), and the final assignment is the
+    nearest chosen center (d ASC, cid ASC). All arithmetic exact
+    int64 in quantized space."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS MATERIALIZED (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 1),
+    d0 AS MATERIALIZED (
+        SELECT v.vec_id, v.q, {dist("v.q", "c.q")} AS d FROM qv v, c0 c
+    )"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+    c{r} AS MATERIALIZED (SELECT vec_id, q FROM d{r - 1}
+                          ORDER BY d DESC, vec_id ASC LIMIT 1),
+    d{r} AS MATERIALIZED (
+        SELECT v.vec_id, v.q, LEAST(v.d, {dist("v.q", "c.q")}) AS d
+        FROM d{r - 1} v, c{r} c
+    )"""
+        )
+    cents = "\n        UNION ALL ".join(
+        f"SELECT vec_id AS cid, q FROM c{r}" for r in range(k)
+    )
+    parts.append(
+        f""",
+    cents AS MATERIALIZED (
+        {cents}
+    ),
+    dist_all AS (
+        SELECT e.vec_id, c.cid, {dist("e.q", "c.q")} AS d
+        FROM qv e, cents c
+    )
+    SELECT vec_id, center_id, qdist
+    FROM (SELECT vec_id, cid AS center_id, d AS qdist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, cid ASC) AS rn
+          FROM dist_all)
+    WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+@_register("embedding_coreset_assign", oracle=_kcenter_oracle_sql())
+def embedding_coreset_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset: greedy k-center selection (Gonzalez
+    farthest-point traversal, operators/cluster.py ``kcenter_greedy``)
+    picks 8 maximally-spread embeddings, then every vector is assigned
+    to its nearest center — the diversity-aware curation/active-
+    learning primitive (pick exemplars far apart, then bucket the
+    corpus around them). Selection is k driver-coordinated rounds,
+    each ONE zero-shuffle Arrow pass (the chosen set is model state);
+    assignment is the same pass once more. Exact quantized int64
+    distances make the whole selection SEQUENCE and the final
+    assignment a pure function of the data — the DuckDB oracle unrolls
+    all 8 rounds (LEAST running-min chain) and must agree on every
+    pick and every label.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.cluster import (
+        kcenter_greedy,
+        kmeans_assign_q,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chosen = kcenter_greedy(emb, "vec_id", "embedding", 8)
+    return kmeans_assign_q(
+        emb,
+        "vec_id",
+        "embedding",
+        [q for _, q, _ in chosen],
+        [cid for cid, _, _ in chosen],
+    ).select("vec_id", F.col("cluster").alias("center_id"), "qdist")
+
+
 @_register(
     "embedding_kmeans_assign",
     oracle="""
