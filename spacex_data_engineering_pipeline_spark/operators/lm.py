@@ -97,6 +97,62 @@ def vocab_size(docs: DataFrame, text_col: str) -> int:
     )
 
 
+def dsir_log_ratio(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely it is under a TARGET-domain LM
+    than under the general SOURCE LM — the weight that resamples a raw
+    crawl toward a curated target distribution. Both LMs are add-one-
+    smoothed bigram models trained on their own slice (the
+    ``score_docs_nll`` machinery, twice); the per-doc score is the
+    average log ratio over its bigrams:
+
+        avg_log_ratio = avg( nll_source − nll_target )
+
+    Positive ⇒ the doc looks more like the target than the source ⇒
+    up-sample. Plan: two vocab-bounded count-pairs (one per LM), then
+    ONE pass over the occurrence table with four keyed dim joins
+    (source/target × unigram/bigram) and a doc-keyed average — no
+    per-doc loop, nothing collects; words unseen by the target LM
+    smooth through COALESCE(count, 0) like any unseen bigram.
+
+    Returns (id, n_bigrams, avg_log_ratio) for docs with ≥1 bigram.
+    """
+    v_s = float(vocab_size(docs, text_col))
+    v_t = float(vocab_size(target_docs, text_col))
+    occ = doc_bigrams(docs, id_col, text_col)
+    c2s = bigram_counts(docs, id_col, text_col).withColumnRenamed("c2", "c2s")
+    c1s = unigram_counts(docs, text_col).withColumnRenamed("c1", "c1s")
+    c2t = bigram_counts(target_docs, id_col, text_col).withColumnRenamed("c2", "c2t")
+    c1t = unigram_counts(target_docs, text_col).withColumnRenamed("c1", "c1t")
+
+    nll_s = F.log(F.col("c1s") + F.lit(v_s)) - F.log(
+        F.coalesce(F.col("c2s"), F.lit(0)) + F.lit(1.0)
+    )
+    nll_t = F.log(F.coalesce(F.col("c1t"), F.lit(0)) + F.lit(v_t)) - F.log(
+        F.coalesce(F.col("c2t"), F.lit(0)) + F.lit(1.0)
+    )
+    return (
+        occ.join(c2s, ["w1", "w2"], "left")
+        .join(c2t, ["w1", "w2"], "left")
+        .join(c1s.withColumnRenamed("w", "w1"), ["w1"], "inner")
+        .join(c1t.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .withColumn("__lr", nll_s - nll_t)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lr"), round_to).alias("avg_log_ratio"),
+        )
+    )
+
+
 def score_docs_nll(
     docs: DataFrame,
     id_col: str,

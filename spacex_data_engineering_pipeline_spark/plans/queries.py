@@ -7959,6 +7959,61 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "dsir_importance_weights",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, lang, {_DUCK_WORDS} AS w FROM documents),
+    occ AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)
+    ),
+    c2s AS (SELECT w1, w2, COUNT(*) AS c2s FROM occ GROUP BY w1, w2),
+    c1s AS (SELECT u AS w, COUNT(*) AS c1s
+            FROM (SELECT unnest(w) AS u FROM toks) t(u) GROUP BY u),
+    vs AS (SELECT COUNT(DISTINCT u) AS v
+           FROM (SELECT unnest(w) AS u FROM toks) t(u)),
+    tocc AS (
+        SELECT w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE lang = 'en' AND len(w) >= 2)
+    ),
+    c2t AS (SELECT w1, w2, COUNT(*) AS c2t FROM tocc GROUP BY w1, w2),
+    c1t AS (SELECT u AS w, COUNT(*) AS c1t
+            FROM (SELECT unnest(w) AS u FROM toks WHERE lang = 'en') t(u)
+            GROUP BY u),
+    vt AS (SELECT COUNT(DISTINCT u) AS v
+           FROM (SELECT unnest(w) AS u FROM toks WHERE lang = 'en') t(u))
+    SELECT o.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG((ln(c1s.c1s + (SELECT v FROM vs))
+                      - ln(COALESCE(c2s.c2s, 0) + 1))
+                     - (ln(COALESCE(c1t.c1t, 0) + (SELECT v FROM vt))
+                        - ln(COALESCE(c2t.c2t, 0) + 1))), 6) AS avg_log_ratio
+    FROM occ o
+    LEFT JOIN c2s ON o.w1 = c2s.w1 AND o.w2 = c2s.w2
+    LEFT JOIN c2t ON o.w1 = c2t.w1 AND o.w2 = c2t.w2
+    JOIN c1s ON o.w1 = c1s.w
+    LEFT JOIN c1t ON o.w1 = c1t.w
+    GROUP BY o.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (operators/lm.py
+    ``dsir_log_ratio``): target = the English slice, source = the full
+    corpus; each document scores avg(nll_source − nll_target) over its
+    bigrams — positive means "more like the target than the crawl",
+    the resampling weight that tilts a raw mix toward a curated
+    domain. Two vocab-bounded LM trainings + one occurrence pass with
+    four keyed dim joins; nothing collects, nothing loops per doc.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.dsir_log_ratio(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+
+
+@_register(
     "doc_lm_perplexity",
     oracle=rf"""
     WITH toks AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
