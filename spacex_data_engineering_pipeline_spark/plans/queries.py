@@ -552,6 +552,60 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quality_rank_by_source",
+    oracle=rf"""
+    SELECT doc_id, source, quality_score,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY quality_score), 6) AS pct_rank,
+           PERCENT_RANK() OVER (PARTITION BY source
+                                ORDER BY quality_score) >= 0.5 AS keep_top_half
+    FROM (
+        SELECT doc_id, source,
+               ROUND(0.4 * least(1.0, n_tok / 100.0)
+                   + 0.3 * greatest(0.0, 1.0 - 5.0 * (p_cnt / greatest(len_c, 1.0)))
+                   + 0.3 * least(1.0, 4.0 * stop_hits / greatest(n_tok, 1.0)), 4)
+                   AS quality_score
+        FROM (
+            SELECT doc_id, source,
+                   CAST({_DUCK_NTOK} AS DOUBLE) AS n_tok,
+                   CAST(length(text) - length(regexp_replace(text, '{_DUCK_PUNCT_RE}', '', 'g')) AS DOUBLE) AS p_cnt,
+                   CAST(length(text) AS DOUBLE) AS len_c,
+                   CAST(length(list_intersect(
+                            list_distinct(list_transform({_DUCK_WORDS}, w -> lower(w))),
+                            ['the','and','is','of','to'])) AS DOUBLE) AS stop_hits
+            FROM documents
+        )
+    )
+    """,
+)
+def quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality calibration: a raw quality threshold is not
+    comparable across sources (a clean-wiki domain's worst doc can
+    outscore a forum domain's best), so production curation ranks
+    WITHIN each source and cuts at a per-domain percentile — this
+    query emits each doc's percent_rank inside its source and a
+    keep-top-half policy bit. percent_rank = (rank−1)/(n−1) is
+    closed-form on ties in both engines, so the grade is exact; the
+    window partitions by source (each domain sorts only itself — the
+    grouped shape that never needs a global sort; a pathologically
+    large single domain would route through the distributed-rank
+    primitive like quality_budget_selection).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("quality_score")
+    pr = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality_score")
+    ).select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round(pr, 6).alias("pct_rank"),
+        (pr >= 0.5).alias("keep_top_half"),
+    )
+
+
+@_register(
     "doc_quality_classifier",
     oracle=rf"""
     SELECT doc_id,
