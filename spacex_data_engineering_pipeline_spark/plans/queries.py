@@ -5136,22 +5136,47 @@ def orders_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate. (The exact twin rides along for grading only; the measured
     approx-vs-exact cost delta is recorded in SCALE_NOTES from
     separate aggregation-only runs.)
+
+    NEVER put the sketches in the same Aggregate as the
+    multi-count_distinct (round-6 lesson, 40→8 s at sf0.1): HLL is an
+    imperative-buffer aggregate, so its presence forces the whole
+    Expand-rewritten aggregate down ObjectHashAggregate's sort-based
+    fallback — every partial group row (one per distinct key per
+    column!) then drags six ~2 KB sketch buffers through a sort, and
+    the cost scales with distinct-key count, a genuine 100 TB killer.
+    The grading twin therefore runs as TWO single-row aggregates —
+    exact/min/max/null in one (codegen hash agg), sketches alone in
+    the other (fixed-size buffers, no expand) — joined on a
+    spark_partition_id key (non-foldable on purpose: a literal key
+    constant-folds and replans the 1×1 join as BroadcastNestedLoop,
+    which the catalog-wide guard rejects).
     """
     orders = load_table(spark, sf_dir, "orders")
-    aggs: list[F.Column] = []
+    base_aggs: list[F.Column] = []
+    approx_aggs: list[F.Column] = []
     for c, kind in _PROFILE_COLS:
-        exact = F.count_distinct(F.col(c))
-        approx = F.approx_count_distinct(c, 0.03)
-        aggs.append(
+        base_aggs.append(
             (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"{c}__n_null")
         )
-        aggs.append(exact.cast("long").alias(f"{c}__n_distinct"))
-        aggs.append(
-            ((F.abs(approx - exact) / exact) <= 0.05).alias(f"{c}__ok")
-        )
-        aggs.append(_profile_str(c, kind, F.min).alias(f"{c}__min"))
-        aggs.append(_profile_str(c, kind, F.max).alias(f"{c}__max"))
-    row = orders.agg(*aggs)
+        base_aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"{c}__n_distinct"))
+        base_aggs.append(_profile_str(c, kind, F.min).alias(f"{c}__min"))
+        base_aggs.append(_profile_str(c, kind, F.max).alias(f"{c}__max"))
+        approx_aggs.append(F.approx_count_distinct(c, 0.03).alias(f"{c}__approx"))
+    exact_row = orders.agg(*base_aggs).withColumn("__k", F.spark_partition_id())
+    approx_row = orders.agg(*approx_aggs).withColumn("__k", F.spark_partition_id())
+    row = exact_row.join(approx_row, "__k").select(
+        "*",
+        *[
+            (
+                (
+                    F.abs(F.col(f"{c}__approx") - F.col(f"{c}__n_distinct"))
+                    / F.col(f"{c}__n_distinct")
+                )
+                <= 0.05
+            ).alias(f"{c}__ok")
+            for c, _ in _PROFILE_COLS
+        ],
+    )
     stack_args = ", ".join(
         f"'{c}', {c}__n_null, {c}__n_distinct, {c}__ok, {c}__min, {c}__max"
         for c, _ in _PROFILE_COLS
