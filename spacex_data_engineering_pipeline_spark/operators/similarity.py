@@ -126,6 +126,105 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def batch_knn_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    decimals: int = 6,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """Top-k nearest neighbors for a BATCH of query vectors in ONE scan
+    — the realistic retrieval shape (a query batch, not a point probe).
+
+    Why not Q repeated ``brute_force_topk`` calls: that is Q full scans
+    of the corpus. Here the query matrix (Q×dim, model-sized) ships
+    inside one ``mapInPandas`` closure; each partition scores its rows
+    against ALL queries as numpy C loops and keeps only a per-query
+    partial top-k, so the shuffle that follows moves at most
+    partitions × Q × (k + ties) candidate rows — never the corpus. The
+    final per-query rank is a window over that candidate set, hash-
+    partitioned on query_id (Q-way parallel, no single reducer over
+    data). At 100 TB this is the exact brute-force arm you'd run per
+    mini-batch before (or instead of) an IVF probe; swapping the scan
+    for ``ivf_topk``'s partition-pruned read keeps the same contract.
+
+    Exactness: dots and norms use ``np.cumsum`` (strict left-to-right
+    summation, bit-identical to DuckDB's list_dot_product — same
+    contract as ``grouped_allpairs_cosine``); partial selection keeps
+    every row whose RAW cosine is within ``slack`` of the partition's
+    k-th best, which provably covers rounding at ``decimals`` (rounding
+    is monotone, and two raws that round apart differ by > 0.5·10^-d),
+    so the post-round global rank equals the unpruned answer. Rounding
+    itself happens engine-side via ``F.round``. Zero-norm vectors score
+    non-finite and are dropped (the NULL-cosine exclusion); NULL
+    vectors are filtered before the Arrow boundary.
+
+    Output: (query_id, rnk, id_col, cos_sim), rnk 1..k per query by
+    (cos_sim DESC, id ASC).
+    """
+    from pyspark.sql.window import Window
+
+    qids = np.asarray([int(q) for q, _ in queries], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+    nq = len(qids)
+    keep = k  # rows kept per query before the slack band widens it
+
+    def score_partition(batches):
+        cand_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        cand_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+
+        def prune(j):
+            ids_j, cos_j = cand_ids[j], cand_cos[j]
+            if ids_j.size <= keep:
+                return
+            order = np.lexsort((ids_j, -cos_j))
+            thr = cos_j[order[keep - 1]] - slack
+            sel = order[cos_j[order] >= thr]
+            cand_ids[j], cand_cos[j] = ids_j[sel], cos_j[sel]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for j in range(nq):
+                    dots = np.cumsum(mat * qmat[j][None, :], axis=1)[:, -1]
+                    cos = dots / (norms * qnorm[j])
+                    ok = np.isfinite(cos)
+                    cand_ids[j] = np.concatenate([cand_ids[j], ids[ok]])
+                    cand_cos[j] = np.concatenate([cand_cos[j], cos[ok]])
+                    prune(j)
+        n = sum(a.size for a in cand_ids)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, [a.size for a in cand_ids]),
+                    id_col: np.concatenate(cand_ids),
+                    "cos_raw": np.concatenate(cand_cos),
+                }
+            )
+
+    cands = (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(score_partition, f"query_id long, {id_col} long, cos_raw double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("cos_sim", F.round("cos_raw", decimals))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", id_col, "cos_sim")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = random.Random(seed)

@@ -152,6 +152,33 @@ def test_ann_lsh_consistent_with_bruteforce(spark, sf_dir):
     assert [vid for vid, _ in got] == true_top  # radius 8/8 == brute force
 
 
+def test_batch_knn_matches_per_query_bruteforce(spark, sf_dir):
+    """Two-formulation pin: the one-scan batched kNN (partition-local
+    partial top-k + slack band) must equal k independent brute-force
+    top-k scans, including under a hostile repartition that splits the
+    corpus into many small partitions (exercising the per-partition
+    prune + global merge path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    cands = emb.filter(F.col("vec_id") >= 4).repartition(16)
+    batched = [
+        (r.query_id, r.rnk, r.vec_id, r.cos_sim)
+        for r in S.batch_knn_topk(cands, "vec_id", "embedding", queries, k=7)
+        .orderBy("query_id", "rnk")
+        .collect()
+    ]
+    expected = []
+    for qid, vec in queries:
+        top = S.brute_force_topk(cands, "vec_id", "embedding", vec, 7).collect()
+        expected.extend(
+            (qid, i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(top)
+        )
+    assert batched == expected
+
+
 def test_exact_dedup_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "a", 20)],
