@@ -1170,6 +1170,60 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_batch_knn",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN q
+        WHERE e.vec_id >= 8
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def embedding_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query exact kNN: top-5 neighbors for EIGHT query
+    vectors (vec_id 0-7, the retrieval mini-batch shape) in ONE corpus
+    scan — vs. eight separate ``brute_force_topk`` scans.
+
+    Scale (operators/similarity.py:batch_knn_topk): the Q×dim query
+    matrix ships in the mapInPandas closure; each partition scores its
+    rows against all queries with strict-sum numpy (cumsum — bitwise
+    equal to DuckDB's list_dot_product) and emits only a per-query
+    partial top-k with a 1e-6 slack band that provably covers 6dp
+    rounding, so the window stage ranks partitions×Q×(k+ties) candidate
+    rows hash-partitioned by query_id — the corpus itself never
+    shuffles. The 8-vector query batch is a driver-side bounded probe
+    (the _query_vector precedent, 8 rows).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    cands = emb.filter(F.col("vec_id") >= 8)
+    out = S.batch_knn_topk(cands, "vec_id", "embedding", queries, k=5)
+    return out.orderBy("query_id", "rnk")
+
+
+@_register(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
@@ -4721,6 +4775,12 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency is a tiny broadcast; top-10 is TakeOrderedAndProject
     (per-partition heaps), never a global sort.
     """
+    return _bm25_topk(spark, sf_dir, 10)
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Shared BM25 scorer: (doc_id, score) top-k — the sparse arm for
+    both the standalone keyword search and the RRF hybrid fusion."""
     from spacex_data_engineering_pipeline_spark.functions.text import words
     from spacex_data_engineering_pipeline_spark.operators.util import (
         release_caches_with,
@@ -4770,10 +4830,128 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tf JOIN dfreq ON tf.term = dfreq.term
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC
-        LIMIT 10
+        LIMIT {int(k)}
         """
     )
     return release_caches_with(out, docs)
+
+
+@_register(
+    "hybrid_rrf_retrieval",
+    oracle=rf"""
+    WITH docs AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(avg(length(w)) AS DOUBLE) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(count(*) AS DOUBLE) AS tf,
+               CAST(max(dl) AS DOUBLE) AS dl
+        FROM (SELECT doc_id, length(w) AS dl, unnest(w) AS term FROM docs)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    sparse AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+               ), 4) AS score
+        FROM tf, dfreq, stats
+        WHERE tf.term = dfreq.term
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    ),
+    sparse_r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+                   AS r_sparse
+        FROM sparse
+    ),
+    dense AS (
+        SELECT e.vec_id AS doc_id, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, doc_id ASC
+        LIMIT 20
+    ),
+    dense_r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS INT)
+                   AS r_dense
+        FROM dense
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.r_sparse, d.r_dense,
+               ROUND(COALESCE(1.0 / (60 + s.r_sparse), 0)
+                     + COALESCE(1.0 / (60 + d.r_dense), 0), 6) AS rrf_score
+        FROM sparse_r s FULL JOIN dense_r d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, r_sparse, r_dense, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    sparse arm and the dense cosine arm — the standard two-tower
+    retrieval layout (Cormack et al.'s RRF; what a curation pipeline
+    runs to pull targeted subsets when neither lexical nor semantic
+    match alone is trustworthy). Documents and embeddings share the
+    id space (doc_id ≡ vec_id, TESTDATA.md), so the arms fuse on id.
+
+    Scale: each arm ends in its own TakeOrderedAndProject top-20
+    (per-partition heaps — the corpus never globally sorts), so the
+    rank windows and the full-outer fusion join run over ≤ 2×20 rows
+    of (id, rank) — model-sized no matter the corpus. The dense arm
+    swaps to the IVF/LSH probe at scale (same contract, pruned scan);
+    the sparse arm's postings are term-filtered before any shuffle.
+    RRF itself is rank-only arithmetic (1/(60+r)) — deterministic
+    doubles, no score-scale calibration between arms, which is why
+    fusion beats score-mixing at 100 TB where the two score
+    distributions drift independently.
+    """
+    sparse = _bm25_topk(spark, sf_dir, 20)
+    sparse_r = sparse.withColumn(
+        "r_sparse",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "r_sparse")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = S.brute_force_topk(
+        emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 20
+    )
+    dense_r = dense.withColumn(
+        "r_dense",
+        F.row_number().over(
+            Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        ),
+    ).select(F.col("vec_id").alias("doc_id"), "r_dense")
+
+    fused = sparse_r.join(dense_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_sparse",
+        "r_dense",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sparse")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
 
 
 @_register(
@@ -8130,6 +8308,108 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lm.score_docs_nll(docs, "doc_id", "text")
+
+
+@_register(
+    "ccnet_perplexity_tiers",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+    occ AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY w1, w2),
+    c1 AS (SELECT u AS w, COUNT(*) AS c1
+           FROM (SELECT unnest(w) AS u FROM toks) t(u) GROUP BY u),
+    v AS (SELECT COUNT(DISTINCT u) AS v
+          FROM (SELECT unnest(w) AS u FROM toks) t(u)),
+    nll AS (
+        SELECT o.doc_id,
+               ROUND(AVG(ln(c1.c1 + (SELECT v FROM v))
+                         - ln(COALESCE(c2.c2, 0) + 1)), 6) AS avg_nll
+        FROM occ o
+        LEFT JOIN c2 ON o.w1 = c2.w1 AND o.w2 = c2.w2
+        JOIN c1 ON o.w1 = c1.w
+        GROUP BY o.doc_id
+    ),
+    scored AS (
+        SELECT n.doc_id, d.lang, n.avg_nll
+        FROM nll n JOIN documents d ON n.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT lang, avg_nll,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY avg_nll ASC, doc_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS nl
+        FROM scored
+    ),
+    tiers AS (
+        SELECT lang, avg_nll,
+               CASE WHEN nl = 1 THEN 'head'
+                    WHEN CAST(rn - 1 AS DOUBLE) / (nl - 1) < 1.0 / 3.0 THEN 'head'
+                    WHEN CAST(rn - 1 AS DOUBLE) / (nl - 1) < 2.0 / 3.0 THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM ranked
+    )
+    SELECT lang, tier, COUNT(*) AS n_docs,
+           MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+    FROM tiers
+    GROUP BY lang, tier
+    ORDER BY lang, tier
+    """,
+)
+def ccnet_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's language-calibrated perplexity bucketing: score every
+    document under the corpus bigram LM (operators/lm.py), then cut
+    each LANGUAGE's score distribution into head/middle/tail thirds —
+    the absolute perplexity scale differs per language, so tiers must
+    come from within-language rank position, never a global threshold
+    (the CCNet paper's core trick). Output is the tier audit table
+    (lang, tier, n_docs, min/max NLL bounds) a curation run logs
+    before deciding which tiers feed training.
+
+    Scale: LM training is vocab-bounded (two map-side-combined count
+    shuffles); scoring is one fact→dim join; the rank window hash-
+    partitions by lang — per-language skew is real at 100 TB (English
+    dominates), so the production dial range-partitions WITHIN lang on
+    avg_nll and composes per-range counts into global rank offsets
+    (the quantity_percentiles pattern); tier min/max are
+    order-independent aggregates, immune to float summation order.
+    Thirds use row_number (not percent_rank) so rank ties are
+    id-broken identically on both engines, and the 1/3 cutoffs
+    compare correctly-rounded doubles — equal bit patterns for any
+    (rn-1)/(nl-1) that is exactly k/3.
+    """
+    from spacex_data_engineering_pipeline_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = lm.score_docs_nll(docs, "doc_id", "text").select("doc_id", "avg_nll")
+    scored = nll.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_nll").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nl", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    pr = (F.col("rn") - 1).cast("double") / (F.col("nl") - 1)
+    tier = (
+        F.when(F.col("nl") == 1, F.lit("head"))
+        .when(pr < 1.0 / 3.0, F.lit("head"))
+        .when(pr < 2.0 / 3.0, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.withColumn("tier", tier)
+        .groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+        .orderBy("lang", "tier")
+    )
 
 
 @_register(
