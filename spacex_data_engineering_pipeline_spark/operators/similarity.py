@@ -134,9 +134,16 @@ def batch_knn_topk(
     k: int,
     decimals: int = 6,
     slack: float = 1e-6,
+    probe_map: dict[int, list[int]] | None = None,
+    cluster_col: str = "cluster",
 ) -> DataFrame:
     """Top-k nearest neighbors for a BATCH of query vectors in ONE scan
     — the realistic retrieval shape (a query batch, not a point probe).
+
+    With ``probe_map`` (query_id → allowed cluster ids, from an
+    ``IvfIndex``), each query scores only rows whose ``cluster_col``
+    is in its probe set — the IVF arm of the same single-scan layout
+    (see ``ivf_batch_topk``).
 
     Why not Q repeated ``brute_force_topk`` calls: that is Q full scans
     of the corpus. Here the query matrix (Q×dim, model-sized) ships
@@ -171,6 +178,11 @@ def batch_knn_topk(
     qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
     nq = len(qids)
     keep = k  # rows kept per query before the slack band widens it
+    probe_lists = (
+        None
+        if probe_map is None
+        else [np.asarray(sorted(probe_map[int(q)]), dtype=np.int64) for q, _ in queries]
+    )
 
     def score_partition(batches):
         cand_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
@@ -190,12 +202,19 @@ def batch_knn_topk(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            clusters = (
+                pdf[cluster_col].to_numpy(dtype=np.int64)
+                if probe_lists is not None
+                else None
+            )
             norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
             with np.errstate(divide="ignore", invalid="ignore"):
                 for j in range(nq):
                     dots = np.cumsum(mat * qmat[j][None, :], axis=1)[:, -1]
                     cos = dots / (norms * qnorm[j])
                     ok = np.isfinite(cos)
+                    if probe_lists is not None:
+                        ok &= np.isin(clusters, probe_lists[j])
                     cand_ids[j] = np.concatenate([cand_ids[j], ids[ok]])
                     cand_cos[j] = np.concatenate([cand_cos[j], cos[ok]])
                     prune(j)
@@ -209,8 +228,9 @@ def batch_knn_topk(
                 }
             )
 
+    cols = [id_col, vec_col] + ([cluster_col] if probe_map is not None else [])
     cands = (
-        df.select(id_col, vec_col)
+        df.select(*cols)
         .filter(F.col(vec_col).isNotNull())
         .mapInPandas(score_partition, f"query_id long, {id_col} long, cos_raw double")
     )
@@ -628,3 +648,30 @@ def ivf_topk(
     probe_ids = index.probe_clusters(query_vec, n_probes)
     probed = index.assigned.filter(F.col("cluster").isin(probe_ids)).drop("cluster")
     return brute_force_topk(probed, index.id_col, index.vec_col, query_vec, k)
+
+
+def ivf_batch_topk(
+    index: IvfIndex,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Batched IVF probe: top-k for a whole query batch in ONE pass
+    over the UNION of every query's probed clusters. Probe selection
+    is a driver-side numpy scan per query (no job); the posting scan
+    is partition-pruned to the union (``isin`` on the partition
+    column for a saved index), and inside the scan each query only
+    scores rows of ITS probe set (per-query cluster mask in the
+    partial-top-k kernel). Cost: |union of probed postings| × Q flops,
+    one scan — vs Q pruned scans for repeated ``ivf_topk``. With
+    ``n_probes == n_clusters`` this EQUALS the batched brute force,
+    which is the index-integrity oracle the catalog grades.
+    """
+    probe_map = {
+        int(qid): index.probe_clusters(vec, n_probes) for qid, vec in queries
+    }
+    union = sorted({c for cl in probe_map.values() for c in cl})
+    probed = index.assigned.filter(F.col("cluster").isin(union))
+    return batch_knn_topk(
+        probed, index.id_col, index.vec_col, queries, k, probe_map=probe_map
+    )

@@ -1224,6 +1224,63 @@ def embedding_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_ivf_batch_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN q
+        WHERE e.vec_id >= 8
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def embedding_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF arm of batched retrieval: the same 8-query batch probed
+    against a prebuilt 8-cluster IVF index in ONE pass over the union
+    of probed postings, each query masked to ITS probe set inside the
+    partial-top-k kernel (operators/similarity.py:ivf_batch_topk).
+
+    Graded at FULL probe width (n_probes == n_clusters), where the
+    probe must EQUAL the batched brute force — the index-integrity
+    contract (a posting lost, double-assigned, or masked to the wrong
+    query flips the result). The recall/cost dial (fewer probes ⊆
+    full, recall monotone in n_probes) is pytest-gated. At 100 TB the
+    postings live partitioned by cluster (IvfIndex.save), so the
+    union filter is partition pruning at scan time and per-batch cost
+    is |probed postings| × Q — not |corpus| × Q.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    cands = emb.filter(F.col("vec_id") >= 8)
+    idx = S.build_ivf_index(cands, "vec_id", "embedding", n_clusters=8, seed=42)
+    out = S.ivf_batch_topk(idx, queries, k=5, n_probes=8).orderBy("query_id", "rnk")
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        release_caches_with,
+    )
+
+    return release_caches_with(out, idx.assigned)
+
+
+@_register(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
@@ -3676,6 +3733,126 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk_text",
         F.col("chunk_n_tokens").alias("chunk_n_tokens"),
+    )
+
+
+@_register(
+    "countmin_term_estimates",
+    oracle=rf"""
+    WITH toks AS (SELECT {_DUCK_WORDS} AS w FROM documents),
+    counts AS (
+        SELECT u AS term, COUNT(*) AS cnt
+        FROM (SELECT unnest(w) AS u FROM toks) t(u) GROUP BY u
+    ),
+    cells AS (
+        SELECT term, cnt, r.i,
+               CAST(('0x' || substr(md5('cm' || r.i || ':' || term), 1, 7))
+                    AS UBIGINT) % 8 AS cell
+        FROM counts, range(4) r(i)
+    ),
+    sketch AS (
+        SELECT i, cell, SUM(cnt) AS cell_total FROM cells GROUP BY i, cell
+    ),
+    q AS (SELECT unnest(['spark', 'stream', 'table', 'the', 'vector']) AS term),
+    qc AS (
+        SELECT q.term, r.i,
+               CAST(('0x' || substr(md5('cm' || r.i || ':' || q.term), 1, 7))
+                    AS UBIGINT) % 8 AS cell
+        FROM q, range(4) r(i)
+    ),
+    est AS (
+        SELECT qc.term, MIN(s.cell_total) AS est_count
+        FROM qc JOIN sketch s ON qc.i = s.i AND qc.cell = s.cell
+        GROUP BY qc.term
+    )
+    SELECT e.term,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(c.cnt AS BIGINT) AS exact_count,
+           CAST(e.est_count - c.cnt AS BIGINT) AS overcount
+    FROM est e JOIN counts c ON e.term = c.term
+    ORDER BY e.term
+    """,
+)
+def countmin_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries, replayed EXACTLY: a d=4 × w=8
+    sketch over the corpus term frequencies (portable md5 row hashes,
+    the MinHash-family hash contract), then five term-count estimates
+    = min over rows of the hashed cell's total, graded against the
+    same deterministic sketch rebuilt in DuckDB — plus the exact count
+    and the (provably ≥ 0) overcount in the same row, making the CMS
+    one-sided error contract itself part of the oracle check.
+
+    Completes the sketch family next to HLL (approx_distinct_users)
+    and Bloom (bloom_pruned_high_value_lineitems). w=8 is deliberately
+    UNDERSIZED for the 31-term fixture vocabulary so collisions — and
+    therefore nonzero one-sided overcounts — actually appear in the
+    graded rows; production sizing is w = ceil(e/eps), d = ln(1/delta),
+    still fixed cells regardless of corpus. Scale: the sketch is d·w
+    cells NO MATTER the corpus size — the term-count shuffle is
+    vocab-bounded with map-side combine, the cell agg is d·w rows,
+    and point queries join a broadcast-literal probe table
+    against those cells; at 100 TB you'd fold per-partition partial
+    sketches the same way (SUM over cells is the CMS merge operator,
+    which is why this exact plan IS the distributed-merge layout).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(T.words(F.col("text"))).alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def cm_cell(term: Column, i: int) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{i}:"), term)), 1, 7), 16, 10
+            ).cast("long")
+            % 8
+        )
+
+    rows = counts.select(
+        "term",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cm_cell(F.col("term"), i).alias("cell")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", "cnt", F.col("rc.i").alias("i"), F.col("rc.cell").alias("cell"))
+    sketch = rows.groupBy("i", "cell").agg(F.sum("cnt").alias("cell_total"))
+
+    qterms = ["spark", "stream", "table", "the", "vector"]
+    q = spark.createDataFrame([(t,) for t in qterms], ["term"])
+    qc = q.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cm_cell(F.col("term"), i).alias("cell")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", F.col("rc.i").alias("i"), F.col("rc.cell").alias("cell"))
+    est = (
+        F.broadcast(qc)
+        .join(sketch, ["i", "cell"])
+        .groupBy("term")
+        .agg(F.min("cell_total").alias("est_count"))
+    )
+    return (
+        est.join(counts, "term")
+        .select(
+            "term",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("cnt").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy("term")
     )
 
 
@@ -8409,6 +8586,69 @@ def ccnet_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_nll").alias("max_nll"),
         )
         .orderBy("lang", "tier")
+    )
+
+
+@_register(
+    "train_val_test_split",
+    oracle="""
+    WITH coined AS (
+        SELECT source, n_chars,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                    AS UBIGINT) AS BIGINT) AS coin
+        FROM documents
+    ),
+    assigned AS (
+        SELECT source, n_chars,
+               CASE WHEN coin * 10 < 8 * 4294967296 THEN 'train'
+                    WHEN coin * 10 < 9 * 4294967296 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM coined
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment + per-source
+    stratification audit. The split coin is a portable md5 hash of the
+    STABLE document id (the weighted_doc_sample coin contract), so
+    membership is a pure function of identity: re-runs, repartitions,
+    late-arriving shards, and even a different engine assign every
+    document to the same side — the property that prevents eval
+    leakage when the corpus is rebuilt. Thresholds compare in exact
+    int64 (coin·10 vs k·2^32), no float boundaries. The audit output
+    is what a curation run logs to confirm each source stratum landed
+    near 80/10/10 before training reads the split.
+
+    Scale: one narrow map (hash + CASE) fused into the scan, one
+    map-side-combined group-by — no joins, no window, no state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(coin * 10 < F.lit(8 * 4294967296), F.lit("train"))
+        .when(coin * 10 < F.lit(9 * 4294967296), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
     )
 
 

@@ -179,6 +179,45 @@ def test_batch_knn_matches_per_query_bruteforce(spark, sf_dir):
     assert batched == expected
 
 
+def test_ivf_batch_probe_dial(spark, sf_dir):
+    """Batched IVF probe: full probe width EQUALS the batched brute
+    force (index integrity), and per-batch top-k recall is monotone in
+    n_probes (the recall/cost dial), with every returned score exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    cands = emb.filter(F.col("vec_id") >= 4)
+    idx = S.build_ivf_index(cands, "vec_id", "embedding", n_clusters=8, seed=42)
+    brute = {
+        (r.query_id, r.rnk): (r.vec_id, r.cos_sim)
+        for r in S.batch_knn_topk(cands, "vec_id", "embedding", queries, k=5).collect()
+    }
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in S.cosine_scores(
+            cands, "vec_id", "embedding", queries[0][1]
+        ).collect()
+    }
+    prev = -1.0
+    for n_probes in (1, 2, 4, 8):
+        got = S.ivf_batch_topk(idx, queries, k=5, n_probes=n_probes).collect()
+        for r in got:
+            if r.query_id == queries[0][0]:
+                assert exact[r.vec_id] == r.cos_sim  # scores never approximated
+        hits = sum(
+            1 for r in got if brute.get((r.query_id, r.rnk)) == (r.vec_id, r.cos_sim)
+        )
+        recall = hits / len(brute)
+        assert recall >= prev, f"recall fell widening probes to {n_probes}"
+        prev = recall
+    full = sorted((r.query_id, r.rnk, r.vec_id, r.cos_sim) for r in got)
+    want = sorted((q, rk, v, c) for (q, rk), (v, c) in brute.items())
+    assert full == want  # full sweep == batched brute force
+    idx.unpersist()
+
+
 def test_exact_dedup_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "a", 20)],
