@@ -1281,6 +1281,45 @@ def embedding_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                              x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    cells AS (
+        SELECT CAST(r1.i AS INT) AS i, CAST(r2.j AS INT) AS j,
+               q[r1.i] * q[r2.j] AS prod
+        FROM q, range(1, 65) r1(i), range(1, 65) r2(j)
+        WHERE r1.i <= r2.j
+    )
+    SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram_q
+    FROM cells
+    GROUP BY i, j
+    ORDER BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Gram matrix (operators/linalg.py) — the
+    corpus-sized half of PCA/whitening/linear-probe workflows: one
+    Arrow pass does a dim×dim int64 matmul per batch, the shuffle
+    carries batches × 2080 upper-triangle cells, and the driver-side
+    eigensolve that consumes this is O(dim³) on 2080 numbers.
+    Fixed-point (floor(x·2^20), the k-means tier's convention) makes
+    the reduction order-independent and therefore DuckDB-gradable —
+    a float Gram could never hash-match across engines.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.linalg import (
+        quantized_gram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_gram(emb, "embedding").orderBy("i", "j")
+
+
+@_register(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,

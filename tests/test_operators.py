@@ -218,6 +218,42 @@ def test_ivf_batch_probe_dial(spark, sf_dir):
     idx.unpersist()
 
 
+def test_quantized_gram_matches_numpy_and_feeds_pca(spark, sf_dir):
+    """Two-formulation pin for the Gram operator: the distributed
+    int64 reduction equals a single-machine numpy Gram over collected
+    vectors (exactly — integers), stays invariant under repartition,
+    and the driver-side PCA consumer (eigh on the 64x64 triangle)
+    yields a valid spectrum (symmetric PSD: all eigenvalues >= -tiny)."""
+    import numpy as np
+
+    from spacex_data_engineering_pipeline_spark.operators.cluster import QUANT
+    from spacex_data_engineering_pipeline_spark.operators.linalg import quantized_gram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        (r.i, r.j): r.gram_q for r in quantized_gram(emb, "embedding").collect()
+    }
+    rows2 = {
+        (r.i, r.j): r.gram_q
+        for r in quantized_gram(emb.repartition(16), "embedding").collect()
+    }
+    assert rows == rows2  # partitioning-invariant exact reduction
+
+    vecs = [r.embedding for r in emb.select("embedding").collect()]
+    Q = np.floor(np.asarray(vecs, dtype=np.float64) * QUANT).astype(np.int64)
+    G = Q.T @ Q
+    iu = np.triu_indices(G.shape[0])
+    want = {(int(a) + 1, int(b) + 1): int(v) for a, b, v in zip(*iu, G[iu])}
+    assert rows == want
+
+    # PCA consumer: dequantize, eigendecompose on the driver
+    full = np.zeros_like(G, dtype=np.float64)
+    for (i, j), v in rows.items():
+        full[i - 1, j - 1] = full[j - 1, i - 1] = v / (QUANT * QUANT)
+    evals = np.linalg.eigvalsh(full)
+    assert evals.min() >= -1e-6 * max(1.0, evals.max())  # PSD spectrum
+
+
 def test_exact_dedup_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "a", 20)],
