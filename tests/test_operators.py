@@ -179,6 +179,42 @@ def test_batch_knn_matches_per_query_bruteforce(spark, sf_dir):
     assert batched == expected
 
 
+def test_knn_graph_blockcount_invariance_and_nulls(spark, sf_dir):
+    """kNN-graph pins: (1) the block-grid result is INVARIANT to
+    n_blocks (1 block = one all-pairs cell; 8 blocks = the grid path
+    with both diagonal and cross cells), (2) each row's list equals
+    the brute-force ranking against its vector, (3) NULL and zero-norm
+    vectors neither crash the Arrow kernel nor appear as neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    dim = len(emb.first()["embedding"])
+    extra = spark.createDataFrame(
+        [(10_001, None), (10_002, [0.0] * dim)],
+        schema=emb.select("vec_id", "embedding").schema,
+    )
+    noisy = emb.select("vec_id", "embedding").unionByName(extra).repartition(16)
+    grids = {
+        b: [
+            (r.vec_id, r.rnk, r.neighbor, r.cos_sim)
+            for r in S.knn_graph(noisy, "vec_id", "embedding", k=5, n_blocks=b)
+            .orderBy("vec_id", "rnk")
+            .collect()
+        ]
+        for b in (1, 3, 8)
+    }
+    assert grids[1] == grids[3] == grids[8]
+    ids = {t[0] for t in grids[8]}
+    neigh = {t[2] for t in grids[8]}
+    assert 10_001 not in ids and 10_001 not in neigh  # NULL vec filtered
+    assert 10_002 not in ids and 10_002 not in neigh  # zero-norm excluded
+    # per-row agreement with the single-query brute force arm
+    row0 = [t for t in grids[8] if t[0] == 0]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = S.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, 5
+    ).collect()
+    assert [(t[2], t[3]) for t in row0] == [(r.vec_id, r.cos_sim) for r in brute]
+
+
 def test_ivf_batch_probe_dial(spark, sf_dir):
     """Batched IVF probe: full probe width EQUALS the batched brute
     force (index integrity), and per-batch top-k recall is monotone in
