@@ -282,15 +282,25 @@ def knn_graph(
     identical window finisher — this operator is the exact arm that
     grades such approximations.
 
-    Exactness: per-row dots/norms use ``np.cumsum`` (strict
-    left-to-right summation — bit-identical to the zip_with/aggregate
-    fold and DuckDB's ``list_dot_product``); partial selection keeps
-    every candidate within ``slack`` of the row's k-th best RAW cosine,
-    which provably covers rounding at ``decimals`` (same argument as
-    ``batch_knn_topk``); the engine-side ``F.round`` + (cos DESC, id
-    ASC) window makes ties deterministic. Zero-norm vectors score
-    non-finite and drop out of every list (and have no neighbors
-    themselves); NULL vectors are filtered before the Arrow boundary.
+    Exactness at matmul speed — the two-tier kernel: candidate PRUNING
+    uses one BLAS matmul per cell (pairwise/BLAS summation, within a
+    few ulps of the true dot for 64-dim vectors), then the ≤ k+band
+    survivors per row are RECOMPUTED with ``np.cumsum`` — the strict
+    left-to-right summation bit-identical to the zip_with/aggregate
+    fold and DuckDB's ``list_dot_product`` — so every EMITTED cosine
+    carries the exact fold bits while the O(N²·dim) bulk runs as one
+    C-side matmul instead of N per-row passes (the fixed-point Gram
+    matrix's division of labor, adapted to a ratio score). The prune
+    threshold is the row's k-th best APPROXIMATE cosine minus
+    ``slack + 2·blas_eps``: each approx is within blas_eps of its
+    exact value, so the k-th order statistic shifts by ≤ blas_eps and
+    every candidate with exact cos ≥ kth_exact − slack survives the
+    approximate cut — the final exact slack band then covers rounding
+    at ``decimals`` exactly as in ``batch_knn_topk``. The engine-side
+    ``F.round`` + (cos DESC, id ASC) window makes ties deterministic.
+    Zero-norm vectors score non-finite and drop out of every list (and
+    have no neighbors themselves); NULL vectors are filtered before
+    the Arrow boundary.
 
     Output: (``id_col``, rnk, neighbor, cos_sim), rnk 1..k.
     """
@@ -319,19 +329,35 @@ def knn_graph(
         blk = pdf["__blk"].to_numpy(dtype=np.int64)
         out_src, out_dst, out_cos = [], [], []
 
+        blas_eps = 1e-9  # reassociation drift bound for 64-dim doubles
+
         def score_side(qsel, csel):
             # rows in qsel each score all rows in csel; emit partial
-            # top-k (slack band) per query row
+            # top-k (slack band) per query row. One BLAS matmul prunes;
+            # only survivors get the exact strict-sum recompute.
             q_ids, q_mat, q_nrm = ids[qsel], mat[qsel], norms[qsel]
             c_ids, c_mat, c_nrm = ids[csel], mat[csel], norms[csel]
             if not len(q_ids) or not len(c_ids):
                 return
             with np.errstate(divide="ignore", invalid="ignore"):
+                approx = (q_mat @ c_mat.T) / (q_nrm[:, None] * c_nrm[None, :])
                 for r in range(len(q_ids)):
-                    dots = np.cumsum(c_mat * q_mat[r][None, :], axis=1)[:, -1]
-                    cos = dots / (c_nrm * q_nrm[r])
-                    ok = np.isfinite(cos) & (c_ids != q_ids[r])
-                    cand_i, cand_c = c_ids[ok], cos[ok]
+                    row = approx[r]
+                    ok = np.isfinite(row) & (c_ids != q_ids[r])
+                    n_ok = int(ok.sum())
+                    if not n_ok:
+                        continue
+                    if n_ok > k:
+                        kth = -np.partition(-row[ok], k - 1)[k - 1]
+                        keep = ok & (row >= kth - slack - 2 * blas_eps)
+                    else:
+                        keep = ok
+                    cand = np.nonzero(keep)[0]
+                    dots = np.cumsum(c_mat[cand] * q_mat[r][None, :], axis=1)[
+                        :, -1
+                    ]
+                    cos = dots / (c_nrm[cand] * q_nrm[r])
+                    cand_i, cand_c = c_ids[cand], cos
                     if cand_i.size > k:
                         order = np.lexsort((cand_i, -cand_c))
                         thr = cand_c[order[k - 1]] - slack

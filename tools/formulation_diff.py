@@ -126,6 +126,56 @@ def _diff(name: str, sf_dir: str, with_vec: DataFrame, group_cols: list[str]) ->
     return ok
 
 
+def _diff_knn(sf_dir: str, emb: DataFrame) -> bool:
+    """knn_graph (grid cells, BLAS prune + strict-sum recompute) must
+    equal per-query ``brute_force_topk`` (self excluded) row for row —
+    rank, neighbor id, and 6dp cosine — on a sample of 16 vectors from
+    both ends of the id range."""
+    lo = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()]
+    hi = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy(F.col("vec_id").desc()).limit(8).collect()
+    ]
+    sample = sorted(set(lo + hi))
+    t0 = time.time()
+    graph = {}
+    rows = (
+        S.knn_graph(emb, "vec_id", "embedding", k=5, n_blocks=8)
+        .filter(F.col("vec_id").isin(sample))
+        .collect()
+    )
+    for r in rows:
+        graph.setdefault(r["vec_id"], []).append((r["rnk"], r["neighbor"], r["cos_sim"]))
+    t1 = time.time()
+    ok = True
+    for qid in sample:
+        vec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        brute = [
+            (i + 1, r["vec_id"], r["cos_sim"])
+            for i, r in enumerate(
+                S.brute_force_topk(
+                    emb.filter(F.col("vec_id") != qid), "vec_id", "embedding", vec, 5
+                ).collect()
+            )
+        ]
+        got = sorted(graph.get(qid, []))
+        if got != brute:
+            ok = False
+            print(f"  knn mismatch for vec_id={qid}:")
+            print(f"    graph: {got}")
+            print(f"    brute: {brute}")
+    t2 = time.time()
+    print(
+        f"knn_graph @ {sf_dir}: full graph + sample collect {t1-t0:.1f}s | "
+        f"16-query brute force {t2-t1:.1f}s | "
+        f"{'IDENTICAL' if ok else 'DIFF'}"
+    )
+    return ok
+
+
 def main(sf_dirs: list[str]) -> int:
     from spacex_data_engineering_pipeline_spark.catalog import load_table
     from spacex_data_engineering_pipeline_spark.plans.queries import (
@@ -161,6 +211,12 @@ def main(sf_dirs: list[str]) -> int:
         # 2. SemDeDup: identical cluster-blocked stage
         blocked = _semantic_dedup_blocked(spark, sf_dir, k=64)
         all_ok &= _diff("semantic_dedup", sf_dir, blocked, ["cluster"])
+
+        # 3. kNN graph: the block-grid + matmul-prune production path vs
+        # an independent per-query brute force (mapInPandas partial
+        # top-k, a disjoint kernel) on a 16-row sample spanning the id
+        # range — the full graph is computed, only the compare samples.
+        all_ok &= _diff_knn(sf_dir, emb)
     print("RESULT:", "ALL IDENTICAL" if all_ok else "FORMULATIONS DISAGREE")
     return 0 if all_ok else 1
 
