@@ -1377,6 +1377,52 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_knn_graph_incremental",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph MAINTENANCE: the last 10% of the id range arrives as
+    an update batch, and the graph is updated — base graph over the
+    old 90%, one old-corpus scan against the new batch, one batched
+    pass for the new rows' own lists — instead of rebuilt. Work is
+    |new|·N, not (N+|new|)²; the merge is exact by the top-k union
+    theorem (operators/similarity.py:knn_graph_incremental). The
+    oracle is the FULL-REBUILD ranking over the whole table, so the
+    grade IS the incremental-equals-rebuild proof, row for row at 6dp.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    split = mx * 9 // 10
+    out = S.knn_graph_incremental(
+        emb.filter(F.col("vec_id") < split),
+        emb.filter(F.col("vec_id") >= split),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_blocks=8,
+    )
+    return out.orderBy("vec_id", "rnk")
+
+
+@_register(
     "embedding_scalar_quantize",
     oracle="""
     WITH q AS (
@@ -1553,6 +1599,103 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_q").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@_register(
+    "embedding_sq8_rerank",
+    oracle=f"""
+    WITH c AS ({_DUCK_SQ8_CODES}),
+    q AS (SELECT codes FROM c WHERE vec_id = 0),
+    scored AS (
+        SELECT c.vec_id,
+               list_dot_product(c.codes, q.codes) AS d_aq,
+               list_dot_product(c.codes, c.codes) AS d_aa,
+               list_dot_product(q.codes, q.codes) AS d_qq
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> 0
+    ),
+    shortlist AS (
+        SELECT vec_id
+        FROM scored
+        WHERE d_aa > 0 AND d_qq > 0
+        ORDER BY CAST(d_aq AS DOUBLE)
+                 / (sqrt(CAST(d_aa AS DOUBLE)) * sqrt(CAST(d_qq AS DOUBLE)))
+                 DESC, vec_id ASC
+        LIMIT 30
+    )
+    SELECT e.vec_id, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+    FROM embeddings e
+    JOIN shortlist s ON s.vec_id = e.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-tier quantized retrieval read path: a top-30
+    SHORTLIST ranked on the int8 codes alone (the 4×-smaller column —
+    deterministic because every code dot is an exact int64), then an
+    exact float rerank of just those 30 (the only rows whose float
+    vectors are read back) for the final top-10 — the SQ8 analog of
+    ``pq_topk_rerank``, but with BOTH stages deterministic and
+    oracle-graded end to end (PQ's k-means codebooks force that
+    pattern to be pytest-gated; SQ8's closed-form codes don't).
+
+    Plan: code scoring is a narrow fold + TakeOrderedAndProject
+    (30-row driver merge); the rerank joins the 30-id shortlist back
+    to the float table as a broadcast semi-join probe + one more
+    30-row TakeOrdered. At 100 TB the float column is touched for 30
+    rows per query instead of N.
+    """
+    from spacex_data_engineering_pipeline_spark.functions.vectors import (
+        sq8_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, codes = sq8_codes(F.col("embedding"))
+    coded = emb.select("vec_id", codes.alias("codes"))
+    qrow = coded.filter(F.col("vec_id") == 0).first()
+    qlit = F.array(*[F.lit(int(c)) for c in qrow["codes"]])
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    shortlist = (
+        coded.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            idot(F.col("codes"), qlit).alias("d_aq"),
+            idot(F.col("codes"), F.col("codes")).alias("d_aa"),
+            idot(qlit, qlit).alias("d_qq"),
+        )
+        .filter((F.col("d_aa") > 0) & (F.col("d_qq") > 0))
+        .select(
+            "vec_id",
+            (
+                F.col("d_aq").cast("double")
+                / (
+                    F.sqrt(F.col("d_aa").cast("double"))
+                    * F.sqrt(F.col("d_qq").cast("double"))
+                )
+            ).alias("cos_code"),
+        )
+        .orderBy(F.col("cos_code").desc(), F.col("vec_id").asc())
+        .limit(30)
+        .select("vec_id")
+    )
+    reranked = S.cosine_scores(
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi"),
+        "vec_id",
+        "embedding",
+        _query_vector(spark, sf_dir),
+    )
+    return reranked.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).limit(10)
 
 
 @_register(

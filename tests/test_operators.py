@@ -215,6 +215,35 @@ def test_knn_graph_blockcount_invariance_and_nulls(spark, sf_dir):
     assert [(t[2], t[3]) for t in row0] == [(r.vec_id, r.cos_sim) for r in brute]
 
 
+def test_knn_graph_incremental_equals_rebuild(spark, sf_dir):
+    """Incremental maintenance pin: updating the old-corpus graph with
+    a new batch must be row-identical to a full rebuild over the union
+    — including when the batch contains NULL and zero-norm vectors and
+    under an uneven split (last 25% of ids arrive as the batch)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 96)
+    dim = len(emb.first()["embedding"])
+    extra = spark.createDataFrame(
+        [(20_001, None), (20_002, [0.0] * dim)],
+        schema=emb.select("vec_id", "embedding").schema,
+    )
+    noisy = emb.select("vec_id", "embedding").unionByName(extra)
+    old = noisy.filter(F.col("vec_id") < 72)
+    new = noisy.filter(F.col("vec_id") >= 72)
+    inc = [
+        (r.vec_id, r.rnk, r.neighbor, r.cos_sim)
+        for r in S.knn_graph_incremental(old, new, "vec_id", "embedding", k=4)
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    full = [
+        (r.vec_id, r.rnk, r.neighbor, r.cos_sim)
+        for r in S.knn_graph(noisy, "vec_id", "embedding", k=4)
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    assert inc == full
+
+
 def test_ivf_batch_probe_dial(spark, sf_dir):
     """Batched IVF probe: full probe width EQUALS the batched brute
     force (index integrity), and per-batch top-k recall is monotone in
