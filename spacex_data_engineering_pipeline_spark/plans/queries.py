@@ -5191,6 +5191,532 @@ def bracket_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEC_REV = """CAST(l_extendedprice AS DECIMAL(18,6))
+                  * (1 - CAST(l_discount AS DECIMAL(18,6)))"""
+
+
+def _rev_col() -> F.Column:
+    """The exact-DECIMAL revenue term shared by the TPC-H entries."""
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+
+
+@_register(
+    "top_revenue_supplier_quarter",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, SUM({_DEC_REV}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def top_revenue_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose one-quarter revenue
+    equals the maximum — the correlated max-over-view pattern. Revenue
+    accumulates in exact DECIMAL, and the tie test compares those
+    exact decimals (never a float boundary), so a genuine revenue tie
+    returns BOTH suppliers identically on every engine. Plan: one
+    pruned fact scan → supplier-cardinality aggregate; the 1-row MAX
+    re-joins as a broadcast (no second fact scan, no driver round-trip
+    of a decimal literal); supplier broadcasts onto the survivors.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = lineitem.groupBy("l_suppkey").agg(F.sum(_rev_col()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "nation_market_share",
+    oracle=f"""
+    WITH asia_econ AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               {_DEC_REV} AS rev,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        JOIN part p      ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev END)
+                      AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM asia_econ
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    yearly revenue in one part type — the classic 8-table star chain.
+    Every dimension (part, supplier, nation×2, region, customer)
+    broadcasts; the only shuffles are the orders⋈lineitem equi-join
+    and the per-year aggregate. Numerator and denominator accumulate
+    in exact DECIMAL through ONE pass (a conditional sum, not a second
+    scan), and the share divides two identical exact doubles before a
+    6dp round — no engine-dependent tie.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust_nat = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    rev = _rev_col()
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "nation_part_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(SUM({_DEC_REV}
+                    - CAST(p.p_retailprice AS DECIMAL(18,6))
+                      * CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%gear'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def nation_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family by supplier nation
+    and year. The reference schema carries no partsupp table, so
+    supply cost is proxied by ``p_retailprice × l_quantity`` — the
+    shape (suffix-LIKE part filter pushed to the broadcast dim, a
+    4-dim star around the lineitem⋈orders shuffle, exact-DECIMAL
+    signed arithmetic summed in one pass) is Q9's; the cost column is
+    the one honest substitution. LIKE '%gear' cannot push as a prefix
+    range — it rides the broadcast part dim where it filters 1/8 of
+    parts before the fact join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear")
+    )
+    profit_term = _rev_col() - (
+        F.col("p_retailprice").cast("decimal(18,6)")
+        * F.col("l_quantity").cast("decimal(18,6)")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@_register(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH eu_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE),
+                     6) AS unit_cost
+        FROM lineitem l JOIN eu_supp s ON l.l_suppkey = s.s_suppkey
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    ranked AS (
+        SELECT p.p_partkey, c.l_suppkey, c.unit_cost,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.p_partkey
+                   ORDER BY c.unit_cost ASC, c.l_suppkey ASC
+               ) AS rn
+        FROM cost c
+        JOIN part p ON c.l_partkey = p.p_partkey
+        WHERE p.p_type = 'SMALL' AND p.p_size <= 10
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name AS nation,
+           r.p_partkey, r.unit_cost
+    FROM ranked r JOIN eu_supp s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rn = 1
+    ORDER BY s.s_acctbal DESC, s.s_name, r.p_partkey
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest regional supplier for every part
+    in a size/type family, ordered by supplier account balance. With
+    no partsupp table, supply cost is proxied by each supplier's
+    observed mean unit price from lineitem (exact DECIMAL revenue /
+    exact integer quantity, divided once as identical doubles and
+    rounded before ranking — so the per-part argmin cannot flip on an
+    engine tie; suppkey breaks exact cost ties). Plan: region-filtered
+    suppliers broadcast into the fact scan, one (part,supplier)
+    aggregate shuffle, a part-partitioned top-1 window — the
+    correlated-min-subquery of Q2 decorrelated into window algebra.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        lineitem.join(
+            F.broadcast(eu_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.sum(F.col("l_quantity").cast("bigint")).cast("double"),
+                6,
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    ranked = (
+        cost.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_name"), F.col("p_partkey"))
+    )
+
+
+@_register(
+    "important_part_values",
+    oracle="""
+    WITH africa_lines AS (
+        SELECT l.l_partkey,
+               CAST(l.l_extendedprice AS DECIMAL(18,6)) AS val
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AFRICA'
+    ),
+    per_part AS (
+        SELECT l_partkey AS part, SUM(val) AS value_dec
+        FROM africa_lines GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(value_dec) AS total, COUNT(*) AS n_parts FROM per_part)
+    SELECT part, CAST(value_dec AS DOUBLE) AS part_value
+    FROM per_part, tot
+    WHERE value_dec * n_parts > 2 * total
+    ORDER BY part_value DESC, part
+    """,
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing an outsized share of one
+    region's supply value — here "more than 2× the mean part value"
+    (partsupp value proxied by the suppliers' shipped extended price).
+    The spec's fraction scales with 1/SF for exactly the reason a
+    fixed share fails here: per-part share shrinks as the catalog
+    grows, so the threshold must track the corpus — the mean does.
+    The cut is the Q11 correlated scalar subquery evaluated as EXACT
+    decimal cross-multiplication (value·n_parts > 2·total), never a
+    float fraction, so it is engine-exact at every SF. Plan: region
+    suppliers broadcast into the fact scan, one part-keyed aggregate
+    shuffle; the global total/count ride ONE unbounded window over the
+    part-cardinality AGGREGATE (the guard-sanctioned SinglePartition
+    class — aggregate rows, never fact rows; a broadcast-back join
+    would plan the BroadcastNestedLoopJoin the hygiene sweep rejects).
+    No second fact scan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    africa_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AFRICA")
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(
+            F.broadcast(africa_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "value_dec"
+            )
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_part.withColumn("total", F.sum("value_dec").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(F.col("value_dec") * F.col("n_parts") > F.lit(2) * F.col("total"))
+        .select("part", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("part"))
+    )
+
+
+@_register(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many qualifying suppliers can deliver each
+    (brand, type, size) family — negated predicates (<> brand, NOT
+    LIKE type prefix), an IN size list, and a NOT-IN supplier
+    exclusion (negative balance standing in for the spec's complaint
+    suppliers). The NOT IN is planned as a broadcast ANTI join (the
+    excluded set is tiny and non-null by schema); everything else is
+    integer-exact distinct counting. Distinct-count per group shuffles
+    (group, suppkey) pairs — never raw fact rows twice.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+@_register(
+    "excess_volume_suppliers",
+    oracle="""
+    WITH am_supp AS (
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+    ),
+    small_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    vol AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               CAST(SUM(CASE WHEN year(l.l_shipdate) = 1998
+                             THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS qty_1998,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+        FROM lineitem l
+        JOIN small_parts p ON l.l_partkey = p.p_partkey
+        JOIN am_supp s ON l.l_suppkey = s.s_suppkey
+        GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM vol v JOIN am_supp s ON v.l_suppkey = s.s_suppkey
+    WHERE 2 * v.qty_1998 > v.qty_total
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: regional suppliers who concentrated more than
+    half of a part family's lifetime volume into one year (available
+    stock proxied by lifetime shipped quantity — no partsupp in this
+    schema). The spec's nested IN-subquery chain is decorrelated into
+    one conditional aggregate over (supplier, part) plus an exact
+    integer cross-multiplied threshold (2·qty_year > qty_total —
+    quantities are integral, so the half test never touches floats).
+    Plan: both dimension filters broadcast into the single fact scan;
+    one (supp, part) aggregate shuffle; DISTINCT collapses to the
+    supplier-cardinality result.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    am_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select("s_suppkey", "s_name")
+    )
+    vol = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(am_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1998,
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("qty_1998"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+        )
+        .filter(F.lit(2) * F.col("qty_1998") > F.col("qty_total"))
+    )
+    return (
+        vol.select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(am_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 @_register(
     "sole_late_supplier_ranking",
     oracle="""
