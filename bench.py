@@ -54,6 +54,10 @@ LARGE_RESULT = {
     "events_session_windows",
     # row-per-doc with the full cleaned text riding along
     "dedup_trim_spans",
+    # round 7: N·k rows (100k at sf1.0) — collecting them poisoned every
+    # alphabetically-later query with driver GC pressure (+70s diffuse)
+    "embedding_knn_graph",
+    "embedding_knn_graph_incremental",
 }
 
 

@@ -297,3 +297,55 @@ def test_session_update_fn_equals_gaps_and_islands(steps, gap, nb):
         for r in f.itertuples()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1000.0,
+                max_value=1000.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SETTINGS
+def test_sq8_quantizer_invariants(vecs):
+    """SQ8 invariants for ANY float32 vector: codes bounded in
+    [-127, 127] (never -128), per-dimension reconstruction error
+    ≤ scale/254 + ulp slack (half-up rounding's worst case), zero
+    vectors quantize to all-zero codes with scale 0, and the code of
+    the max-|x| dimension saturates to ±127."""
+    from spacex_data_engineering_pipeline_spark.functions.vectors import (
+        sq8_codes,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, v array<double>",
+    )
+    amax, codes = sq8_codes(F.col("v"))
+    rows = df.select("id", amax.alias("s"), codes.alias("c")).collect()
+    for r, v in zip(sorted(rows, key=lambda r: r.id), vecs):
+        v = [float(x) for x in v]
+        s = max(abs(x) for x in v)
+        assert math.isclose(r.s, s, rel_tol=0, abs_tol=0), "scale is max|x|"
+        assert all(-127 <= c <= 127 for c in r.c), "codes bounded"
+        if s == 0:
+            assert all(c == 0 for c in r.c), "zero vector → zero codes"
+            continue
+        for x, c in zip(v, r.c):
+            recon = c * s / 127.0
+            assert abs(x - recon) <= s / 254.0 + 1e-9 * s, (
+                f"recon error bound violated: x={x} c={c} s={s}"
+            )
+        sat = [c for x, c in zip(v, r.c) if abs(x) == s]
+        assert any(abs(c) == 127 for c in sat), "max dimension saturates"
