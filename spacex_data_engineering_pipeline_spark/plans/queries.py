@@ -866,6 +866,140 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "content_defined_chunks",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents),
+    g AS (
+        SELECT doc_id, source, w,
+               list_transform(
+                   generate_series(1, len(w) - 2),
+                   j -> CASE WHEN (('0x' || substr(md5(
+                                array_to_string(list_slice(w, j, j + 2), ' ')
+                            ), 1, 8))::UBIGINT % 16) = 0
+                        THEN 1 ELSE 0 END) AS bf
+        FROM d
+    ),
+    tok AS (
+        SELECT doc_id, source, p.p, w[p.p] AS tok,
+               CASE WHEN p.p >= 4 AND bf[p.p - 3] = 1 THEN 1 ELSE 0 END
+                   AS start_flag
+        FROM g, LATERAL (SELECT unnest(generate_series(1, len(w))) AS p) p
+    ),
+    ck AS (
+        SELECT doc_id, source, p, tok,
+               SUM(start_flag) OVER (PARTITION BY doc_id ORDER BY p)
+                   AS chunk_id
+        FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS h
+        FROM ck GROUP BY doc_id, source, chunk_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+           CAST(COUNT(DISTINCT h) * 1000000 // COUNT(*) AS BIGINT)
+               AS distinct_ppm
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC storage-dedup
+    primitive, on word streams): a chunk boundary falls wherever the
+    portable md5 of the trailing 3-token window lands in 1/16 of coin
+    space, so boundaries are a pure function of LOCAL content — insert
+    a paragraph into a document and every chunk outside it keeps its
+    identity (fixed-size chunking would shift every later chunk — the
+    property that makes CDC dedup robust to edits). Output: per-source
+    chunk counts, distinct chunk hashes, and the distinct ratio in ppm
+    (exact integer division) — the storage-dedup win a 100 TB corpus
+    store measures before enabling chunk-level dedup.
+
+    Plan: boundary flags are computed ARRAY-side with the shifted-copy
+    n-gram idiom (O(words) per row, no slice-in-lambda re-derivation),
+    then one posexplode → per-doc running-sum window (hash-partitioned
+    by doc, never global) → chunk reassembly as a grouped sort-free
+    collect_list/sort_array concat → one distinct-count aggregate.
+    Every hash is the portable md5 coin, so DuckDB replays chunking,
+    assembly, and the dedup ratio end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    staged = docs.select("doc_id", "source", w.alias("w")).withColumn(
+        "grams3", T.ngrams_from_words(F.col("w"), 3)
+    )
+    coin16 = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+        "long"
+    ) % 16
+    # start_flags = [0,0,0] ++ bf[1..n-3]: token p starts a chunk iff the
+    # window ending at p-1 (gram p-3) flagged a boundary. Built with
+    # row-level concat/slice, NO index-lambda: element_at(bf, p-3) inside
+    # a transform re-derives the whole md5 chain PER ELEMENT (the
+    # documented Catalyst lambda-inlining trap — measured 30.3 s at
+    # sf0.1 for this very query; the lambda-free form runs in ~2 s).
+    staged = staged.withColumn(
+        "bf",
+        F.transform(F.col("grams3"), lambda g: (coin16(g) == 0).cast("int")),
+    ).withColumn(
+        "start_flags",
+        F.concat(
+            F.slice(
+                F.array(F.lit(0), F.lit(0), F.lit(0)),
+                1,
+                F.least(F.size("w"), F.lit(3)),
+            ),
+            F.slice(
+                F.col("bf"), 1, F.greatest(F.size("w") - 3, F.lit(0))
+            ),
+        ),
+    )
+    tok = staged.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.arrays_zip("w", "start_flags")).alias("p0", "z"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("p0") + 1).alias("p"),
+        F.col("z.w").alias("tok"),
+        F.col("z.start_flags").alias("start_flag"),
+    )
+    wname = Window.partitionBy("doc_id").orderBy("p")
+    ck = tok.withColumn(
+        "chunk_id",
+        F.sum("start_flag").over(
+            wname.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    chunks = ck.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("h")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("h").alias("n_distinct_chunks"),
+        )
+        .withColumn(
+            "distinct_ppm",
+            F.expr("n_distinct_chunks * 1000000L div n_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
     "ngram_jaccard_pairs",
     oracle=rf"""
     WITH g AS (
@@ -5714,6 +5848,121 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(am_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "supplier_balance_profile",
+    oracle="""
+    SELECT s.s_suppkey,
+           n.n_name AS nation,
+           s.s_acctbal,
+           ROUND(cume_dist() OVER (
+               PARTITION BY n.n_name ORDER BY s.s_acctbal
+           ), 6) AS bal_cume,
+           first_value(s.s_acctbal) OVER (
+               PARTITION BY n.n_name
+               ORDER BY s.s_acctbal DESC, s.s_suppkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS top_bal,
+           nth_value(s.s_acctbal, 2) OVER (
+               PARTITION BY n.n_name
+               ORDER BY s.s_acctbal DESC, s.s_suppkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY nation, s_suppkey
+    """,
+)
+def supplier_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window surface in one query: cume_dist
+    (tie-aware cumulative share — exact small-integer division, no
+    float ambiguity), and first_value / nth_value(2) under an EXPLICIT
+    unbounded ROWS frame (the default frame stops at the current row,
+    where nth_value(2) would be NULL for the top row — the classic
+    frame bug, pinned here by the oracle). Ordering inside the frame
+    carries a suppkey tiebreak so equal balances cannot flip the
+    second-highest pick between engines. Plan: one hash-partitioned
+    window per nation — grouped sort, no global sort; nation
+    broadcasts onto the supplier scan.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"), "s_acctbal")
+    w_cume = Window.partitionBy("nation").orderBy("s_acctbal")
+    w_desc = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return joined.select(
+        "s_suppkey",
+        "nation",
+        "s_acctbal",
+        F.round(F.cume_dist().over(w_cume), 6).alias("bal_cume"),
+        F.first("s_acctbal").over(w_desc).alias("top_bal"),
+        F.nth_value("s_acctbal", 2).over(w_desc).alias("second_bal"),
+    ).orderBy("nation", "s_suppkey")
+
+
+@_register(
+    "order_priority_bag_ops",
+    oracle="""
+    WITH y97 AS (
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+    ),
+    y98 AS (
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1998
+    ),
+    surplus AS (SELECT * FROM y97 EXCEPT ALL SELECT * FROM y98),
+    common  AS (SELECT * FROM y97 INTERSECT ALL SELECT * FROM y98)
+    SELECT p.o_orderpriority,
+           COALESCE(s.n, 0) AS surplus_1997,
+           COALESCE(c.n, 0) AS common_both
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+    LEFT JOIN (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+               FROM surplus GROUP BY 1) s USING (o_orderpriority)
+    LEFT JOIN (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+               FROM common GROUP BY 1) c USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — EXCEPT ALL / INTERSECT ALL — the
+    multiset half of the §2.7 surface (the DISTINCT trio is
+    click_and/not_purchase_users). Year-over-year priority mix: how
+    many 1997 order-priority occurrences have no 1998 counterpart
+    (multiset surplus) and how many pair up (multiset intersection).
+    Spark plans both as a single aggregate computing per-key
+    min/max-count arithmetic + generate (no row-by-row anti matching);
+    counts are exact integers. The DISTINCT priority spine left-joins
+    the two tallies so priorities with zero surplus still grade.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    surplus = (
+        y97.exceptAll(y98)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("s_n"))
+    )
+    common = (
+        y97.intersectAll(y98)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c_n"))
+    )
+    spine = orders.select("o_orderpriority").distinct()
+    return (
+        spine.join(surplus, "o_orderpriority", "left")
+        .join(common, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("s_n"), F.lit(0)).alias("surplus_1997"),
+            F.coalesce(F.col("c_n"), F.lit(0)).alias("common_both"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
