@@ -244,6 +244,80 @@ def test_knn_graph_incremental_equals_rebuild(spark, sf_dir):
     assert inc == full
 
 
+def test_knn_graph_repartition_invariance(spark, sf_dir):
+    """The graph must be a pure function of the data, not the layout:
+    a hostile repartition(64) of the input (different Arrow batch
+    boundaries, different cell arrival order) yields the identical
+    ranked edge list."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    base = [
+        tuple(r)
+        for r in S.knn_graph(emb, "vec_id", "embedding", k=5)
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    shuffled = [
+        tuple(r)
+        for r in S.knn_graph(emb.repartition(64), "vec_id", "embedding", k=5)
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    assert base == shuffled
+
+
+def test_sq8_topk_recall_against_exact(spark, sf_dir):
+    """Quality pin for the quantized read path: the top-10 by int8-code
+    cosine must overlap the exact float top-10 in ≥ 6 of 10 positions
+    on the real embeddings (8-bit symmetric quantization of 64-dim
+    vectors distorts cosines by ~1e-3 — far smaller than typical
+    neighbor gaps, but ties near the cut CAN reorder, hence a floor
+    rather than equality)."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    quant = {r.vec_id for r in QUERIES["embedding_sq8_topk"](spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {
+        r.vec_id
+        for r in S.brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, 10
+        ).collect()
+    }
+    assert len(quant & exact) >= 6, f"recall {len(quant & exact)}/10"
+
+
+def test_bag_ops_closed_form(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT ALL identities pinned against per-key
+    count arithmetic: surplus(k) = max(0, c97(k) − c98(k)) and
+    common(k) = min(c97(k), c98(k)) — the multiset definitions the
+    Spark operators must implement."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    got = {
+        r.o_orderpriority: (r.surplus_1997, r.common_both)
+        for r in QUERIES["order_priority_bag_ops"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    c97 = {
+        r.o_orderpriority: r.n
+        for r in orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    c98 = {
+        r.o_orderpriority: r.n
+        for r in orders.filter(F.year("o_orderdate") == 1998)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, (surplus, common) in got.items():
+        a, b = c97.get(k, 0), c98.get(k, 0)
+        assert surplus == max(0, a - b), f"surplus mismatch for {k}"
+        assert common == min(a, b), f"common mismatch for {k}"
+
+
 def test_ivf_batch_probe_dial(spark, sf_dir):
     """Batched IVF probe: full probe width EQUALS the batched brute
     force (index integrity), and per-batch top-k recall is monotone in
