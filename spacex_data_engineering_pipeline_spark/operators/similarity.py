@@ -399,6 +399,43 @@ def knn_graph(
     )
 
 
+def save_knn_graph(
+    graph: DataFrame, path: str, id_col: str, n_buckets: int = 64
+) -> None:
+    """Persist a kNN graph partitioned by an id hash bucket + a JSON
+    sidecar recording the bucket fanout — the layout that makes both
+    access patterns cheap: point lookups ("who are doc X's
+    neighbors?") partition-prune to one bucket directory, and the
+    incremental-update path (``knn_graph_incremental`` with
+    ``base_graph=load_knn_graph(...)``) streams the whole graph back
+    WITHOUT recomputing the N² build it cost. At 100 TB the graph is
+    corpus-sized (N·k rows) — exactly the artifact you persist once
+    per build and fold batches into, never rebuild per batch."""
+    import json
+    import os
+
+    g = graph.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    )
+    g.write.mode("overwrite").partitionBy("__bucket").parquet(
+        os.path.join(path, "edges")
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"id_col": id_col, "n_buckets": n_buckets}, f)
+
+
+def load_knn_graph(spark, path: str) -> DataFrame:
+    """Open a saved kNN graph: edges come back bucket-partitioned (a
+    ``WHERE __bucket = pmod(xxhash64(id), n)`` probe partition-prunes
+    at file listing); the bucket column is dropped so the frame has
+    the exact (id, rnk, neighbor, cos_sim) shape ``knn_graph``
+    emits — directly usable as ``base_graph`` in the incremental
+    update."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "edges")).drop("__bucket")
+
+
 def knn_graph_incremental(
     old: DataFrame,
     new: DataFrame,
@@ -408,6 +445,7 @@ def knn_graph_incremental(
     n_blocks: int = 8,
     decimals: int = 6,
     slack: float = 1e-6,
+    base_graph: DataFrame | None = None,
 ) -> DataFrame:
     """MAINTAIN a kNN graph under an arriving vector batch instead of
     recomputing it: the corpus grows daily, and an N² rebuild per batch
@@ -426,22 +464,28 @@ def knn_graph_incremental(
     6dp cosines and (cos DESC, id ASC) tiebreak, so the final window
     reproduces the rebuild's exact ranking.
 
-    Plan: base graph = ``knn_graph(old)`` (or a persisted prior graph —
-    any DataFrame with (id, neighbor, cos_sim) rows); old→new scores =
-    one ``mapInPandas`` over the old table with the new batch's matrix
-    shipped in the closure (batch-sized, the _query_vector precedent);
-    new→all = ``batch_knn_topk`` with the new rows as queries (k+1 then
-    self dropped). One id-keyed window merges everything; nothing
-    corpus-sized shuffles except the original base-graph build.
+    Plan: base graph = ``knn_graph(old)``, or — the production shape —
+    a PERSISTED prior graph passed as ``base_graph`` (see
+    ``save_knn_graph``/``load_knn_graph``: any DataFrame with
+    (id, rnk, neighbor, cos_sim) rows), in which case the N² build
+    cost is paid exactly once per corpus, not per batch; old→new
+    scores = one ``mapInPandas`` over the old table with the new
+    batch's matrix shipped in the closure (batch-sized, the
+    _query_vector precedent); new→all = ``batch_knn_topk`` with the
+    new rows as queries (k+1 then self dropped). One id-keyed window
+    merges everything; nothing corpus-sized shuffles except the
+    original base-graph build.
 
     ``new`` must be modest (an update batch — it ships in closures /
     broadcasts); NULL vectors are filtered on both sides.
     """
     from pyspark.sql.window import Window
 
-    base_graph = knn_graph(
-        old, id_col, vec_col, k, n_blocks=n_blocks, decimals=decimals, slack=slack
-    )
+    if base_graph is None:
+        base_graph = knn_graph(
+            old, id_col, vec_col, k,
+            n_blocks=n_blocks, decimals=decimals, slack=slack,
+        )
     new_rows = (
         new.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).collect()
     )

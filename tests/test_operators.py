@@ -244,6 +244,49 @@ def test_knn_graph_incremental_equals_rebuild(spark, sf_dir):
     assert inc == full
 
 
+def test_knn_graph_save_load_incremental(spark, sf_dir, tmp_path):
+    """Persisted-graph maintenance: build on the old corpus, SAVE,
+    reload, fold in a new batch against the LOADED graph — must equal
+    the full rebuild row for row (the production path where the N²
+    build is paid once per corpus, not once per batch). A bucket-probe
+    read of the saved layout must partition-prune at file listing."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 96)
+    old = emb.filter(F.col("vec_id") < 72).select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") >= 72).select("vec_id", "embedding")
+    built = S.knn_graph(old, "vec_id", "embedding", k=4)
+    path = str(tmp_path / "knng")
+    S.save_knn_graph(built, path, "vec_id", n_buckets=8)
+    loaded = S.load_knn_graph(spark, path)
+    assert set(loaded.columns) == {"vec_id", "rnk", "neighbor", "cos_sim"}
+    inc = [
+        tuple(r)
+        for r in S.knn_graph_incremental(
+            old, new, "vec_id", "embedding", k=4, base_graph=loaded
+        )
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    full = [
+        tuple(r)
+        for r in S.knn_graph(
+            emb.select("vec_id", "embedding"), "vec_id", "embedding", k=4
+        )
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    assert inc == full
+    # point lookup partition-prunes: the bucket predicate reaches the
+    # file index as a partition filter
+    import os
+
+    raw = spark.read.parquet(os.path.join(path, "edges"))
+    probe = raw.filter(F.col("__bucket") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
 def test_knn_graph_repartition_invariance(spark, sf_dir):
     """The graph must be a pure function of the data, not the layout:
     a hostile repartition(64) of the input (different Arrow batch
