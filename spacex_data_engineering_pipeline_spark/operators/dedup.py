@@ -124,6 +124,96 @@ _MAX_LONG = (1 << 63) - 1
 _MINHASH_P = 2_147_483_647  # 2^31 - 1, prime — universal-hash modulus
 
 
+def content_defined_chunk_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry_cols: list[str] | None = None,
+    window: int = 3,
+    modulus: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC on word streams): a
+    chunk boundary falls BEFORE token p wherever the portable md5 of
+    the ``window`` tokens ending at p−1 lands in 1/``modulus`` of coin
+    space. Boundaries are a pure function of LOCAL content — the CDC
+    property: inserting or deleting a span changes only the chunks
+    whose windows overlap the edit, every other chunk keeps its
+    identity (fixed-size chunking would shift every later chunk).
+    That edit-locality is pinned by pytest; the aggregate dedup ratio
+    is the oracle-graded ``content_defined_chunks`` catalog entry.
+
+    Returns one row per chunk: (id_col, *carry_cols, chunk_id,
+    chunk_pos [1-based first-token position], n_toks, chunk_hash).
+
+    Plan: boundary flags computed ARRAY-side with the shifted-copy
+    n-gram idiom, aligned to tokens by row-level concat/slice — NEVER
+    an element_at-in-lambda, which re-derives the whole md5 chain per
+    element (measured 30.3 s → 1.6 s at sf0.1 for the catalog entry);
+    then one posexplode → per-doc running-sum window (hash-partitioned
+    by doc) → grouped chunk reassembly. Per-doc work is O(tokens).
+    """
+    from spacex_data_engineering_pipeline_spark.functions.text import (
+        ngrams_from_words,
+        words,
+    )
+
+    carry = list(carry_cols or [])
+    w = words(F.col(text_col))
+    staged = df.select(id_col, *carry, w.alias("__w")).withColumn(
+        "__grams", ngrams_from_words(F.col("__w"), window)
+    )
+    coin = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+        "long"
+    ) % modulus
+    staged = staged.withColumn(
+        "__bf",
+        F.transform(F.col("__grams"), lambda g: (coin(g) == 0).cast("int")),
+    ).withColumn(
+        "__sf",
+        F.concat(
+            F.slice(
+                F.array(*[F.lit(0) for _ in range(window)]),
+                1,
+                F.least(F.size("__w"), F.lit(window)),
+            ),
+            F.slice(
+                F.col("__bf"), 1, F.greatest(F.size("__w") - window, F.lit(0))
+            ),
+        ),
+    )
+    tok = staged.select(
+        id_col,
+        *carry,
+        F.posexplode(F.arrays_zip("__w", "__sf")).alias("__p0", "__z"),
+    ).select(
+        id_col,
+        *carry,
+        (F.col("__p0") + 1).alias("__p"),
+        F.col("__z.__w").alias("__tok"),
+        F.col("__z.__sf").alias("__flag"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("__p")
+    ck = tok.withColumn(
+        "chunk_id",
+        F.sum("__flag").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return ck.groupBy(id_col, *carry, "chunk_id").agg(
+        F.min("__p").alias("chunk_pos"),
+        F.count(F.lit(1)).alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__p", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic ``(a_i, b_i)`` coefficients for the classic
     universal hash family ``h_i(x) = (a_i·x + b_i) mod P`` that drives

@@ -927,66 +927,12 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly, and the dedup ratio end to end.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = T.words(F.col("text"))
-    staged = docs.select("doc_id", "source", w.alias("w")).withColumn(
-        "grams3", T.ngrams_from_words(F.col("w"), 3)
-    )
-    coin16 = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
-        "long"
-    ) % 16
-    # start_flags = [0,0,0] ++ bf[1..n-3]: token p starts a chunk iff the
-    # window ending at p-1 (gram p-3) flagged a boundary. Built with
-    # row-level concat/slice, NO index-lambda: element_at(bf, p-3) inside
-    # a transform re-derives the whole md5 chain PER ELEMENT (the
-    # documented Catalyst lambda-inlining trap — measured 30.3 s at
-    # sf0.1 for this very query; the lambda-free form runs in ~2 s).
-    staged = staged.withColumn(
-        "bf",
-        F.transform(F.col("grams3"), lambda g: (coin16(g) == 0).cast("int")),
-    ).withColumn(
-        "start_flags",
-        F.concat(
-            F.slice(
-                F.array(F.lit(0), F.lit(0), F.lit(0)),
-                1,
-                F.least(F.size("w"), F.lit(3)),
-            ),
-            F.slice(
-                F.col("bf"), 1, F.greatest(F.size("w") - 3, F.lit(0))
-            ),
-        ),
-    )
-    tok = staged.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.arrays_zip("w", "start_flags")).alias("p0", "z"),
-    ).select(
-        "doc_id",
-        "source",
-        (F.col("p0") + 1).alias("p"),
-        F.col("z.w").alias("tok"),
-        F.col("z.start_flags").alias("start_flag"),
-    )
-    wname = Window.partitionBy("doc_id").orderBy("p")
-    ck = tok.withColumn(
-        "chunk_id",
-        F.sum("start_flag").over(
-            wname.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    chunks = ck.groupBy("doc_id", "source", "chunk_id").agg(
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("p", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            )
-        ).alias("h")
+    chunks = D.content_defined_chunk_hashes(
+        docs, "doc_id", "text", carry_cols=["source"], window=3, modulus=16
     )
     return (
-        chunks.groupBy("source")
+        chunks.withColumnRenamed("chunk_hash", "h")
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.countDistinct("h").alias("n_distinct_chunks"),

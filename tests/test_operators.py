@@ -244,6 +244,50 @@ def test_knn_graph_incremental_equals_rebuild(spark, sf_dir):
     assert inc == full
 
 
+def test_cdc_chunking_edit_locality(spark):
+    """THE content-defined-chunking property: inserting a span into
+    the middle of a document changes only the chunks whose boundary
+    windows overlap the edit — every chunk of the original that lies
+    entirely outside the edit's window-radius survives with an
+    IDENTICAL hash in the edited document (a fixed-size chunker would
+    shift and re-hash every chunk after the edit). Verified on a
+    200-token document with a 5-token insertion at position 100:
+    chunks fully inside [1, 97] or [104, 200] (original coordinates,
+    window=3 ⇒ radius 2 on each side) must all reappear."""
+    import hashlib
+
+    base = [
+        hashlib.md5(f"tok{i}".encode()).hexdigest()[:6] for i in range(200)
+    ]
+    ins_at, span = 100, ["zzz1", "zzz2", "zzz3", "zzz4", "zzz5"]
+    edited = base[:ins_at] + span + base[ins_at:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    chunks = {
+        1: [],
+        2: [],
+    }
+    for r in D.content_defined_chunk_hashes(
+        df, "doc_id", "text", window=3, modulus=16
+    ).collect():
+        chunks[r.doc_id].append((r.chunk_pos, r.n_toks, r.chunk_hash))
+    hashes_edited = {h for _, _, h in chunks[2]}
+    # original chunks entirely clear of the edit window must survive
+    affected_lo, affected_hi = ins_at - 2, ins_at + 3  # 1-based token range
+    survivors_expected = [
+        (pos, n, h)
+        for pos, n, h in chunks[1]
+        if pos + n - 1 < affected_lo or pos > affected_hi
+    ]
+    assert survivors_expected, "fixture too short to exercise the property"
+    missing = [c for c in survivors_expected if c[2] not in hashes_edited]
+    assert not missing, f"edit-locality violated for chunks {missing}"
+    # and the token accounting must be exact on both docs
+    assert sum(n for _, n, _ in chunks[1]) == 200
+    assert sum(n for _, n, _ in chunks[2]) == 205
+
+
 def test_knn_graph_save_load_incremental(spark, sf_dir, tmp_path):
     """Persisted-graph maintenance: build on the old corpus, SAVE,
     reload, fold in a new batch against the LOADED graph — must equal
