@@ -54,10 +54,13 @@ LARGE_RESULT = {
     "events_session_windows",
     # row-per-doc with the full cleaned text riding along
     "dedup_trim_spans",
+    "dedup_trim_maximal_spans",
     # round 7: N·k rows (100k at sf1.0) — collecting them poisoned every
     # alphabetically-later query with driver GC pressure (+70s diffuse)
     "embedding_knn_graph",
     "embedding_knn_graph_incremental",
+    # round 8: same N·k shape as its exact twin
+    "embedding_knn_graph_ivf",
 }
 
 
@@ -258,7 +261,25 @@ def main() -> None:
         # deltas by the calibration ratio before reading regressions
         "calibration_sec": {"start": cal_start, "end": _calibrate()},
     }
+    # Parse-safe bracketing: the driver's stdout capture has truncated
+    # the big per-query JSON twice (BENCH_r05/r07 "parsed": null) —
+    # once losing the head, once the tail. A compact one-line aggregate
+    # BOTH before and after the full record means whichever end of the
+    # capture survives still carries a parseable headline; the full
+    # per-query map additionally persists in BENCH_local*.json below.
+    compact = json.dumps(
+        {
+            "metric": record["metric"],
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf,
+            "calibration_sec": record["calibration_sec"],
+        }
+    )
+    print(compact)
     print(json.dumps(record))
+    print(compact)
     # Durable copy: the driver captures stdout, but a truncated capture
     # (it happened — BENCH_r02.json lost its head) would lose the
     # per-query map; a committed artifact survives for round-over-round

@@ -53,10 +53,13 @@ def sq8_codes(v: Column) -> tuple[Column, Column]:
     no UDF, no shuffle. Every arithmetic step (divide, scale, the
     half-up ``floor(·+0.5)`` round) is an IEEE-exact double op any
     engine reproduces bit-for-bit, so the CODES THEMSELVES are
-    oracle-gradable — not just their statistics. A zero/empty vector
-    gets scale 0 and all-zero codes (the only vector a symmetric
-    quantizer cannot scale); NULL propagates. Codes span [-127, 127]
-    (never -128: |x| ≤ amax ⇒ floor(±127 + 0.5) bounds).
+    oracle-gradable — not just their statistics. A zero vector (the
+    only vector a symmetric quantizer cannot scale) gets scale 0 and
+    all-zero codes; an EMPTY vector gets scale NULL and empty codes
+    (``array_max`` over an empty array is NULL — matching DuckDB's
+    ``list_max``, so both engines grade it identically); NULL
+    propagates. Codes span [-127, 127] (never -128: |x| ≤ amax ⇒
+    floor(±127 + 0.5) bounds).
     """
     dv = to_double_array(v)
     amax = F.array_max(F.transform(dv, F.abs))

@@ -66,6 +66,10 @@ def bloom_contains(bloom: list[int], key: Column, m_bits: int, k: int = 5) -> Co
     single row moved. One folded literal keeps the generated code a
     constant array reference. Measured: 8.9 s → 2.6 s cold at sf0.1.
     """
+    # an empty word list would render as split('', ',') = [''] →
+    # [NULL], making every membership check NULL and silently dropping
+    # ALL rows — fail fast instead (mirrors build_bloom's m_bits gate)
+    assert bloom, "bloom word array is empty — build_bloom over an empty dim?"
     lit_arr = F.split(F.lit(",".join(str(w) for w in bloom)), ",").cast(
         "array<bigint>"
     )

@@ -1010,6 +1010,121 @@ def trim_duplicated_spans(
     )
 
 
+def trim_maximal_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+    min_len: int = 12,
+) -> DataFrame:
+    """Exact substring dedup with MAXIMAL-RUN semantics — the policy
+    real training-data pipelines apply (Lee et al. 2022 remove each
+    maximal duplicated substring above a length threshold, not every
+    matched shingle): adjacent/overlapping duplicated ``n``-gram
+    windows merge into maximal runs, and only runs of ≥ ``min_len``
+    tokens are removed. An isolated 8-gram hit (a quoted idiom, a
+    boilerplate phrase) survives; a 200-token boilerplate block goes.
+    ``trim_duplicated_spans`` is the blunter every-covered-token
+    variant; this one separates MATCH length from REMOVAL policy.
+
+    Plan: the same linear gram inventory → duplicated-gram shuffle →
+    covered-position union as ``trim_duplicated_spans``, then maximal
+    runs fall out of gaps-and-islands window algebra over the covered
+    positions (pos − row_number() per doc is constant exactly on a
+    consecutive run — one doc-keyed window, no self-join, no
+    quadratic interval merge), a length filter, and the same
+    anti-join + ordered reassembly. Everything stays native
+    expressions; the extra cost over the blunt variant is one window
+    over covered positions — bounded by duplicated coverage, not
+    corpus size.
+
+    Output: (id_col, n_tokens, n_kept, n_spans, cleaned_text) for
+    every doc with ≥1 token; ``n_spans`` counts the maximal runs
+    removed. Deterministic, fully SQL-replayable (integer window
+    algebra — the DuckDB oracle recomputes the same islands).
+    """
+    from pyspark.sql.window import Window
+
+    from spacex_data_engineering_pipeline_spark.functions.text import words
+
+    base = docs.select(
+        F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
+    ).filter(F.size("w") > 0)
+
+    grams = base.filter(F.size("w") >= n).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.struct(
+                    i.alias("s"),
+                    F.concat_ws(" ", F.slice("w", i + 1, n)).alias("g"),
+                ),
+            )
+        ).alias("sg"),
+    ).select("doc", F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+
+    dup_grams = (
+        grams.select("doc", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup_grams, "g")
+        .select(
+            "doc",
+            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    # gaps-and-islands: consecutive covered positions share
+    # pos − row_number(); each island IS a maximal duplicated run
+    w_pos = Window.partitionBy("doc").orderBy("pos")
+    spans = (
+        covered.withColumn("grp", F.col("pos") - F.row_number().over(w_pos))
+        .groupBy("doc", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count(F.lit(1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+    )
+    removed = spans.select(
+        "doc", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    n_spans = spans.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
+
+    toks = base.select("doc", F.posexplode("w").alias("pos", "tok"))
+    kept = toks.join(removed, ["doc", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc", F.size("w").cast("long").alias("n_tokens"))
+        .join(kept_agg, "doc", "left")
+        .join(n_spans, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

@@ -65,3 +65,50 @@ def quantized_gram(df: DataFrame, vec_col: str) -> DataFrame:
         .mapInPandas(part, "i int, j int, g long")
     )
     return parts.groupBy("i", "j").agg(F.sum("g").alias("gram_q"))
+
+
+def quantized_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """ONE corpus pass emitting every exact integer moment a
+    driver-side covariance/PCA fit needs, keyed like the Gram triangle:
+
+    - (0, 0)      → row count
+    - (i, 0)      → Σ_rows q[i]           (first moment, 1-based i)
+    - (i, j) i≤j  → Σ_rows q[i]·q[j]      (second moment / Gram)
+
+    with q = floor(v·2^20) int64, so every cell is an exact integer —
+    bit-identical across Spark, numpy, and DuckDB regardless of
+    partitioning. The result is model-sized (1 + dim + dim·(dim+1)/2
+    rows ≈ 2145 at dim=64): collecting it is the same class of probe
+    as the k-means centroid sums, and the O(dim³) eigensolve it feeds
+    stays on the driver. Covariance then derives as
+    C[i][j] = (G[ij] − s_i·s_j/N)/N in deterministic IEEE doubles.
+    """
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q = np.floor(M * QUANT).astype(np.int64)
+            G = Q.T @ Q
+            iu = np.triu_indices(G.shape[0])
+            s = Q.sum(axis=0)
+            dim = G.shape[0]
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [[0], np.arange(1, dim + 1), (iu[0] + 1)]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [[0], np.zeros(dim, np.int64), (iu[1] + 1)]
+                    ).astype(np.int32),
+                    "g": np.concatenate([[len(pdf)], s, G[iu]]),
+                }
+            )
+
+    parts = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(part, "i int, j int, g long")
+    )
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("m"))

@@ -1,0 +1,169 @@
+"""Exact-replay PCA / low-rank projection over embedding columns.
+
+An eigensolve has no native SQL, which is why this tier was deferred —
+the oracle policy pins the no-oracle exemption set empty. The unlock:
+make every arithmetic step a DETERMINISTIC IEEE op evaluated in the
+same order on both engines, and the whole pipeline (moments →
+covariance → power iteration with deflation → projection) becomes a
+pure function of the data that DuckDB can replay bit for bit:
+
+1. MOMENTS are exact integers: q = floor(v·2^20) int64 (the k-means /
+   Gram convention, operators/linalg.py), N, s_i = Σ q_i,
+   G_ij = Σ q_i·q_j — order-independent reductions, the only
+   corpus-sized work (ONE Arrow pass, model-sized output).
+2. COVARIANCE C_ij = (double(G_ij) − double(s_i)·double(s_j)/N)/N with
+   this exact parenthesization — each step one IEEE double op on
+   identical inputs, so identical bits in numpy and SQL.
+3. POWER ITERATION with deflation on the dim×dim C, fixed start
+   v0 = 1/sqrt(dim), fixed iteration count: every matvec row is a
+   STRICT left-to-right dot (np.cumsum — the same order as DuckDB's
+   ``list_dot_product``), norms/divisions elementwise IEEE. No BLAS in
+   the fit path: reassociated sums would drift the last ulp and the
+   oracle hashes the projections. Fixed iterations ≠ convergence —
+   the contract is "the deterministic T-step estimate", which both
+   engines compute identically (quality is pytest-pinned separately
+   against numpy's true eigensolve).
+4. PROJECTION pc_c = ⟨q − mean, v_c⟩/2^20 per row — corpus-sized but a
+   narrow map (zip_with + left-to-right aggregate fold, JVM-side), the
+   sampled-train/full-assign split of the k-means tier: the fit cost
+   is O(dim²) per batch + a model-sized collect; the assign cost is
+   scan speed at any corpus size.
+
+At 100 TB: the moments pass is the Gram scale story (dim×dim int
+matmul per Arrow batch, triangle-sized shuffle); the eigensolve is
+O(dim³) driver-side on 2145 numbers; the projection is one
+whole-stage-codegen map. Nothing corpus-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.operators.cluster import QUANT
+from spacex_data_engineering_pipeline_spark.operators.linalg import (
+    quantized_moments,
+)
+
+
+def _strict_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Strict left-to-right Σ a_i·b_i — np.cumsum is DEFINED as the
+    running sum, i.e. the exact evaluation order of DuckDB's
+    ``list_dot_product`` and the zip_with/aggregate fold."""
+    return float(np.cumsum(a * b)[-1])
+
+
+class PcaModel:
+    """Driver-side PCA state: the quantized-domain mean (dim doubles)
+    and ``n_components`` unit eigenvector estimates with their Rayleigh
+    eigenvalues — KiB-scale, the same class as k-means centroids."""
+
+    def __init__(self, mean, basis, eigvals, n_rows: int, n_iter: int):
+        self.mean = np.asarray(mean, dtype="float64")
+        self.basis = [np.asarray(v, dtype="float64") for v in basis]
+        self.eigvals = [float(x) for x in eigvals]
+        self.n_rows = n_rows
+        self.n_iter = n_iter
+
+
+def fit_pca(df: DataFrame, vec_col: str, n_components: int, n_iter: int = 12) -> PcaModel:
+    """Fit the deterministic power-iteration PCA model.
+
+    One corpus pass (``quantized_moments``) collects N, s, G as exact
+    int64; the covariance build and the T-step power iteration with
+    deflation run driver-side in strict-order float — every op
+    replayable by the SQL oracle. Degenerate corpora (a zero iterate)
+    fail fast rather than emit NaN bases.
+    """
+    rows = quantized_moments(df, vec_col).collect()
+    n = 0
+    s_map: dict[int, int] = {}
+    g_map: dict[tuple[int, int], int] = {}
+    for r in rows:
+        i, j, m = int(r["i"]), int(r["j"]), int(r["m"])
+        if i == 0:
+            n = m
+        elif j == 0:
+            s_map[i] = m
+        else:
+            g_map[(i, j)] = m
+    if n == 0:
+        raise ValueError("cannot fit PCA over an empty corpus")
+    dim = max(s_map)
+    s = np.array([s_map[i] for i in range(1, dim + 1)], dtype="float64")
+    G = np.zeros((dim, dim), dtype="float64")
+    for (i, j), g in g_map.items():
+        G[i - 1, j - 1] = g
+        G[j - 1, i - 1] = g
+    nf = float(n)
+    # C_ij = (G_ij − (s_i·s_j)/N)/N — elementwise IEEE, the exact
+    # parenthesization the oracle replays
+    C = (G - (s[:, None] * s[None, :]) / nf) / nf
+    mean = s / nf
+
+    basis, eigvals = [], []
+    for _ in range(n_components):
+        v = np.full(dim, 1.0 / math.sqrt(float(dim)))
+        for _ in range(n_iter):
+            w = np.array([_strict_dot(C[i], v) for i in range(dim)])
+            nrm = math.sqrt(_strict_dot(w, w))
+            if nrm == 0.0:
+                raise ValueError(
+                    "degenerate covariance: power iterate vanished "
+                    "(constant corpus or components > rank)"
+                )
+            v = w / nrm
+        w = np.array([_strict_dot(C[i], v) for i in range(dim)])
+        lam = _strict_dot(v, w)
+        basis.append(v)
+        eigvals.append(lam)
+        # deflate: C_ij −= (λ·v_i)·v_j — same parenthesization as SQL
+        C = C - (lam * v)[:, None] * v[None, :]
+    return PcaModel(mean, basis, eigvals, n, n_iter)
+
+
+def _lit_double_array(vals) -> Column:
+    """A double-array literal as ONE foldable expression: repr() emits
+    the shortest decimal that round-trips, and string→double cast is
+    correctly rounded in both engines, so the literal carries the exact
+    driver bits — without the F.lit(list) CreateArray-per-element plan
+    blowup (the bloomjoin lesson)."""
+    return F.split(
+        F.lit(",".join(repr(float(v)) for v in vals)), ","
+    ).cast("array<double>")
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    model: PcaModel,
+    decimals: int = 6,
+) -> DataFrame:
+    """Project every vector onto the model's components:
+    pc_c = ⟨floor(v·2^20) − mean, basis_c⟩ / 2^20 (the /2^20 returns to
+    data units — exact, a power-of-two divide), rounded at ``decimals``.
+
+    Pure Column expressions — zip_with + left-to-right aggregate folds
+    identical to ``list_dot_product``'s order, whole plan a narrow map:
+    scan-speed at any corpus size, no UDF, no shuffle. NULL vectors
+    project to NULL components.
+    """
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(QUANT))).cast("double"),
+    )
+    centered = F.zip_with(q, _lit_double_array(model.mean), lambda a, b: a - b)
+    cols = [F.col(id_col)]
+    for c, v in enumerate(model.basis, start=1):
+        proj = F.aggregate(
+            F.zip_with(centered, _lit_double_array(v), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(proj / F.lit(float(QUANT)), decimals).alias(f"pc{c}"))
+    return df.select(*cols)

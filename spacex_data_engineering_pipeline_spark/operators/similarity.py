@@ -245,6 +245,55 @@ def batch_knn_topk(
     )
 
 
+def _partial_topk_side(
+    q_ids, q_mat, q_nrm, c_ids, c_mat, c_nrm, k, slack, out_src, out_dst, out_cos
+):
+    """The shared two-tier EXACT partial-top-k kernel of every kNN-graph
+    arm (exact block grid ``knn_graph``, IVF-pruned ``knn_graph_ivf``,
+    incremental ``knn_graph_incremental``): one BLAS matmul PRUNES the
+    candidate rows, then the ≤ k+band survivors per query row are
+    RECOMPUTED with ``np.cumsum`` — the strict left-to-right summation
+    bit-identical to DuckDB's ``list_dot_product`` — so every EMITTED
+    cosine carries the exact fold bits while the O(Q·C·dim) bulk runs
+    as one C-side matmul. Prune threshold = the row's k-th best
+    APPROXIMATE cosine − (slack + 2·blas_eps): each approx is within
+    blas_eps of exact, so the k-th order statistic shifts ≤ blas_eps
+    and no candidate with exact cos ≥ kth_exact − slack is lost; the
+    final slack band covers downstream 6dp rounding. Self-pairs
+    (c_id == q_id) and non-finite scores (zero norms) drop out.
+    Appends (query-id, candidate-id, exact-cos) arrays to the three
+    ``out_*`` accumulators."""
+    if not len(q_ids) or not len(c_ids):
+        return
+    blas_eps = 1e-9  # reassociation drift bound for 64-dim doubles
+    with np.errstate(divide="ignore", invalid="ignore"):
+        approx = (q_mat @ c_mat.T) / (q_nrm[:, None] * c_nrm[None, :])
+        for r in range(len(q_ids)):
+            row = approx[r]
+            ok = np.isfinite(row) & (c_ids != q_ids[r])
+            n_ok = int(ok.sum())
+            if not n_ok:
+                continue
+            if n_ok > k:
+                kth = -np.partition(-row[ok], k - 1)[k - 1]
+                keep = ok & (row >= kth - slack - 2 * blas_eps)
+            else:
+                keep = ok
+            cand = np.nonzero(keep)[0]
+            dots = np.cumsum(c_mat[cand] * q_mat[r][None, :], axis=1)[:, -1]
+            cos = dots / (c_nrm[cand] * q_nrm[r])
+            cand_i, cand_c = c_ids[cand], cos
+            if cand_i.size > k:
+                order = np.lexsort((cand_i, -cand_c))
+                thr = cand_c[order[k - 1]] - slack
+                sel = order[cand_c[order] >= thr]
+                cand_i, cand_c = cand_i[sel], cand_c[sel]
+            if cand_i.size:
+                out_src.append(np.full(cand_i.size, q_ids[r]))
+                out_dst.append(cand_i)
+                out_cos.append(cand_c)
+
+
 def knn_graph(
     df: DataFrame,
     id_col: str,
@@ -329,44 +378,14 @@ def knn_graph(
         blk = pdf["__blk"].to_numpy(dtype=np.int64)
         out_src, out_dst, out_cos = [], [], []
 
-        blas_eps = 1e-9  # reassociation drift bound for 64-dim doubles
-
         def score_side(qsel, csel):
-            # rows in qsel each score all rows in csel; emit partial
-            # top-k (slack band) per query row. One BLAS matmul prunes;
-            # only survivors get the exact strict-sum recompute.
-            q_ids, q_mat, q_nrm = ids[qsel], mat[qsel], norms[qsel]
-            c_ids, c_mat, c_nrm = ids[csel], mat[csel], norms[csel]
-            if not len(q_ids) or not len(c_ids):
-                return
-            with np.errstate(divide="ignore", invalid="ignore"):
-                approx = (q_mat @ c_mat.T) / (q_nrm[:, None] * c_nrm[None, :])
-                for r in range(len(q_ids)):
-                    row = approx[r]
-                    ok = np.isfinite(row) & (c_ids != q_ids[r])
-                    n_ok = int(ok.sum())
-                    if not n_ok:
-                        continue
-                    if n_ok > k:
-                        kth = -np.partition(-row[ok], k - 1)[k - 1]
-                        keep = ok & (row >= kth - slack - 2 * blas_eps)
-                    else:
-                        keep = ok
-                    cand = np.nonzero(keep)[0]
-                    dots = np.cumsum(c_mat[cand] * q_mat[r][None, :], axis=1)[
-                        :, -1
-                    ]
-                    cos = dots / (c_nrm[cand] * q_nrm[r])
-                    cand_i, cand_c = c_ids[cand], cos
-                    if cand_i.size > k:
-                        order = np.lexsort((cand_i, -cand_c))
-                        thr = cand_c[order[k - 1]] - slack
-                        sel = order[cand_c[order] >= thr]
-                        cand_i, cand_c = cand_i[sel], cand_c[sel]
-                    if cand_i.size:
-                        out_src.append(np.full(cand_i.size, q_ids[r]))
-                        out_dst.append(cand_i)
-                        out_cos.append(cand_c)
+            # rows in qsel each score all rows in csel via the shared
+            # two-tier kernel (BLAS prune + strict-sum recompute)
+            _partial_topk_side(
+                ids[qsel], mat[qsel], norms[qsel],
+                ids[csel], mat[csel], norms[csel],
+                k, slack, out_src, out_dst, out_cos,
+            )
 
         if i == j:
             sel = np.arange(len(ids))
@@ -410,18 +429,64 @@ def save_knn_graph(
     ``base_graph=load_knn_graph(...)``) streams the whole graph back
     WITHOUT recomputing the N² build it cost. At 100 TB the graph is
     corpus-sized (N·k rows) — exactly the artifact you persist once
-    per build and fold batches into, never rebuild per batch."""
-    import json
-    import os
+    per build and fold batches into, never rebuild per batch.
 
+    The JSON sidecar goes through the Hadoop FileSystem API (not local
+    ``open()``), so the layout works unchanged on hdfs:// and s3a://
+    URIs — the filesystems the 100 TB framing implies."""
+    import json
+
+    spark = graph.sparkSession
     g = graph.withColumn(
         "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
     )
-    g.write.mode("overwrite").partitionBy("__bucket").parquet(
-        os.path.join(path, "edges")
+    g.write.mode("overwrite").partitionBy("__bucket").parquet(path + "/edges")
+    _hadoop_write_text(
+        spark,
+        path + "/meta.json",
+        json.dumps({"id_col": id_col, "n_buckets": n_buckets}),
     )
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"id_col": id_col, "n_buckets": n_buckets}, f)
+
+
+def _hadoop_write_text(spark, uri: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API — works for
+    any configured scheme (file://, hdfs://, s3a://), unlike a local
+    ``open()`` which silently writes a *local* path component of a
+    remote URI."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, uri: str) -> str:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream))
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def load_knn_graph_meta(spark, path: str) -> dict:
+    """Read the sidecar: ``{"id_col": ..., "n_buckets": ...}`` — the
+    fanout a bucket-probe helper needs to compute which partition
+    holds a given id."""
+    import json
+
+    return json.loads(_hadoop_read_text(spark, path + "/meta.json"))
 
 
 def load_knn_graph(spark, path: str) -> DataFrame:
@@ -430,10 +495,43 @@ def load_knn_graph(spark, path: str) -> DataFrame:
     at file listing); the bucket column is dropped so the frame has
     the exact (id, rnk, neighbor, cos_sim) shape ``knn_graph``
     emits — directly usable as ``base_graph`` in the incremental
-    update."""
-    import os
+    update. The sidecar is read back and validated against the edge
+    schema (a graph saved under a different id column fails fast here
+    instead of mis-joining downstream)."""
+    meta = load_knn_graph_meta(spark, path)
+    edges = spark.read.parquet(path + "/edges")
+    if meta["id_col"] not in edges.columns:
+        raise ValueError(
+            f"saved kNN graph at {path} declares id_col={meta['id_col']!r} "
+            f"but edges have columns {edges.columns}"
+        )
+    return edges.drop("__bucket")
 
-    return spark.read.parquet(os.path.join(path, "edges")).drop("__bucket")
+
+def knn_graph_neighbors(spark, path: str, id_value: int) -> DataFrame:
+    """Point lookup on a SAVED graph — "who are doc X's neighbors?" —
+    using the sidecar's ``n_buckets`` to filter on the partition
+    column, so the scan partition-prunes to ONE bucket directory at
+    file-listing time (the access pattern the bucketed layout exists
+    for; at 100 TB this touches 1/n_buckets of the files)."""
+    meta = load_knn_graph_meta(spark, path)
+    edges = spark.read.parquet(path + "/edges")
+    id_col = meta["id_col"]
+    bucket = (
+        edges.sparkSession.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(id_value).cast("long")), F.lit(meta["n_buckets"]))
+            .cast("int")
+            .alias("b")
+        )
+        .first()["b"]
+    )
+    return (
+        edges.filter(F.col("__bucket") == bucket)
+        .filter(F.col(id_col) == id_value)
+        .drop("__bucket")
+        .orderBy("rnk")
+    )
 
 
 def knn_graph_incremental(
@@ -478,6 +576,15 @@ def knn_graph_incremental(
 
     ``new`` must be modest (an update batch — it ships in closures /
     broadcasts); NULL vectors are filtered on both sides.
+
+    APPEND-ONLY CONTRACT: ``new`` ids must be disjoint from ``old``
+    ids. An id on both sides is an UPSERT, which this merge cannot
+    honor — the base graph's trimmed lists can't be repaired when a
+    stale edge pointing at the re-vectored id must be evicted (the
+    rank-k+1 candidate that would replace it was never kept). Route
+    upserts through a rebuild, or delete-then-append with a full
+    incidence sweep. An EMPTY (or all-NULL) new batch is a no-op: the
+    base graph is returned re-ranked to k, no jobs beyond the collect.
     """
     from pyspark.sql.window import Window
 
@@ -492,6 +599,16 @@ def knn_graph_incremental(
     new_list = sorted(
         (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in new_rows
     )
+    if not new_list:
+        w0 = Window.partitionBy(id_col).orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor").asc()
+        )
+        return (
+            base_graph.select(id_col, "neighbor", "cos_sim")
+            .withColumn("rnk", F.row_number().over(w0))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "rnk", "neighbor", "cos_sim")
+        )
     all_vecs = old.select(id_col, vec_col).unionByName(
         new.select(id_col, vec_col)
     )
@@ -501,7 +618,6 @@ def knn_graph_incremental(
     qids = np.asarray([q for q, _ in new_list], dtype=np.int64)
     qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in new_list])
     qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
-    blas_eps = 1e-9
 
     def old_vs_new(batches):
         for pdf in batches:
@@ -511,25 +627,10 @@ def knn_graph_incremental(
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
             out_i, out_n, out_c = [], [], []
-            with np.errstate(divide="ignore", invalid="ignore"):
-                approx = (mat @ qmat.T) / (norms[:, None] * qnorm[None, :])
-                for r in range(len(ids)):
-                    row = approx[r]
-                    ok = np.isfinite(row) & (qids != ids[r])
-                    n_ok = int(ok.sum())
-                    if not n_ok:
-                        continue
-                    if n_ok > k:
-                        kth = -np.partition(-row[ok], k - 1)[k - 1]
-                        keep = ok & (row >= kth - slack - 2 * blas_eps)
-                    else:
-                        keep = ok
-                    cand = np.nonzero(keep)[0]
-                    dots = np.cumsum(qmat[cand] * mat[r][None, :], axis=1)[:, -1]
-                    cos = dots / (qnorm[cand] * norms[r])
-                    out_i.append(np.full(cand.size, ids[r]))
-                    out_n.append(qids[cand])
-                    out_c.append(cos)
+            _partial_topk_side(
+                ids, mat, norms, qids, qmat, qnorm,
+                k, slack, out_i, out_n, out_c,
+            )
             if out_i:
                 yield pd.DataFrame(
                     {
@@ -569,6 +670,139 @@ def knn_graph_incremental(
     )
     return (
         cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "neighbor", "cos_sim")
+    )
+
+
+def knn_graph_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    sample_cap: int = 65536,
+    decimals: int = 6,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """APPROXIMATE kNN graph via IVF-pruned candidate generation — the
+    100 TB arm the exact block grid (``knn_graph``) exists to grade.
+    The grid's O(N²/B·dim) matmul bulk is the right whole-corpus cost
+    only up to mid scale; here each row scores ONLY the rows assigned
+    to its ``n_probe`` nearest coarse clusters, so total work is
+    ~N·(n_probe/n_clusters)·N·dim — the n_probe/n_clusters dial cuts
+    the pair space by the probe fraction, at the price of recall.
+
+    Plan: train a spherical-k-means coarse quantizer on a bounded
+    driver-side sample (the ``build_ivf_index`` contract — model-sized,
+    never a distributed iterative fit); ONE Arrow pass computes each
+    row's probe list (its ``n_probe`` nearest centroids by cosine,
+    ties → lowest cluster id, so routing is a pure per-row function of
+    the vector — layout-invariant). Each row is routed once as a
+    MEMBER of its assigned cluster (= probe[0]) and ``n_probe`` times
+    as a QUERY of its probed clusters; ``groupBy(cluster)`` then holds
+    exactly (members of c, queries probing c) and the shared two-tier
+    kernel (``_partial_topk_side`` — BLAS prune + strict-sum
+    recompute) emits per-query partial top-k. The finisher is the
+    IDENTICAL id-keyed window as the exact arm.
+
+    Shuffle accounting: each row moves 1 + n_probe times (vs n_blocks
+    for the grid) + N·n_probe·k candidate rows into the window — never
+    pairs. Cluster payload ≈ N/n_clusters members + N·n_probe/n_clusters
+    queries, so ``n_clusters`` is the executor-memory dial (grow as
+    √N, exactly FAISS's nlist guidance).
+
+    GRADING CONTRACT (what the oracle + tests pin): every EMITTED
+    cosine is exact to the strict left-to-right fold bits (same kernel
+    as the exact arm), so the only approximation is RECALL — a true
+    neighbor is missed iff it lives in a cluster the query didn't
+    probe. At ``n_probe == n_clusters`` every cluster is probed and
+    the result EQUALS ``knn_graph`` row for row — the index-integrity
+    contract the catalog grades (a member lost, double-routed, or
+    mis-probed flips the result), same pattern as ``ivf_batch_topk``.
+    Recall at n_probe < n_clusters is monotone in n_probe and
+    pytest-pinned against the exact graph.
+
+    Output: (``id_col``, rnk, neighbor, cos_sim), rnk 1..k — rows with
+    zero probed candidates (or zero norm) emit no edges, exactly like
+    the exact arm's isolated rows.
+    """
+    from pyspark.sql.window import Window
+
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        deterministic_sample_vectors,
+    )
+
+    base = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    sample = deterministic_sample_vectors(base, id_col, vec_col, sample_cap)
+    if not sample:
+        raise ValueError("cannot build a kNN graph over an empty corpus")
+    centers = _spherical_kmeans(sample, n_clusters, seed)
+    n_pr = min(n_probe, len(centers))
+
+    @F.pandas_udf("array<int>")
+    def _probe_list(batch: pd.Series) -> pd.Series:
+        if not len(batch):
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype="float64") for v in batch])
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.where(norms > 0, norms, 1.0)
+        sims = Mn @ centers.T
+        # ties → lowest cluster id: lexsort minor key is the id range
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(sims.shape[1]), sims.shape), -sims),
+            axis=1,
+        )[:, :n_pr]
+        return pd.Series(list(order.astype("int32")))
+
+    routed = base.withColumn("__probes", _probe_list(F.col(vec_col)))
+    members = routed.select(
+        id_col,
+        vec_col,
+        F.element_at("__probes", 1).alias("__cell"),
+        F.lit(False).alias("__q"),
+    )
+    queries = routed.select(
+        id_col,
+        vec_col,
+        F.explode("__probes").alias("__cell"),
+        F.lit(True).alias("__q"),
+    )
+
+    def cell_topk(key, pdf):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        is_q = pdf["__q"].to_numpy(dtype=bool)
+        qsel, csel = np.nonzero(is_q)[0], np.nonzero(~is_q)[0]
+        out_src, out_dst, out_cos = [], [], []
+        _partial_topk_side(
+            ids[qsel], mat[qsel], norms[qsel],
+            ids[csel], mat[csel], norms[csel],
+            k, slack, out_src, out_dst, out_cos,
+        )
+        n = sum(a.size for a in out_src)
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_src) if n else np.empty(0, np.int64),
+                "neighbor": np.concatenate(out_dst) if n else np.empty(0, np.int64),
+                "cos_raw": np.concatenate(out_cos) if n else np.empty(0, np.float64),
+            }
+        )
+
+    partials = (
+        members.unionByName(queries)
+        .groupBy("__cell")
+        .applyInPandas(cell_topk, f"{id_col} long, neighbor long, cos_raw double")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        partials.withColumn("cos_sim", F.round("cos_raw", decimals))
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "neighbor", "cos_sim")
     )

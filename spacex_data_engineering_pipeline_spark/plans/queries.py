@@ -1457,6 +1457,51 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_knn_graph_ivf",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE kNN-graph arm — IVF-pruned candidate generation
+    feeding the exact arm's identical window finisher
+    (operators/similarity.py:knn_graph_ivf): each row scores only the
+    rows assigned to its n_probe nearest coarse clusters, cutting the
+    pair space by n_probe/n_clusters — the whole-corpus 100 TB path
+    where the exact block grid's O(N²/B·dim) bulk stops being payable.
+
+    Graded at FULL probe width (n_probe == n_clusters), where routing
+    covers every (query, member) pair exactly once and the result must
+    EQUAL the exact graph row for row — the index-integrity contract
+    (a member lost, double-routed, or mis-probed flips the result),
+    the same pattern as embedding_ivf_batch_topk. The recall/cost dial
+    (n_probe < n_clusters ⇒ recall monotone, emitted cosines still
+    bit-exact via the shared strict-sum kernel) is pytest-pinned
+    against embedding_knn_graph, with the sf1.0 recall/wall point
+    recorded in SCALE_NOTES.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_graph_ivf(
+        emb, "vec_id", "embedding", k=5, n_clusters=8, n_probe=8
+    )
+    return out.orderBy("vec_id", "rnk")
+
+
+@_register(
     "embedding_knn_graph_incremental",
     oracle=f"""
     WITH pairs AS (
@@ -1833,6 +1878,147 @@ def embedding_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return release_caches_with(out, idx.assigned)
+
+
+def _pca_oracle_sql(n_components: int = 2, n_iter: int = 12, dim: int = 64) -> str:
+    """Generate the DuckDB replay of the deterministic power-iteration
+    PCA (operators/pca.py) — the same pattern as ``_kcenter_oracle_sql``:
+    the fit is a fixed arithmetic PROGRAM, so the oracle unrolls it.
+    Exact integer moments (N, s, G) → covariance in the identical IEEE
+    parenthesization → ``n_iter`` strict-order power steps per
+    component with deflation (every matvec row a ``list_dot_product``,
+    the same left-to-right order as the driver's np.cumsum) → the
+    projection matmul. Every double on both engines carries the same
+    bits, which is what lets an EIGENSOLVE be value-hash graded at all.
+    """
+    d1 = dim + 1
+    parts = [
+        f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> floor(x * 1048576.0)) AS qd
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qv),
+    sums AS MATERIALIZED (
+        SELECT r.i AS i, CAST(SUM(CAST(qd[r.i] AS BIGINT)) AS DOUBLE) AS s
+        FROM qv, range(1, {d1}) r(i) GROUP BY r.i
+    ),
+    mean AS MATERIALIZED (
+        SELECT list(s / (SELECT n FROM cnt) ORDER BY i) AS m FROM sums
+    ),
+    gram AS MATERIALIZED (
+        SELECT r1.i AS i, r2.j AS j,
+               CAST(SUM(CAST(qd[r1.i] AS BIGINT) * CAST(qd[r2.j] AS BIGINT))
+                    AS DOUBLE) AS g
+        FROM qv, range(1, {d1}) r1(i), range(1, {d1}) r2(j)
+        WHERE r1.i <= r2.j
+        GROUP BY r1.i, r2.j
+    ),
+    gfull AS MATERIALIZED (
+        SELECT i, j, g FROM gram
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gram WHERE i < j
+    ),
+    cov0 AS MATERIALIZED (
+        SELECT gf.i AS i,
+               list((gf.g - s1.s * s2.s / (SELECT n FROM cnt))
+                    / (SELECT n FROM cnt) ORDER BY gf.j) AS crow
+        FROM gfull gf
+        JOIN sums s1 ON s1.i = gf.i
+        JOIN sums s2 ON s2.i = gf.j
+        GROUP BY gf.i
+    )"""
+    ]
+    for c in range(n_components):
+        parts.append(
+            f""",
+    v{c}_0 AS MATERIALIZED (SELECT list_transform(range(1, {d1}),
+                                     x -> 1.0 / sqrt(CAST({dim} AS DOUBLE))) AS v)"""
+        )
+        for t in range(1, n_iter + 1):
+            parts.append(
+                f""",
+    w{c}_{t} AS MATERIALIZED (SELECT list(list_dot_product(cv.crow,
+                     (SELECT v FROM v{c}_{t - 1})) ORDER BY cv.i) AS w
+                 FROM cov{c} cv),
+    v{c}_{t} AS MATERIALIZED (SELECT list_transform(w,
+                     x -> x / sqrt(list_dot_product(w, w))) AS v
+                 FROM w{c}_{t})"""
+            )
+        parts.append(
+            f""",
+    wl{c} AS MATERIALIZED (SELECT list(list_dot_product(cv.crow,
+                  (SELECT v FROM v{c}_{n_iter})) ORDER BY cv.i) AS w
+              FROM cov{c} cv),
+    lam{c} AS MATERIALIZED (SELECT list_dot_product((SELECT v FROM v{c}_{n_iter}), w) AS l
+               FROM wl{c})"""
+        )
+        if c + 1 < n_components:
+            # lambdas cannot hold subqueries in DuckDB — bring λ and v
+            # in as cross-joined single-row columns instead
+            parts.append(
+                f""",
+    cov{c + 1} AS MATERIALIZED (
+        SELECT cv.i AS i,
+               list_transform(range(1, {d1}),
+                   j -> cv.crow[j] - (lm.l * vv.v[cv.i]) * vv.v[j]) AS crow
+        FROM cov{c} cv, lam{c} lm, v{c}_{n_iter} vv
+    )"""
+            )
+    basis_joins = ", ".join(
+        f"v{c}_{n_iter} b{c}" for c in range(n_components)
+    )
+    proj_cols = ",\n           ".join(
+        f"""ROUND(list_dot_product(
+               list_transform(range(1, {d1}),
+                              j -> qv.qd[j] - mn.m[j]),
+               b{c}.v) / 1048576.0, 6) AS pc{c + 1}"""
+        for c in range(n_components)
+    )
+    parts.append(
+        f"""
+    SELECT qv.vec_id,
+           {proj_cols}
+    FROM qv, mean mn, {basis_joins}
+    ORDER BY qv.vec_id"""
+    )
+    return "".join(parts)
+
+
+@_register("embedding_pca_project", oracle=_pca_oracle_sql(2, 12, 64))
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA / low-rank projection of the embedding column — the
+    dimensionality-reduction tier (whitening, visualization, cheap
+    pre-filters before exact rerank) a 100 TB embedding pipeline needs.
+
+    Fit (operators/pca.py:fit_pca): ONE Arrow pass collects exact
+    int64 moments (N, Σq, Σqqᵀ at the 2^20 fixed point — model-sized,
+    the k-means-centroid class of probe); the covariance build and 12
+    power-iteration steps per component (with deflation) run
+    driver-side in STRICT-ORDER float, every op an IEEE instruction
+    both engines execute identically. Projection
+    (pca_project): pc_c = ⟨q − mean, v_c⟩/2^20 as zip_with +
+    left-to-right folds — whole-stage-codegen map, no UDF, no shuffle,
+    scan-speed at any corpus size.
+
+    The oracle REPLAYS THE EIGENSOLVE: generated SQL unrolls the same
+    moments → covariance → 12 strict-order power steps → projection
+    program in DuckDB list arithmetic, so the value hash grades the
+    fit itself — not just summary statistics. Fit quality (Rayleigh
+    quotient vs numpy's true eigensolve, fit/project variance
+    agreement) is pytest-pinned separately.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    model = fit_pca(emb, "embedding", n_components=2, n_iter=12)
+    return pca_project(emb, "vec_id", "embedding", model).orderBy("vec_id")
 
 
 @_register(
@@ -4859,6 +5045,85 @@ def dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return D.trim_duplicated_spans(docs, "doc_id", "text", n=8, min_df=2)
+
+
+@_register(
+    "dedup_trim_maximal_spans",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, w FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+        WHERE len(w) > 0
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS s, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+              FROM base WHERE len(w) >= 8)
+    ),
+    dup AS (
+        SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT g2.doc_id, g2.s + d.d AS pos
+        FROM (SELECT grams.doc_id, grams.s FROM grams JOIN dup USING (g)) g2,
+             (SELECT unnest(range(0, 8)) AS d) d
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM covered
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+               COUNT(*) AS span_len
+        FROM isl GROUP BY doc_id, grp
+        HAVING COUNT(*) >= 12
+    ),
+    removed AS (
+        SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+        FROM spans
+    ),
+    ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM base)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks t
+        LEFT JOIN removed c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.doc_id IS NULL
+    ),
+    ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+           COALESCE(ka.cleaned_text, '') AS cleaned_text
+    FROM base b
+    LEFT JOIN ka ON b.doc_id = ka.doc_id
+    LEFT JOIN ns ON b.doc_id = ns.doc_id
+    """,
+)
+def dedup_trim_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup with MAXIMAL-RUN removal policy (operators/
+    dedup.py ``trim_maximal_spans``; Lee et al. 2022 remove maximal
+    duplicated substrings above a length threshold): duplicated
+    8-gram windows merge into maximal runs via gaps-and-islands over
+    covered positions (pos − row_number() per doc — one window, no
+    interval self-join), and only runs ≥ 12 tokens are removed. An
+    isolated idiom survives; boilerplate blocks go — MATCH length and
+    REMOVAL policy separated, unlike dedup_trim_spans' every-covered-
+    token variant. The full cleaned string + span count ride the hash
+    compare, so one mis-merged island anywhere flips the grade.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.trim_maximal_spans(
+        docs, "doc_id", "text", n=8, min_df=2, min_len=12
+    )
 
 
 @_register(

@@ -57,6 +57,15 @@ def test_bloom_semi_join_exact_even_with_false_positives(spark):
     assert got == want
 
 
+def test_bloom_empty_word_array_fails_fast(spark):
+    """An empty word list would render as split('', ',') = [NULL] and
+    silently drop every row — the predicate must refuse it instead."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="empty"):
+        bloom_contains([], F.col("fk"), 1 << 10, 3)
+
+
 def test_bloom_null_fact_keys_never_match(spark):
     fact = spark.createDataFrame(
         [(None, 1), (3, 2)], "fk long, payload long"

@@ -331,6 +331,163 @@ def test_knn_graph_save_load_incremental(spark, sf_dir, tmp_path):
     )[1].split("]")[0]
 
 
+def test_trim_maximal_spans_policy(spark):
+    """Maximal-run semantics on a crafted fixture: overlapping
+    duplicated 8-gram windows MERGE into one island; only islands
+    ≥ min_len are removed; an isolated duplicated 8-gram (exactly 8
+    covered tokens < min_len=12) SURVIVES — the distinction from the
+    every-covered-token variant."""
+    shared_long = [f"boiler{i}" for i in range(20)]  # 20-token dup block
+    shared_short = [f"idiom{i}" for i in range(8)]  # isolated 8-gram dup
+    u = lambda tag, k: [f"{tag}{i}" for i in range(k)]  # noqa: E731
+    doc1 = u("a", 5) + shared_long + u("b", 5) + shared_short + u("c", 5)
+    doc2 = u("d", 5) + shared_long + u("e", 5) + shared_short + u("f", 5)
+    docs = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2))], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.trim_maximal_spans(
+            docs, "doc_id", "text", n=8, min_df=2, min_len=12
+        ).collect()
+    }
+    for did, toks in ((1, doc1), (2, doc2)):
+        r = out[did]
+        assert r["n_tokens"] == len(toks)
+        # exactly the 20-token block is removed; the idiom survives
+        assert r["n_spans"] == 1
+        assert r["n_kept"] == len(toks) - len(shared_long)
+        cleaned = r["cleaned_text"].split(" ")
+        assert all(t not in cleaned for t in shared_long)
+        assert all(t in cleaned for t in shared_short)
+        # order preserved
+        expect = [t for t in toks if t not in set(shared_long)]
+        assert cleaned == expect
+    # the blunt variant would also remove the idiom — pin the contrast
+    blunt = {
+        r["doc_id"]: r["n_kept"]
+        for r in D.trim_duplicated_spans(
+            docs, "doc_id", "text", n=8, min_df=2
+        ).collect()
+    }
+    assert blunt[1] == len(doc1) - len(shared_long) - len(shared_short)
+
+
+def test_knn_graph_ivf_full_probe_equals_exact(spark, sf_dir):
+    """The index-integrity contract: at n_probe == n_clusters the
+    IVF-pruned graph covers every (query, member) pair exactly once
+    and must EQUAL the exact block-grid graph row for row — a member
+    lost, double-routed, or mis-probed flips this."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [
+        tuple(r)
+        for r in S.knn_graph(emb, "vec_id", "embedding", k=5)
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    ivf = [
+        tuple(r)
+        for r in S.knn_graph_ivf(
+            emb, "vec_id", "embedding", k=5, n_clusters=4, n_probe=4
+        )
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    assert ivf == exact
+    # and routing is a pure function of the data, not the layout
+    shuffled = [
+        tuple(r)
+        for r in S.knn_graph_ivf(
+            emb.repartition(64), "vec_id", "embedding", k=5,
+            n_clusters=4, n_probe=4,
+        )
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    assert shuffled == exact
+
+
+def test_knn_graph_ivf_recall_monotone_cosines_exact(spark, sf_dir):
+    """The approximation contract: recall vs the exact graph is
+    monotone in n_probe (each extra probe only ADDS candidate
+    clusters), and every EMITTED cosine carries the exact strict-sum
+    bits — the property that makes the recall measurement meaningful
+    (a drifted cosine would re-rank pairs, not just miss them)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.knn_graph(emb, "vec_id", "embedding", k=5).collect()
+    ex_edges = {(r["vec_id"], r["neighbor"]) for r in exact}
+    ex_cos = {(r["vec_id"], r["neighbor"]): r["cos_sim"] for r in exact}
+    recalls = []
+    for n_probe in (1, 2, 4):
+        ap = S.knn_graph_ivf(
+            emb, "vec_id", "embedding", k=5, n_clusters=4, n_probe=n_probe
+        ).collect()
+        edges = {(r["vec_id"], r["neighbor"]) for r in ap}
+        recalls.append(len(edges & ex_edges) / len(ex_edges))
+        bad = [
+            (r["vec_id"], r["neighbor"])
+            for r in ap
+            if (r["vec_id"], r["neighbor"]) in ex_cos
+            and ex_cos[(r["vec_id"], r["neighbor"])] != r["cos_sim"]
+        ]
+        assert not bad, f"n_probe={n_probe}: drifted cosines {bad[:3]}"
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0  # full probe ⇒ exact
+    assert recalls[1] >= 0.4, f"half-probe recall collapsed: {recalls}"
+
+
+def test_knn_graph_incremental_empty_batch(spark, sf_dir, tmp_path):
+    """A no-op update (empty or all-NULL new batch) must return the
+    base graph unchanged instead of crashing on np.stack of zero
+    arrays — the plausible production case where an ingest tick
+    carries no new vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    old = emb.select("vec_id", "embedding")
+    base = S.knn_graph(old, "vec_id", "embedding", k=4)
+    base_rows = [tuple(r) for r in base.orderBy("vec_id", "rnk").collect()]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = S.knn_graph_incremental(
+        old, empty, "vec_id", "embedding", k=4, base_graph=base
+    )
+    assert [tuple(r) for r in out.orderBy("vec_id", "rnk").collect()] == base_rows
+    # all-NULL batch is the same no-op
+    nulls = spark.createDataFrame(
+        [(999, None)], "vec_id long, embedding array<double>"
+    )
+    out2 = S.knn_graph_incremental(
+        old, nulls, "vec_id", "embedding", k=4, base_graph=base
+    )
+    assert [tuple(r) for r in out2.orderBy("vec_id", "rnk").collect()] == base_rows
+
+
+def test_knn_graph_sidecar_validation_and_point_probe(spark, sf_dir, tmp_path):
+    """The meta.json sidecar round-trips through the Hadoop FS API,
+    load validates the declared id column against the edge schema, and
+    the point-probe helper returns exactly the saved neighbor list for
+    one id while filtering on the partition column."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    built = S.knn_graph(emb, "vec_id", "embedding", k=4)
+    path = str(tmp_path / "knng_meta")
+    S.save_knn_graph(built, path, "vec_id", n_buckets=4)
+    meta = S.load_knn_graph_meta(spark, path)
+    assert meta == {"id_col": "vec_id", "n_buckets": 4}
+    probe = S.knn_graph_neighbors(spark, path, 7)
+    expected = [
+        (r["rnk"], r["neighbor"], r["cos_sim"])
+        for r in built.filter(F.col("vec_id") == 7).orderBy("rnk").collect()
+    ]
+    got = [(r["rnk"], r["neighbor"], r["cos_sim"]) for r in probe.collect()]
+    assert got == expected
+    # a corrupted sidecar (wrong id column) fails fast at load
+    S._hadoop_write_text(
+        spark, path + "/meta.json", '{"id_col": "doc_id", "n_buckets": 4}'
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="doc_id"):
+        S.load_knn_graph(spark, path)
+
+
 def test_knn_graph_repartition_invariance(spark, sf_dir):
     """The graph must be a pure function of the data, not the layout:
     a hostile repartition(64) of the input (different Arrow batch

@@ -1,0 +1,106 @@
+"""PCA tier (operators/pca.py): fit quality against numpy's true
+eigensolve, fit/project variance agreement, layout invariance, and
+the degenerate-corpus guards. Bit-exactness vs the DuckDB replay is
+graded by the catalog oracle (embedding_pca_project)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from spacex_data_engineering_pipeline_spark.catalog import load_table
+from spacex_data_engineering_pipeline_spark.operators.cluster import QUANT
+from spacex_data_engineering_pipeline_spark.operators.pca import (
+    fit_pca,
+    pca_project,
+)
+
+
+def _numpy_cov(emb_rows):
+    Q = np.floor(np.asarray(emb_rows, dtype="float64") * QUANT)
+    mean = Q.mean(axis=0)
+    X = Q - mean
+    return (X.T @ X) / len(Q), mean
+
+
+def test_pca_rayleigh_vs_true_eigensolve(spark, sf_dir):
+    """12 power steps must capture most of the top eigenvalue: the
+    Rayleigh quotient is monotone nondecreasing in the iteration, so
+    λ̂1 ≤ λ1 always, and on real data it should be ≥ 0.9·λ1 — a fit
+    that stalls below that is broken, not just unconverged."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    model = fit_pca(emb, "embedding", n_components=2, n_iter=12)
+    rows = [r["embedding"] for r in emb.select("embedding").collect()]
+    C, mean_np = _numpy_cov(rows)
+    true_eigs = np.sort(np.linalg.eigvalsh(C))[::-1]
+    assert model.eigvals[0] <= true_eigs[0] * (1 + 1e-9)
+    assert model.eigvals[0] >= 0.9 * true_eigs[0], (
+        model.eigvals,
+        true_eigs[:3],
+    )
+    # the mean is exact (integer sums / N)
+    assert np.allclose(model.mean, mean_np, rtol=0, atol=1e-6)
+    # unit bases, near-orthogonal after deflation
+    for v in model.basis:
+        assert math.isclose(float(np.linalg.norm(v)), 1.0, rel_tol=1e-12)
+    # random-ish test embeddings have a thin spectral gap, so 12 power
+    # steps leave a small residual angle — pin "near", not "exactly"
+    assert abs(float(model.basis[0] @ model.basis[1])) < 0.1
+
+
+def test_pca_projection_variance_matches_eigval(spark, sf_dir):
+    """var(pc1) over the corpus must equal v1ᵀCv1/2^40 = λ̂1/2^40 (the
+    projection is ⟨q−mean, v⟩/2^20): the corpus-side projection and
+    the driver-side fit agree on the model they share."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    model = fit_pca(emb, "embedding", n_components=1, n_iter=12)
+    proj = pca_project(emb, "vec_id", "embedding", model, decimals=9)
+    stats = proj.agg(
+        F.avg("pc1").alias("mu"), F.avg(F.col("pc1") * F.col("pc1")).alias("m2")
+    ).first()
+    var = stats["m2"] - stats["mu"] ** 2
+    expect = model.eigvals[0] / float(QUANT) ** 2
+    assert math.isclose(var, expect, rel_tol=1e-4), (var, expect)
+    # centered projections: the mean of pc1 is ~0 by construction
+    assert abs(stats["mu"]) < 1e-3 * math.sqrt(expect)
+
+
+def test_pca_layout_invariance(spark, sf_dir):
+    """Fit + projection are pure functions of the data: a hostile
+    repartition(64) (different Arrow batches, different reduce order)
+    yields bit-identical moments, hence bit-identical projections."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    m1 = fit_pca(emb, "embedding", n_components=2, n_iter=12)
+    m2 = fit_pca(emb.repartition(64), "embedding", n_components=2, n_iter=12)
+    assert [list(v) for v in m1.basis] == [list(v) for v in m2.basis]
+    assert m1.eigvals == m2.eigvals
+    p1 = [tuple(r) for r in pca_project(emb, "vec_id", "embedding", m1)
+          .orderBy("vec_id").collect()]
+    p2 = [tuple(r) for r in pca_project(emb.repartition(64), "vec_id",
+                                        "embedding", m2)
+          .orderBy("vec_id").collect()]
+    assert p1 == p2
+
+
+def test_pca_degenerate_corpora(spark):
+    """Empty corpus and constant corpus (zero covariance) fail fast
+    with a diagnosable error instead of emitting NaN bases."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        fit_pca(empty, "embedding", n_components=1)
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        fit_pca(const, "embedding", n_components=1)
