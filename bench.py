@@ -159,6 +159,31 @@ def bench_pipeline_scenarios(spark: SparkSession, sf_dir: str) -> dict[str, floa
     return timings
 
 
+def bench_streaming_latency(spark: SparkSession) -> dict[str, float]:
+    """Latency axis of the streaming story (bench-only, like the
+    pipeline scenarios — wall-clock-dependent by design, so never an
+    oracle-graded entry): a live rate source under a 500 ms
+    processing-time trigger; per-record end-to-end latency =
+    micro-batch completion − source timestamp. The p50/p95 land in the
+    timings map in SECONDS so the artifact format stays uniform."""
+    from spacex_data_engineering_pipeline_spark.streaming.latency import (
+        rate_latency_probe,
+    )
+
+    try:
+        stats = rate_latency_probe(
+            spark, rows_per_second=2000, trigger="500 milliseconds",
+            min_batches=8,
+        )
+    except Exception as exc:  # a hung stream must not sink the bench
+        print(f"bench: latency probe failed: {exc}", file=sys.stderr)
+        return {}
+    return {
+        "streaming_rate_latency_p50": stats["p50_sec"],
+        "streaming_rate_latency_p95": stats["p95_sec"],
+    }
+
+
 def _warm_streaming(spark: SparkSession) -> None:
     """One throwaway micro-batch over a 1-row file stream with a
     stateful agg: initializes streaming execution + state store once."""
@@ -249,6 +274,7 @@ def main() -> None:
     # Pipeline scenarios LAST (warm write paths — the order the r1/r2
     # baselines were measured in; running them first costs ~2x cold)
     timings.update(bench_pipeline_scenarios(spark, sf_dir))
+    timings.update(bench_streaming_latency(spark))
 
     total = round(sum(timings.values()), 4)
     record = {

@@ -21,6 +21,10 @@ PIPELINE_SCENARIOS = {
     "pipeline_initial_load",
     "pipeline_incremental",
     "pipeline_no_new_data",
+    # round 8: latency axis (values are latency percentiles in seconds,
+    # not walls — bench-only, wall-clock-dependent by design)
+    "streaming_rate_latency_p50",
+    "streaming_rate_latency_p95",
 }
 
 

@@ -919,3 +919,23 @@ def test_state_store_provider_dial_rocksdb_parity(spark, sf_dir):
         )
     assert runs[None] == runs["rocksdb"] and len(runs[None]) > 0
     assert spark.conf.get(key, None) == before
+
+
+def test_rate_latency_probe_shape(spark):
+    """The latency surface returns sane percentiles: a live rate source
+    under a processing-time trigger, post-warmup p50 ≤ p95 ≤ p99 ≤ max,
+    and the p50 sits above the structural floor (records wait on the
+    trigger cadence) but below a generous ceiling — a hung stream or a
+    timestamp-unit bug (ms vs s) lands far outside [0.01, 30]."""
+    from spacex_data_engineering_pipeline_spark.streaming.latency import (
+        rate_latency_probe,
+    )
+
+    stats = rate_latency_probe(
+        spark, rows_per_second=500, trigger="300 milliseconds",
+        min_batches=4, warmup_batches=1, timeout_sec=45.0,
+    )
+    assert stats["n_samples"] > 0 and stats["n_batches"] >= 4
+    assert 0.01 <= stats["p50_sec"] <= 30.0, stats
+    assert stats["p50_sec"] <= stats["p95_sec"] <= stats["p99_sec"]
+    assert stats["p99_sec"] <= stats["max_sec"]
