@@ -436,6 +436,34 @@ def test_knn_graph_ivf_recall_monotone_cosines_exact(spark, sf_dir):
     assert recalls[1] >= 0.4, f"half-probe recall collapsed: {recalls}"
 
 
+def test_knn_graph_ivf_exploits_cluster_structure(spark):
+    """On CLUSTERED data (the shape of real embedding corpora) a small
+    probe fraction must recover almost the whole exact graph: 16
+    planted Gaussian clusters, n_probe=2 of n_clusters=16 (12.5% of
+    pair space) ⇒ recall ≥ 0.9 — true neighbors co-reside in the
+    probed cells. The testdata embeddings are rotation-spread (no
+    structure, SCALE_NOTES), where recall ≈ probe mass; this pins the
+    other regime so the operator's value doesn't rest on unstructured
+    inputs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 32)) * 5.0
+    rows = []
+    for i in range(800):
+        c = i % 16
+        rows.append((i, (centers[c] + rng.normal(size=32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = S.knn_graph(df, "vec_id", "embedding", k=5)
+    ex_edges = {(r["vec_id"], r["neighbor"]) for r in exact.collect()}
+    ap = S.knn_graph_ivf(
+        df, "vec_id", "embedding", k=5, n_clusters=16, n_probe=2
+    )
+    edges = {(r["vec_id"], r["neighbor"]) for r in ap.collect()}
+    recall = len(edges & ex_edges) / len(ex_edges)
+    assert recall >= 0.9, recall
+
+
 def test_knn_graph_incremental_empty_batch(spark, sf_dir, tmp_path):
     """A no-op update (empty or all-NULL new batch) must return the
     base graph unchanged instead of crashing on np.stack of zero
