@@ -118,3 +118,53 @@ def cosine_arrow(a: Column, b: Column) -> Column:
         return pd.Series(out)
 
     return _cos(to_double_array(a), to_double_array(b))
+
+
+_JL_QUANT = 1048576.0  # 2^20 — the engine-wide fixed-point convention
+
+
+def jl_project(v: Column, planes: list[list[int]]) -> Column:
+    """Integer Johnson-Lindenstrauss projection — the cheapest
+    dimensionality-reduction tier (below SQ8's 4× and PQ's 32×: here
+    the DIMENSION shrinks, e.g. 64→16 = 4× smaller AND 4× fewer flops
+    per downstream distance): out_d = Σ_j floor(v_j·2^20)·h_dj with
+    ``planes`` the portable md5-derived integer hyperplanes
+    (operators/similarity.py:portable_hyperplanes — plain integer
+    literals any engine regenerates). Every output coordinate is an
+    EXACT int64 (|q| ≤ 2^21, |h| < 2^19, dim ≤ 64 ⇒ |out| ≤ 2^46), so
+    unlike a float Gaussian JL the projected vectors — and every
+    distance computed on them — are bit-identical across Spark, numpy,
+    and DuckDB: the random projection itself is oracle-gradable.
+
+    Pure Column expressions (transform + zip_with/aggregate folds per
+    plane, planes entering as ONE foldable literal each): whole-stage
+    codegen, no UDF, no shuffle — scan-speed at any corpus size.
+    NULL vectors project to NULL.
+    """
+    q = F.transform(
+        to_double_array(v), lambda x: F.floor(x * F.lit(_JL_QUANT))
+    )
+    comps = []
+    for p in planes:
+        plit = F.split(F.lit(",".join(str(int(c)) for c in p)), ",").cast(
+            "array<bigint>"
+        )
+        comps.append(
+            F.aggregate(
+                F.zip_with(q, plit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*comps)
+
+
+def jl_scaled(proj: Column) -> Column:
+    """Rescale raw JL coordinates back to data scale:
+    floor(out_d / 2^20) — an exact power-of-two divide of a ≤2^46
+    int (float64-exact), so squared-L2 distances over the scaled
+    coordinates stay inside int64 (≤ 2^27-bounded coords ⇒ a 16-dim
+    L2² ≤ 2^58) — the overflow headroom the shortlist ranking needs."""
+    return F.transform(
+        proj, lambda x: F.floor(x.cast("double") / F.lit(_JL_QUANT))
+    )

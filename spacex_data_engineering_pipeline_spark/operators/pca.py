@@ -143,10 +143,17 @@ def pca_project(
     vec_col: str,
     model: PcaModel,
     decimals: int = 6,
+    whiten: bool = False,
 ) -> DataFrame:
     """Project every vector onto the model's components:
     pc_c = ⟨floor(v·2^20) − mean, basis_c⟩ / 2^20 (the /2^20 returns to
     data units — exact, a power-of-two divide), rounded at ``decimals``.
+    With ``whiten=True`` each component is additionally divided by
+    sqrt(λ̂_c·)/2^20 — unit variance per retained direction, the input
+    contract of cosine-on-whitened / Mahalanobis-style downstream
+    scoring. The divide order is pinned ((proj/2^20)/sqrt(λ̂)/…) so the
+    oracle replays the same IEEE sequence; λ̂ > 0 is guaranteed by the
+    fit's degenerate guard.
 
     Pure Column expressions — zip_with + left-to-right aggregate folds
     identical to ``list_dot_product``'s order, whole plan a narrow map:
@@ -165,5 +172,15 @@ def pca_project(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(F.round(proj / F.lit(float(QUANT)), decimals).alias(f"pc{c}"))
+        out = proj / F.lit(float(QUANT))
+        name = f"pc{c}"
+        if whiten:
+            # λ̂ is in quantized-domain units (2^40 × data-domain): the
+            # data-domain std of pc_c is sqrt(λ̂)/2^20, and pc_c is
+            # already data-domain — so divide by (sqrt(λ̂)/2^20)
+            out = out / (
+                F.sqrt(F.lit(model.eigvals[c - 1])) / F.lit(float(QUANT))
+            )
+            name = f"wpc{c}"
+        cols.append(F.round(out, decimals).alias(name))
     return df.select(*cols)

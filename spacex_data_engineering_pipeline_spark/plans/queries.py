@@ -1880,7 +1880,285 @@ def embedding_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return release_caches_with(out, idx.assigned)
 
 
-def _pca_oracle_sql(n_components: int = 2, n_iter: int = 12, dim: int = 64) -> str:
+def _jl_oracle_sql(dim: int = 64, out_dim: int = 16, seed: int = 42) -> str:
+    """Generate the DuckDB replay of the integer-JL shortlist + exact
+    rerank: the portable md5-derived hyperplanes inline as plain
+    integer literals (deterministic public constants of the seed — the
+    same ints ``portable_hyperplanes`` regenerates), the projection and
+    the L2² shortlist ranking are exact int64 arithmetic, and the final
+    rerank is the standard float cosine. Every stage value-replayable."""
+    from spacex_data_engineering_pipeline_spark.operators.similarity import (
+        portable_hyperplanes,
+    )
+
+    planes = portable_hyperplanes(dim, out_dim, seed)
+    plane_rows = ",\n        ".join(
+        f"({d + 1}, {planes[d]}::BIGINT[])" for d in range(out_dim)
+    )
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    planes(d, h) AS (VALUES
+        {plane_rows}
+    ),
+    proj AS (
+        SELECT qv.vec_id, p.d,
+               CAST(floor(CAST(list_sum(list_transform(range(1, {dim + 1}),
+                        j -> qv.q[j] * p.h[j])) AS DOUBLE) / 1048576.0)
+                    AS BIGINT) AS c
+        FROM qv, planes p
+    ),
+    jl AS (SELECT vec_id, list(c ORDER BY d) AS v FROM proj GROUP BY vec_id),
+    qj AS (SELECT v FROM jl WHERE vec_id = 0),
+    scored AS (
+        SELECT jl.vec_id,
+               list_sum(list_transform(range(1, {out_dim + 1}),
+                        d -> (jl.v[d] - qj.v[d]) * (jl.v[d] - qj.v[d]))) AS d2
+        FROM jl, qj WHERE jl.vec_id <> 0
+    ),
+    shortlist AS (
+        SELECT vec_id FROM scored ORDER BY d2 ASC, vec_id ASC LIMIT 30
+    )
+    SELECT e.vec_id, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+    FROM embeddings e
+    JOIN shortlist s ON s.vec_id = e.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) > 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """
+
+
+@_register("embedding_jl_rerank", oracle=_jl_oracle_sql(64, 16, 42))
+def embedding_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-REDUCED retrieval: an integer Johnson-
+    Lindenstrauss projection to 16 dims (functions/vectors.py:
+    jl_project — 4× smaller vectors AND 4× fewer flops per distance,
+    the tier below SQ8 where the DIMENSION shrinks instead of the cell
+    width), a top-30 shortlist ranked by EXACT int64 L2² in the
+    projected space, then the exact float rerank of just those 30 —
+    the sq8_rerank two-tier shape with a different tier-0.
+
+    Everything deterministic: md5-derived integer hyperplanes (the
+    sign-LSH convention, here used as a linear map, not a bucketing),
+    fixed-point projection, integer distances — so the usually
+    test-only JL approximation is value-hash graded end to end. Plan:
+    projection + scoring is one narrow codegen map (plane literals
+    fold), shortlist is TakeOrderedAndProject, rerank is a 30-row
+    broadcast probe into the float column. At 100 TB the float column
+    is read for 30 rows; the scan sees only the 16-int column.
+    """
+    from spacex_data_engineering_pipeline_spark.functions.vectors import (
+        cosine,
+        jl_project,
+        jl_scaled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    planes = S.portable_hyperplanes(64, 16, 42)
+    jl = emb.select(
+        "vec_id", jl_scaled(jl_project(F.col("embedding"), planes)).alias("v")
+    )
+    qrow = jl.filter(F.col("vec_id") == 0).first()
+    qlit = F.split(
+        F.lit(",".join(str(int(c)) for c in qrow["v"])), ","
+    ).cast("array<bigint>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        jl.filter(F.col("vec_id") != 0)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(30)
+        .select("vec_id")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qveclit = F.split(
+        F.lit(",".join(repr(float(x)) for x in qvec)), ","
+    ).cast("array<double>")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), qveclit), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "embedding_mutual_knn_pairs",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    ),
+    topk AS (SELECT vec_id, neighbor, cos_sim FROM ranked WHERE rnk <= 5)
+    SELECT a.vec_id AS id_a, a.neighbor AS id_b, a.cos_sim
+    FROM topk a JOIN topk b
+      ON b.vec_id = a.neighbor AND b.neighbor = a.vec_id
+    WHERE a.vec_id < a.neighbor
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN edges — pairs where EACH vector is in the other's
+    top-5: the robust near-dup/cluster substrate (a one-directional
+    kNN edge often just means the neighbor sits in a dense region;
+    mutuality is the standard symmetrization that kills hub artifacts
+    before SemDeDup/community steps consume the graph).
+
+    Plan: one ``knn_graph`` build (the block grid — N·blocks copies,
+    never pairs), then mutuality is a self-equi-join of the N·k edge
+    list on the REVERSED key — shuffle of N·k skinny edges, trivially
+    co-partitionable. cos_sim is orientation-independent at the bit
+    level (elementwise products commute, strict sum order is the
+    shared j-scan), so either side's score is THE score. The oracle
+    replays the full N² ranking twice-joined.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = S.knn_graph(emb, "vec_id", "embedding", k=5, n_blocks=8).select(
+        "vec_id", "neighbor", "cos_sim"
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.neighbor"))
+            & (F.col("a.neighbor") == F.col("b.vec_id")),
+        )
+        .filter(F.col("a.vec_id") < F.col("a.neighbor"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.neighbor").alias("id_b"),
+            F.col("a.cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _pagerank_oracle_sql(k: int = 5, n_iter: int = 5) -> str:
+    """DuckDB replay of integer PageRank over the mutual-kNN graph
+    (operators/graphrank.py): the N² ranking → top-k → mutual join
+    gives the edge set, then ``n_iter`` iteration CTEs run the exact
+    int64 update (r·85 // 100) // deg — order-free reductions, so the
+    final rank units value-hash across engines. MATERIALIZED CTEs:
+    the iterative chain would otherwise re-inline exponentially (the
+    PCA-oracle lesson)."""
+    head = f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS MATERIALIZED (
+        SELECT vec_id, neighbor,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    ),
+    topk AS MATERIALIZED (
+        SELECT vec_id, neighbor FROM ranked WHERE rnk <= {k}
+    ),
+    mutual AS MATERIALIZED (
+        SELECT a.vec_id AS src, a.neighbor AS dst
+        FROM topk a JOIN topk b
+          ON b.vec_id = a.neighbor AND b.neighbor = a.vec_id
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM mutual UNION SELECT dst FROM mutual
+    ),
+    cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS deg FROM mutual GROUP BY src
+    ),
+    r0 AS MATERIALIZED (
+        SELECT node,
+               CAST(1000000000000 // (SELECT n FROM cnt) AS BIGINT) AS rank_q
+        FROM nodes
+    )"""
+    its = []
+    for t in range(1, n_iter + 1):
+        its.append(
+            f""",
+    c{t} AS MATERIALIZED (
+        SELECT m.dst,
+               SUM((r.rank_q * 85 // 100) // d.deg) AS inflow
+        FROM mutual m
+        JOIN r{t - 1} r ON r.node = m.src
+        JOIN deg d ON d.src = m.src
+        GROUP BY m.dst
+    ),
+    r{t} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(((1000000000000 // (SELECT n FROM cnt)) * 15) // 100
+                    + COALESCE(c.inflow, 0) AS BIGINT) AS rank_q
+        FROM nodes n LEFT JOIN c{t} c ON c.dst = n.node
+    )"""
+        )
+    tail = f"""
+    SELECT node AS vec_id, rank_q FROM r{n_iter} ORDER BY vec_id"""
+    return head + "".join(its) + tail
+
+
+@_register("embedding_pagerank_centrality", oracle=_pagerank_oracle_sql(5, 5))
+def embedding_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-centrality curation score: integer PageRank over the
+    MUTUAL-kNN graph (operators/graphrank.py) — high-rank vectors sit
+    inside dense semantic neighborhoods (keep the center, sample the
+    satellites), the graph-side complement to SemDeDup. Ranks live in
+    integer rank units (10^12 budget, ·85 // 100 damping, integer
+    division down each edge) precisely so the iterative float update's
+    order-dependence disappears: every step is an exact int64
+    reduction, and the oracle replays all 5 iterations as SQL CTEs —
+    an ITERATIVE GRAPH ALGORITHM under a value-hash grade.
+
+    Plan per iteration: one co-partitionable join of the rank vector
+    to the edge list + one map-side-combined integer sum — shuffle
+    carries edge-count skinny rows; localCheckpoint every 3 rounds
+    bounds lineage (the connected_components discipline).
+    """
+    from spacex_data_engineering_pipeline_spark.operators.graphrank import (
+        integer_pagerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = S.knn_graph(emb, "vec_id", "embedding", k=5, n_blocks=8).select(
+        "vec_id", "neighbor"
+    )
+    a, b = g.alias("a"), g.alias("b")
+    mutual = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.neighbor"))
+        & (F.col("a.neighbor") == F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("src"), F.col("a.neighbor").alias("dst"))
+    out = integer_pagerank(mutual, "src", "dst", n_iter=5)
+    return out.select(F.col("node").alias("vec_id"), "rank_q").orderBy("vec_id")
+
+
+def _pca_oracle_sql(
+    n_components: int = 2, n_iter: int = 12, dim: int = 64, whiten: bool = False
+) -> str:
     """Generate the DuckDB replay of the deterministic power-iteration
     PCA (operators/pca.py) — the same pattern as ``_kcenter_oracle_sql``:
     the fit is a fixed arithmetic PROGRAM, so the oracle unrolls it.
@@ -1969,13 +2247,26 @@ def _pca_oracle_sql(n_components: int = 2, n_iter: int = 12, dim: int = 64) -> s
     basis_joins = ", ".join(
         f"v{c}_{n_iter} b{c}" for c in range(n_components)
     )
-    proj_cols = ",\n           ".join(
-        f"""ROUND(list_dot_product(
+    if whiten:
+        basis_joins += ", " + ", ".join(
+            f"lam{c} l{c}" for c in range(n_components)
+        )
+        proj_cols = ",\n           ".join(
+            f"""ROUND((list_dot_product(
+               list_transform(range(1, {d1}),
+                              j -> qv.qd[j] - mn.m[j]),
+               b{c}.v) / 1048576.0)
+               / (sqrt(l{c}.l) / 1048576.0), 6) AS wpc{c + 1}"""
+            for c in range(n_components)
+        )
+    else:
+        proj_cols = ",\n           ".join(
+            f"""ROUND(list_dot_product(
                list_transform(range(1, {d1}),
                               j -> qv.qd[j] - mn.m[j]),
                b{c}.v) / 1048576.0, 6) AS pc{c + 1}"""
-        for c in range(n_components)
-    )
+            for c in range(n_components)
+        )
     parts.append(
         f"""
     SELECT qv.vec_id,
@@ -2019,6 +2310,33 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = fit_pca(emb, "embedding", n_components=2, n_iter=12)
     return pca_project(emb, "vec_id", "embedding", model).orderBy("vec_id")
+
+
+@_register("embedding_pca_whiten", oracle=_pca_oracle_sql(2, 12, 64, whiten=True))
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHITENED PCA projection — each retained component scaled to unit
+    variance (pc_c / (sqrt(λ̂_c)/2^20)): the preprocessing contract of
+    Mahalanobis-style scoring, whitened-cosine dedup, and
+    covariance-normalized inputs to downstream probes. Same
+    deterministic fit as embedding_pca_project (one exact-moments
+    pass + strict-order power iteration — see operators/pca.py); the
+    whitening divide is two more IEEE ops in a pinned order, so the
+    oracle's eigensolve replay extends to it verbatim (the lam CTEs it
+    already computes feed the final division). Fit runs once per call;
+    projection stays a codegen narrow map.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    model = fit_pca(emb, "embedding", n_components=2, n_iter=12)
+    return pca_project(
+        emb, "vec_id", "embedding", model, whiten=True
+    ).orderBy("vec_id")
 
 
 @_register(

@@ -84,3 +84,30 @@ def test_connected_components_long_path_converges_logarithmically(spark):
     rows = labels.collect()
     assert len(rows) == 601
     assert {r["component"] for r in rows} == {0}
+
+
+def test_integer_pagerank_star_graph(spark):
+    """Centrality sanity on a star: the hub (everyone links to it, it
+    links back) must out-rank every leaf, leaves tie exactly (integer
+    determinism — identical in-edge sets give identical rank units),
+    and total rank stays within the budget (truncation only leaks
+    mass, never creates it)."""
+    from spacex_data_engineering_pipeline_spark.operators.graphrank import (
+        RANK_SCALE,
+        integer_pagerank,
+    )
+
+    hub, leaves = 0, list(range(1, 9))
+    edges = [(hub, l) for l in leaves] + [(l, hub) for l in leaves]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["rank_q"] for r in
+           integer_pagerank(e, "src", "dst", n_iter=5).collect()}
+    assert set(out) == {hub, *leaves}
+    assert all(out[hub] > out[l] for l in leaves)
+    assert len({out[l] for l in leaves}) == 1  # exact leaf tie
+    assert 0 < sum(out.values()) <= RANK_SCALE
+    # pure function of the edge SET: layout invariance
+    out2 = {r["node"]: r["rank_q"] for r in
+            integer_pagerank(e.repartition(16), "src", "dst", n_iter=5)
+            .collect()}
+    assert out == out2

@@ -464,6 +464,71 @@ def test_knn_graph_ivf_exploits_cluster_structure(spark):
     assert recall >= 0.9, recall
 
 
+def test_jl_projection_determinism_and_shortlist_recall(spark, sf_dir):
+    """Integer JL: the projection is a pure function of the data
+    (layout-invariant exact int64 coordinates), and a 16-dim L2²
+    shortlist of 30 recovers most of the exact float top-10 — the
+    quality pin that makes the jl_rerank contract meaningful (JL at
+    16 dims distorts, but not enough to push true top-10 neighbors
+    out of a 3× shortlist on real embeddings)."""
+    from spacex_data_engineering_pipeline_spark.functions.vectors import (
+        jl_project,
+        jl_scaled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    planes = S.portable_hyperplanes(64, 16, 42)
+    jl = emb.select(
+        "vec_id", jl_scaled(jl_project(F.col("embedding"), planes)).alias("v")
+    )
+    base = {r["vec_id"]: list(r["v"]) for r in jl.collect()}
+    shuf = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.repartition(64)
+        .select(
+            "vec_id",
+            jl_scaled(jl_project(F.col("embedding"), planes)).alias("v"),
+        )
+        .collect()
+    }
+    assert base == shuf
+    # shortlist recall vs the exact float top-10 for query vec 0
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact10 = {
+        r["vec_id"]
+        for r in S.brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec, 10
+        ).collect()
+    }
+    q = base[0]
+    d2 = {
+        vid: sum((a - b) * (a - b) for a, b in zip(v, q))
+        for vid, v in base.items()
+        if vid != 0
+    }
+    short30 = {v for v, _ in sorted(d2.items(), key=lambda t: (t[1], t[0]))[:30]}
+    assert len(short30 & exact10) >= 6, sorted(short30 & exact10)
+
+
+def test_mutual_knn_edges_are_symmetric_subset(spark, sf_dir):
+    """Mutual-kNN contract: every output pair (a < b) appears in BOTH
+    directions of the kNN graph, and every such bidirectional pair is
+    output exactly once."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    out = QUERIES["embedding_mutual_knn_pairs"](spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(pairs) == len(out)  # no dup rows
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = S.knn_graph(emb, "vec_id", "embedding", k=5)
+    edges = {(r["vec_id"], r["neighbor"]) for r in g.collect()}
+    expect = {(a, b) for a, b in edges if a < b and (b, a) in edges}
+    assert pairs == expect
+    assert all(a < b for a, b in pairs)
+
+
 def test_knn_graph_incremental_empty_batch(spark, sf_dir, tmp_path):
     """A no-op update (empty or all-NULL new batch) must return the
     base graph unchanged instead of crashing on np.stack of zero

@@ -104,3 +104,21 @@ def test_pca_degenerate_corpora(spark):
     )
     with pytest.raises(ValueError, match="degenerate"):
         fit_pca(const, "embedding", n_components=1)
+
+
+def test_pca_whiten_unit_variance(spark, sf_dir):
+    """Whitened components have unit variance BY CONSTRUCTION
+    (pc_c scaled by its own fitted std): var(wpc1) ≈ 1 up to the
+    residual of the power-iteration eigenvalue estimate."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    model = fit_pca(emb, "embedding", n_components=2, n_iter=12)
+    proj = pca_project(emb, "vec_id", "embedding", model, decimals=9,
+                       whiten=True)
+    stats = proj.agg(
+        F.avg("wpc1").alias("mu"),
+        F.avg(F.col("wpc1") * F.col("wpc1")).alias("m2"),
+    ).first()
+    var = stats["m2"] - stats["mu"] ** 2
+    assert math.isclose(var, 1.0, rel_tol=1e-3), var
