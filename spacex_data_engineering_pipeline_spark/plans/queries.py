@@ -1502,6 +1502,66 @@ def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_knn_graph_upsert",
+    oracle="""
+    WITH sp AS (
+        SELECT (MAX(vec_id) * 99) // 100 AS s
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id >= (SELECT s FROM sp)
+                    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def embedding_knn_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph maintenance under an UPSERT batch — the last 1% of
+    ids arrive RE-VECTORED (embeddings reversed: same norms, new
+    directions), which the append-only incremental arm cannot honor: a
+    trimmed list can't evict a stale edge at an updated neighbor
+    (the replacement candidate was never kept). The upsert arm
+    (operators/similarity.py:knn_graph_upsert) recomputes exactly the
+    rows whose stored lists CITE an updated id (plus the updates
+    themselves, one batched pass) and merges every other row's stored
+    list with its partial top-k against the update matrix —
+    |updates|·N + |affected|·N work, never (N+|u|)². The oracle is the
+    FULL-REBUILD ranking over the upserted corpus, so the grade IS
+    upsert-equals-rebuild, row for row at 6dp.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    split = mx * 99 // 100
+    updates = emb.filter(F.col("vec_id") >= split).select(
+        "vec_id",
+        F.reverse(F.col("embedding").cast("array<double>")).alias("embedding"),
+    )
+    out = S.knn_graph_upsert(emb, updates, "vec_id", "embedding", k=5)
+    return out.orderBy("vec_id", "rnk")
+
+
+@_register(
     "embedding_knn_graph_incremental",
     oracle=f"""
     WITH pairs AS (

@@ -464,6 +464,54 @@ def test_knn_graph_ivf_exploits_cluster_structure(spark):
     assert recall >= 0.9, recall
 
 
+def test_knn_graph_upsert_equals_rebuild(spark, sf_dir):
+    """Upsert maintenance ≡ full rebuild on both paths: re-vectored
+    ids (the case the append-only arm cannot honor — stale edges at
+    updated neighbors must be evicted) and brand-new ids, against a
+    PERSISTED base graph like production."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).filter(F.col("vec_id") < 96)
+    base = S.knn_graph(emb, "vec_id", "embedding", k=4)
+    # re-vector ids 80+ (reversed arrays: same norm, new direction)
+    upd = emb.filter(F.col("vec_id") >= 80).select(
+        "vec_id",
+        F.reverse(F.col("embedding").cast("array<double>")).alias("embedding"),
+    )
+    got = [
+        tuple(r)
+        for r in S.knn_graph_upsert(
+            emb, upd, "vec_id", "embedding", k=4, base_graph=base
+        ).orderBy("vec_id", "rnk").collect()
+    ]
+    merged = (
+        emb.filter(F.col("vec_id") < 80)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(upd)
+    )
+    want = [
+        tuple(r)
+        for r in S.knn_graph(merged, "vec_id", "embedding", k=4)
+        .orderBy("vec_id", "rnk").collect()
+    ]
+    assert got == want
+    # empty update batch is a no-op
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    noop = [
+        tuple(r)
+        for r in S.knn_graph_upsert(
+            emb, empty, "vec_id", "embedding", k=4, base_graph=base
+        ).orderBy("vec_id", "rnk").collect()
+    ]
+    assert noop == [tuple(r) for r in base.orderBy("vec_id", "rnk").collect()]
+    # hub-scale upserts refuse rather than silently broadcast
+    with pytest.raises(ValueError, match="max_affected"):
+        S.knn_graph_upsert(
+            emb, upd, "vec_id", "embedding", k=4,
+            base_graph=base, max_affected=3,
+        )
+
+
 def test_jl_projection_determinism_and_shortlist_recall(spark, sf_dir):
     """Integer JL: the projection is a pure function of the data
     (layout-invariant exact int64 coordinates), and a 16-dim L2²
