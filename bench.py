@@ -62,6 +62,8 @@ LARGE_RESULT = {
     # round 8: same N·k shape as its exact twin
     "embedding_knn_graph_ivf",
     "embedding_knn_graph_upsert",
+    # round 9: same N·k shape, via the saved/loaded base graph
+    "embedding_knn_graph_upsert_loaded",
     # pairs-shaped (≤ N·k/2 mutual edges)
     "embedding_mutual_knn_pairs",
 }
@@ -167,8 +169,11 @@ def bench_streaming_latency(spark: SparkSession) -> dict[str, float]:
     pipeline scenarios — wall-clock-dependent by design, so never an
     oracle-graded entry): a live rate source under a 500 ms
     processing-time trigger; per-record end-to-end latency =
-    micro-batch completion − source timestamp. The p50/p95 land in the
-    timings map in SECONDS so the artifact format stays uniform."""
+    micro-batch completion − source timestamp. The p50/p95 are reported
+    in a SEPARATE ``streaming_latency_sec`` record section (not the
+    summed timings map): latency percentiles are not wall-clock work,
+    and mixing them into ``value`` shifted round-over-round total
+    comparability by the probe's ~1-2 s (round-8 advice)."""
     from spacex_data_engineering_pipeline_spark.streaming.latency import (
         rate_latency_probe,
     )
@@ -182,8 +187,8 @@ def bench_streaming_latency(spark: SparkSession) -> dict[str, float]:
         print(f"bench: latency probe failed: {exc}", file=sys.stderr)
         return {}
     return {
-        "streaming_rate_latency_p50": stats["p50_sec"],
-        "streaming_rate_latency_p95": stats["p95_sec"],
+        "p50": stats["p50_sec"],
+        "p95": stats["p95_sec"],
     }
 
 
@@ -277,7 +282,7 @@ def main() -> None:
     # Pipeline scenarios LAST (warm write paths — the order the r1/r2
     # baselines were measured in; running them first costs ~2x cold)
     timings.update(bench_pipeline_scenarios(spark, sf_dir))
-    timings.update(bench_streaming_latency(spark))
+    latency = bench_streaming_latency(spark)
 
     total = round(sum(timings.values()), 4)
     record = {
@@ -286,6 +291,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # latency percentiles live OUTSIDE the summed timings map: they
+        # are end-to-end latencies, not wall-clock work, and summing
+        # them into `value` skewed round-over-round comparability
+        "streaming_latency_sec": latency,
         # host-speed probes bracketing the run: normalize cross-round
         # deltas by the calibration ratio before reading regressions
         "calibration_sec": {"start": cal_start, "end": _calibrate()},

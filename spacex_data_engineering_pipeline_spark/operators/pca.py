@@ -119,6 +119,17 @@ def fit_pca(df: DataFrame, vec_col: str, n_components: int, n_iter: int = 12) ->
             v = w / nrm
         w = np.array([_strict_dot(C[i], v) for i in range(dim)])
         lam = _strict_dot(v, w)
+        # The zero-iterate guard above only catches an EXACT zero: on a
+        # rank-deficient corpus a deflated component's Rayleigh estimate
+        # can be ~0 or slightly negative float residue, and whitening
+        # divides by sqrt(λ̂) — fail fast here instead of emitting
+        # NaN/inf whitened columns (and a diverging oracle) later.
+        if lam <= 1e-9:
+            raise ValueError(
+                f"eigenvalue estimate {lam!r} for component {len(basis) + 1} "
+                "is not positive: corpus rank < n_components (deflation "
+                "residue) — reduce n_components"
+            )
         basis.append(v)
         eigvals.append(lam)
         # deflate: C_ij −= (λ·v_i)·v_j — same parenthesization as SQL

@@ -437,8 +437,13 @@ def save_knn_graph(
     import json
 
     spark = graph.sparkSession
+    # Hash the id AS LONG: xxhash64 hashes IntegerType and LongType to
+    # different values, and the point-lookup probe (knn_graph_neighbors)
+    # hashes its literal cast to long — both sides must agree or a graph
+    # saved with an int id column silently probes the wrong bucket.
     g = graph.withColumn(
-        "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+        "__bucket",
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_buckets)).cast("int"),
     )
     g.write.mode("overwrite").partitionBy("__bucket").parquet(path + "/edges")
     _hadoop_write_text(

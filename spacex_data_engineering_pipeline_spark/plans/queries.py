@@ -1562,6 +1562,86 @@ def embedding_knn_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_knn_graph_upsert_loaded",
+    oracle="""
+    WITH sp AS (
+        SELECT (MAX(vec_id) * 99) // 100 AS s
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id >= (SELECT s FROM sp)
+                    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def embedding_knn_graph_upsert_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION upsert path: the base graph is SAVED
+    (bucket-partitioned parquet + sidecar, ``save_knn_graph``), LOADED
+    back, and the upsert batch folded into the LOADED graph — so the
+    graded lifecycle is persist → reopen → maintain, never
+    rebuild-in-place. This is the entry the round-8 verdict asked for:
+    ``embedding_knn_graph_upsert`` grades the maintenance math but pays
+    the N² base build in-bench; at 100 TB the graph is an artifact you
+    build once and fold batches into, and THIS entry grades that exact
+    artifact round-trip (a bucket lost, an id re-typed by the parquet
+    round-trip, or a sidecar mismatch would flip the result).
+
+    Same upsert batch and oracle as the in-memory twin (last 1% of ids
+    re-vectored; full-rebuild ranking over the upserted corpus), so the
+    grade is load-then-upsert ≡ rebuild, row for row at 6dp. The save
+    cost is N·k skinny rows — corpus-shaped but narrow; the upsert cost
+    is |updates|·N + |affected|·N, the crossover documented at
+    operators/similarity.py:knn_graph_upsert.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    split = mx * 99 // 100
+    updates = emb.filter(F.col("vec_id") >= split).select(
+        "vec_id",
+        F.reverse(F.col("embedding").cast("array<double>")).alias("embedding"),
+    )
+    work = _tempfile.mkdtemp(prefix="knng_loaded_")
+    try:
+        base = S.knn_graph(emb, "vec_id", "embedding", k=5, n_blocks=8)
+        S.save_knn_graph(base, work, "vec_id", n_buckets=16)
+        loaded = S.load_knn_graph(spark, work)
+        out = S.knn_graph_upsert(
+            emb, updates, "vec_id", "embedding", k=5, base_graph=loaded
+        )
+        # materialize before the temp dir vanishes: the loaded graph's
+        # scan is lazy, and the caller may collect after we clean up
+        out = out.orderBy("vec_id", "rnk").localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
     "embedding_knn_graph_incremental",
     oracle=f"""
     WITH pairs AS (

@@ -629,6 +629,26 @@ def test_knn_graph_sidecar_validation_and_point_probe(spark, sf_dir, tmp_path):
         S.load_knn_graph(spark, path)
 
 
+def test_knn_graph_point_probe_int_id_column(spark, sf_dir, tmp_path):
+    """xxhash64 hashes IntegerType and LongType differently: a graph
+    saved with an int id column must still bucket-probe correctly
+    (save casts the id to long before hashing, matching the probe's
+    literal-cast — the round-8 advice's latent bug)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    built = S.knn_graph(emb, "vec_id", "embedding", k=4).withColumn(
+        "vec_id", F.col("vec_id").cast("int")
+    )
+    path = str(tmp_path / "knng_int_id")
+    S.save_knn_graph(built, path, "vec_id", n_buckets=4)
+    probe = S.knn_graph_neighbors(spark, path, 7)
+    got = [(r["rnk"], r["neighbor"]) for r in probe.collect()]
+    expected = [
+        (r["rnk"], r["neighbor"])
+        for r in built.filter(F.col("vec_id") == 7).orderBy("rnk").collect()
+    ]
+    assert got == expected and len(got) == 4
+
+
 def test_knn_graph_repartition_invariance(spark, sf_dir):
     """The graph must be a pure function of the data, not the layout:
     a hostile repartition(64) of the input (different Arrow batch

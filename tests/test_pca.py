@@ -104,6 +104,15 @@ def test_pca_degenerate_corpora(spark):
     )
     with pytest.raises(ValueError, match="degenerate"):
         fit_pca(const, "embedding", n_components=1)
+    # rank-deficient: 2 distinct rows span rank ≤ 1 after centering, so
+    # component 2's deflated Rayleigh estimate is ~0/negative residue —
+    # the eigenvalue floor must refuse rather than whiten into NaN/inf
+    rank1 = spark.createDataFrame(
+        [(i, [float(i % 2), 2.0 * float(i % 2), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not positive|degenerate"):
+        fit_pca(rank1, "embedding", n_components=3)
 
 
 def test_pca_whiten_unit_variance(spark, sf_dir):
