@@ -317,6 +317,213 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     return spread(media_df).mapInPandas(_sample, FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (round 9) — the multimodal tier's
+# missing first-class operator: a training-data pipeline dedups images
+# by pHash, not byte-equality. Everything below is INTEGER-exact (the
+# trick that made PageRank/PCA value-hash gradable): the DCT basis is
+# floor(cos·2^10) int64 constants, the coefficients are int64 matmuls,
+# the threshold is an order statistic — so DuckDB replays the hash bit
+# for bit and the oracle grades the whole banded pipeline.
+# ---------------------------------------------------------------------------
+
+PHASH_SIZE = 16  # decoded images are PHASH_SIZE × PHASH_SIZE
+PHASH_FREQS = 8  # keep the low 8×8 DCT block → 64-bit hash
+PHASH_QUANT = 1024  # basis fixed-point scale (2^10)
+
+
+def _phash_basis() -> list[list[int]]:
+    """Integer DCT-II basis: B[u][x] = floor(cos(π·(2x+1)·u / (2·N)) ·
+    2^10) for u ∈ 0..7, x ∈ 0..15 — floor (not trunc), so the Python
+    constant is the single source both engines share."""
+    import math
+
+    n = PHASH_SIZE
+    return [
+        [
+            int(math.floor(math.cos(math.pi * (2 * x + 1) * u / (2 * n)) * PHASH_QUANT))
+            for x in range(n)
+        ]
+        for u in range(PHASH_FREQS)
+    ]
+
+
+PHASH_BASIS = _phash_basis()
+
+
+def phash64(pixels) -> int:
+    """64-bit integer perceptual hash of a decoded (h, w, 3) image.
+
+    Grayscale = channel sum (exact int), integer DCT C = B·g·Bᵀ (int64
+    matmuls, |C| ≤ 16·2^10·16·2^10·765 < 2^63 — exact), coefficient
+    list = C flattened row-major (index i → v = i//8, u = i%8),
+    threshold T = 32nd-smallest coefficient, bit_i = c_i > T, hash =
+    Σ bit_i·2^i two's-complement-folded into a signed 64-bit int.
+
+    DETERMINISM SPEC (what the oracle replays): every step is integer;
+    the only free choice — the threshold on an even-length list — is
+    pinned to the order statistic sorted[31], never an average of
+    middles. The DC coefficient rides along (always above T), costing
+    one constant bit; Hamming distances between hashes are unaffected.
+    Images whose shape differs from PHASH_SIZE² are the caller's
+    resize problem — this is the post-resize kernel.
+    """
+    import numpy as np
+
+    g = np.asarray(pixels, dtype=np.int64).sum(axis=2)
+    if g.shape != (PHASH_SIZE, PHASH_SIZE):
+        raise ValueError(f"phash64 expects {PHASH_SIZE}x{PHASH_SIZE}, got {g.shape}")
+    B = np.asarray(PHASH_BASIS, dtype=np.int64)
+    C = B @ g @ B.T  # C[v, u] = Σ_y B[v][y] Σ_x B[u][x] g[y, x]
+    coeffs = C.reshape(-1)
+    t = np.sort(coeffs, kind="stable")[31]
+    v = 0
+    for i in range(64):
+        if int(coeffs[i]) > int(t):
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def attach_patterned_ppm(
+    df: DataFrame, id_col: str, len_col: str, text_col: str
+) -> DataFrame:
+    """REAL binary-PPM payloads with PATTERNED pixels (a flat image's
+    AC spectrum is zero — useless for a DCT hash): 16×16 grayscale
+    where shade(x, y) = 32 + (s1 + 5x + 9y + (s2·(xy+1))) mod 95,
+    s1 = ``len_col`` and s2 = the first 4 hex digits of md5(text) as an
+    int — both replayable in SQL, and s2 makes images collide only for
+    EXACT-duplicate texts (no n_chars-clique pair blowup). Shades stay
+    in printable ASCII 32..126 so the UTF-8 encode is byte-exact;
+    pixels are r=g=b (grayscale). Entirely JVM-side expressions —
+    synthesis never crosses into Python, only the decode does.
+    """
+    w = h = PHASH_SIZE
+    s1 = F.col(len_col).cast("long")
+    s2 = F.conv(F.substring(F.md5(F.encode(F.col(text_col), "UTF-8")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    idx = F.sequence(F.lit(0), F.lit(w * h - 1))
+    body = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.repeat(
+                F.char(
+                    F.lit(32)
+                    + F.pmod(
+                        s1
+                        + 5 * F.pmod(i, F.lit(w))
+                        + 9 * F.floor(i / F.lit(w))
+                        + s2 * (F.pmod(i, F.lit(w)) * F.floor(i / F.lit(w)) + F.lit(1)),
+                        F.lit(95),
+                    )
+                ),
+                3,
+            ),
+        ),
+        "",
+    )
+    payload = F.encode(F.concat(F.lit(f"P6\n{w} {h}\n255\n"), body), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("content"),
+        F.lit("image/ppm").alias("format"),
+        F.octet_length(payload).alias("byte_len"),
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+        StructField("band0", LongType(), True),
+        StructField("band1", LongType(), True),
+        StructField("band2", LongType(), True),
+        StructField("band3", LongType(), True),
+    ]
+)
+
+
+def phash_bands(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched decode → integer pHash → 4×16-bit band keys
+    (Hamming ≤ 3 pairs share a band by pigeonhole; the verify step
+    below re-checks the REAL distance, so wider thresholds just lower
+    banding recall, pinned in pytest). Undecodable payloads yield NULL
+    hashes — a poisoned blob never kills the corpus pass (P7 policy).
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "phash": [],
+                "band0": [], "band1": [], "band2": [], "band3": [],
+            }
+            for media_id, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                out["media_id"].append(media_id)
+                try:
+                    img = decode_media(bytes(content), fmt)
+                    v = phash64(img)
+                    u = v + (1 << 64) if v < 0 else v
+                    out["phash"].append(v)
+                    for b in range(4):
+                        out[f"band{b}"].append((u >> (16 * b)) & 0xFFFF)
+                except Exception:
+                    out["phash"].append(None)
+                    for b in range(4):
+                        out[f"band{b}"].append(None)
+            yield pd.DataFrame(out)
+
+    return spread(media_df).mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(media_df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate image pairs: pHash → banded candidate
+    generation (4×16-bit bands, the simhash pipeline shape: one narrow
+    signature map, one shuffle on fixed-width (band_idx, band_val)
+    keys) → exact ``bit_count(xor)`` Hamming verify INSIDE the block,
+    candidates deduped BEFORE verification. Never all-pairs: Σ|bucket|²
+    is bounded by 16-bit bucket granularity, and at ``max_hamming`` > 48
+    (4 bands × 12) banding recall is no longer 1 by pigeonhole — callers
+    wanting exhaustive distance sweeps should widen the bands, not the
+    threshold.
+    """
+    sig = phash_bands(media_df).filter(F.col("phash").isNotNull())
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"band{i}").alias("bv"))
+            for i in range(4)
+        ]
+    )
+    bands = sig.select("media_id", "phash", F.explode(band_arr).alias("b")).select(
+        "media_id", "phash", "b.i", "b.bv"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("va"),
+            F.col("b.phash").alias("vb"),
+        )
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    hamming = F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 def resize_stub(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
     """'Resize' stand-in: truncate payloads to ``target_bytes`` (a real
     image resize is the same shape: binary in → smaller binary out,

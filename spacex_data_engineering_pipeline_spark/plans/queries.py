@@ -2564,6 +2564,139 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_stats(media)
 
 
+def _phash_oracle_cte() -> str:
+    """Shared oracle CTE replaying the integer-DCT pHash bit for bit:
+    patterned 16×16 pixels from (n_chars, md5-prefix), grayscale =
+    channel sum, C = B·g·Bᵀ via two staged list folds with the SAME
+    floor(cos·2^10) basis literals the Spark kernel uses
+    (operators/multimodal.py:PHASH_BASIS — single Python source),
+    threshold = 32nd-smallest coefficient, 64-bit two's-complement
+    fold (the simhash oracle's HUGEINT pattern). All arithmetic is
+    integer, so the value hash is exact by construction.
+    """
+    n = M.PHASH_SIZE
+    b_all = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(c) for c in row) + "]" for row in M.PHASH_BASIS
+        )
+        + "]::BIGINT[][]"
+    )
+    # The basis literal is HOISTED into a one-row CTE and cross-joined:
+    # inlining it inside the lambdas re-materializes the 128-element
+    # nested list PER ELEMENT (~1M times at sf0.01 — the F.lit(list)
+    # plan-cost trap, DuckDB edition; measured >300 s → ~2 s hoisted).
+    return f"""
+    basis AS MATERIALIZED (SELECT {b_all} AS b),
+    img AS MATERIALIZED (
+        SELECT doc_id AS media_id,
+               list_transform(range({n * n}), i ->
+                   3 * (32 + ((CAST(n_chars AS BIGINT)
+                        + 5 * (i % {n}) + 9 * (i // {n})
+                        + ('0x' || substr(md5(text), 1, 4))::BIGINT
+                          * ((i % {n}) * (i // {n}) + 1)) % 95))
+               ) AS g
+        FROM documents
+    ),
+    dct AS MATERIALIZED (
+        SELECT media_id,
+               list_transform(range(8), v ->
+                   list_transform(range({n}), x ->
+                       CAST(list_sum(list_transform(range({n}), y ->
+                           b[v + 1][y + 1] * g[y * {n} + x + 1]
+                       )) AS BIGINT))) AS r
+        FROM img, basis
+    ),
+    coef AS MATERIALIZED (
+        SELECT media_id,
+               list_transform(range(64), i ->
+                   CAST(list_sum(list_transform(range({n}), x ->
+                       b[(i % 8) + 1][x + 1] * r[(i // 8) + 1][x + 1]
+                   )) AS BIGINT)) AS c
+        FROM dct, basis
+    ),
+    hashed AS MATERIALIZED (
+        SELECT media_id,
+               list_sum(list_transform(range(64), i ->
+                   CASE WHEN c[i + 1] > list_sort(c)[32]
+                        THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS v
+        FROM coef
+    )
+    """
+
+
+@_register(
+    "multimodal_phash",
+    oracle=f"""
+    WITH {_phash_oracle_cte()}
+    SELECT media_id,
+           CAST(v - CASE WHEN v >= 9223372036854775808
+                         THEN 18446744073709551616::HUGEINT ELSE 0 END
+                AS BIGINT) AS phash,
+           CAST((v >> 0)  & 65535 AS BIGINT) AS band0,
+           CAST((v >> 16) & 65535 AS BIGINT) AS band1,
+           CAST((v >> 32) & 65535 AS BIGINT) AS band2,
+           CAST((v >> 48) & 65535 AS BIGINT) AS band3
+    FROM hashed
+    ORDER BY media_id
+    """,
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-DCT perceptual hash over REAL decoded image pixels —
+    the multimodal analogue of simhash_buckets: 16×16 patterned PPM
+    payloads are synthesized JVM-side from each document, decode_media
+    parses the actual bytes, and phash64 (operators/multimodal.py)
+    reduces the pixel array to a 64-bit hash + 4×16-bit band keys
+    through exact int64 matmuls (basis = floor(cos·2^10)), so DuckDB
+    replays the entire decode→DCT→threshold→fold chain bit for bit.
+    A header shift, BGR/row-order slip, or reassociated sum flips the
+    value hash — this entry is the decoder's integrity contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_ppm(docs, "doc_id", "n_chars", "text")
+    return M.phash_bands(media).orderBy("media_id")
+
+
+@_register(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH {_phash_oracle_cte()},
+    bands AS (
+        SELECT media_id, v::UBIGINT AS v, i.range AS i,
+               ((v::UBIGINT) >> (i.range * 16)) & 65535 AS bv
+        FROM hashed, range(4) i
+    ),
+    pairs AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.v AS va, b.v AS vb
+        FROM bands a JOIN bands b
+          ON a.i = b.i AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(va, vb)) <= 6
+    ORDER BY media_a, media_b
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup END TO END — what a training-data
+    pipeline actually runs on images: decode → integer pHash → banded
+    candidate generation (4×16-bit bands; Hamming ≤ 3 recall 1 by
+    pigeonhole, ≤ 6 graded here with banding recall pinned in pytest
+    on perturbed images) → exact bit_count(xor) verify inside the
+    block, candidates deduped BEFORE verification. Scale shape is the
+    simhash pipeline verbatim: one narrow signature map per image (the
+    blobs never shuffle), one fixed-width (band_idx, band_val) shuffle,
+    Σ|bucket|² bounded by 16-bit granularity — never all-pairs over
+    the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_ppm(docs, "doc_id", "n_chars", "text")
+    return M.phash_near_dup_pairs(media, max_hamming=6).orderBy(
+        "media_a", "media_b"
+    )
+
+
 # ===========================================================================
 # Streaming surfaces under the oracle gate: each query below executes a
 # REAL Structured Streaming run (file source → Trigger.AvailableNow →

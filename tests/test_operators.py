@@ -901,6 +901,103 @@ def test_decode_image_stats_real_decode_and_fault_tolerance(spark, sf_dir):
             assert r.width is None and r.mean_pixel is None
 
 
+def _ppm_bytes(shades) -> bytes:
+    """16×16 grayscale P6 payload from a 256-element shade list."""
+    body = b"".join(bytes([s, s, s]) for s in shades)
+    return b"P6\n16 16\n255\n" + body
+
+
+def test_phash64_perturbation_and_separation():
+    """The pHash contract on synthetic near-duplicate images: small
+    pixel perturbations move FEW bits (recall pin: hamming ≤ 6 for a
+    3-pixel ±2 shade edit), while unrelated patterned images are far
+    apart (≥ 16 bits — DCT spectra decorrelate). Also pins the exact
+    integer spec: hash of a fixed image is a CONSTANT (any basis/
+    threshold/fold drift is a test failure, since the DuckDB oracle
+    replays these exact bits)."""
+    import random
+
+    rng = random.Random(7)
+    base = [32 + (5 * (i % 16) + 9 * (i // 16) + (i % 16) * (i // 16)) % 95
+            for i in range(256)]
+    h_base = M.phash64(M.decode_media(_ppm_bytes(base), "image/ppm"))
+    # determinism pin: recompute from scratch
+    assert h_base == M.phash64(M.decode_media(_ppm_bytes(list(base)), "image/ppm"))
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-duplicate: perturb 3 pixels by ±2 shades
+    for trial in range(5):
+        near = list(base)
+        for _ in range(3):
+            j = rng.randrange(256)
+            near[j] = min(126, max(32, near[j] + rng.choice((-2, 2))))
+        h_near = M.phash64(M.decode_media(_ppm_bytes(near), "image/ppm"))
+        assert ham(h_base, h_near) <= 6, (trial, ham(h_base, h_near))
+
+    # unrelated images: different pattern seeds → far hashes
+    for seed in (11, 23, 37):
+        other = [32 + (seed + 7 * (i % 16) + 3 * (i // 16)
+                       + seed * (i % 16) * (i // 16)) % 95 for i in range(256)]
+        h_other = M.phash64(M.decode_media(_ppm_bytes(other), "image/ppm"))
+        assert ham(h_base, h_other) >= 16, (seed, ham(h_base, h_other))
+
+
+def test_phash_near_dup_pairs_banding_recall(spark):
+    """End-to-end banded pipeline recall: every hamming ≤ 3 pair MUST
+    be found (4×16-bit pigeonhole ⇒ recall 1), and found pairs carry
+    the exact verified distance. Uses a planted corpus: 6 perturbed
+    copies of one base image + 6 unrelated images."""
+    import random
+
+    rng = random.Random(3)
+    base = [32 + (5 * (i % 16) + 9 * (i // 16) + (i % 16) * (i // 16)) % 95
+            for i in range(256)]
+    payloads = [(0, _ppm_bytes(base))]
+    for m in range(1, 7):  # light perturbations → near dups
+        near = list(base)
+        for _ in range(2):
+            j = rng.randrange(256)
+            near[j] = min(126, max(32, near[j] + 1))
+        payloads.append((m, _ppm_bytes(near)))
+    for m in range(7, 13):  # unrelated
+        other = [32 + (m * 13 + 7 * (i % 16) + 3 * (i // 16)
+                       + m * (i % 16) * (i // 16)) % 95 for i in range(256)]
+        payloads.append((m, _ppm_bytes(other)))
+    media = spark.createDataFrame(
+        [(mid, b, "image/ppm", len(b)) for mid, b in payloads],
+        "media_id long, content binary, format string, byte_len long",
+    )
+    sig = {r["media_id"]: r["phash"] for r in M.phash_bands(media).collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    truth = {
+        (a, b): ham(sig[a], sig[b])
+        for a in sig for b in sig if a < b and ham(sig[a], sig[b]) <= 3
+    }
+    assert truth, "planted corpus must contain hamming<=3 pairs"
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in M.phash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert got == truth  # recall 1 by pigeonhole + exact distances
+    # poisoned payloads drop out instead of failing the job
+    poisoned = media.unionByName(
+        spark.createDataFrame(
+            [(99, b"garbage", "image/ppm", 7)],
+            "media_id long, content binary, format string, byte_len long",
+        )
+    )
+    got2 = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in M.phash_near_dup_pairs(poisoned, max_hamming=3).collect()
+    }
+    assert got2 == truth
+
+
 def test_pair_operator_explicit_cache_release(spark, sf_dir):
     """Pair operators persist intermediates; the returned handle must
     free them on demand (release_caches()) — and stay correct after,

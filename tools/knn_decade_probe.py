@@ -23,6 +23,10 @@ vector (orthogonal, norm-preserving) and rotate by 10·(i−5): total
 transforms {rot r : r ∈ 0..49} ∪ {−rot r : r ∈ 0..49} — 100 distinct
 directions per base vector, bucket occupancies grow 10× honestly.
 
+Stage-RESUMABLE: each measurement persists into
+``<dst>/probe_state.json`` (and the exact graph into parquet) as it
+completes, so an interrupted run re-measures only what's missing.
+
 Run: python tools/knn_decade_probe.py [sf1_dir] [dst]
      (defaults /tmp/sf1.0 /tmp/sf_decade; corpus build is idempotent)
 """
@@ -75,6 +79,21 @@ def build_corpus(spark, sf1_dir: str, dst: str) -> str:
     return out
 
 
+def _load_state(dst: str) -> dict:
+    p = os.path.join(dst, "probe_state.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_state(dst: str, state: dict) -> None:
+    p = os.path.join(dst, "probe_state.json")
+    with open(p + ".tmp", "w") as f:
+        json.dump(state, f, indent=2, sort_keys=True)
+    os.replace(p + ".tmp", p)
+
+
 def main() -> int:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_decade"
@@ -84,30 +103,43 @@ def main() -> int:
     emb = spark.read.parquet(path).filter(F.col("embedding").isNotNull())
     n = emb.count()
     k = 5
-    out: dict = {"n_vectors": n, "k": k, "dim": 64}
+    state = _load_state(dst)
+    state.update({"n_vectors": n, "k": k, "dim": 64})
 
     # 1. exact grid — the rebuild cost the other arms are judged against
-    t0 = time.perf_counter()
-    exact = S.knn_graph(emb, "vec_id", "embedding", k=k, n_blocks=16)
+    exact_path = os.path.join(dst, "exact_graph.parquet")
+    if "exact_wall" not in state or not os.path.exists(exact_path):
+        t0 = time.perf_counter()
+        exact = S.knn_graph(emb, "vec_id", "embedding", k=k, n_blocks=16)
+        exact.write.mode("overwrite").parquet(exact_path + "_tmp")
+        wall = round(time.perf_counter() - t0, 1)
+        if os.path.exists(exact_path):
+            import shutil
+
+            shutil.rmtree(exact_path)
+        os.replace(exact_path + "_tmp", exact_path)
+        state["exact_wall"] = wall  # includes the parquet write (~N·k rows)
+        _save_state(dst, state)
+    print(json.dumps({"exact_wall": state["exact_wall"]}), flush=True)
+    exact = spark.read.parquet(exact_path)
     ex_edges = set()
     for r in exact.toLocalIterator():
         ex_edges.add((r["vec_id"], r["neighbor"]))
-    out["exact_wall"] = round(time.perf_counter() - t0, 1)
-    print(json.dumps({"exact_wall": out["exact_wall"]}), flush=True)
 
     # 2. IVF at fixed probe fractions — nlist ~ sqrt(N) (FAISS guidance)
     n_clusters = 448
-    out["ivf"] = []
+    done = {(r["n_clusters"], r["n_probe"]) for r in state.get("ivf", [])}
+    state.setdefault("ivf", [])
     for n_probe in (28, 56):  # 6.25% and 12.5% probe mass
+        if (n_clusters, n_probe) in done:
+            continue
         t0 = time.perf_counter()
         ap = S.knn_graph_ivf(
             emb, "vec_id", "embedding", k=k,
             n_clusters=n_clusters, n_probe=n_probe,
         )
         hit = 0
-        total = 0
         for r in ap.toLocalIterator():
-            total += 1
             if (r["vec_id"], r["neighbor"]) in ex_edges:
                 hit += 1
         wall = round(time.perf_counter() - t0, 1)
@@ -116,49 +148,52 @@ def main() -> int:
             "n_probe": n_probe,
             "probe_frac": round(n_probe / n_clusters, 4),
             "wall": wall,
-            "speedup_vs_exact": round(out["exact_wall"] / wall, 2),
+            "speedup_vs_exact": round(state["exact_wall"] / wall, 2),
             "recall": round(hit / len(ex_edges), 4),
         }
-        out["ivf"].append(rec)
+        state["ivf"].append(rec)
+        _save_state(dst, state)
         print(json.dumps(rec), flush=True)
 
     # 3. upsert on a SAVED+LOADED graph vs rebuild: 0.1% of ids arrive
     # re-vectored (reversed arrays — same norms, new directions)
-    work = tempfile.mkdtemp(prefix="decade_graph_")
-    try:
-        t0 = time.perf_counter()
-        S.save_knn_graph(exact, work, "vec_id", n_buckets=64)
-        out["save_wall"] = round(time.perf_counter() - t0, 1)
-        upd_n = n // 1000
-        updates = (
-            emb.orderBy("vec_id").limit(upd_n)
-            .select(
-                "vec_id",
-                F.reverse(F.col("embedding").cast("array<double>")).alias(
-                    "embedding"
-                ),
+    if "upsert_loaded" not in state:
+        work = tempfile.mkdtemp(prefix="decade_graph_")
+        try:
+            t0 = time.perf_counter()
+            S.save_knn_graph(exact, work, "vec_id", n_buckets=64)
+            state["save_wall"] = round(time.perf_counter() - t0, 1)
+            upd_n = n // 1000
+            updates = (
+                emb.orderBy("vec_id").limit(upd_n)
+                .select(
+                    "vec_id",
+                    F.reverse(F.col("embedding").cast("array<double>")).alias(
+                        "embedding"
+                    ),
+                )
             )
-        )
-        t0 = time.perf_counter()
-        loaded = S.load_knn_graph(spark, work)
-        upserted = S.knn_graph_upsert(
-            emb, updates, "vec_id", "embedding", k=k, base_graph=loaded
-        )
-        upd_rows = upserted.count()
-        wall = time.perf_counter() - t0
-        out["upsert_loaded"] = {
-            "n_updates": upd_n,
-            "wall": round(wall, 1),
-            "rows": upd_rows,
-            "speedup_vs_rebuild": round(out["exact_wall"] / wall, 1),
-        }
-        print(json.dumps(out["upsert_loaded"]), flush=True)
-    finally:
-        import shutil
+            t0 = time.perf_counter()
+            loaded = S.load_knn_graph(spark, work)
+            upserted = S.knn_graph_upsert(
+                emb, updates, "vec_id", "embedding", k=k, base_graph=loaded
+            )
+            upd_rows = upserted.count()
+            wall = time.perf_counter() - t0
+            state["upsert_loaded"] = {
+                "n_updates": upd_n,
+                "wall": round(wall, 1),
+                "rows": upd_rows,
+                "speedup_vs_rebuild": round(state["exact_wall"] / wall, 1),
+            }
+            _save_state(dst, state)
+            print(json.dumps(state["upsert_loaded"]), flush=True)
+        finally:
+            import shutil
 
-        shutil.rmtree(work, ignore_errors=True)
+            shutil.rmtree(work, ignore_errors=True)
 
-    print(json.dumps(out))
+    print(json.dumps(state))
     spark.stop()
     return 0
 
