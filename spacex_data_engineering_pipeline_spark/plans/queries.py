@@ -2296,6 +2296,49 @@ def embedding_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(F.col("node").alias("vec_id"), "rank_q").orderBy("vec_id")
 
 
+@_register("embedding_pagerank_centrality_ivf", oracle=_pagerank_oracle_sql(5, 5))
+def embedding_pagerank_centrality_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION graph chain graded end to end (verdict r8
+    task 4): IVF-pruned kNN graph → mutual-kNN symmetrization →
+    integer PageRank — the composition a 100 TB curation run actually
+    executes, where the exact block grid is unpayable and the graph
+    substrate is APPROXIMATE. Graded at full probe width, where the
+    IVF arm's routing must reproduce the exact graph row for row
+    (the index-integrity contract), so the oracle is the SAME 5-CTE
+    PageRank replay as the exact chain — any member lost, double-
+    routed, or mis-probed in the graph build propagates through
+    mutuality and five rank iterations into the value hash. The
+    approximate regime (n_probe < n_clusters ⇒ top-decile ordering
+    overlap vs the exact chain) is pytest-pinned on clustered data,
+    with the sf1.0 point in SCALE_NOTES.
+
+    Lineage: the built graph is referenced by BOTH sides of the mutual
+    self-join and then by every PageRank iteration — checkpoint once
+    at entry per the round-8 rules (integer_pagerank checkpoints its
+    edge/node sets internally).
+    """
+    from spacex_data_engineering_pipeline_spark.operators.graphrank import (
+        integer_pagerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = (
+        S.knn_graph_ivf(
+            emb, "vec_id", "embedding", k=5, n_clusters=8, n_probe=8
+        )
+        .select("vec_id", "neighbor")
+        .localCheckpoint(eager=True)
+    )
+    a, b = g.alias("a"), g.alias("b")
+    mutual = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.neighbor"))
+        & (F.col("a.neighbor") == F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("src"), F.col("a.neighbor").alias("dst"))
+    out = integer_pagerank(mutual, "src", "dst", n_iter=5)
+    return out.select(F.col("node").alias("vec_id"), "rank_q").orderBy("vec_id")
+
+
 def _pca_oracle_sql(
     n_components: int = 2, n_iter: int = 12, dim: int = 64, whiten: bool = False
 ) -> str:
@@ -10856,6 +10899,176 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@_register(
+    "curation_pipeline_end_to_end",
+    oracle=rf"""
+    WITH RECURSIVE q AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT doc_id, source, w,
+                   CAST(length(w) AS BIGINT) AS n_tok,
+                   CAST(COALESCE(list_sum(list_transform(w,
+                       tok -> CAST(('0x' || substr(md5('qcls:' || lower(tok)),
+                                    1, 7))::UBIGINT % 2001 AS BIGINT) - 1000)),
+                       0) AS BIGINT) AS logit_milli
+            FROM (SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents)
+        ) WHERE logit_milli > 0
+    ),
+    g AS (
+        SELECT doc_id AS doc, source AS block,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+        FROM q WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM g a JOIN g b ON a.block = b.block AND a.doc < b.doc
+        WHERE CAST(floor(len(list_intersect(a.grams, b.grams)) * 1000000
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))))
+                   AS BIGINT) >= 100000
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(u, m) AS (
+        SELECT u, v FROM edges
+        UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    clusters AS (
+        SELECT d.doc_id,
+               COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS cluster_id
+        FROM q d
+        LEFT JOIN (SELECT u, MIN(m) AS mn FROM walk GROUP BY u) c
+          ON c.u = d.doc_id
+    ),
+    best AS (
+        SELECT cluster_id, doc_id, logit_milli, n_tok FROM (
+            SELECT cl.cluster_id, cl.doc_id, q.logit_milli, q.n_tok,
+                   row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY q.logit_milli DESC, cl.doc_id ASC) AS rn
+            FROM clusters cl JOIN q USING (doc_id)
+        ) WHERE rn = 1
+    ),
+    sp AS (
+        SELECT cluster_id, doc_id, logit_milli, n_tok,
+               CASE WHEN coin * 10 < 8 * 4294967296 THEN 'train'
+                    WHEN coin * 10 < 9 * 4294967296 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT *,
+                   CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                                                 || ':gsplit'), 1, 8))
+                        AS UBIGINT) AS BIGINT) AS coin
+            FROM best
+        )
+    ),
+    packed AS (
+        SELECT doc_id, split, cluster_id, logit_milli, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM sp
+    )
+    SELECT doc_id, split, cluster_id, logit_milli,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(off AS BIGINT) AS start_offset,
+           CAST(floor(off / 256) AS BIGINT) AS pack_id,
+           CAST(off % 256 AS BIGINT) AS offset_in_pack
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation chain a training-data run actually
+    executes, as ONE graded entry (verdict r8 task 3): quality filter
+    (hashed-linear logit > 0, the doc_quality_classifier model) →
+    near-dup dedup among SURVIVORS (n-gram Jaccard pairs → connected
+    components → keep-best: highest logit, tie lowest doc_id) →
+    leakage-safe split (the 80/10/10 coin tossed per CLUSTER, so a
+    duplicate family never straddles train/test) → per-split
+    concat-and-chunk sequence packing (seq_len 256, the two-phase
+    distributed prefix sum of operators/pack.py). Filtering BEFORE
+    dedup is load-bearing: the quality gate changes the duplicate
+    graph, so the stages cannot be graded independently and composition
+    is where lineage bugs hide — per the round-8 rules, the survivor
+    set and the keep-best result are each localCheckpointed ONCE
+    (multiply-referenced derived sets re-execute their whole upstream
+    per reference otherwise; the integer_pagerank lesson).
+
+    Scale: the expensive stage is the shared pair pipeline + CC
+    (inverted-index candidates, never docs²; pointer-jumping CC); the
+    filter is a narrow map BEFORE the pair stage (shrinking its input —
+    the order also matters for cost); split + packing add one
+    cluster-sized group-by and one full-table shuffle each. The oracle
+    replays the entire chain — recursive CC walk included — in SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    logit = T.hashed_linear_logit(F.col("text"))
+    q = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            logit.alias("logit_milli"),
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("logit_milli") > 0)
+        # referenced by the pair stage, the CC vertex set, AND the
+        # keep-best join — checkpoint once or the scan+logit re-executes
+        # per reference
+        .localCheckpoint(eager=True)
+    )
+    edges = D.ngram_jaccard_pairs(
+        q, "doc_id", "text", "source", n=3, min_jaccard_micro=100_000
+    )
+    cc = D.connected_components(
+        edges, "doc_a", "doc_b", vertices=q.select("doc_id")
+    ).select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))
+    labeled = cc.join(q.select("doc_id", "logit_milli", "n_tokens"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("logit_milli").desc(), F.col("doc_id").asc()
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("cluster_id").cast("string"), F.lit(":gsplit"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    best = (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(
+            "split",
+            F.when(coin * 10 < F.lit(8 * 4294967296), F.lit("train"))
+            .when(coin * 10 < F.lit(9 * 4294967296), F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        # referenced once per split by the packing fan-out below
+        .localCheckpoint(eager=True)
+    )
+    packed = None
+    for s in ("train", "val", "test"):
+        part = PK.pack_sequences(
+            best.filter(F.col("split") == s), "doc_id", "n_tokens", seq_len=256
+        )
+        packed = part if packed is None else packed.unionByName(part)
+    return packed.select(
+        "doc_id",
+        "split",
+        "cluster_id",
+        "logit_milli",
+        "n_tokens",
+        "start_offset",
+        "pack_id",
+        "offset_in_pack",
+    ).orderBy("doc_id")
 
 
 @_register(
