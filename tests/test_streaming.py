@@ -939,3 +939,95 @@ def test_rate_latency_probe_shape(spark):
     assert 0.01 <= stats["p50_sec"] <= 30.0, stats
     assert stats["p50_sec"] <= stats["p95_sec"] <= stats["p99_sec"]
     assert stats["p99_sec"] <= stats["max_sec"]
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """The core Structured Streaming guarantee the engine leans on,
+    proven by crash injection (verdict r8 task 5): a checkpointed
+    stateful stream (applyInPandasWithState running totals) is KILLED
+    between micro-batches — the foreachBatch sink raises at the start
+    of batch 2, after batches 0-1 committed — then restarted from the
+    same checkpoint, and the final state must equal the uninterrupted
+    truth. The sink writes each batch to its own overwritten directory
+    (idempotent under replay — the upsert crash-window pattern), and
+    the committed batches must NOT be reprocessed on restart (mtime
+    pin on batch=0): restart resumes, it does not replay history."""
+    import pyspark.errors
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ckpt_src")
+    events.repartition(4).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def make_query(poison_at):
+        def write_batch(bdf, bid):
+            if bid == poison_at:
+                raise RuntimeError(f"injected crash before batch {bid}")
+            bdf.write.mode("overwrite").parquet(str(out / f"batch={bid}"))
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            running_user_stats(stream)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = make_query(poison_at=2)
+    with pytest.raises(pyspark.errors.StreamingQueryException, match="injected"):
+        q.awaitTermination()
+    assert sorted(p.name for p in out.iterdir()) == ["batch=0", "batch=1"]
+    m0 = (out / "batch=0").stat().st_mtime_ns
+
+    q2 = make_query(poison_at=None)
+    q2.awaitTermination()
+    assert sorted(p.name for p in out.iterdir()) == [
+        "batch=0", "batch=1", "batch=2", "batch=3",
+    ]
+    # committed batches were resumed past, not reprocessed
+    assert (out / "batch=0").stat().st_mtime_ns == m0
+
+    # final state (update mode: latest emission per user = max n_events)
+    # equals the uninterrupted batch truth — state RESTORED across the
+    # restart; a fresh-state resume would undercount every user touched
+    # on both sides of the crash
+    all_rows = spark.read.parquet(str(out / "batch=*"))
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 4))
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rn
+                FROM {t}
+            ) WHERE rn = 1
+            """,
+            t=all_rows,
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.t, 4))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, t) in expected.items():
+        assert got[uid][0] == n, uid
+        assert abs(got[uid][1] - t) < 1e-4, uid
