@@ -2759,7 +2759,7 @@ def _run_events_stream(
     n_files: int = 1,
     max_files_per_trigger: int | None = None,
     order_col: str = "ts",
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
     pre_stage=None,
     tail_dfs=None,
     state_store: str | None = None,
@@ -2810,6 +2810,7 @@ def _run_events_stream(
 
     from spacex_data_engineering_pipeline_spark.session import (
         state_store_provider_class,
+        streaming_state_partitions,
     )
 
     _STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
@@ -2869,11 +2870,17 @@ def _run_events_stream(
                 reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
             return reader.parquet(src)
 
+        built = build(stream)
+        if state_partitions is None:
+            # engine default derived from the operator class (Python
+            # state → 8, JVM state → 4 — session.py, measured knees);
+            # frozen into the checkpoint at first start
+            state_partitions = streaming_state_partitions(built)
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if state_store:
             spark.conf.set(_STORE_KEY, state_store_provider_class(state_store))
         q = (
-            build(stream)
+            built
             .writeStream.format("memory")
             .queryName(table)
             .outputMode(output_mode)
@@ -3024,22 +3031,12 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 # 4 chronological batches prove the cross-batch contracts (state
 # persists, watermark advances, buffers evict) at half the per-batch
-# state-store lifecycle cost of 8; 4 state partitions because every
-# stateful operator pays open/snapshot/commit PER PARTITION PER BATCH —
-# multi-batch runs multiply that, so idle partitions cost 4× more here
-# than in the single-batch runs (measured: 11.2 s → ~6 s on the
-# stateful op at sf0.1).
+# state-store lifecycle cost of 8. State partitions are no longer
+# passed per entry: the measured knees (Python-stateful 8, JVM state 4
+# — the r5/r8 sweeps) live in session.streaming_state_partitions and
+# _run_events_stream derives the dial from each query's own logical
+# plan, so the measurement is ENGINE behavior now (round-8 advice 8).
 _MULTIBATCH_FILES = 4
-_MULTIBATCH_STATE_PARTS = 4
-# Python-stateful runs (applyInPandasWithState) obey a DIFFERENT dial
-# than JVM state: per-batch cost there is ~1 ms × (groups in batch) of
-# Python update calls, so extra partitions buy parallel Arrow workers
-# and win until store-lifecycle overhead catches up. Measured sweep at
-# sf0.1 (4/8/16/32 parts): sessionized 11.8/7.7/9.3/9.2 s, running
-# user stats 7.4/4.4/4.6/5.7 s — 8 is the knee. Stream-stream JOINS
-# (JVM state, no Python) stay at 4: purchase attribution measured
-# 5.0/6.6/11.2/22.7 s over the same sweep.
-_PYSTATE_PARTS = 8
 
 
 @_register(
@@ -3076,7 +3073,6 @@ def streaming_user_stats_multibatch(spark: SparkSession, sf_dir: str) -> DataFra
         spark, sf_dir, build, "update", "user_stats_mb",
         columns=["user_id", "value", "ts"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_PYSTATE_PARTS,
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -3113,7 +3109,6 @@ def streaming_hourly_event_counts_multibatch(spark: SparkSession, sf_dir: str) -
         spark, sf_dir, build, "complete", "hourly_counts_mb",
         columns=["ts", "value"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_MULTIBATCH_STATE_PARTS,
     )
 
 
@@ -3161,7 +3156,6 @@ def streaming_purchase_attribution_multibatch(spark: SparkSession, sf_dir: str) 
         spark, sf_dir, build, "append", "attr_join_mb",
         columns=["event_id", "user_id", "event_type", "ts"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_MULTIBATCH_STATE_PARTS,
     )
     return out.select(
         "purchase_id",
@@ -3281,7 +3275,6 @@ def streaming_sessionized_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
         spark, sf_dir, build, "append", "sessions_ttl",
         columns=["user_id", "ts", "value"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_PYSTATE_PARTS,
         tail_dfs=[sentinel("2099-01-01 00:00:00")],
     )
 
@@ -3316,7 +3309,6 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         spark, sf_dir, build, "append", "dedup_wm",
         columns=["event_id", "user_id", "ts", "value"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_MULTIBATCH_STATE_PARTS,
         pre_stage=lambda df: df.unionAll(df),
     )
 
@@ -9987,7 +9979,6 @@ def streaming_click_outcomes_outer(spark: SparkSession, sf_dir: str) -> DataFram
         columns=["event_id", "user_id", "event_type", "ts"],
         n_files=_MULTIBATCH_FILES,
         max_files_per_trigger=1,
-        state_partitions=_MULTIBATCH_STATE_PARTS,
         tail_dfs=[sentinel],
     )
     return out.filter(F.col("click_user") != -999).select(
@@ -11377,7 +11368,6 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
         spark, sf_dir, build, "append", "sess_native",
         columns=["user_id", "ts", "value"],
         n_files=_MULTIBATCH_FILES, max_files_per_trigger=1,
-        state_partitions=_MULTIBATCH_STATE_PARTS,
         tail_dfs=[sentinel],
     )
     return out.filter(F.col("user_id") >= 0)

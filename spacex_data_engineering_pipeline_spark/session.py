@@ -103,3 +103,36 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Streaming state-partition knees, measured at sf0.1 (SCALE_NOTES r5/r8
+# sweeps over 4/8/16/32 partitions) and encoded here as ENGINE defaults
+# rather than per-query folklore:
+# - Python-stateful operators (applyInPandasWithState): per-batch cost
+#   is ~1 ms × (groups in batch) of Python update calls, so extra
+#   partitions buy parallel Arrow workers until state-store lifecycle
+#   overhead catches up — sessionized 11.8/7.7/9.3/9.2 s, running user
+#   stats 7.4/4.4/4.6/5.7 s: the knee is 8.
+# - JVM-state operators (windowed aggs, stream-stream joins,
+#   dropDuplicates): every state partition pays open/snapshot/commit
+#   PER MICRO-BATCH, so idle partitions are pure overhead — purchase
+#   attribution 5.0/6.6/11.2/22.7 s over the same sweep: 4 wins.
+# On a real cluster these scale with executor count; the RATIO (Python
+# state wants ~2× the partitions of JVM state) is the portable finding.
+PYTHON_STATEFUL_STATE_PARTITIONS = 8
+JVM_STATE_PARTITIONS = 4
+
+
+def streaming_state_partitions(stream_df) -> int:
+    """Default ``spark.sql.shuffle.partitions`` for a streaming query,
+    derived from the OPERATOR CLASS in its logical plan (the dial is
+    frozen into the checkpoint at first start, so it must be right
+    before ``start()``): Python-stateful plans carry a
+    ``FlatMapGroupsInPandasWithState`` node; everything else stateful
+    is JVM state. Callers with a measured better number can still pass
+    one explicitly.
+    """
+    plan = stream_df._jdf.queryExecution().logical().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        return PYTHON_STATEFUL_STATE_PARTITIONS
+    return JVM_STATE_PARTITIONS

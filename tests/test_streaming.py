@@ -1031,3 +1031,54 @@ def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     for uid, (n, t) in expected.items():
         assert got[uid][0] == n, uid
         assert abs(got[uid][1] - t) < 1e-4, uid
+
+
+def test_streaming_state_partition_default_derivation(spark, sf_dir, tmp_path):
+    """The measured state-partition knees are ENGINE behavior now:
+    session.streaming_state_partitions reads the operator class from
+    the logical plan (Python-stateful → 8, JVM state → 4), and the
+    dial is a pure COST knob — the same stateful query produces the
+    identical result under a deliberately wrong partition count."""
+    from spacex_data_engineering_pipeline_spark.session import (
+        JVM_STATE_PARTITIONS,
+        PYTHON_STATEFUL_STATE_PARTITIONS,
+        streaming_state_partitions,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    rate = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "CAST(value AS DOUBLE) AS value", "timestamp AS ts"
+    )
+    assert streaming_state_partitions(running_user_stats(rate)) \
+        == PYTHON_STATEFUL_STATE_PARTITIONS == 8
+    assert streaming_state_partitions(
+        rate.withWatermark("ts", "1 hour").groupBy("user_id").count()
+    ) == JVM_STATE_PARTITIONS == 4
+
+    # dial invariance: derived default vs an off-default count give the
+    # same final state
+    from spacex_data_engineering_pipeline_spark.plans.queries import (
+        _run_events_stream,
+    )
+
+    def build(stream):
+        return running_user_stats(stream())
+
+    def final(state_partitions):
+        out = _run_events_stream(
+            spark, sf_dir, build, "update", "dial_parity",
+            columns=["user_id", "value"], state_partitions=state_partitions,
+        )
+        return sorted(
+            (r.user_id, r.n_events, round(r.total_value, 4))
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("total_value", "n_events").alias("total_value"),
+            )
+            .collect()
+        )
+
+    assert final(None) == final(3)
