@@ -64,6 +64,7 @@ LARGE_RESULT = {
     "embedding_knn_graph_upsert",
     # round 9: same N·k shape, via the saved/loaded base graph
     "embedding_knn_graph_upsert_loaded",
+    "embedding_knn_graph_delete",
     # pairs-shaped (≤ N·k/2 mutual edges)
     "embedding_mutual_knn_pairs",
 }

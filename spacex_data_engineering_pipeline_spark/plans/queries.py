@@ -1642,6 +1642,61 @@ def embedding_knn_graph_upsert_loaded(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "embedding_knn_graph_delete",
+    oracle=f"""
+    WITH sp AS (
+        SELECT (MAX(vec_id) * 99) // 100 AS s
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id < (SELECT s FROM sp)
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def embedding_knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph maintenance under a DELETE batch — the lifecycle arm a
+    GDPR/takedown request exercises, closing the build→append→upsert
+    trio (operators/similarity.py:knn_graph_delete): the last 1% of
+    ids leave the index, every edge CITING them must be evicted, and a
+    trimmed rank-k list can't backfill locally (the rank-k+1 candidate
+    was never kept). Only rows citing a deleted id recompute
+    (|affected|·N, affected ≈ in-degree of the deleted set); every
+    other row's stored list is provably still exact and is kept
+    VERBATIM. The oracle is the FULL-REBUILD ranking over the remaining
+    corpus, so the grade IS delete-equals-rebuild, row for row at 6dp.
+    Hub-scale deletes refuse via max_affected instead of silently
+    collecting unbounded vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    split = mx * 99 // 100
+    deletes = emb.filter(F.col("vec_id") >= split).select("vec_id")
+    out = S.knn_graph_delete(emb, deletes, "vec_id", "embedding", k=5)
+    return out.orderBy("vec_id", "rnk")
+
+
+@_register(
     "embedding_knn_graph_incremental",
     oracle=f"""
     WITH pairs AS (

