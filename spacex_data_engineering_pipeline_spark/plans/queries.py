@@ -798,6 +798,99 @@ def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mixture_sample_apply",
+    oracle=rf"""
+    WITH per AS (
+        SELECT lang,
+               CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY lang
+    ),
+    i AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(lang_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS isq
+        FROM per
+    ),
+    t AS (SELECT *, CAST(SUM(isq) OVER () AS BIGINT) AS tot,
+                 CAST(SUM(lang_tokens) OVER () AS BIGINT) AS all_tokens FROM i),
+    rates AS (
+        SELECT lang, lang_tokens,
+               CAST(((isq * 1000000) // tot) * (all_tokens // 4) // 1000000
+                    AS BIGINT) AS alloc
+        FROM t
+    ),
+    d AS (
+        SELECT doc_id, lang, CAST({_DUCK_NTOK} AS BIGINT) AS n_tokens,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                                         1, 8)) AS UBIGINT) AS BIGINT) AS coin
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.n_tokens
+    FROM d JOIN rates r USING (lang)
+    WHERE d.coin * r.lang_tokens < r.alloc * 4294967296
+    ORDER BY d.doc_id
+    """,
+)
+def mixture_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the temperature mixture — the step after
+    ``lang_mixture_weights`` computes it: deterministically sample
+    documents so each language's expected sampled token mass matches
+    its T=2 allocation of a ¼-corpus token budget (proportional, so
+    the sampler bites at every SF; a fixed budget is one literal away). The keep decision is a portable per-doc coin
+    (md5(doc_id||':mix') as a 32-bit uint) against the language's rate
+    alloc/lang_tokens, evaluated by INTEGER CROSS-MULTIPLICATION
+    (coin·lang_tokens < alloc·2³², never a float division — the Gopher
+    rules' no-float-boundary discipline), so membership is a pure
+    engine-exact function of content identity: re-runs, repartitions,
+    and other engines keep the identical document set.
+
+    Plan: one groupBy(lang) pass for the rate table (|langs| rows,
+    broadcast back), one narrow hash+compare map over the corpus —
+    scan-speed at any size, and the same shape DoReMi-style domain
+    reweighting uses with trained weights swapped in.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("lang_tokens")
+    )
+    i = per.withColumn(
+        "isq",
+        F.floor(F.sqrt((F.col("lang_tokens") * 1000000).cast("double"))).cast("long"),
+    )
+    rates = (
+        i.withColumn("tot", F.sum("isq").over(Window.partitionBy()))
+        .withColumn("all_tokens", F.sum("lang_tokens").over(Window.partitionBy()))
+        .select(
+            "lang",
+            "lang_tokens",
+            F.expr(
+                "((isq * 1000000) div tot) * (all_tokens div 4) div 1000000"
+            ).alias("alloc"),
+        )
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        coin.alias("coin"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(
+            F.col("coin") * F.col("lang_tokens")
+            < F.col("alloc") * F.lit(4294967296)
+        )
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "lang_id_heuristic",
     oracle=rf"""
     SELECT doc_id,
@@ -1351,6 +1444,45 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 10,
         n_planes=8, hamming_radius=8,
     )
+
+
+@_register(
+    "embedding_filtered_topk",
+    oracle=f"""
+    SELECT vec_id, label, cos_sim
+    FROM (
+        SELECT e.vec_id, e.label, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding, label FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0 AND e.label = q.label
+    )
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate + top-k
+    composition every production vector store is actually asked for
+    ("nearest neighbors of X *among label=L*"): the label equality is
+    a plain Catalyst predicate, so it reaches the parquet scan as a
+    PushedFilter and the cosine map touches ONLY the surviving rows —
+    pre-filtering, not the post-filter-then-backfill dance ANN
+    libraries need. At 100 TB this is the argument for keeping vector
+    search inside the engine: the predicate prunes row groups before
+    a single dot product runs, and any relational filter (joins
+    included) composes the same way. Plan-asserted in
+    tests/test_plans.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "label").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    cands = emb.filter(
+        (F.col("vec_id") != 0) & (F.col("label") == qrow["label"])
+    )
+    out = S.brute_force_topk(cands, "vec_id", "embedding", qvec, 10)
+    return out.join(emb.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "cos_sim"
+    ).orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
 
 
 @_register(

@@ -35,6 +35,17 @@ def test_filter_pushdown_reaches_scan(spark):
     )
 
 
+def test_filtered_vector_search_prefilters_at_scan(spark):
+    """Filtered vector search must PRE-filter: the label predicate
+    reaches the parquet scan as a PushedFilter, so the cosine map only
+    ever sees surviving rows — the composition argument for in-engine
+    vector search (no post-filter backfill)."""
+    plan = _plan(spark, "embedding_filtered_topk")
+    assert re.search(r"PushedFilters: \[.*EqualTo\(label,", plan), (
+        "label equality must push to the embeddings scan"
+    )
+
+
 def test_column_pruning_reaches_scan(spark):
     plan = _plan(spark, "perf_over_time")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
