@@ -65,6 +65,9 @@ LARGE_RESULT = {
     # round 9: same N·k shape, via the saved/loaded base graph
     "embedding_knn_graph_upsert_loaded",
     "embedding_knn_graph_delete",
+    # row-per-doc signature outputs (audio/image hash tables)
+    "multimodal_audio_fingerprint",
+    "multimodal_phash",
     # pairs-shaped (≤ N·k/2 mutual edges)
     "embedding_mutual_knn_pairs",
 }

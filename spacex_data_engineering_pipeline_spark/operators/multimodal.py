@@ -524,6 +524,199 @@ def phash_near_dup_pairs(media_df: DataFrame, max_hamming: int = 6) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (round 9) — the audio sibling of the pHash
+# tier, Haitsma–Kalker-flavored but fully integer-spec'd: per-frame
+# integer DCT band values, bits from the sign of the band-energy
+# DOUBLE difference (across band and across time), banded matching.
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 128  # samples per analysis frame
+AUDIO_FRAMES = 4  # frames per clip → 3 × 16 fingerprint bits
+AUDIO_COEFFS = 17  # AC frequencies 1..17 → 16 band differences
+
+
+def _audio_basis() -> list[list[int]]:
+    """Integer DCT-II rows for frequencies u = 1..17 over a 128-sample
+    frame: B[j][t] = floor(cos(π·(2t+1)·(j+1) / 256) · 2^10)."""
+    import math
+
+    return [
+        [
+            int(
+                math.floor(
+                    math.cos(math.pi * (2 * t + 1) * (j + 1) / (2 * AUDIO_FRAME))
+                    * PHASH_QUANT
+                )
+            )
+            for t in range(AUDIO_FRAME)
+        ]
+        for j in range(AUDIO_COEFFS)
+    ]
+
+
+AUDIO_BASIS = _audio_basis()
+
+
+def audio_fingerprint48(samples) -> int:
+    """48-bit integer audio fingerprint of a mono PCM clip of
+    ``AUDIO_FRAME × AUDIO_FRAMES`` samples.
+
+    Per frame f: band value E[f][j] = |Σ_t B[j][t]·s(f·128+t)| for the
+    17 lowest AC frequencies (int64-exact: |s| ≤ 32767, |B| ≤ 2^10,
+    128 terms → |C| ≤ 2^33). Bit i = 16·(f−1)+u (f ∈ 1..3, u ∈ 0..15)
+    is the sign of the band-energy difference ACROSS BAND AND TIME —
+    (E[f][u] − E[f][u+1]) − (E[f−1][u] − E[f−1][u+1]) > 0 — the
+    Haitsma–Kalker robust-hash shape, which cancels per-clip gain and
+    slow spectral tilt. Every op is integer, so the fingerprint is a
+    pure replayable function of the samples.
+    """
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    need = AUDIO_FRAME * AUDIO_FRAMES
+    if s.size < need:
+        raise ValueError(f"audio_fingerprint48 needs {need} samples, got {s.size}")
+    B = np.asarray(AUDIO_BASIS, dtype=np.int64)
+    frames = s[:need].reshape(AUDIO_FRAMES, AUDIO_FRAME)
+    E = np.abs(frames @ B.T)  # (frames, coeffs) int64-exact
+    v = 0
+    for f in range(1, AUDIO_FRAMES):
+        for u in range(16):
+            d = (E[f, u] - E[f, u + 1]) - (E[f - 1, u] - E[f - 1, u + 1])
+            if d > 0:
+                v |= 1 << (16 * (f - 1) + u)
+    return v
+
+
+def attach_patterned_wav(
+    df: DataFrame, id_col: str, len_col: str, text_col: str
+) -> DataFrame:
+    """REAL 16-bit PCM RIFF/WAVE payloads with content-derived samples:
+    s(t) = ((s1 + 37t + s2·(t² mod 97)) mod 191) − 95 over
+    ``AUDIO_FRAME × AUDIO_FRAMES`` samples, s1 = ``len_col`` and
+    s2 = the first 4 hex digits of md5(text) — the pHash seed scheme,
+    so clips collide only for exact-duplicate texts and the formula is
+    SQL-replayable without parsing a byte. Synthesis runs in one Arrow
+    pass (16-bit LE PCM can't ride the printable-ASCII encode trick
+    the PPM builder uses); the DECODE side still walks real RIFF
+    chunks, which is the honest at-scale shape.
+    """
+    import struct
+
+    n = AUDIO_FRAME * AUDIO_FRAMES
+    seeds = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(len_col).cast("long").alias("__s1"),
+        F.conv(
+            F.substring(F.md5(F.encode(F.col(text_col), "UTF-8")), 1, 4), 16, 10
+        )
+        .cast("long")
+        .alias("__s2"),
+    )
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(n, dtype=np.int64)
+        tmod = (t * t) % 97
+        hdr_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        for pdf in batches:
+            out = {"media_id": [], "content": [], "format": [], "byte_len": []}
+            for media_id, s1, s2 in zip(pdf["media_id"], pdf["__s1"], pdf["__s2"]):
+                samples = ((int(s1) + 37 * t + int(s2) * tmod) % 191) - 95
+                data = samples.astype("<i2").tobytes()
+                body = (
+                    b"WAVEfmt " + struct.pack("<I", 16) + hdr_fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                out["media_id"].append(media_id)
+                out["content"].append(wav)
+                out["format"].append("audio/wav")
+                out["byte_len"].append(len(wav))
+            yield pd.DataFrame(out)
+
+    return spread(seeds).mapInPandas(_build, MEDIA_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("afp", LongType(), True),
+        StructField("band0", LongType(), True),
+        StructField("band1", LongType(), True),
+        StructField("band2", LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint_bands(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched RIFF decode → integer fingerprint → 3×16-bit band
+    keys (one per frame transition; Hamming ≤ 2 pairs share a band by
+    pigeonhole). Undecodable/short payloads yield NULL fingerprints."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "afp": [], "band0": [], "band1": [], "band2": []}
+            for media_id, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                out["media_id"].append(media_id)
+                try:
+                    pcm = decode_media(bytes(content), fmt)
+                    v = audio_fingerprint48(pcm)
+                    out["afp"].append(v)
+                    for b in range(3):
+                        out[f"band{b}"].append((v >> (16 * b)) & 0xFFFF)
+                except Exception:
+                    out["afp"].append(None)
+                    for b in range(3):
+                        out[f"band{b}"].append(None)
+            yield pd.DataFrame(out)
+
+    return spread(media_df).mapInPandas(_fp, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(media_df: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Audio near-duplicate pairs: fingerprint → banded candidates
+    (3×16-bit bands) → exact bit_count(xor) verify in the block — the
+    pHash/simhash pipeline shape on the audio column. Hamming ≤ 2
+    recall is 1 by pigeonhole (pytest-pinned on perturbed clips)."""
+    sig = audio_fingerprint_bands(media_df).filter(F.col("afp").isNotNull())
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"band{i}").alias("bv"))
+            for i in range(3)
+        ]
+    )
+    bands = sig.select("media_id", "afp", F.explode(band_arr).alias("b")).select(
+        "media_id", "afp", "b.i", "b.bv"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.afp").alias("va"),
+            F.col("b.afp").alias("vb"),
+        )
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    hamming = F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 def resize_stub(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
     """'Resize' stand-in: truncate payloads to ``target_bytes`` (a real
     image resize is the same shape: binary in → smaller binary out,

@@ -1829,6 +1829,54 @@ def embedding_knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_knn_graph_point_lookup",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id = 7
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY rnk
+    """,
+)
+def embedding_knn_graph_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a PERSISTED kNN graph — "who are doc 7's
+    neighbors?" — through the full artifact lifecycle: build → save
+    (bucket-partitioned parquet + sidecar) → ``knn_graph_neighbors``,
+    which hashes the probe id with the sidecar's fanout and filters on
+    the partition column so the scan PARTITION-PRUNES to one bucket
+    directory at file-listing time (at 100 TB the probe touches
+    1/n_buckets of the files). The oracle is the exact top-5 ranking
+    for that id, so a bucket-routing mismatch — e.g. the id hashed at
+    a different type on save vs probe, the exact latent bug the
+    round-8 advice flagged — returns an empty/wrong list and flips the
+    grade, not just a pytest.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = _tempfile.mkdtemp(prefix="knng_probe_")
+    try:
+        g = S.knn_graph(emb, "vec_id", "embedding", k=5, n_blocks=8)
+        S.save_knn_graph(g, work, "vec_id", n_buckets=16)
+        out = S.knn_graph_neighbors(spark, work, 7).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
     "embedding_knn_graph_incremental",
     oracle=f"""
     WITH pairs AS (
@@ -2853,6 +2901,118 @@ def _phash_oracle_cte() -> str:
         FROM coef
     )
     """
+
+
+def _audio_oracle_cte() -> str:
+    """Shared oracle CTE replaying the 48-bit integer audio fingerprint
+    (operators/multimodal.py:audio_fingerprint48) bit for bit: the
+    sample formula → 4 frames × 17 integer-DCT band values (basis
+    literals hoisted into a one-row CTE — the pHash lesson) → the
+    across-band/across-time sign bits → one BIGINT fold."""
+    n = M.AUDIO_FRAME  # 128
+    total = M.AUDIO_FRAME * M.AUDIO_FRAMES
+    b_all = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(c) for c in row) + "]" for row in M.AUDIO_BASIS
+        )
+        + "]::BIGINT[][]"
+    )
+    return f"""
+    abasis AS MATERIALIZED (SELECT {b_all} AS b),
+    clip AS MATERIALIZED (
+        SELECT doc_id AS media_id,
+               list_transform(range({total}), t ->
+                   ((CAST(n_chars AS BIGINT) + 37 * t
+                     + ('0x' || substr(md5(text), 1, 4))::BIGINT
+                       * ((t * t) % 97)) % 191) - 95
+               ) AS s
+        FROM documents
+    ),
+    en AS MATERIALIZED (
+        SELECT media_id,
+               list_transform(range({M.AUDIO_FRAMES}), f ->
+                   list_transform(range({M.AUDIO_COEFFS}), j ->
+                       CAST(abs(list_sum(list_transform(range({n}), t ->
+                           b[j + 1][t + 1] * s[f * {n} + t + 1]
+                       ))) AS BIGINT))) AS e
+        FROM clip, abasis
+    ),
+    afp AS MATERIALIZED (
+        SELECT media_id,
+               CAST(list_sum(list_transform(range(48), i ->
+                   CASE WHEN (e[(i // 16) + 2][(i % 16) + 1]
+                              - e[(i // 16) + 2][(i % 16) + 2])
+                             - (e[(i // 16) + 1][(i % 16) + 1]
+                                - e[(i // 16) + 1][(i % 16) + 2]) > 0
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+                    AS BIGINT) AS v
+        FROM en
+    )
+    """
+
+
+@_register(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+    WITH {_audio_oracle_cte()}
+    SELECT media_id, v AS afp,
+           CAST((v >> 0)  & 65535 AS BIGINT) AS band0,
+           CAST((v >> 16) & 65535 AS BIGINT) AS band1,
+           CAST((v >> 32) & 65535 AS BIGINT) AS band2
+    FROM afp
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer audio fingerprint over REAL decoded PCM — the audio
+    sibling of multimodal_phash: content-derived 16-bit RIFF/WAVE
+    clips are synthesized per document, decode_media chunk-walks the
+    actual bytes, and audio_fingerprint48 reduces the samples to a
+    48-bit Haitsma–Kalker-shaped robust hash (per-frame integer-DCT
+    band values; bits = signs of band-energy differences across band
+    AND time, cancelling gain/tilt) + 3×16-bit band keys. Every op is
+    integer, so DuckDB replays decode→DCT→sign→fold bit for bit — a
+    chunk-walk offset slip or a reassociated sum flips the value hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_wav(docs, "doc_id", "n_chars", "text")
+    return M.audio_fingerprint_bands(media).orderBy("media_id")
+
+
+@_register(
+    "multimodal_audio_near_dup",
+    oracle=f"""
+    WITH {_audio_oracle_cte()},
+    bands AS (
+        SELECT media_id, v, i.range AS i, (v >> (i.range * 16)) & 65535 AS bv
+        FROM afp, range(3) i
+    ),
+    pairs AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.v AS va, b.v AS vb
+        FROM bands a JOIN bands b
+          ON a.i = b.i AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(va, vb)) <= 4
+    ORDER BY media_a, media_b
+    """,
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs end to end: decode → integer
+    fingerprint → banded candidates (3×16-bit bands; Hamming ≤ 2
+    recall 1 by pigeonhole, ≤ 4 graded with the banding recall pinned
+    in pytest on perturbed clips) → exact bit_count(xor) verify inside
+    the block. Same scale shape as the pHash/simhash pipelines: blobs
+    never shuffle, one fixed-width band shuffle, never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_wav(docs, "doc_id", "n_chars", "text")
+    return M.audio_near_dup_pairs(media, max_hamming=4).orderBy(
+        "media_a", "media_b"
+    )
 
 
 @_register(

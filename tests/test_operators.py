@@ -1044,6 +1044,91 @@ def test_phash_near_dup_pairs_banding_recall(spark):
     assert got2 == truth
 
 
+def _wav_bytes(samples) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE payload from an int sample list."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    body = (
+        b"WAVEfmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_fingerprint_perturbation_and_banding_recall(spark):
+    """The audio robust-hash contract: small sample perturbations move
+    few bits (hamming ≤ 4 for a ±2 edit on 5 samples), a uniform GAIN
+    change moves NO bits (the across-band/time difference cancels
+    scale), unrelated clips are far, and the banded pipeline finds
+    every hamming ≤ 2 pair with recall 1 (3×16-bit pigeonhole)."""
+    import random
+
+    rng = random.Random(5)
+    n = M.AUDIO_FRAME * M.AUDIO_FRAMES
+    base = [((7 + 37 * t + 11 * ((t * t) % 97)) % 191) - 95 for t in range(n)]
+    fp_base = M.audio_fingerprint48(base)
+    # uniform gain: doubling every sample doubles every band value and
+    # every difference — no sign can flip
+    assert M.audio_fingerprint48([2 * s for s in base]) == fp_base
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for trial in range(5):
+        near = list(base)
+        for _ in range(5):
+            j = rng.randrange(n)
+            near[j] += rng.choice((-2, 2))
+        assert ham(fp_base, M.audio_fingerprint48(near)) <= 4, trial
+    for seed in (31, 59):
+        other = [((seed + 29 * t + seed * ((t * t) % 97)) % 191) - 95
+                 for t in range(n)]
+        assert ham(fp_base, M.audio_fingerprint48(other)) >= 10, seed
+
+    # banded pipeline recall over real decoded payloads
+    payloads = [(0, _wav_bytes(base))]
+    for m in range(1, 5):
+        near = list(base)
+        for _ in range(3):
+            j = rng.randrange(n)
+            near[j] += 1
+        payloads.append((m, _wav_bytes(near)))
+    for m in range(5, 9):
+        other = [((m * 17 + 23 * t + m * ((t * t) % 97)) % 191) - 95
+                 for t in range(n)]
+        payloads.append((m, _wav_bytes(other)))
+    media = spark.createDataFrame(
+        [(mid, b, "audio/wav", len(b)) for mid, b in payloads],
+        "media_id long, content binary, format string, byte_len long",
+    )
+    sig = {r["media_id"]: r["afp"] for r in
+           M.audio_fingerprint_bands(media).collect()}
+    truth = {
+        (a, b): ham(sig[a], sig[b])
+        for a in sig for b in sig if a < b and ham(sig[a], sig[b]) <= 2
+    }
+    assert truth, "planted corpus must contain hamming<=2 pairs"
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in M.audio_near_dup_pairs(media, max_hamming=2).collect()
+    }
+    assert got == truth
+    # a truncated clip yields a NULL fingerprint, never a failed job
+    poisoned = media.unionByName(
+        spark.createDataFrame(
+            [(99, _wav_bytes([1] * 16), "audio/wav", 60)],
+            "media_id long, content binary, format string, byte_len long",
+        )
+    )
+    rows = {r["media_id"]: r["afp"]
+            for r in M.audio_fingerprint_bands(poisoned).collect()}
+    assert rows[99] is None and rows[0] == fp_base
+
+
 def test_pair_operator_explicit_cache_release(spark, sf_dir):
     """Pair operators persist intermediates; the returned handle must
     free them on demand (release_caches()) — and stay correct after,
