@@ -68,6 +68,8 @@ LARGE_RESULT = {
     # row-per-doc signature outputs (audio/image hash tables)
     "multimodal_audio_fingerprint",
     "multimodal_phash",
+    # transitions-shaped (7 rows per doc)
+    "multimodal_video_scene_cuts",
     # pairs-shaped (≤ N·k/2 mutual edges)
     "embedding_mutual_knn_pairs",
 }

@@ -3051,6 +3051,100 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_oracle_sql() -> str:
+    """DuckDB replay of the PPM-stream scene-cut chain: per (doc,
+    frame) pixels from the planted-cut formula → the SAME integer-DCT
+    pHash program as the image tier (basis hoisted once) → consecutive
+    frame Hamming distances and the cut verdict."""
+    n = M.PHASH_SIZE
+    nf = M.VIDEO_FRAMES
+    thr = M.VIDEO_CUT_HAMMING
+    b_all = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(c) for c in row) + "]" for row in M.PHASH_BASIS
+        )
+        + "]::BIGINT[][]"
+    )
+    return f"""
+    WITH basis AS MATERIALIZED (SELECT {b_all} AS b),
+    seeds AS MATERIALIZED (
+        SELECT doc_id AS media_id,
+               CAST(n_chars AS BIGINT) AS s1,
+               ('0x' || substr(md5(text), 1, 4))::BIGINT AS s2,
+               (CAST(n_chars AS BIGINT) % 6) + 1 AS c
+        FROM documents
+    ),
+    img AS MATERIALIZED (
+        SELECT media_id, f.range AS f,
+               list_transform(range({n * n}), i ->
+                   3 * ((CASE WHEN f.range < c
+                         THEN 32 + ((s1 + 5 * (i % {n}) + 9 * (i // {n})
+                                     + s2 * ((i % {n}) * (i // {n}) + 1)) % 95)
+                         ELSE 32 + ((s1 + 11 * (i % {n}) + 3 * (i // {n})
+                                     + s2 * ((i % {n}) * (i // {n}) + 2)) % 95)
+                         END)
+                        + CASE WHEN i = (s1 + f.range) % {n * n}
+                               THEN 1 ELSE 0 END)) AS g
+        FROM seeds, range({nf}) f
+    ),
+    dct AS MATERIALIZED (
+        SELECT media_id, f,
+               list_transform(range(8), v ->
+                   list_transform(range({n}), x ->
+                       CAST(list_sum(list_transform(range({n}), y ->
+                           b[v + 1][y + 1] * g[y * {n} + x + 1]
+                       )) AS BIGINT))) AS r
+        FROM img, basis
+    ),
+    coef AS MATERIALIZED (
+        SELECT media_id, f,
+               list_transform(range(64), i ->
+                   CAST(list_sum(list_transform(range({n}), x ->
+                       b[(i % 8) + 1][x + 1] * r[(i // 8) + 1][x + 1]
+                   )) AS BIGINT)) AS c
+        FROM dct, basis
+    ),
+    hashed AS MATERIALIZED (
+        SELECT media_id, f,
+               CAST(list_sum(list_transform(range(64), i ->
+                   CASE WHEN c[i + 1] > list_sort(c)[32]
+                        THEN (1::HUGEINT << i) ELSE 0::HUGEINT END))
+                    AS UBIGINT) AS v
+        FROM coef
+    )
+    SELECT a.media_id, b.f AS frame_idx,
+           CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming,
+           CASE WHEN bit_count(xor(a.v, b.v)) > {thr}
+                THEN 'Y' ELSE 'N' END AS is_cut
+    FROM hashed a JOIN hashed b
+      ON b.media_id = a.media_id AND b.f = a.f + 1
+    ORDER BY a.media_id, frame_idx
+    """
+
+
+@_register("multimodal_video_scene_cuts", oracle=_video_oracle_sql())
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot detection over REAL video-shaped payloads — the video
+    tier's first content operator beyond byte-slice frame sampling:
+    each clip is a concatenated binary-PPM frame stream (the bytes
+    ``ffmpeg -f image2pipe -vcodec ppm`` emits), with a PLANTED scene
+    cut (pattern change at a content-derived frame) and within-scene
+    motion (a moving +1-shade pixel). decode_ppm_stream WALKS the
+    container (each frame's pixel extent follows its own header — an
+    offset slip desynchronizes every later frame), phash64 hashes
+    every frame, and a transition row reports the consecutive-frame
+    Hamming distance + the cut verdict. The oracle replays pixels →
+    DCT → hash → transitions for all 8 frames per document, so the
+    value hash grades the container walk, the hash, and the detection
+    threshold together. Motion lands at hamming ≈ 0-2, cuts far above
+    — the margin is pytest-pinned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_ppm_stream(docs, "doc_id", "n_chars", "text")
+    return M.video_scene_cuts(media).orderBy("media_id", "frame_idx")
+
+
 @_register(
     "multimodal_phash",
     oracle=f"""

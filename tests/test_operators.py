@@ -1044,6 +1044,69 @@ def test_phash_near_dup_pairs_banding_recall(spark):
     assert got2 == truth
 
 
+def test_video_scene_cut_margin_and_stream_decode(spark):
+    """The detection margin: within-scene motion (one moving pixel)
+    stays at hamming ≤ 4; a pattern change lands ≥ 2× the threshold.
+    The stream decoder is a real container walk: frames round-trip
+    exactly, and a truncated tail frame fails loudly rather than
+    desynchronizing silently."""
+    import numpy as np
+
+    def ppm(shades):
+        return b"P6\n16 16\n255\n" + b"".join(bytes([s, s, s]) for s in shades)
+
+    base = [32 + (5 * (i % 16) + 9 * (i // 16) + (i % 16) * (i // 16)) % 95
+            for i in range(256)]
+    alt = [32 + (7 + 11 * (i % 16) + 3 * (i // 16) + 2 * (i % 16) * (i // 16)) % 95
+           for i in range(256)]
+    frames = []
+    for f in range(4):  # scene A with motion
+        fr = list(base)
+        fr[(3 + f) % 256] += 1
+        frames.append(fr)
+    for f in range(4, 8):  # scene B with motion
+        fr = list(alt)
+        fr[(3 + f) % 256] += 1
+        frames.append(fr)
+    stream = b"".join(ppm(fr) for fr in frames)
+
+    decoded = M.decode_ppm_stream(stream)
+    assert len(decoded) == 8
+    for fr, arr in zip(frames, decoded):
+        assert arr.shape == (16, 16, 3)
+        assert [int(x) for x in arr[:, :, 0].reshape(-1)] == fr
+
+    media = spark.createDataFrame(
+        [(1, stream, "video/ppm-stream", len(stream))],
+        "media_id long, content binary, format string, byte_len long",
+    )
+    rows = {r["frame_idx"]: (r["hamming"], r["is_cut"])
+            for r in M.video_scene_cuts(media).collect()}
+    assert set(rows) == set(range(1, 8))
+    for f in range(1, 8):
+        if f == 4:
+            assert rows[f][1] == "Y"
+            assert rows[f][0] >= 2 * M.VIDEO_CUT_HAMMING, rows[f]
+        else:
+            assert rows[f][1] == "N"
+            assert rows[f][0] <= 4, (f, rows[f])
+
+    # truncated tail frame: loud failure in the decoder, poisoned clip
+    # silently dropped by the operator (job lives)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_ppm_stream(stream[:-10])
+    poisoned = media.unionByName(
+        spark.createDataFrame(
+            [(2, stream[:-10], "video/ppm-stream", len(stream) - 10)],
+            "media_id long, content binary, format string, byte_len long",
+        )
+    )
+    got = M.video_scene_cuts(poisoned).collect()
+    assert {r["media_id"] for r in got} == {1}
+
+
 def _wav_bytes(samples) -> bytes:
     """Mono 16-bit PCM RIFF/WAVE payload from an int sample list."""
     import struct
