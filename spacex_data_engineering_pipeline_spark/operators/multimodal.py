@@ -871,6 +871,52 @@ def audio_near_dup_pairs(media_df: DataFrame, max_hamming: int = 4) -> DataFrame
     )
 
 
+def phash_probe_pairs(
+    corpus_media: DataFrame, new_media: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Incremental-ingest image dedup: probe a NEW batch's pHash bands
+    against the EXISTING corpus band index — corpus×corpus pairs are
+    never enumerated, so per-ingest cost is O(batch) hashing + one
+    band-key shuffle, the minhash_probe_pairs contract applied to the
+    image tier. Output: (new_media, corpus_media, hamming ≤ τ)."""
+    sig_c = phash_bands(corpus_media).filter(F.col("phash").isNotNull())
+    sig_n = phash_bands(new_media).filter(F.col("phash").isNotNull())
+
+    def explode_bands(sig):
+        arr = F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.col(f"band{i}").alias("bv"))
+                for i in range(4)
+            ]
+        )
+        return sig.select("media_id", "phash", F.explode(arr).alias("b")).select(
+            "media_id", "phash", "b.i", "b.bv"
+        )
+
+    n, c = explode_bands(sig_n).alias("n"), explode_bands(sig_c).alias("c")
+    pairs = (
+        n.join(
+            c,
+            (F.col("n.i") == F.col("c.i"))
+            & (F.col("n.bv") == F.col("c.bv"))
+            & (F.col("n.media_id") != F.col("c.media_id")),
+        )
+        .select(
+            F.col("n.media_id").alias("new_media"),
+            F.col("c.media_id").alias("corpus_media"),
+            F.col("n.phash").alias("va"),
+            F.col("c.phash").alias("vb"),
+        )
+        .dropDuplicates(["new_media", "corpus_media"])
+    )
+    hamming = F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_media", "corpus_media", "hamming")
+    )
+
+
 def resize_stub(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
     """'Resize' stand-in: truncate payloads to ``target_bytes`` (a real
     image resize is the same shape: binary in → smaller binary out,

@@ -3051,6 +3051,53 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_phash_index_probe",
+    oracle=f"""
+    WITH {_phash_oracle_cte()},
+    split AS (
+        SELECT h.media_id, h.v::UBIGINT AS v, (h.media_id % 5 = 0) AS is_new
+        FROM hashed h
+    ),
+    bn AS (
+        SELECT media_id, v, i.range AS i, (v >> (i.range * 16)) & 65535 AS bv
+        FROM split, range(4) i WHERE is_new
+    ),
+    bc AS (
+        SELECT media_id, v, i.range AS i, (v >> (i.range * 16)) & 65535 AS bv
+        FROM split, range(4) i WHERE NOT is_new
+    ),
+    pairs AS (
+        SELECT DISTINCT n.media_id AS new_media, c.media_id AS corpus_media,
+               n.v AS va, c.v AS vb
+        FROM bn n JOIN bc c
+          ON n.i = c.i AND n.bv = c.bv AND n.media_id <> c.media_id
+    )
+    SELECT new_media, corpus_media,
+           CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(va, vb)) <= 6
+    ORDER BY new_media, corpus_media
+    """,
+)
+def multimodal_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest IMAGE dedup: the 20% "new batch"
+    (doc_id % 5 = 0) is probed against the 80% "existing corpus" pHash
+    band index (operators/multimodal.py:phash_probe_pairs) —
+    corpus×corpus pairs are never enumerated, so per-ingest cost is
+    O(batch) decode+hash plus one band-key shuffle, the
+    minhash_index_probe contract applied to the multimodal tier. The
+    oracle replays both sides' hashes and the cross-side band join
+    value-exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_ppm(docs, "doc_id", "n_chars", "text")
+    corpus = media.filter(F.col("media_id") % 5 != 0)
+    new = media.filter(F.col("media_id") % 5 == 0)
+    return M.phash_probe_pairs(corpus, new, max_hamming=6).orderBy(
+        "new_media", "corpus_media"
+    )
+
+
 def _video_oracle_sql() -> str:
     """DuckDB replay of the PPM-stream scene-cut chain: per (doc,
     frame) pixels from the planted-cut formula → the SAME integer-DCT
