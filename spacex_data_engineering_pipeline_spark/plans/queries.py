@@ -798,6 +798,93 @@ def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_drift_chi2",
+    oracle="""
+    WITH binned AS (
+        SELECT source, LEAST(15, CAST(n_chars AS BIGINT) // 40) AS bin
+        FROM documents
+    ),
+    o AS (SELECT source, bin, COUNT(*) AS o FROM binned GROUP BY source, bin),
+    bt AS (SELECT bin, COUNT(*) AS bt FROM binned GROUP BY bin),
+    st AS (SELECT source, COUNT(*) AS st FROM binned GROUP BY source),
+    g AS (SELECT COUNT(*) AS grand FROM binned),
+    dense AS (
+        SELECT st.source, bt.bin, st.st, bt.bt, COALESCE(o.o, 0) AS o
+        FROM st CROSS JOIN bt
+        LEFT JOIN o ON o.source = st.source AND o.bin = bt.bin
+    ),
+    terms AS (
+        SELECT source, st,
+               CAST(floor(
+                   ((CAST(o AS DOUBLE)
+                     - (CAST(st AS DOUBLE) * CAST(bt AS DOUBLE))
+                       / CAST((SELECT grand FROM g) AS DOUBLE))
+                    * (CAST(o AS DOUBLE)
+                       - (CAST(st AS DOUBLE) * CAST(bt AS DOUBLE))
+                         / CAST((SELECT grand FROM g) AS DOUBLE))
+                    / ((CAST(st AS DOUBLE) * CAST(bt AS DOUBLE))
+                       / CAST((SELECT grand FROM g) AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS term_micro
+        FROM dense
+    )
+    SELECT source,
+           CAST(MAX(st) AS BIGINT) AS n_docs,
+           CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+    FROM terms
+    GROUP BY source
+    ORDER BY chi2_micro DESC, source
+    """,
+)
+def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit — "which source's length profile
+    diverges from the corpus?", the monitor a curation pipeline runs
+    per ingest before a drifted crawl poisons the mix. Per source, a
+    chi-square statistic of its n_chars histogram (16 fixed bins)
+    against the corpus-wide expectation.
+
+    Engine-exactness spec: each bin's term (o−e)²/e is a fixed
+    PARENTHESIZED IEEE expression over exact integer counts (e =
+    (st·bt)/grand — the PCA-covariance discipline), then FLOORED to
+    integer micro-units, so the per-source reduction is an order-free
+    int64 SUM — chi2_micro is value-hash exact without pinning any
+    aggregation order. Plan: two map-side-combined group-bys (source×
+    bin, bin) + one |sources|×|bins| dense cross join — metadata-sized
+    after the first scan, scan-speed at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source",
+        F.least(
+            F.lit(15).cast("long"), F.expr("cast(n_chars as bigint) div 40")
+        ).alias("bin"),
+    )
+    o = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("o"))
+    bt = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("bt"))
+    st = binned.groupBy("source").agg(F.count(F.lit(1)).alias("st"))
+    grand = binned.count()
+    dense = (
+        st.crossJoin(F.broadcast(bt))
+        .join(o, ["source", "bin"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = (F.col("st").cast("double") * F.col("bt").cast("double")) / F.lit(
+        float(grand)
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    terms = dense.withColumn(
+        "term_micro", F.floor(term * F.lit(1000000.0)).cast("long")
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("st").cast("long").alias("n_docs"),
+            F.sum("term_micro").cast("long").alias("chi2_micro"),
+        )
+        .orderBy(F.col("chi2_micro").desc(), F.col("source"))
+    )
+
+
+@_register(
     "mixture_sample_apply",
     oracle=rf"""
     WITH per AS (
