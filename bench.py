@@ -284,6 +284,16 @@ def main() -> None:
         # tables): queries time independently and the tail of the run
         # isn't paying GC pressure from 50 queries of accumulated cache
         spark.catalog.clearCache()
+        # localCheckpoint blocks are NOT covered by clearCache: release
+        # the query's dropped DataFrame refs, then unpersist whatever
+        # the ContextCleaner hasn't gotten to yet (the checkpointing
+        # entries — upsert/delete/curation — would otherwise bill their
+        # block-manager pressure to alphabetically-later queries)
+        import gc as _gc
+
+        _gc.collect()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
 
     # Pipeline scenarios LAST (warm write paths — the order the r1/r2
     # baselines were measured in; running them first costs ~2x cold)
