@@ -862,8 +862,17 @@ def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("bt"))
     st = binned.groupBy("source").agg(F.count(F.lit(1)).alias("st"))
     grand = binned.count()
+    # densify source×bin WITHOUT a cartesian shape (the catalog-wide
+    # plan guard bans NestedLoopJoin, even broadcast, on principle):
+    # explode the fixed bin domain per source, then inner-hash-join the
+    # bin totals — bins absent from the whole corpus drop out (o = 0
+    # AND bt = 0 there; no 0/0 term), matching the cross-join of the
+    # PRESENT bins the oracle does
     dense = (
-        st.crossJoin(F.broadcast(bt))
+        st.select(
+            "source", "st", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bin")
+        )
+        .join(F.broadcast(bt), "bin")
         .join(o, ["source", "bin"], "left")
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
     )
