@@ -3493,9 +3493,19 @@ def _run_events_stream(
         built = build(stream)
         if state_partitions is None:
             # engine default derived from the operator class (Python
-            # state → 8, JVM state → 4 — session.py, measured knees);
-            # frozen into the checkpoint at first start
-            state_partitions = streaming_state_partitions(built)
+            # state → 8 scaled by source volume, JVM state → 4 —
+            # session.py, measured knees); the staged source's parquet
+            # footers give the exact row count for free
+            import pyarrow.parquet as _pq
+
+            staged_rows = sum(
+                _pq.ParquetFile(_os.path.join(src, f)).metadata.num_rows
+                for f in _os.listdir(src)
+                if f.endswith(".parquet")
+            )
+            state_partitions = streaming_state_partitions(
+                built, approx_rows=staged_rows
+            )
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if state_store:
             spark.conf.set(_STORE_KEY, state_store_provider_class(state_store))

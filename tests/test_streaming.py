@@ -1056,6 +1056,15 @@ def test_streaming_state_partition_default_derivation(spark, sf_dir, tmp_path):
     assert streaming_state_partitions(
         rate.withWatermark("ts", "1 hour").groupBy("user_id").count()
     ) == JVM_STATE_PARTITIONS == 4
+    # volume scaling: the Python-stateful knee moves with key count
+    # (sf1.0 measurement: 16 beats 8 by ~40% at 1M rows / 15k keys);
+    # one doubling per decade above 300k rows, capped; JVM state flat
+    py = running_user_stats(rate)
+    assert streaming_state_partitions(py, approx_rows=100_000) == 8
+    assert streaming_state_partitions(py, approx_rows=1_000_000) == 16
+    assert streaming_state_partitions(py, approx_rows=100_000_000) == 64
+    jvm = rate.withWatermark("ts", "1 hour").groupBy("user_id").count()
+    assert streaming_state_partitions(jvm, approx_rows=100_000_000) == 4
 
     # dial invariance: derived default vs an off-default count give the
     # same final state
