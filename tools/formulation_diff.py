@@ -176,6 +176,74 @@ def _diff_knn(sf_dir: str, emb: DataFrame) -> bool:
     return ok
 
 
+def _diff_phash(spark, sf_dir: str) -> bool:
+    """Perceptual-hash banding vs brute force (round 9): the banded
+    pipeline's hamming ≤ 3 pairs (4×16-bit pigeonhole ⇒ recall 1 BY
+    THEOREM) must equal an exhaustive all-pairs XOR-popcount sweep over
+    the hash table — a disjoint formulation (numpy bit tricks
+    driver-side over N² pairs, ~1.25e9 popcounts at sf1.0's 50k docs)
+    that exists to disagree if banding ever loses a bucket. Audio gets
+    the same check at its pigeonhole radius (3 bands ⇒ hamming ≤ 2)."""
+    import numpy as np
+
+    from spacex_data_engineering_pipeline_spark.catalog import load_table
+    from spacex_data_engineering_pipeline_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = True
+    for label, attach, bands_fn, pairs_fn, radius in (
+        ("phash", M.attach_patterned_ppm, M.phash_bands,
+         lambda m: M.phash_near_dup_pairs(m, max_hamming=3), 3),
+        ("audio_fp", M.attach_patterned_wav, M.audio_fingerprint_bands,
+         lambda m: M.audio_near_dup_pairs(m, max_hamming=2), 2),
+    ):
+        t0 = time.time()
+        media = attach(docs, "doc_id", "n_chars", "text")
+        sig_col = "phash" if label == "phash" else "afp"
+        sig = bands_fn(media).filter(F.col(sig_col).isNotNull()).select(
+            "media_id", sig_col
+        ).collect()
+        ids = np.array([r["media_id"] for r in sig], dtype=np.int64)
+        hs = np.array(
+            [r[sig_col] & ((1 << 64) - 1) for r in sig], dtype=np.uint64
+        )
+        banded = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in pairs_fn(media).collect()
+        }
+        t1 = time.time()
+        popcnt8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint8
+        )
+        brute = {}
+        chunk = 2048
+        for lo in range(0, len(hs), chunk):
+            x = hs[lo : lo + chunk, None] ^ hs[None, :]
+            # byte-wise popcount via a 256-entry lookup over the raw bytes
+            d = (
+                popcnt8[x.view(np.uint8).reshape(x.shape[0], x.shape[1], 8)]
+                .sum(axis=-1, dtype=np.int64)
+            )
+            for i in range(x.shape[0]):
+                gi = lo + i
+                for j in np.nonzero(d[i] <= radius)[0]:
+                    if ids[gi] < ids[j]:
+                        brute[(int(ids[gi]), int(ids[j]))] = int(d[i, j])
+        t2 = time.time()
+        same = banded == brute
+        ok &= same
+        print(
+            f"{label} @ {sf_dir}: banded {len(banded)} pairs {t1-t0:.1f}s | "
+            f"brute {len(brute)} pairs over {len(hs)}² {t2-t1:.1f}s | "
+            f"{'IDENTICAL' if same else 'DIFF'}"
+        )
+        if not same:
+            only_b = set(banded) - set(brute)
+            only_x = set(brute) - set(banded)
+            print(f"  banded-only: {sorted(only_b)[:5]}  brute-only: {sorted(only_x)[:5]}")
+    return ok
+
+
 def main(sf_dirs: list[str]) -> int:
     from spacex_data_engineering_pipeline_spark.catalog import load_table
     from spacex_data_engineering_pipeline_spark.plans.queries import (
@@ -217,6 +285,9 @@ def main(sf_dirs: list[str]) -> int:
         # top-k, a disjoint kernel) on a 16-row sample spanning the id
         # range — the full graph is computed, only the compare samples.
         all_ok &= _diff_knn(sf_dir, emb)
+
+        # 4. pHash / audio-fingerprint banding vs exhaustive popcount
+        all_ok &= _diff_phash(spark, sf_dir)
     print("RESULT:", "ALL IDENTICAL" if all_ok else "FORMULATIONS DISAGREE")
     return 0 if all_ok else 1
 
