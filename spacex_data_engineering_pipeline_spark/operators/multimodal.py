@@ -888,6 +888,82 @@ def audio_near_dup_pairs(media_df: DataFrame, max_hamming: int = 4) -> DataFrame
     )
 
 
+SHOT_SIG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("shot_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("sig", LongType(), False),
+    ]
+)
+
+
+def video_shot_signatures(
+    media_df: DataFrame, threshold: int = VIDEO_CUT_HAMMING
+) -> DataFrame:
+    """Segment each clip into SHOTS at detected scene cuts and reduce
+    every shot to a signature — the MIN of its frames' pHashes (an
+    order-free integer reduction, so the signature is a pure function
+    of the shot's frame SET). One Arrow pass: decode → per-frame hash
+    → cut detection → running shot id → per-shot min. Output one row
+    per (clip, shot)."""
+
+    def _sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "shot_id": [], "n_frames": [], "sig": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = decode_ppm_stream(bytes(content))
+                    hashes = [phash64(fr) for fr in frames]
+                except Exception:
+                    continue
+                shot = 0
+                cur = [hashes[0]]
+                shots = []
+                for f in range(1, len(hashes)):
+                    d = bin((hashes[f] ^ hashes[f - 1]) & ((1 << 64) - 1)).count("1")
+                    if d > threshold:
+                        shots.append(cur)
+                        cur = []
+                    cur.append(hashes[f])
+                shots.append(cur)
+                for sid, hs in enumerate(shots):
+                    out["media_id"].append(media_id)
+                    out["shot_id"].append(sid)
+                    out["n_frames"].append(len(hs))
+                    out["sig"].append(min(hs))
+            yield pd.DataFrame(out)
+
+    return spread(media_df).mapInPandas(_sigs, SHOT_SIG_SCHEMA)
+
+
+def video_shot_dedup_pairs(
+    media_df: DataFrame, threshold: int = VIDEO_CUT_HAMMING
+) -> DataFrame:
+    """Cross-clip SHOT dedup — the operation that finds repeated
+    intros/ads/segments across a video corpus: shots whose signatures
+    match exactly across different clips. One signature row per shot
+    (clips never pairwise-compare raw frames), then a self-equi-join
+    on the signature — the exact-dedup shape at shot granularity, fed
+    by perceptual per-frame hashing."""
+    sig = video_shot_signatures(media_df, threshold)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.shot_id").alias("shot_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("b.shot_id").alias("shot_b"),
+            F.col("a.sig").alias("sig"),
+        )
+    )
+
+
 def phash_probe_pairs(
     corpus_media: DataFrame, new_media: DataFrame, max_hamming: int = 6
 ) -> DataFrame:

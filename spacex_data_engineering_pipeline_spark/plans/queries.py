@@ -3199,6 +3199,59 @@ def _video_oracle_sql() -> str:
     frame) pixels from the planted-cut formula → the SAME integer-DCT
     pHash program as the image tier (basis hoisted once) → consecutive
     frame Hamming distances and the cut verdict."""
+    thr = M.VIDEO_CUT_HAMMING
+    return f"""
+    {_video_hash_cte()}
+    SELECT a.media_id, b.f AS frame_idx,
+           CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming,
+           CASE WHEN bit_count(xor(a.v, b.v)) > {thr}
+                THEN 'Y' ELSE 'N' END AS is_cut
+    FROM hashed a JOIN hashed b
+      ON b.media_id = a.media_id AND b.f = a.f + 1
+    ORDER BY a.media_id, frame_idx
+    """
+
+
+def _video_shot_dedup_oracle_sql() -> str:
+    """Shot-dedup replay on top of the shared per-frame hash chain:
+    cut flags → running shot ids (a per-clip window over ≤ 8 rows) →
+    per-shot MIN signature (order-free) → cross-clip equi-join."""
+    thr = M.VIDEO_CUT_HAMMING
+    return f"""
+    {_video_hash_cte()},
+    frames AS MATERIALIZED (
+        SELECT h.media_id, h.f,
+               CAST(h.v - CASE WHEN h.v >= 9223372036854775808
+                               THEN 18446744073709551616::HUGEINT ELSE 0 END
+                    AS BIGINT) AS h,
+               CASE WHEN p.v IS NOT NULL
+                         AND bit_count(xor(h.v, p.v)) > {thr}
+                    THEN 1 ELSE 0 END AS cut
+        FROM hashed h LEFT JOIN hashed p
+          ON p.media_id = h.media_id AND p.f = h.f - 1
+    ),
+    shotted AS (
+        SELECT media_id, f, h,
+               SUM(cut) OVER (PARTITION BY media_id ORDER BY f
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS shot_id
+        FROM frames
+    ),
+    shots AS (
+        SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               MIN(h) AS sig
+        FROM shotted GROUP BY media_id, shot_id
+    )
+    SELECT a.media_id AS media_a, a.shot_id AS shot_a,
+           b.media_id AS media_b, b.shot_id AS shot_b, a.sig
+    FROM shots a JOIN shots b
+      ON a.sig = b.sig AND a.media_id < b.media_id
+    ORDER BY media_a, shot_a, media_b, shot_b
+    """
+
+
+def _video_hash_cte() -> str:
     n = M.PHASH_SIZE
     nf = M.VIDEO_FRAMES
     thr = M.VIDEO_CUT_HAMMING
@@ -3255,15 +3308,7 @@ def _video_oracle_sql() -> str:
                         THEN (1::HUGEINT << i) ELSE 0::HUGEINT END))
                     AS UBIGINT) AS v
         FROM coef
-    )
-    SELECT a.media_id, b.f AS frame_idx,
-           CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming,
-           CASE WHEN bit_count(xor(a.v, b.v)) > {thr}
-                THEN 'Y' ELSE 'N' END AS is_cut
-    FROM hashed a JOIN hashed b
-      ON b.media_id = a.media_id AND b.f = a.f + 1
-    ORDER BY a.media_id, frame_idx
-    """
+    )"""
 
 
 @_register("multimodal_video_scene_cuts", oracle=_video_oracle_sql())
@@ -3286,6 +3331,29 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_patterned_ppm_stream(docs, "doc_id", "n_chars", "text")
     return M.video_scene_cuts(media).orderBy("media_id", "frame_idx")
+
+
+@_register("multimodal_video_shot_dedup", oracle=_video_shot_dedup_oracle_sql())
+def multimodal_video_shot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-clip SHOT dedup — the composed video operation (detect →
+    segment → dedup) that finds repeated intros/ads/segments across a
+    corpus: each clip is segmented at its detected scene cuts, every
+    shot reduces to an order-free signature (MIN of its frames'
+    integer pHashes), and shots matching exactly across DIFFERENT
+    clips pair up in one signature equi-join — clips never
+    pairwise-compare raw frames. The oracle replays the whole chain
+    (per-frame hashes → cut flags → running shot ids → per-shot MIN →
+    cross join), so a cut mis-detected, a shot boundary off by one
+    frame, or a signature drift all flip the value hash. At corpus
+    scale the join input is shots (≈ cuts+1 per clip), and the
+    signature is the shuffle key — the exact-dedup shape at shot
+    granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_ppm_stream(docs, "doc_id", "n_chars", "text")
+    return M.video_shot_dedup_pairs(media).orderBy(
+        "media_a", "shot_a", "media_b", "shot_b"
+    )
 
 
 @_register(
