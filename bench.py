@@ -55,6 +55,8 @@ LARGE_RESULT = {
     # row-per-doc with the full cleaned text riding along
     "dedup_trim_spans",
     "dedup_trim_maximal_spans",
+    # round 10: row-per-doc with the full scrubbed text riding along
+    "pii_scrub_audit",
     # round 7: N·k rows (100k at sf1.0) — collecting them poisoned every
     # alphabetically-later query with driver GC pressure (+70s diffuse)
     "embedding_knn_graph",
@@ -271,8 +273,15 @@ def main() -> None:
     _warm_streaming(spark)
 
     timings: dict[str, float] = {}
+    jsc = spark.sparkContext._jsc
     for name in sorted(QUERIES):
         fn = QUERIES[name]
+        # snapshot the persistent-RDD ids alive BEFORE this query so the
+        # cleanup below only touches blocks the query itself created —
+        # unpersisting a localCheckpointed RDD truncates its lineage, so
+        # a handle persisted by an earlier query (none today, but the
+        # invariant shouldn't be load-bearing) must survive untouched
+        pre_ids = set(jsc.getPersistentRDDs().keys())
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         if name in LARGE_RESULT:
@@ -292,8 +301,9 @@ def main() -> None:
         import gc as _gc
 
         _gc.collect()
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
+        for rid, jrdd in jsc.getPersistentRDDs().items():
+            if rid not in pre_ids:
+                jrdd.unpersist()
 
     # Pipeline scenarios LAST (warm write paths — the order the r1/r2
     # baselines were measured in; running them first costs ~2x cold)

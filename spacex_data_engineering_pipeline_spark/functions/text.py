@@ -269,16 +269,19 @@ PII_PATTERNS = {
 }
 
 
-def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "url", "phone", "ipv4")):
+def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "url", "ipv4", "phone")):
     """Redact PII spans with ``<KIND>`` placeholders — the standard
     pre-training scrub pass, as pure regexp_replace expressions so a
     100 TB corpus scrubs at scan speed inside codegen (no UDF).
 
     Returns (scrubbed_text, counts) where ``counts`` maps each kind to
     its match-count column — pipelines keep the counts as per-doc
-    scrub metadata. Order matters: URLs before phones (a URL's digit
-    runs would otherwise half-match the phone pattern mid-redaction);
-    the default tuple is already safely ordered.
+    scrub metadata. Order matters: URLs and IPv4s before phones (a
+    URL's digit run half-matches the phone pattern mid-redaction, and
+    a dotted IPv4 of ≥9 chars — digits, dots both in the phone char
+    class — would be eaten whole as a <PHONE>); the default tuple is
+    already safely ordered. Cross-engine identity of every pattern
+    (Java regex vs DuckDB RE2) is graded by ``pii_scrub_audit``.
     """
     counts = {}
     scrubbed = text

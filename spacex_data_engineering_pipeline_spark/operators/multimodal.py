@@ -768,10 +768,10 @@ def attach_patterned_wav(
     ``AUDIO_FRAME × AUDIO_FRAMES`` samples, s1 = ``len_col`` and
     s2 = the first 4 hex digits of md5(text) — the pHash seed scheme,
     so clips collide only for exact-duplicate texts and the formula is
-    SQL-replayable without parsing a byte. Synthesis runs in one Arrow
-    pass (16-bit LE PCM can't ride the printable-ASCII encode trick
-    the PPM builder uses); the DECODE side still walks real RIFF
-    chunks, which is the honest at-scale shape.
+    SQL-replayable without parsing a byte. Like the PPM builder, the
+    sample bytes come from one vectorized Arrow pass (seeds stay
+    JVM-side columns); the DECODE side still walks real RIFF chunks,
+    which is the honest at-scale shape.
     """
     import struct
 

@@ -140,7 +140,12 @@ def fit_pca_from_moments(
         # can be ~0 or slightly negative float residue, and whitening
         # divides by sqrt(λ̂) — fail fast here instead of emitting
         # NaN/inf whitened columns (and a diverging oracle) later.
-        if lam <= 1e-9:
+        # The floor is RELATIVE to the leading eigenvalue so a full-rank
+        # corpus of tiny-magnitude vectors (all true eigenvalues small
+        # but proportionate) still fits; only deflation residue — many
+        # orders below λ₁ — trips it.
+        floor = 1e-9 * eigvals[0] if eigvals else 1e-300
+        if lam <= floor:
             raise ValueError(
                 f"eigenvalue estimate {lam!r} for component {len(basis) + 1} "
                 "is not positive: corpus rank < n_components (deflation "

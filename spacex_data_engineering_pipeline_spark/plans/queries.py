@@ -552,6 +552,100 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pii_scrub_audit",
+    oracle=rf"""
+    WITH planted AS MATERIALIZED (
+        SELECT doc_id,
+               text || CASE doc_id % 7
+                 WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                 WHEN 1 THEN ' see https://example.com/d/'
+                          || CAST(doc_id AS VARCHAR) || '?ref=5'
+                 WHEN 2 THEN ' call +1 (555) 01' || CAST(doc_id % 10 AS VARCHAR)
+                          || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 WHEN 3 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 WHEN 4 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                          || ' call +1 (555) 01' || CAST(doc_id % 10 AS VARCHAR)
+                          || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS t0
+        FROM documents
+    ), s1 AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(t0, '{T.EMAIL_RE}')) AS BIGINT) AS n_email,
+               regexp_replace(t0, '{T.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+        FROM planted
+    ), s2 AS MATERIALIZED (
+        SELECT doc_id, n_email,
+               CAST(length(regexp_extract_all(t1, '{T.URL_RE}')) AS BIGINT) AS n_url,
+               regexp_replace(t1, '{T.URL_RE}', '<URL>', 'g') AS t2
+        FROM s1
+    ), s3 AS MATERIALIZED (
+        SELECT doc_id, n_email, n_url,
+               CAST(length(regexp_extract_all(t2, '{T.IPV4_RE}')) AS BIGINT) AS n_ipv4,
+               regexp_replace(t2, '{T.IPV4_RE}', '<IPV4>', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id, n_email, n_url, n_ipv4,
+           CAST(length(regexp_extract_all(t3, '{T.PHONE_RE}')) AS BIGINT) AS n_phone,
+           regexp_replace(t3, '{T.PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM s3
+    """,
+)
+def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, graded end to end (north-star text tier): plant
+    deterministic emails/URLs/phones/IPv4s derived from ``doc_id``
+    arithmetic into the fixture text (the planted-cut pattern from
+    ``multimodal_video_scene_cuts`` — the synthetic corpus carries no
+    organic PII, so an unplanted entry would grade a no-op), then
+    scrub with the production ``scrub_pii`` pass and emit the redacted
+    text plus the per-kind audit counts. Every pattern is a
+    conservative ASCII regex evaluated by Java regex (Spark) and RE2
+    (DuckDB) — this entry is what PINS that cross-engine identity,
+    including the kind ORDER (email → url → ipv4 → phone: a dotted
+    IPv4 of ≥9 chars is a legal <PHONE> match, so ipv4 must scrub
+    first). At 100 TB the whole pass is regexp codegen at scan speed —
+    no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m7 = did % 7
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example"), (did % 10).cast("string"), F.lit(".com"),
+    )
+    url = F.concat(
+        F.lit(" see https://example.com/d/"), did.cast("string"), F.lit("?ref=5")
+    )
+    phone = F.concat(
+        F.lit(" call +1 (555) 01"), (did % 10).cast("string"),
+        F.lit("-"), (F.lit(1000) + did % 9000).cast("string"),
+    )
+    ip = F.concat(
+        F.lit(" host 10."), (did % 256).cast("string"),
+        F.lit(".0."), (did % 250).cast("string"),
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(m7 == 0, email)
+        .when(m7 == 1, url)
+        .when(m7 == 2, phone)
+        .when(m7 == 3, ip)
+        .when(m7 == 4, F.concat(email, phone))
+        .otherwise(F.lit("")),
+    )
+    scrubbed, counts = T.scrub_pii(planted)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+@_register(
     "quality_rank_by_source",
     oracle=rf"""
     SELECT doc_id, source, quality_score,

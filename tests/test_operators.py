@@ -1596,6 +1596,28 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[3].n_email == out[3].n_url == out[3].n_phone == out[3].n_ipv4 == 0
 
 
+def test_pii_scrub_audit_planted_recall(spark, sf_dir):
+    """The graded entry plants exactly one PII span per kind by doc_id
+    arithmetic (the base corpus carries zero organic matches — verified
+    by sweep); the scrub must find each planted span (recall 1.0 per
+    kind), never fire on unplanted docs (precision), and leave no raw
+    span text behind."""
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    out = QUERIES["pii_scrub_audit"](spark, sf_dir)
+    m7 = F.col("doc_id") % 7
+    agg = out.agg(
+        F.sum(F.when(m7.isin(0, 4), F.col("n_email") - 1).otherwise(F.col("n_email"))).alias("email_err"),
+        F.sum(F.when(m7 == 1, F.col("n_url") - 1).otherwise(F.col("n_url"))).alias("url_err"),
+        F.sum(F.when(m7.isin(2, 4), F.col("n_phone") - 1).otherwise(F.col("n_phone"))).alias("phone_err"),
+        F.sum(F.when(m7 == 3, F.col("n_ipv4") - 1).otherwise(F.col("n_ipv4"))).alias("ipv4_err"),
+        F.sum(F.col("scrubbed").rlike("@example|https://|\\(555\\)| host 10\\.[0-9]").cast("long")).alias("leftover"),
+    ).first()
+    assert agg["email_err"] == 0 and agg["url_err"] == 0
+    assert agg["phone_err"] == 0 and agg["ipv4_err"] == 0
+    assert agg["leftover"] == 0
+
+
 # -- round-2b: prefix sums / packing, bucketing, decontamination -------------
 
 

@@ -115,6 +115,35 @@ def test_pca_degenerate_corpora(spark):
         fit_pca(rank1, "embedding", n_components=3)
 
 
+def test_pca_tiny_but_proportionate_spectrum_fits():
+    """The eigenvalue floor is RELATIVE to λ̂1: a full-rank corpus whose
+    true eigenvalues are all tiny (here ~1e-10 — below the former
+    absolute 1e-9 floor) but proportionate must fit; only deflation
+    residue orders of magnitude below λ̂1 may refuse. Moments: n = 1e10
+    rows of (0,0) except two (1,0) rows and one (0,1) ⇒ C ≈
+    diag(2/n, 1/n) — distinct eigenvalues so the deterministic start
+    vector is not an eigenvector (C ∝ I would orthogonalize the
+    deflated iterate by symmetry, a different failure)."""
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca_from_moments,
+    )
+
+    n = 10_000_000_000
+    rows = [
+        {"i": 0, "j": 0, "m": n},
+        {"i": 1, "j": 0, "m": 2},
+        {"i": 2, "j": 0, "m": 1},
+        {"i": 1, "j": 1, "m": 2},
+        {"i": 2, "j": 2, "m": 1},
+        {"i": 1, "j": 2, "m": 0},
+    ]
+    model = fit_pca_from_moments(rows, n_components=2, n_iter=12)
+    assert 0 < model.eigvals[0] < 1e-9  # below the old absolute floor
+    assert model.eigvals[1] > 0
+    # proportionate: the two eigenvalues are within ~2× of each other
+    assert model.eigvals[1] > 0.4 * model.eigvals[0]
+
+
 def test_pca_whiten_unit_variance(spark, sf_dir):
     """Whitened components have unit variance BY CONSTRUCTION
     (pc_c scaled by its own fitted std): var(wpc1) ≈ 1 up to the
