@@ -280,7 +280,15 @@ def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "url", "ipv4", "p
     URL's digit run half-matches the phone pattern mid-redaction, and
     a dotted IPv4 of ≥9 chars — digits, dots both in the phone char
     class — would be eaten whole as a <PHONE>); the default tuple is
-    already safely ordered. Cross-engine identity of every pattern
+    already safely ordered.
+
+    .. note:: The default order changed from ``(email, url, phone,
+       ipv4)`` to ``(email, url, ipv4, phone)`` when the audit found
+       IPv4s being eaten as ``<PHONE>``. Scrub metadata persisted under
+       the old default can differ on IPv4-bearing text — re-scrub or
+       pass the old tuple explicitly to reproduce it.
+
+    Cross-engine identity of every pattern
     (Java regex vs DuckDB RE2) is graded by ``pii_scrub_audit``.
     """
     counts = {}

@@ -964,6 +964,64 @@ def video_shot_dedup_pairs(
     )
 
 
+def video_shot_near_dup_pairs(
+    media_df: DataFrame,
+    threshold: int = VIDEO_CUT_HAMMING,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Cross-clip shot NEAR-dup — ``video_shot_dedup_pairs`` only pairs
+    shots on EXACT signature equality, so a re-encoded or jittered
+    repeat (same shot, pixel noise perturbing a few pHash bits) never
+    pairs. This routes the 64-bit shot signature through the SAME
+    4×16-bit banding as the image tier (``phash_near_dup_pairs``):
+    banded candidate generation (Hamming ≤ 3 recall 1 by pigeonhole;
+    ≤ 6 graded with banding recall pinned in pytest on perturbed
+    re-encodes) → exact ``bit_count(xor)`` verify inside the block,
+    candidates deduped before verification. Scale shape unchanged: one
+    signature row per shot (clips never pairwise-compare frames), one
+    fixed-width (band_idx, band_val) shuffle, Σ|bucket|² — never
+    shots²."""
+    sig = video_shot_signatures(media_df, threshold)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftrightunsigned(F.col("sig"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
+            )
+            for i in range(4)
+        ]
+    )
+    bands = sig.select(
+        "media_id", "shot_id", "sig", F.explode(band_arr).alias("b")
+    ).select("media_id", "shot_id", "sig", "b.i", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.shot_id").alias("shot_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("b.shot_id").alias("shot_b"),
+            F.col("a.sig").alias("va"),
+            F.col("b.sig").alias("vb"),
+        )
+        .dropDuplicates(["media_a", "shot_a", "media_b", "shot_b"])
+    )
+    hamming = F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "shot_a", "media_b", "shot_b", "hamming")
+    )
+
+
 def phash_probe_pairs(
     corpus_media: DataFrame, new_media: DataFrame, max_hamming: int = 6
 ) -> DataFrame:

@@ -144,7 +144,21 @@ def fit_pca_from_moments(
         # corpus of tiny-magnitude vectors (all true eigenvalues small
         # but proportionate) still fits; only deflation residue — many
         # orders below λ₁ — trips it.
-        floor = 1e-9 * eigvals[0] if eigvals else 1e-300
+        # The FIRST component gets a scale-aware floor of its own: on a
+        # near-constant corpus the int64 moments cancel through float64
+        # (entries above 2^53), leaving a λ̂₁ that is pure rounding
+        # residue — relative floors downstream would then scale off
+        # junk and whitening would divide by √residue. Residue from
+        # the G/n − (s/n)² cancellation is bounded by ~eps·|G|/n², so
+        # a λ̂₁ below 1e-12 of that moment scale (10⁴ × eps headroom)
+        # is noise, not signal; a genuine corpus only trips this if
+        # its std/mean ratio is below 1e-6, i.e. variance itself
+        # underflowed the float64 mantissa of the moments.
+        if eigvals:
+            floor = 1e-9 * eigvals[0]
+        else:
+            moment_scale = max(float(np.abs(G).max()) / (nf * nf), 5e-324)
+            floor = 1e-12 * moment_scale
         if lam <= floor:
             raise ValueError(
                 f"eigenvalue estimate {lam!r} for component {len(basis) + 1} "

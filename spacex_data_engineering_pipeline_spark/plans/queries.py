@@ -1964,6 +1964,112 @@ def embedding_knn_graph_upsert_loaded(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "streaming_knn_graph_sync",
+    oracle="""
+    WITH sp AS (
+        SELECT (MAX(vec_id) * 97) // 100 AS s
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id >= (SELECT s FROM sp)
+                    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def streaming_knn_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of a PERSISTED vector index — the
+    lifecycle × streaming cell (round-9/10 verdict task #1): the base
+    graph covers ids below the 99% mark and is built + SAVED once
+    (``init_knn_graph_root``); the last 3% of ids then arrive
+    RE-VECTORED (reversed embeddings) as a 3-micro-batch parquet file
+    stream, and each micro-batch folds into the SAVED graph inside
+    foreachBatch via ``knn_graph_upsert(base_graph=loaded)`` —
+    |batch|·N + |affected|·N per epoch, the N² build paid exactly once
+    (streaming/index_sync.py). Ids in [97%, 99%) are true UPSERTS
+    (stale edges at them must be evicted corpus-wide); ids ≥ 99% are
+    inserts — both arms of the maintenance math exercised across
+    epochs. Each epoch publishes graph generation + applied-log
+    high-water mark in ONE pointer flip keyed on the epoch id, so
+    replays are no-ops (exactly-once; crash-restart is pytest-pinned
+    by injection in tests/test_streaming.py).
+
+    The graded result is the FINAL loaded graph, and the oracle is the
+    full-rebuild ranking over the final corpus — so the grade is
+    three-chained-folds ≡ one rebuild, row for row at 6dp: a dropped
+    micro-batch, a replayed fold, a stale edge surviving at a
+    re-vectored id, or a generation/pointer tear all flip it.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97, s99 = mx * 97 // 100, mx * 99 // 100
+    base = emb.filter(F.col("vec_id") < s99).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    updates = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id",
+        F.reverse(F.col("embedding").cast("array<double>")).alias("embedding"),
+    )
+
+    work = _tempfile.mkdtemp(prefix="knng_sync_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    try:
+        index_sync.init_knn_graph_root(
+            base, root, "vec_id", "embedding", k=5, n_blocks=8, n_buckets=16
+        )
+        # 3 deterministic range-keyed micro-batch files, mtime-ordered
+        split = _os.path.join(work, "split")
+        updates.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+        _os.makedirs(src)
+        parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+        for i, fname in enumerate(parts):
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(split, fname), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_knn_graph_stream(
+            spark, src, updates.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_graph(spark, root)
+            .orderBy("vec_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
     "embedding_knn_graph_delete",
     oracle=f"""
     WITH sp AS (
@@ -3345,6 +3451,62 @@ def _video_shot_dedup_oracle_sql() -> str:
     """
 
 
+def _video_shot_near_dup_oracle_sql() -> str:
+    """Banded shot near-dup replay: the dedup oracle's shot chain up to
+    per-shot MIN signatures, then the image tier's band/verify shape
+    (4×16-bit bands over the unsigned signature, exact bit_count(xor)
+    ≤ 6 inside the block)."""
+    thr = M.VIDEO_CUT_HAMMING
+    return f"""
+    {_video_hash_cte()},
+    frames AS MATERIALIZED (
+        SELECT h.media_id, h.f, h.v,
+               CASE WHEN p.v IS NOT NULL
+                         AND bit_count(xor(h.v, p.v)) > {thr}
+                    THEN 1 ELSE 0 END AS cut
+        FROM hashed h LEFT JOIN hashed p
+          ON p.media_id = h.media_id AND p.f = h.f - 1
+    ),
+    shotted AS (
+        SELECT media_id, f, v,
+               SUM(cut) OVER (PARTITION BY media_id ORDER BY f
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS shot_id
+        FROM frames
+    ),
+    shots AS (
+        -- MIN over the SIGNED view (matches the Python min of signed
+        -- phash64 values), unsigned view rebuilt for banding/xor
+        SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
+               CAST(MIN(CAST(v - CASE WHEN v >= 9223372036854775808
+                                 THEN 18446744073709551616::HUGEINT ELSE 0 END
+                        AS BIGINT)) + CASE WHEN MIN(CAST(v -
+                                 CASE WHEN v >= 9223372036854775808
+                                 THEN 18446744073709551616::HUGEINT ELSE 0 END
+                        AS BIGINT)) < 0
+                    THEN 18446744073709551616::HUGEINT ELSE 0 END
+                    AS UBIGINT) AS sig
+        FROM shotted GROUP BY media_id, shot_id
+    ),
+    bands AS (
+        SELECT media_id, shot_id, sig, i.range AS i,
+               (sig >> (i.range * 16)) & 65535 AS bv
+        FROM shots, range(4) i
+    ),
+    pairs AS (
+        SELECT DISTINCT a.media_id AS media_a, a.shot_id AS shot_a,
+               b.media_id AS media_b, b.shot_id AS shot_b,
+               a.sig AS va, b.sig AS vb
+        FROM bands a JOIN bands b
+          ON a.i = b.i AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT media_a, shot_a, media_b, shot_b,
+           CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(va, vb)) <= 6
+    ORDER BY media_a, shot_a, media_b, shot_b
+    """
+
+
 def _video_hash_cte() -> str:
     n = M.PHASH_SIZE
     nf = M.VIDEO_FRAMES
@@ -3446,6 +3608,30 @@ def multimodal_video_shot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_patterned_ppm_stream(docs, "doc_id", "n_chars", "text")
     return M.video_shot_dedup_pairs(media).orderBy(
+        "media_a", "shot_a", "media_b", "shot_b"
+    )
+
+
+@_register(
+    "multimodal_video_shot_near_dup", oracle=_video_shot_near_dup_oracle_sql()
+)
+def multimodal_video_shot_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-clip shot NEAR-dup (round-10 verdict task 5) — the exact
+    shot-dedup entry only pairs shots whose MIN-pHash signatures match
+    bit for bit, which misses re-encoded/jittered repeats; this routes
+    the 64-bit shot signature through the image tier's 4×16-bit pHash
+    banding (operators/multimodal.py:video_shot_near_dup_pairs):
+    banded candidates → exact bit_count(xor) ≤ 6 verify inside the
+    block. The oracle replays per-frame hashes → cut flags → running
+    shot ids → per-shot signed MIN → unsigned banding → verify, so a
+    band extraction slip, a signed/unsigned xor mismatch, or a
+    candidate lost to bucketing all flip the value hash. Recall on
+    perturbed re-encodes (pixel jitter ⇒ Hamming ≤ 6 signature drift)
+    is pytest-pinned — banding finds the pair the exact join cannot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_patterned_ppm_stream(docs, "doc_id", "n_chars", "text")
+    return M.video_shot_near_dup_pairs(media, max_hamming=6).orderBy(
         "media_a", "shot_a", "media_b", "shot_b"
     )
 

@@ -1,0 +1,221 @@
+"""Streaming maintenance of a PERSISTED vector index: embedding
+micro-batches fold into a SAVED kNN graph via ``knn_graph_upsert``,
+exactly-once, never a rebuild.
+
+This closes the lifecycle × streaming cell: ``save_knn_graph`` /
+``load_knn_graph`` give the persisted artifact, ``knn_graph_upsert``
+gives batch maintenance (operators/similarity.py:684), and the
+streaming modules prove exactly-once folds for TABLES
+(streaming/txn_sync.py, matview_sync.py) — but until now an embedding
+STREAM still had no path into a saved index short of rebuilding. The
+reference keeps exactly one durable artifact current per ingest batch
+(raw rows + state committed together, reference src/database.py:
+133-223); at 100 TB the analogous artifact is the corpus-sized kNN
+graph, which you build once and maintain per micro-batch (|batch|·N +
+|affected|·N per epoch), never re-pay the N² build for.
+
+Commit protocol per micro-batch (foreachBatch is at-least-once):
+1. epoch ≤ pointer.last_batch_id ⇒ replayed epoch, no-op (the ledger
+   makes a checkpoint-wiped re-drain a fixed point);
+2. stage the new graph generation dir (``graph/gen=<epoch+1>``,
+   overwrite-idempotent) and append the batch to the applied-updates
+   log with an ``__epoch`` column — both invisible to readers;
+3. flip the ONE pointer file last (fsync'd ``os.replace``, the
+   txn.py commit point): readers at any instant see a graph
+   generation and an applied-log high-water mark that AGREE.
+A crash between 2 and 3 leaves duplicate applied rows for the same
+epoch; the corpus derivation dedups latest-per-id, so the replay is
+idempotent (the upsert crash-window pattern, operators/upsert.py).
+
+Scale: per epoch the graph write is N·k skinny rows (the artifact
+itself — at 100 TB give each generation a bucketed layout exactly as
+``save_knn_graph`` does, and ``vacuum_generations`` drops pre-pointer
+ones); the applied log grows O(stream), base corpus is written once.
+The corpus snapshot a batch folds against is DERIVED (base ⊖ applied
+ids ⊕ latest applied rows) — O(batch) bytes move per epoch, the
+corpus parquet is never rewritten.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spacex_data_engineering_pipeline_spark.operators import similarity as S
+
+_POINTER = "_index_pointer.json"
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, _POINTER)
+
+
+def read_index_pointer(root: str) -> dict:
+    with open(_pointer_path(root)) as f:
+        return json.load(f)
+
+
+def _flip_pointer(root: str, pointer: dict) -> None:
+    # same single-commit-point contract as operators/txn.py::_commit:
+    # stage, fsync, one atomic replace (conditional PUT on object stores)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._ptr_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(pointer, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _pointer_path(root))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _graph_gen_path(root: str, generation: int) -> str:
+    return os.path.join(root, "graph", f"gen={generation}")
+
+
+def init_knn_graph_root(
+    corpus: DataFrame,
+    root: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_blocks: int = 8,
+    n_buckets: int = 16,
+) -> None:
+    """One-time base build: exact kNN graph over ``corpus`` saved as
+    generation 0 (bucket-partitioned + sidecar, ``save_knn_graph``),
+    the base corpus parquet, and the initial pointer. Everything after
+    this is incremental."""
+    os.makedirs(root, exist_ok=True)
+    graph = S.knn_graph(corpus, id_col, vec_col, k, n_blocks=n_blocks)
+    S.save_knn_graph(graph, _graph_gen_path(root, 0), id_col, n_buckets=n_buckets)
+    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(root, "corpus_base")
+    )
+    _flip_pointer(
+        root,
+        {
+            "generation": 0,
+            "last_batch_id": None,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "k": k,
+            "n_blocks": n_blocks,
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
+    """The corpus snapshot AS OF the pointer: base rows whose id never
+    appeared in a committed batch, plus the latest committed vector per
+    upserted id. Only applied rows with ``__epoch ≤ last_batch_id``
+    count — rows a crash appended but never published stay invisible,
+    and duplicate rows a replay re-appended collapse in the
+    latest-per-id window."""
+    id_col, vec_col = ptr["id_col"], ptr["vec_col"]
+    base = spark.read.parquet(os.path.join(root, "corpus_base"))
+    applied_dir = os.path.join(root, "applied")
+    last = ptr["last_batch_id"]
+    if last is None or not os.path.isdir(applied_dir):
+        return base
+    applied = spark.read.parquet(applied_dir).filter(F.col("__epoch") <= last)
+    w = Window.partitionBy(id_col).orderBy(F.col("__epoch").desc())
+    latest = (
+        applied.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col)
+    )
+    return base.join(latest.select(id_col), id_col, "left_anti").unionByName(latest)
+
+
+def load_synced_graph(spark: SparkSession, root: str) -> DataFrame:
+    """The committed graph: pointer → generation dir → ``load_knn_graph``."""
+    ptr = read_index_pointer(root)
+    return S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
+
+
+def sync_knn_graph_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain ``source_path`` (parquet file stream of (id, vector)
+    upserts) with AvailableNow: per micro-batch, fold the batch into
+    the SAVED graph with ``knn_graph_upsert(base_graph=loaded)`` —
+    |batch|·N + |affected|·N work, never the N² rebuild — and publish
+    graph + applied-log high-water mark in one pointer flip. Blocks
+    until the drain completes. ``on_batch_start`` is a test hook
+    (crash injection): called with the epoch id before any work."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if on_batch_start is not None:
+            on_batch_start(epoch_id)
+        ptr = read_index_pointer(root)
+        last = ptr["last_batch_id"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
+        updates = batch_df.select(id_col, vec_col)
+        corpus_before = _corpus_at(spark, root, ptr)
+        prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
+        new_graph = S.knn_graph_upsert(
+            corpus_before,
+            updates,
+            id_col,
+            vec_col,
+            k,
+            n_blocks=ptr["n_blocks"],
+            base_graph=prev,
+        )
+        gen = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        S.save_knn_graph(
+            new_graph, _graph_gen_path(root, gen), id_col,
+            n_buckets=ptr["n_buckets"],
+        )
+        updates.withColumn("__epoch", F.lit(epoch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(os.path.join(root, "applied"))
+        _flip_pointer(root, {**ptr, "generation": gen, "last_batch_id": epoch_id})
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def vacuum_generations(root: str, keep_last: int = 1) -> int:
+    """Drop graph generations older than the newest ``keep_last`` at or
+    below the pointer — the retention knob that keeps the root from
+    accumulating one corpus-sized graph per epoch. Never touches the
+    committed generation or anything staged above it."""
+    import shutil
+
+    ptr = read_index_pointer(root)
+    graph_dir = os.path.join(root, "graph")
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(graph_dir)
+        if d.startswith("gen=")
+    )
+    committed = [g for g in gens if g <= ptr["generation"]]
+    doomed = committed[:-keep_last] if keep_last else committed[:-1]
+    for g in doomed:
+        shutil.rmtree(_graph_gen_path(root, g))
+    return len(doomed)

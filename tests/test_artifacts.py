@@ -54,6 +54,28 @@ def test_bench_artifacts_cover_current_registry():
         assert set(rec.get("streaming_latency_sec", {})) <= LATENCY_KEYS
 
 
+def test_doc_catalog_counts_are_current():
+    """README/COVERAGE "the catalog ... N queries" claims must match the
+    shipped registry — rounds 9 and 10 each re-introduced an off-by-one
+    by adding a query without re-bumping the prose."""
+    import re
+
+    import __spark_entry__ as entry
+
+    n = len(entry.queries())
+    readme = (REPO / "README.md").read_text()
+    m = re.search(r"driver-checked catalog: (\d+) queries", readme)
+    assert m and int(m.group(1)) == n, (
+        f"README.md claims {m and m.group(1)} catalog queries; registry has {n}"
+    )
+    coverage = (REPO / "COVERAGE.md").read_text()
+    claims = re.findall(r"catalog reaches (\d+) queries", coverage)
+    assert claims and int(claims[-1]) == n, (
+        f"COVERAGE.md's latest claim is {claims and claims[-1]} queries; "
+        f"registry has {n}"
+    )
+
+
 def test_correctness_artifact_is_green_and_complete():
     import __spark_entry__ as entry
 

@@ -1091,3 +1091,120 @@ def test_streaming_state_partition_default_derivation(spark, sf_dir, tmp_path):
         )
 
     assert final(None) == final(3)
+
+
+def test_streaming_knn_graph_sync_crash_restart(spark, sf_dir, tmp_path):
+    """Streaming maintenance of a PERSISTED kNN graph survives a crash
+    MID-COMMIT-WINDOW and a checkpoint-wiped re-drain (verdict r10 task
+    2): the sink is killed at the start of epoch 2 after epochs 0-1
+    committed; the crash window is then made WORSE by hand — batch 2's
+    rows are appended to the applied log as an uncommitted orphan
+    (exactly what a crash between the log append and the pointer flip
+    leaves behind) — and the restarted stream must still converge to
+    the full-rebuild truth: the orphan stays invisible to the epoch-2
+    corpus snapshot (__epoch > last_batch_id), the replayed append
+    dedups in the latest-per-id window, and the generation dir
+    overwrite is idempotent."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97, s99 = mx * 97 // 100, mx * 99 // 100
+    base = emb.filter(F.col("vec_id") < s99).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    updates = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id",
+        F.reverse(F.col("embedding").cast("array<double>")).alias("embedding"),
+    )
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    split = str(tmp_path / "split")
+    index_sync.init_knn_graph_root(
+        base, root, "vec_id", "embedding", k=5, n_blocks=4, n_buckets=8
+    )
+    updates.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+    src.mkdir()
+    import os
+
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    assert len(parts) == 3
+    for i, fname in enumerate(parts):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_knn_graph_stream(
+            spark, str(src), updates.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["generation"] == 2
+
+    # hand-craft the worst crash window: batch 2's rows already in the
+    # applied log, epoch never published
+    spark.read.parquet(str(src / "batch0002.parquet")).withColumn(
+        "__epoch", F.lit(2).cast("long")
+    ).write.mode("append").parquet(os.path.join(root, "applied"))
+
+    index_sync.sync_knn_graph_stream(
+        spark, str(src), updates.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["generation"] == 3
+
+    final_corpus = (
+        emb.select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") >= s97,
+                F.reverse(F.col("embedding").cast("array<double>")),
+            )
+            .otherwise(F.col("embedding").cast("array<double>"))
+            .alias("embedding"),
+        )
+    )
+    truth = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in S.knn_graph(
+            final_corpus, "vec_id", "embedding", k=5, n_blocks=4
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got == truth
+
+    # checkpoint-wiped re-drain is a fixed point: every epoch replays,
+    # the ledger no-ops them all, the pointer file never moves
+    ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    index_sync.sync_knn_graph_stream(
+        spark, str(src), updates.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert (
+        os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+        == ptr_mtime
+    )
+
+    # retention: drop all pre-pointer generations, keep the committed one
+    assert index_sync.vacuum_generations(root, keep_last=1) == 3
+    assert sorted(os.listdir(os.path.join(root, "graph"))) == ["gen=3"]
+    assert {
+        (r.vec_id, r.rnk)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    } == set(truth)
