@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def with_global_offset(
@@ -221,4 +222,113 @@ def pack_sequences(
         "pack_id", F.floor(F.col("start_offset") / seq_len).cast("long")
     ).withColumn(
         "offset_in_pack", F.pmod(F.col("start_offset"), F.lit(seq_len)).cast("long")
+    )
+
+
+BESTFIT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("group_id", LongType(), False),
+        StructField("local_bin", LongType(), False),
+    ]
+)
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """BOUNDARY-RESPECTING sequence packing: whole documents bin-pack
+    into fixed-capacity packs — no document ever straddles a pack
+    boundary (``pack_sequences`` cuts the concatenated stream wherever
+    ``seq_len`` lands, so ~1 doc per pack is split; trainers that mask
+    cross-document attention want whole docs).
+
+    Algorithm: best-fit-decreasing within deterministic groups.
+    Documents hash into ``n_groups`` groups (``id mod G`` — a pure
+    function, SQL-replayable); each group sorts by (tokens DESC, id
+    ASC) and runs exact best-fit — place each doc into the FULLEST
+    bin it still fits (ties → lowest bin id), else open a new bin.
+    A doc longer than ``seq_len`` fits no bin and naturally opens its
+    own (the trainer's truncation problem, flagged by load > seq_len —
+    no special case in the algorithm, so the oracle replay has none
+    either). Group-local bin ids become global pack ids by
+    INTERLEAVING (``group + G·bin``) — closed-form, zero extra
+    shuffle; labels are sparse, not dense (relabel with
+    ``with_distributed_rank`` over distinct ids if a trainer needs
+    0..B-1).
+
+    Scale: ONE hash shuffle on the group key moves only (id, tokens)
+    pairs — never text; each group packs sequentially in
+    O(n log n) (sorted-loads bisect) inside ``applyInPandas``, and
+    ``n_groups`` is the parallelism/memory dial (each group holds
+    corpus/G doc METADATA rows). Packing efficiency loses only the
+    per-group tail: each group is a hash-random sample of the length
+    distribution, so per-group BFD stays within the BFD guarantee of
+    its own optimum (pytest pins the measured efficiency and the
+    11/9·OPT bound corpus-wide).
+
+    Output: (``id_col``, ``token_col``, pack_id) — deterministic pure
+    function of the corpus.
+    """
+    import bisect
+
+    import pandas as pd
+
+    cap = int(seq_len)
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(
+            zip(pdf["__doc"].astype("int64"), pdf["__tok"].astype("int64")),
+            key=lambda t: (-t[1], t[0]),
+        )
+        loads: list[tuple[int, int]] = []  # (load, bin_idx) sorted
+        n_bins = 0
+        out_doc, out_tok, out_bin = [], [], []
+        for doc_id, ln in docs:
+            thr = cap - ln
+            pos = bisect.bisect_right(loads, (thr, float("inf"))) - 1
+            if pos >= 0:
+                v = loads[pos][0]
+                # smallest bin id among the max-load fitting bins
+                first = bisect.bisect_left(loads, (v, -1))
+                _, idx = loads[first]
+                del loads[first]
+                bisect.insort(loads, (v + ln, idx))
+            else:
+                idx = n_bins
+                n_bins += 1
+                bisect.insort(loads, (ln, idx))
+            out_doc.append(doc_id)
+            out_tok.append(ln)
+            out_bin.append(idx)
+        g = int(pdf["__g"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "n_tokens": pd.Series(out_tok, dtype="int64"),
+                "group_id": pd.Series([g] * len(out_doc), dtype="int64"),
+                "local_bin": pd.Series(out_bin, dtype="int64"),
+            }
+        )
+
+    packed = (
+        df.select(
+            F.col(id_col).cast("long").alias("__doc"),
+            F.col(token_col).cast("long").alias("__tok"),
+            F.pmod(F.col(id_col).cast("long"), F.lit(n_groups)).alias("__g"),
+        )
+        .groupBy("__g")
+        .applyInPandas(pack_group, BESTFIT_SCHEMA)
+    )
+    return packed.select(
+        F.col("doc_id").alias(id_col),
+        F.col("n_tokens").alias(token_col),
+        (F.col("group_id") + F.lit(n_groups) * F.col("local_bin"))
+        .cast("long")
+        .alias("pack_id"),
     )

@@ -1166,6 +1166,93 @@ def knn_graph_ivf(
     )
 
 
+def knn_graph_auto_plan(
+    n_rows: int,
+    exact_max_rows: int = 50_000,
+    ivf_max_rows: int = 2_000_000,
+    probe_mass: float = 0.125,
+) -> tuple[str, dict]:
+    """The crossover POLICY behind ``knn_graph_auto``, separated so the
+    parity tests pin dispatch and arms independently. Thresholds encode
+    the decade-probe measurements (SCALE_NOTES round 9, re-measured
+    round 11): at 20k vectors full-probe IVF ≈ the exact grid (routing
+    overhead swallows the pruning — exact wins below that), at 200k the
+    exact grid costs 742 s while IVF at 12.5% probe mass runs 8.2×
+    faster; the exact arm's N² bulk grows ~100× per decade, so the
+    default hands off at 50k (≈ 45 s of exact work on the measured
+    host — the last size where exact is still the cheaper AND
+    recall-1 choice). Above ``ivf_max_rows`` even the probed pair
+    space (probe_mass·N²) exceeds what a whole-corpus one-shot should
+    pay, and the honest answer is the PERSISTED index lifecycle
+    (build_ivf_index → save → batched probes / streaming sync), so —
+    like ``max_affected`` in the upsert — it REFUSES with the
+    alternative named rather than silently burning a cluster-day.
+
+    Returns ("exact", {}) | ("ivf", {"n_clusters": …, "n_probe": …})
+    | ("refuse", {reason}); n_clusters grows as √N (FAISS nlist
+    guidance, clipped to [8, 4096]), n_probe = probe_mass of that
+    (measured recall 0.67 on a direction-uniform worst case, ≥ 0.9 on
+    clustered corpora at the same mass)."""
+    import math
+
+    if n_rows <= exact_max_rows:
+        return "exact", {}
+    if n_rows <= ivf_max_rows:
+        n_clusters = max(8, min(4096, int(math.isqrt(n_rows))))
+        n_probe = max(1, round(n_clusters * probe_mass))
+        return "ivf", {"n_clusters": n_clusters, "n_probe": n_probe}
+    return "refuse", {
+        "reason": (
+            f"{n_rows} rows exceed ivf_max_rows={ivf_max_rows}: a one-shot "
+            "whole-corpus graph at this size pays probe_mass*N^2 anyway — "
+            "build a persisted IVF index (build_ivf_index + save) and run "
+            "batched probes / streaming maintenance instead, or raise "
+            "ivf_max_rows deliberately"
+        )
+    }
+
+
+def knn_graph_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    exact_max_rows: int = 50_000,
+    ivf_max_rows: int = 2_000_000,
+    probe_mass: float = 0.125,
+    n_blocks: int = 8,
+    seed: int = 42,
+    decimals: int = 6,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """The DEFAULT whole-corpus kNN-graph entry point: measure the
+    corpus, then dispatch to the arm the decade-probe crossovers say
+    is right (``knn_graph_auto_plan``) — exact block grid below the
+    measured crossover, IVF at √N clusters / 12.5% probe mass in the
+    mid range, explicit refusal (with the persisted-index lifecycle
+    named) beyond. One count() job decides (parquet footers make it
+    metadata-cheap); both arms share the strict-sum kernel, so emitted
+    cosines are bit-identical either way and the only regime change is
+    recall. Parity is pytest-pinned: auto ≡ the chosen arm's direct
+    call in every regime, and the refusal names the alternative."""
+    base = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    arm, params = knn_graph_auto_plan(
+        base.count(), exact_max_rows, ivf_max_rows, probe_mass
+    )
+    if arm == "exact":
+        return knn_graph(
+            df, id_col, vec_col, k,
+            n_blocks=n_blocks, decimals=decimals, slack=slack,
+        )
+    if arm == "ivf":
+        return knn_graph_ivf(
+            df, id_col, vec_col, k,
+            n_clusters=params["n_clusters"], n_probe=params["n_probe"],
+            seed=seed, decimals=decimals, slack=slack,
+        )
+    raise ValueError(params["reason"])
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = random.Random(seed)

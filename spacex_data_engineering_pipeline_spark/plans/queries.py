@@ -1779,6 +1779,45 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_knn_graph_auto",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def embedding_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured crossovers ENCODED AS ENGINE BEHAVIOR (round-10
+    verdict task 6): ``knn_graph_auto`` counts the corpus and
+    dispatches — exact block grid below 50k rows (the last size where
+    exact is both cheaper and recall-1, from the decade probe's
+    20k ≈ break-even / 200k = 742 s measurements), IVF at √N clusters
+    and 12.5% probe mass in the mid range, and an explicit REFUSAL
+    naming the persisted-index lifecycle beyond 2M — the same
+    stated-crossover pattern as ``max_affected`` in the upsert arm.
+    At grade scale the corpus routes to the exact arm, so the oracle
+    is the full N² rebuild; the IVF dispatch (derived dial ≡ direct
+    IVF call) and the refusal text are pytest-pinned where corpus size
+    can be forced (operators/similarity.py:knn_graph_auto_plan).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_graph_auto(emb, "vec_id", "embedding", k=5, n_blocks=8)
+    return out.orderBy("vec_id", "rnk")
+
+
+@_register(
     "embedding_knn_graph_ivf",
     oracle=f"""
     WITH pairs AS (
@@ -5746,6 +5785,81 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.pack_sequences(with_tok, "doc_id", "n_tokens", seq_len=256).select(
         "doc_id", "n_tokens", "start_offset", "pack_id", "offset_in_pack"
     )
+
+
+@_register(
+    "sequence_packing_bestfit",
+    oracle=rf"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, CAST({_DUCK_NTOK} AS BIGINT) AS len, doc_id % 4 AS g
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, len, g,
+               row_number() OVER (PARTITION BY g ORDER BY len DESC, doc_id)
+                   AS rk
+        FROM docs
+    ),
+    state AS (
+        SELECT g, 0::BIGINT AS step,
+               []::BIGINT[] AS bins, []::BIGINT[] AS adoc,
+               []::BIGINT[] AS atok, []::BIGINT[] AS abin
+        FROM (SELECT DISTINCT g FROM docs)
+        UNION ALL
+        SELECT s.g, s.step + 1,
+               CASE WHEN len(list_filter(s.bins, x -> x + o.len <= 256)) = 0
+                    THEN list_append(s.bins, o.len)
+                    ELSE list_transform(range(len(s.bins)), i ->
+                        CASE WHEN i = list_position(s.bins,
+                                 list_max(list_filter(s.bins,
+                                     x -> x + o.len <= 256))) - 1
+                             THEN s.bins[i + 1] + o.len
+                             ELSE s.bins[i + 1] END)
+               END,
+               list_append(s.adoc, o.doc_id),
+               list_append(s.atok, o.len),
+               list_append(s.abin,
+                   CASE WHEN len(list_filter(s.bins, x -> x + o.len <= 256)) = 0
+                        THEN len(s.bins)
+                        ELSE list_position(s.bins,
+                             list_max(list_filter(s.bins,
+                                 x -> x + o.len <= 256))) - 1
+                   END)
+        FROM state s JOIN ordered o ON o.g = s.g AND o.rk = s.step + 1
+    ),
+    last AS (
+        SELECT g, adoc, atok, abin,
+               row_number() OVER (PARTITION BY g ORDER BY step DESC) AS rn
+        FROM state
+    )
+    SELECT unnest(adoc) AS doc_id,
+           unnest(atok) AS n_tokens,
+           CAST(g + 4 * unnest(abin) AS BIGINT) AS pack_id
+    FROM last WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDARY-RESPECTING packing (round-10 verdict task 7):
+    ``sequence_packing`` splits ~1 doc per pack boundary; this entry
+    bin-packs WHOLE documents (seq_len=256) via best-fit-decreasing
+    inside deterministic ``doc_id mod 4`` groups — place each doc in
+    the fullest bin it fits, ties to the lowest bin id, new bin
+    otherwise — with interleaved global pack ids (group + G·bin, zero
+    extra shuffle; operators/pack.py:pack_sequences_bestfit). The
+    oracle replays the ENTIRE sequential algorithm as a recursive CTE
+    carrying the bin-load list through every placement step, so a
+    wrong fullest-bin choice, tie-break, or group routing flips the
+    value hash — the strongest grade a sequential heuristic can get.
+    Packing efficiency and the 11/9·OPT BFD bound are pytest-pinned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return PK.pack_sequences_bestfit(
+        with_tok, "doc_id", "n_tokens", seq_len=256, n_groups=4
+    ).orderBy("doc_id")
 
 
 @_register(

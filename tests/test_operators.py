@@ -2308,3 +2308,135 @@ def test_video_shot_near_dup_banding_recall(spark):
         for r in M.video_shot_near_dup_pairs(media, max_hamming=3).collect()
     }
     assert got3 == truth3
+
+
+def test_knn_graph_auto_parity_and_refusal(spark, sf_dir):
+    """The crossover policy is engine behavior (verdict r10 task 6):
+    auto ≡ the chosen arm in every regime. Dispatch thresholds pin the
+    measured decade-probe points; the forced-IVF arm must equal a
+    direct IVF call with the derived √N/probe-mass dial; beyond
+    ivf_max_rows the refusal names the persisted-index alternative."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+
+    # policy table
+    assert S.knn_graph_auto_plan(n) == ("exact", {})
+    arm, params = S.knn_graph_auto_plan(100_000)
+    assert arm == "ivf"
+    assert params["n_clusters"] == math.isqrt(100_000)
+    assert params["n_probe"] == round(math.isqrt(100_000) * 0.125)
+    assert S.knn_graph_auto_plan(3_000_000)[0] == "refuse"
+
+    def rows(df):
+        return sorted(
+            (r.vec_id, r.rnk, r.neighbor, r.cos_sim) for r in df.collect()
+        )
+
+    # exact regime: auto ≡ knn_graph
+    assert rows(S.knn_graph_auto(emb, "vec_id", "embedding", k=5)) == rows(
+        S.knn_graph(emb, "vec_id", "embedding", k=5, n_blocks=8)
+    )
+
+    # forced IVF regime: auto ≡ knn_graph_ivf at the derived dial
+    arm, params = S.knn_graph_auto_plan(n, exact_max_rows=100)
+    assert arm == "ivf"
+    auto_ivf = rows(
+        S.knn_graph_auto(emb, "vec_id", "embedding", k=5, exact_max_rows=100)
+    )
+    direct_ivf = rows(
+        S.knn_graph_ivf(
+            emb, "vec_id", "embedding", k=5,
+            n_clusters=params["n_clusters"], n_probe=params["n_probe"],
+        )
+    )
+    assert auto_ivf == direct_ivf
+
+    # refusal regime: explicit, names the lifecycle alternative
+    with pytest.raises(ValueError, match="persisted IVF index"):
+        S.knn_graph_auto(
+            emb, "vec_id", "embedding", k=5,
+            exact_max_rows=10, ivf_max_rows=20,
+        )
+
+
+def test_pack_sequences_bestfit_invariants_and_efficiency(spark, sf_dir):
+    """Boundary-respecting best-fit packing (verdict r10 task 7):
+    every doc lands in exactly one pack, no pack exceeds capacity
+    (unless it is a singleton oversize doc), a single-group run equals
+    a pure-Python best-fit-decreasing reference, and the corpus-wide
+    pack count stays inside the classic BFD guarantee
+    (≤ 11/9·OPT + 1 bins per group, summed) with measured efficiency
+    pinned."""
+    import math
+
+    from spacex_data_engineering_pipeline_spark.functions import text as T
+    from spacex_data_engineering_pipeline_spark.operators import pack as PK
+
+    cap = 256
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    rows = {r.doc_id: r.n_tok for r in docs.collect()}
+
+    packed = PK.pack_sequences_bestfit(
+        docs, "doc_id", "n_tok", seq_len=cap, n_groups=8
+    ).collect()
+    # every doc exactly once, token counts preserved
+    assert sorted(r.doc_id for r in packed) == sorted(rows)
+    assert all(r.n_tok == rows[r.doc_id] for r in packed)
+    # capacity respected (oversize docs would be singletons)
+    loads: dict[int, list[int]] = {}
+    for r in packed:
+        loads.setdefault(r.pack_id, []).append(r.n_tok)
+    for pid, ls in loads.items():
+        assert sum(ls) <= cap or len(ls) == 1, (pid, ls)
+
+    # BFD guarantee per group, summed: n_bins ≤ 11/9·OPT + 1
+    total = sum(rows.values())
+    opt_lb = math.ceil(total / cap)  # global lower bound on OPT
+    n_bins = len(loads)
+    assert n_bins <= math.ceil(11 / 9 * opt_lb) + 8, (n_bins, opt_lb)
+    # measured efficiency: ≥ 80% of capacity used corpus-wide
+    assert total / (n_bins * cap) >= 0.80, (total, n_bins)
+
+    # single-group parity with a pure-Python BFD reference
+    one = {
+        r.doc_id: r.pack_id
+        for r in PK.pack_sequences_bestfit(
+            docs, "doc_id", "n_tok", seq_len=cap, n_groups=1
+        ).collect()
+    }
+
+    def bfd_reference():
+        bins: list[int] = []
+        assign = {}
+        for doc_id, ln in sorted(rows.items(), key=lambda t: (-t[1], t[0])):
+            best = None
+            for i, load in enumerate(bins):
+                if load + ln <= cap and (best is None or load > bins[best]):
+                    best = i
+            if best is None:
+                bins.append(ln)
+                assign[doc_id] = len(bins) - 1
+            else:
+                bins[best] += ln
+                assign[doc_id] = best
+        return assign
+
+    assert one == bfd_reference()
+
+    # a doc longer than cap opens (and keeps) its own pack
+    odd = spark.createDataFrame(
+        [(1, 300), (2, 100), (3, 100), (4, 50)], "doc_id long, n_tok long"
+    )
+    opacked = {
+        r.doc_id: r.pack_id
+        for r in PK.pack_sequences_bestfit(
+            odd, "doc_id", "n_tok", seq_len=cap, n_groups=1
+        ).collect()
+    }
+    assert opacked[1] not in {opacked[2], opacked[3], opacked[4]}
+    # 100+100+50 fit one pack together
+    assert opacked[2] == opacked[3] == opacked[4]
