@@ -1536,6 +1536,28 @@ def _spherical_kmeans(sample, n_clusters: int, seed: int, n_iter: int = 8):
     return centers
 
 
+def centroid_assign_udf(centers):
+    """Arrow-batched nearest-centroid assignment against a FIXED
+    (k, dim) centroid matrix — THE map every IVF lifecycle stage shares
+    (offline build, batch ``append_to_ivf_index``, streaming
+    ``sync_ivf_index_stream``): one numpy matmul per batch, no
+    distributed fit, broadcast cost = the KiB-scale centroid matrix
+    riding the closure. One definition means build-time and
+    maintenance-time routing can never diverge."""
+    centers = np.asarray(centers, dtype="float64")
+
+    @F.pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype="float64") for v in batch])
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.where(norms > 0, norms, 1.0)
+        return pd.Series((Mn @ centers.T).argmax(axis=1), dtype="int32")
+
+    return _assign
+
+
 def build_ivf_index(
     df: DataFrame,
     id_col: str,
@@ -1563,18 +1585,10 @@ def build_ivf_index(
     if not sample:
         raise ValueError("cannot build an IVF index over an empty corpus")
     centers = _spherical_kmeans(sample, n_clusters, seed)
-
-    @F.pandas_udf("int")
-    def _assign(batch: pd.Series) -> pd.Series:
-        M = np.asarray([np.asarray(v, dtype="float64") for v in batch])
-        if M.size == 0:
-            return pd.Series([], dtype="int32")
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        Mn = M / np.where(norms > 0, norms, 1.0)
-        return pd.Series((Mn @ centers.T).argmax(axis=1), dtype="int32")
-
     assigned = df.select(
-        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("cluster")
+        F.col(id_col),
+        F.col(vec_col),
+        centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
     )
     if persist:
         assigned = assigned.persist()
@@ -1605,20 +1619,13 @@ def append_to_ivf_index(
     with open(os.path.join(path, "centroids.json")) as f:
         centers = np.asarray(json.load(f), dtype="float64")
 
-    @F.pandas_udf("int")
-    def _assign(batch: pd.Series) -> pd.Series:
-        M = np.asarray([np.asarray(v, dtype="float64") for v in batch])
-        if M.size == 0:
-            return pd.Series([], dtype="int32")
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        Mn = M / np.where(norms > 0, norms, 1.0)
-        return pd.Series((Mn @ centers.T).argmax(axis=1), dtype="int32")
-
     from pyspark.sql import Observation
 
     obs = Observation()
     assigned = new_vectors.select(
-        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("cluster")
+        F.col(id_col),
+        F.col(vec_col),
+        centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
     ).observe(obs, F.count(F.lit(1)).alias("n"))
     assigned.write.mode("append").partitionBy("cluster").parquet(
         os.path.join(path, "postings")

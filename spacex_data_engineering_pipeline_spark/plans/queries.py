@@ -2109,6 +2109,112 @@ def streaming_knn_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_ivf_index_sync",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id < 8 AND embedding IS NOT NULL
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN q
+        WHERE e.embedding IS NOT NULL
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def streaming_ivf_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of a persisted IVF ANN index — the second
+    half of the lifecycle × streaming cell (``streaming_knn_graph_sync``
+    covers the kNN-graph artifact; this covers the posting-table
+    artifact ``append_to_ivf_index`` explicitly defers to a
+    checkpointed stream for). The quantizer trains ONCE on the base
+    corpus (ids below the 97% mark, ``init_ivf_root``); the last 3% of
+    ids then arrive as a 3-micro-batch parquet file stream and each
+    batch is routed against the FIXED centroids into its own epoch
+    partition (``postings/epoch=<e>/cluster=*/``) — one Arrow map over
+    the batch, the existing postings never rescanned — published by one
+    epoch-keyed pointer flip (replays no-op; a staged epoch above the
+    pointer is invisible to readers and overwritten on replay;
+    crash-restart pytest-pinned in tests/test_streaming.py).
+
+    Graded at FULL probe width (n_probes == n_clusters), where the
+    synced index's batched probe must EQUAL brute force over base ∪
+    all three batches = the ENTIRE embeddings table: a batch dropped,
+    an epoch double-published (duplicate candidate rows shift ranks),
+    a posting routed by drifted centroids, or a pointer tear all flip
+    the result. The partial-probe recall dial is the same monotone
+    contract the offline index pins in pytest.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97 = mx * 97 // 100
+    base = emb.filter(F.col("vec_id") < s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+
+    work = _tempfile.mkdtemp(prefix="ivf_sync_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    try:
+        index_sync.init_ivf_root(
+            base, root, "vec_id", "embedding", n_clusters=16, seed=42
+        )
+        split = _os.path.join(work, "split")
+        inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+        _os.makedirs(src)
+        parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+        for i, fname in enumerate(parts):
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(split, fname), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_ivf_index_stream(
+            spark, src, inserts.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        idx = index_sync.load_synced_ivf(spark, root)
+        out = (
+            S.ivf_batch_topk(idx, queries, k=5, n_probes=16)
+            .orderBy("query_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
     "embedding_knn_graph_delete",
     oracle=f"""
     WITH sp AS (

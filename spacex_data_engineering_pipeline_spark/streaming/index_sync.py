@@ -200,6 +200,162 @@ def sync_knn_graph_stream(
     q.awaitTermination()
 
 
+def _ivf_epoch_path(root: str, epoch: int) -> str:
+    return os.path.join(root, "postings", f"epoch={epoch}")
+
+
+def init_ivf_root(
+    corpus: DataFrame,
+    root: str,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_cap: int = 65536,
+) -> None:
+    """One-time IVF base build: train the coarse quantizer on the base
+    corpus (``build_ivf_index``) and save postings as epoch 0 of an
+    epoch-keyed layout (``postings/epoch=0/cluster=*/``) plus the
+    centroid sidecar and the initial pointer. The quantizer is FIXED
+    for the index's lifetime (FAISS ``add`` semantics) — every later
+    epoch routes against these centroids; retrain = a new root."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    idx = S_.build_ivf_index(
+        corpus, id_col, vec_col,
+        n_clusters=n_clusters, seed=seed, sample_cap=sample_cap,
+        persist=False,
+    )
+    with open(os.path.join(root, "centroids.json"), "w") as f:
+        json.dump(idx.centroids.tolist(), f)
+    idx.assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        _ivf_epoch_path(root, 0)
+    )
+    _flip_pointer(
+        root,
+        {
+            "max_epoch": 0,
+            "last_batch_id": None,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+
+
+def load_synced_ivf(spark: SparkSession, root: str):
+    """Open the committed index: postings at epochs ≤ the pointer's
+    high-water mark (partition-pruned — a staged epoch a crash left
+    above the pointer is never scanned), centroids from the sidecar.
+    Returns an ``IvfIndex``; probes prune on the ``cluster`` partition
+    column exactly as for an offline-saved index."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    ptr = read_index_pointer(root)
+    with open(os.path.join(root, "centroids.json")) as f:
+        centroids = json.load(f)
+    assigned = (
+        spark.read.parquet(os.path.join(root, "postings"))
+        .filter(F.col("epoch") <= ptr["max_epoch"])
+        .drop("epoch")
+    )
+    return S_.IvfIndex(assigned, centroids, ptr["id_col"], ptr["vec_col"])
+
+
+def sync_ivf_index_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain ``source_path`` (parquet file stream of NEW (id, vector)
+    rows) with AvailableNow: per micro-batch, assign the batch against
+    the SAVED centroids (one Arrow map over the batch — the existing
+    100 TB of postings is never rescanned) into its own epoch
+    partition, then publish with one pointer flip.
+
+    This is the exactly-once wrapper ``append_to_ivf_index`` documents
+    itself as needing: plain parquet append replayed = duplicated
+    postings, so instead each epoch writes overwrite-idempotently to
+    ``postings/epoch=<epoch_id+1>`` (invisible to readers until the
+    flip — readers filter epochs ≤ pointer), and a replayed epoch id
+    (≤ ``last_batch_id``) is a no-op. A crash after the epoch write
+    but before the flip leaves an orphan partition that the next
+    replay overwrites and readers never scan.
+
+    Contract: INSERT-only, FAISS ``add`` semantics — re-vectoring an
+    existing id is the kNN-graph sync's job (``sync_knn_graph_stream``
+    evicts stale edges corpus-wide); an IVF posting table has no
+    per-id latest-wins read path, so feeding updates here would
+    surface both versions. ``on_batch_start`` is the crash-injection
+    test hook."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if on_batch_start is not None:
+            on_batch_start(epoch_id)
+        ptr = read_index_pointer(root)
+        last = ptr["last_batch_id"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        from spacex_data_engineering_pipeline_spark.operators import (
+            similarity as S_,
+        )
+
+        with open(os.path.join(root, "centroids.json")) as f:
+            centers = json.load(f)
+        id_col, vec_col = ptr["id_col"], ptr["vec_col"]
+        assigned = batch_df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            S_.centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
+        )
+        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            _ivf_epoch_path(root, epoch)
+        )
+        _flip_pointer(
+            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def vacuum_ivf_orphans(root: str) -> int:
+    """Drop staged posting epochs ABOVE the pointer — the crash-window
+    orphans a final crash can leave. Unlike graph generations, committed
+    IVF epochs all hold live (disjoint) postings, so nothing at or below
+    the pointer is ever touched."""
+    import shutil
+
+    ptr = read_index_pointer(root)
+    post_dir = os.path.join(root, "postings")
+    doomed = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(post_dir)
+        if d.startswith("epoch=")
+        and int(d.split("=", 1)[1]) > ptr["max_epoch"]
+    ]
+    for e in doomed:
+        shutil.rmtree(_ivf_epoch_path(root, e))
+    return len(doomed)
+
+
 def vacuum_generations(root: str, keep_last: int = 1) -> int:
     """Drop graph generations older than the newest ``keep_last`` at or
     below the pointer — the retention knob that keeps the root from

@@ -1208,3 +1208,132 @@ def test_streaming_knn_graph_sync_crash_restart(spark, sf_dir, tmp_path):
         (r.vec_id, r.rnk)
         for r in index_sync.load_synced_graph(spark, root).collect()
     } == set(truth)
+
+
+def test_streaming_ivf_index_sync_crash_restart(spark, sf_dir, tmp_path):
+    """Streaming maintenance of a persisted IVF index survives a crash
+    MID-COMMIT-WINDOW and a checkpoint-wiped re-drain: epochs 0-1
+    commit, the sink dies at epoch 2, the crash window is made WORSE by
+    hand (epoch-3 postings staged with deliberately WRONG cluster
+    routing, never published — what a crash between the epoch write and
+    the pointer flip leaves), and the restart must overwrite the orphan
+    and converge: full-probe batched retrieval over the synced index ==
+    brute force over base ∪ all batches."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97 = mx * 97 // 100
+    base = emb.filter(F.col("vec_id") < s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    root = str(tmp_path / "ivf")
+    src = tmp_path / "src"
+    split = str(tmp_path / "split")
+    index_sync.init_ivf_root(
+        base, root, "vec_id", "embedding", n_clusters=8, seed=42
+    )
+    inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+    src.mkdir()
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    assert len(parts) == 3
+    for i, fname in enumerate(parts):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_ivf_index_stream(
+            spark, str(src), inserts.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    # worst crash window: epoch 3 staged with WRONG routing, unpublished
+    spark.read.parquet(str(src / "batch0002.parquet")).withColumn(
+        "cluster", F.lit(0)
+    ).write.partitionBy("cluster").parquet(
+        index_sync._ivf_epoch_path(root, 3)
+    )
+    # readers never see above-pointer epochs
+    committed_ids = {
+        r.vec_id
+        for r in index_sync.load_synced_ivf(spark, root).assigned.collect()
+    }
+    orphan_ids = {
+        r.vec_id
+        for r in spark.read.parquet(str(src / "batch0002.parquet")).collect()
+    }
+    assert not committed_ids & orphan_ids
+
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["max_epoch"] == 3
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    idx = index_sync.load_synced_ivf(spark, root)
+    got = {
+        (r.query_id, r.rnk): (r.vec_id, r.cos_sim)
+        for r in S.ivf_batch_topk(idx, queries, k=5, n_probes=8).collect()
+    }
+    truth = {
+        (r.query_id, r.rnk): (r.vec_id, r.cos_sim)
+        for r in S.batch_knn_topk(
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            ),
+            "vec_id", "embedding", queries, k=5,
+        ).collect()
+    }
+    assert got == truth
+
+    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert (
+        os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+        == ptr_mtime
+    )
+
+    # retention: a fresh above-pointer orphan is vacuumed, committed
+    # epochs stay
+    spark.read.parquet(str(src / "batch0002.parquet")).withColumn(
+        "cluster", F.lit(0)
+    ).write.partitionBy("cluster").parquet(
+        index_sync._ivf_epoch_path(root, 9)
+    )
+    assert index_sync.vacuum_ivf_orphans(root) == 1
+    assert sorted(os.listdir(os.path.join(root, "postings"))) == [
+        "epoch=0", "epoch=1", "epoch=2", "epoch=3",
+    ]

@@ -23,6 +23,26 @@ vector (orthogonal, norm-preserving) and rotate by 10·(i−5): total
 transforms {rot r : r ∈ 0..49} ∪ {−rot r : r ∈ 0..49} — 100 distinct
 directions per base vector, bucket occupancies grow 10× honestly.
 
+Round-11 additions (verdict r10 tasks 3+4):
+
+4. the exact-grid wall is measured TWICE (two-run rule): run 1 builds
+   and persists the graph, run 2 recomputes+writes to a throwaway dir
+   on the warm JVM with nothing else on the host — run 2 is the clean
+   anchor every speedup divides by (the round-9 742 s carried ≤15%
+   admitted test-activity contamination),
+5. a PLANTED-CLUSTER 200k corpus: the rotation-spread corpus above is
+   deliberately direction-UNIFORM (recall ≈ probe mass by
+   construction — the worst case); real embedding corpora cluster.
+   Derivation stays testdata-only: the 2,000 sf0.1 embeddings are the
+   cluster centers; member j of cluster i is
+   normalize((1-eps)*c_i + eps*c_{(i+j+1) mod 2000}), eps=0.2,
+   j in 0..99 — 100 distinct members per center (within-cluster cosine
+   ~0.94, member-to-center ~0.97, cross-cluster ~ the near-orthogonal
+   center cosines), 200k total. IVF recall at the SAME 6.25%/12.5%
+   probe masses is graded against the clustered exact graph — the
+   honest "recall at probe-mass on clustered data at decade scale"
+   number SCALE_NOTES previously extrapolated from 20k.
+
 Stage-RESUMABLE: each measurement persists into
 ``<dst>/probe_state.json`` (and the exact graph into parquet) as it
 completes, so an interrupted run re-measures only what's missing.
@@ -79,6 +99,59 @@ def build_corpus(spark, sf1_dir: str, dst: str) -> str:
     return out
 
 
+CLUSTER_MEMBERS = 100
+CLUSTER_EPS = 0.2
+
+
+def build_clustered_corpus(spark, dst: str) -> str:
+    """200k planted-cluster corpus derived from the driver's sf0.1
+    embeddings (2,000 unit vectors, dim 64, vec_id 0..1999 contiguous):
+    center i spawns CLUSTER_MEMBERS members by mixing eps of partner
+    c_{(i+j+1) mod 2000} into it and re-normalizing. vec_id encodes the
+    planted cluster as vec_id // CLUSTER_MEMBERS — diagnostics only;
+    the operators never see it.
+    """
+    out = os.path.join(dst, "embeddings_clustered.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(dst, exist_ok=True)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("c"))
+    )
+    n_centers = base.count()
+    exploded = (
+        base.withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.lit(CLUSTER_MEMBERS - 1)))
+        )
+        .withColumn(
+            "pi", (F.col("vec_id") + F.col("j") + 1) % F.lit(n_centers)
+        )
+    )
+    partners = base.select(
+        F.col("vec_id").alias("pi"), F.col("c").alias("p")
+    )
+    mixed = F.zip_with(
+        F.col("c"),
+        F.col("p"),
+        lambda a, b: F.lit(1.0 - CLUSTER_EPS) * a + F.lit(CLUSTER_EPS) * b,
+    )
+    joined = exploded.join(F.broadcast(partners), "pi").withColumn(
+        "m", mixed
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("m"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    members = joined.select(
+        (F.col("vec_id") * CLUSTER_MEMBERS + F.col("j")).alias("vec_id"),
+        F.transform(F.col("m"), lambda x: x / norm).alias("embedding"),
+    )
+    tmp = out + "_tmp"
+    members.repartition(32).write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, out)
+    return out
+
+
 def _load_state(dst: str) -> dict:
     p = os.path.join(dst, "probe_state.json")
     if os.path.exists(p):
@@ -120,7 +193,29 @@ def main() -> int:
         os.replace(exact_path + "_tmp", exact_path)
         state["exact_wall"] = wall  # includes the parquet write (~N·k rows)
         _save_state(dst, state)
-    print(json.dumps({"exact_wall": state["exact_wall"]}), flush=True)
+    # two-run rule (verdict r10 task 4): re-measure the exact arm on the
+    # warm JVM into a throwaway dir — this clean second run is the anchor
+    # all speedups divide by (the r9 742 s anchor carried ≤15% admitted
+    # concurrent-test contamination).
+    if "exact_wall_run2" not in state:
+        t0 = time.perf_counter()
+        rerun = S.knn_graph(emb, "vec_id", "embedding", k=k, n_blocks=16)
+        rerun.write.mode("overwrite").parquet(exact_path + "_rerun")
+        state["exact_wall_run2"] = round(time.perf_counter() - t0, 1)
+        import shutil
+
+        shutil.rmtree(exact_path + "_rerun", ignore_errors=True)
+        _save_state(dst, state)
+    exact_anchor = state["exact_wall_run2"]
+    print(
+        json.dumps(
+            {
+                "exact_wall": state["exact_wall"],
+                "exact_wall_run2": exact_anchor,
+            }
+        ),
+        flush=True,
+    )
     exact = spark.read.parquet(exact_path)
     ex_edges = set()
     for r in exact.toLocalIterator():
@@ -148,7 +243,7 @@ def main() -> int:
             "n_probe": n_probe,
             "probe_frac": round(n_probe / n_clusters, 4),
             "wall": wall,
-            "speedup_vs_exact": round(state["exact_wall"] / wall, 2),
+            "speedup_vs_exact": round(exact_anchor / wall, 2),
             "recall": round(hit / len(ex_edges), 4),
         }
         state["ivf"].append(rec)
@@ -184,7 +279,7 @@ def main() -> int:
                 "n_updates": upd_n,
                 "wall": round(wall, 1),
                 "rows": upd_rows,
-                "speedup_vs_rebuild": round(state["exact_wall"] / wall, 1),
+                "speedup_vs_rebuild": round(exact_anchor / wall, 1),
             }
             _save_state(dst, state)
             print(json.dumps(state["upsert_loaded"]), flush=True)
@@ -192,6 +287,76 @@ def main() -> int:
             import shutil
 
             shutil.rmtree(work, ignore_errors=True)
+
+    # 4. planted-cluster corpus (verdict r10 task 3): IVF recall at the
+    # SAME probe masses on data that actually clusters — where routing
+    # should concentrate a query's true neighbors into few cells.
+    cl_path = build_clustered_corpus(spark, dst)
+    cl = spark.read.parquet(cl_path).filter(F.col("embedding").isNotNull())
+    cl_n = cl.count()
+    cl_state = state.setdefault("clustered", {})
+    cl_state.update(
+        {"n_vectors": cl_n, "eps": CLUSTER_EPS, "members": CLUSTER_MEMBERS}
+    )
+    cl_exact_path = os.path.join(dst, "clustered_exact_graph.parquet")
+    if "exact_wall" not in cl_state or not os.path.exists(cl_exact_path):
+        t0 = time.perf_counter()
+        cl_exact = S.knn_graph(cl, "vec_id", "embedding", k=k, n_blocks=16)
+        cl_exact.write.mode("overwrite").parquet(cl_exact_path + "_tmp")
+        cl_state["exact_wall"] = round(time.perf_counter() - t0, 1)
+        if os.path.exists(cl_exact_path):
+            import shutil
+
+            shutil.rmtree(cl_exact_path)
+        os.replace(cl_exact_path + "_tmp", cl_exact_path)
+        _save_state(dst, state)
+    cl_exact = spark.read.parquet(cl_exact_path)
+    cl_edges = set()
+    within = 0
+    for r in cl_exact.toLocalIterator():
+        cl_edges.add((r["vec_id"], r["neighbor"]))
+        if r["vec_id"] // CLUSTER_MEMBERS == r["neighbor"] // CLUSTER_MEMBERS:
+            within += 1
+    cl_state["within_cluster_edge_frac"] = round(within / len(cl_edges), 4)
+    print(
+        json.dumps(
+            {
+                "clustered_exact_wall": cl_state["exact_wall"],
+                "within_cluster_edge_frac": cl_state[
+                    "within_cluster_edge_frac"
+                ],
+            }
+        ),
+        flush=True,
+    )
+    cl_done = {
+        (r["n_clusters"], r["n_probe"]) for r in cl_state.get("ivf", [])
+    }
+    cl_state.setdefault("ivf", [])
+    for n_probe in (28, 56):
+        if (n_clusters, n_probe) in cl_done:
+            continue
+        t0 = time.perf_counter()
+        ap = S.knn_graph_ivf(
+            cl, "vec_id", "embedding", k=k,
+            n_clusters=n_clusters, n_probe=n_probe,
+        )
+        hit = 0
+        for r in ap.toLocalIterator():
+            if (r["vec_id"], r["neighbor"]) in cl_edges:
+                hit += 1
+        wall = round(time.perf_counter() - t0, 1)
+        rec = {
+            "n_clusters": n_clusters,
+            "n_probe": n_probe,
+            "probe_frac": round(n_probe / n_clusters, 4),
+            "wall": wall,
+            "speedup_vs_exact": round(cl_state["exact_wall"] / wall, 2),
+            "recall": round(hit / len(cl_edges), 4),
+        }
+        cl_state["ivf"].append(rec)
+        _save_state(dst, state)
+        print(json.dumps(rec), flush=True)
 
     print(json.dumps(state))
     spark.stop()
