@@ -1174,12 +1174,14 @@ def knn_graph_auto_plan(
 ) -> tuple[str, dict]:
     """The crossover POLICY behind ``knn_graph_auto``, separated so the
     parity tests pin dispatch and arms independently. Thresholds encode
-    the decade-probe measurements (SCALE_NOTES round 9, re-measured
-    round 11): at 20k vectors full-probe IVF ≈ the exact grid (routing
-    overhead swallows the pruning — exact wins below that), at 200k the
-    exact grid costs 742 s while IVF at 12.5% probe mass runs 8.2×
-    faster; the exact arm's N² bulk grows ~100× per decade, so the
-    default hands off at 50k (≈ 45 s of exact work on the measured
+    the decade-probe measurements (SCALE_NOTES round 11, two-run
+    clean): at 20k vectors full-probe IVF ≈ the exact grid (routing
+    overhead swallows the pruning — exact wins below that), at 200k
+    the exact grid costs ~400 s (391.8/413.0 across the two runs)
+    while IVF runs 4.9×/2.8× faster at 6.25%/12.5% probe mass on a
+    direction-uniform worst case and 8.6×/3.4× on a planted-cluster
+    corpus; the exact arm's N² bulk grows ~100× per decade, so the
+    default hands off at 50k (≈ 25 s of exact work on the measured
     host — the last size where exact is still the cheaper AND
     recall-1 choice). Above ``ivf_max_rows`` even the probed pair
     space (probe_mass·N²) exceeds what a whole-corpus one-shot should
@@ -1191,8 +1193,9 @@ def knn_graph_auto_plan(
     Returns ("exact", {}) | ("ivf", {"n_clusters": …, "n_probe": …})
     | ("refuse", {reason}); n_clusters grows as √N (FAISS nlist
     guidance, clipped to [8, 4096]), n_probe = probe_mass of that
-    (measured recall 0.67 on a direction-uniform worst case, ≥ 0.9 on
-    clustered corpora at the same mass)."""
+    (measured recall at 200k: 0.67 on the direction-uniform worst
+    case, 0.9999 on the planted-cluster corpus at the same mass —
+    SCALE_NOTES round 11)."""
     import math
 
     if n_rows <= exact_max_rows:

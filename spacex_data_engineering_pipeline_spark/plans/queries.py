@@ -1803,7 +1803,7 @@ def embedding_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict task 6): ``knn_graph_auto`` counts the corpus and
     dispatches — exact block grid below 50k rows (the last size where
     exact is both cheaper and recall-1, from the decade probe's
-    20k ≈ break-even / 200k = 742 s measurements), IVF at √N clusters
+    20k ≈ break-even / 200k ≈ 400 s two-run measurements), IVF at √N clusters
     and 12.5% probe mass in the mid range, and an explicit REFUSAL
     naming the persisted-index lifecycle beyond 2M — the same
     stated-crossover pattern as ``max_affected`` in the upsert arm.
