@@ -1399,6 +1399,159 @@ def _minhash_probe_oracle_sql(
     """
 
 
+def _minhash_sync_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, min_jaccard_micro: int = 300_000
+) -> str:
+    """DuckDB replay of the GROWING-index streaming dedup
+    (``streaming_minhash_index_sync``): documents carry a deterministic
+    batch label (corpus = -1; the three micro-batches 0/1/2 by
+    doc_id % 15; planted re-ingests = batch 2 under id + 10,000,000),
+    every doc is banded with the same portable MD5+affine math, and a
+    candidate pair exists iff the two docs share a band bucket AND the
+    index side arrived STRICTLY EARLIER (c.batch < n.batch) — the
+    first-seen-wins semantics of an index that folds each batch in
+    after probing it. Exact-Jaccard verification as in the probe
+    oracle."""
+    from spacex_data_engineering_pipeline_spark.operators.dedup import minhash_coeffs
+
+    coeffs = minhash_coeffs(num_hashes)
+    rpb = num_hashes // bands
+
+    band_selects = []
+    for b in range(bands):
+        mins = ", ".join(
+            f"CAST(list_min(list_transform(bases, h -> (h * {a} + {bb}) % 2147483647)) AS VARCHAR)"
+            for a, bb in coeffs[b * rpb : (b + 1) * rpb]
+        )
+        band_selects.append(
+            f"SELECT doc, batch, {b} AS band_idx, md5(concat_ws(',', {mins})) AS band_hash FROM hb"
+        )
+    bands_union = "\n        UNION ALL ".join(band_selects)
+
+    return f"""
+    WITH src AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 5 <> 0 THEN -1
+                    WHEN doc_id % 15 = 0 THEN 0
+                    WHEN doc_id % 15 = 5 THEN 1
+                    ELSE 2 END AS batch
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text, 2 FROM documents WHERE doc_id % 45 = 0
+    ),
+    g AS (
+        SELECT doc, batch, grams FROM (
+            SELECT doc_id AS doc, batch,
+                   list_distinct(list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+            FROM (SELECT doc_id, text, batch, {_DUCK_WORDS} AS w FROM src)
+            WHERE len(w) >= 3
+        ) WHERE len(grams) > 0
+    ),
+    hb AS (
+        SELECT doc, batch, grams,
+               list_transform(grams,
+                   s -> (('0x' || substr(md5(s), 1, 7))::UBIGINT)::BIGINT) AS bases
+        FROM g
+    ),
+    bt AS (
+        {bands_union}
+    ),
+    pairs AS (
+        SELECT DISTINCT n.doc AS new_doc, c.doc AS corpus_doc
+        FROM bt n JOIN bt c
+          ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+         AND c.batch < n.batch AND n.batch >= 0
+         AND n.doc <> c.doc
+    )
+    SELECT p.new_doc, p.corpus_doc,
+           CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
+                / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
+                AS BIGINT) AS jaccard_micro
+    FROM pairs p
+    JOIN hb gn ON p.new_doc = gn.doc
+    JOIN hb gc ON p.corpus_doc = gc.doc
+    WHERE CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
+               / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
+               AS BIGINT) >= {min_jaccard_micro}
+    """
+
+
+@_register("streaming_minhash_index_sync", oracle=_minhash_sync_oracle_sql())
+def streaming_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with a GROWING persisted MinHash index — the
+    upgrade ``streaming_dedup_against_index`` (static index) leaves on
+    the table: there, batch k is never checked against batches < k;
+    here each micro-batch is probed against the index AS OF the
+    pointer and then FOLDED INTO it (shingles + band keys written as
+    the batch's epoch partitions, pairs + growth published in one
+    pointer flip — streaming/index_sync.py:sync_minhash_index_stream,
+    same exactly-once ledger as the kNN/IVF/PCA syncs; crash-restart
+    pytest-pinned).
+
+    The corpus carries no cross-batch near-dups at grade scale, so the
+    growth semantics are made non-vacuous the ``pii_scrub_audit`` way:
+    batch 2 re-ingests every doc_id % 45 == 0 document VERBATIM under
+    id + 10,000,000 — each plant is flagged against its batch-0 twin
+    (jaccard 1.0) and the twin's corpus-side matches IFF the index
+    actually grew; a static index, a dropped fold, a double-published
+    epoch, or same-batch leakage (c.batch < n.batch violated) all flip
+    the result. Per-batch cost is O(batch) hashing + one band-key
+    shuffle; the committed index is read partition-pruned by epoch,
+    never rebuilt."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 15 == 5).select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 45 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 15 == 10)
+        .select("doc_id", "text")
+        .unionByName(plants)
+    )
+
+    work = _tempfile.mkdtemp(prefix="minhash_sync_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_minhash_root(
+            corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+        )
+        for i, bdf in enumerate((b0, b1, b2)):
+            staged = _os.path.join(work, f"stage{i}")
+            bdf.repartition(1).write.parquet(staged)
+            part = next(
+                f for f in sorted(_os.listdir(staged))
+                if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(staged, part), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_minhash_index_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_dedup_pairs(spark, root)
+            .orderBy("new_doc", "corpus_doc")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @_register("minhash_index_probe", oracle=_minhash_probe_oracle_sql())
 def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup (operators/dedup.py
@@ -3204,6 +3357,76 @@ def embedding_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_m = quantized_moments(emb.filter(F.col("vec_id") >= split), "embedding")
     merged = merge_moments(old_m, new_m).collect()
     model = fit_pca_from_moments(merged, n_components=2, n_iter=12)
+    return pca_project(emb, "vec_id", "embedding", model).orderBy("vec_id")
+
+
+@_register("streaming_pca_moment_sync", oracle=_pca_oracle_sql(2, 12, 64))
+def streaming_pca_moment_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PCA maintenance — the moment-additivity theorem driven
+    by real micro-batches under the exactly-once ledger: the base
+    moment table covers ids below the 97% mark
+    (``init_pca_moments_root``); the last 3% of ids arrive as a
+    3-micro-batch parquet file stream, and each batch reduces to its
+    OWN exact int64 moment table in one Arrow pass, published to an
+    epoch partition by one pointer flip
+    (streaming/index_sync.py:sync_pca_moments_stream — same replay
+    no-op / invisible-orphan protocol as the kNN-graph and IVF syncs;
+    crash-restart pytest-pinned). Refit reads epochs ≤ pointer, folds
+    them with one model-sized groupBy-sum, and re-runs the O(dim³)
+    driver eigensolve — per-epoch state is dim²-sized, the corpus is
+    never rescanned.
+
+    Because every moment cell is an order-free integer sum, the synced
+    model is BIT-IDENTICAL to a from-scratch fit over base ∪ batches —
+    so the oracle is the SAME full-corpus eigensolve replay as
+    ``embedding_pca_project``, and a dropped epoch, a double-published
+    epoch, or a float-summed fold flips the value hash. This extends
+    ``embedding_pca_incremental`` (one batch, driver-driven) to the
+    streaming lifecycle cell (N batches, foreachBatch, crash-safe)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        pca_project,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97 = mx * 97 // 100
+    base = emb.filter(F.col("vec_id") < s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    work = _tempfile.mkdtemp(prefix="pca_sync_")
+    root = _os.path.join(work, "moments_root")
+    src = _os.path.join(work, "src")
+    try:
+        index_sync.init_pca_moments_root(base, root, "embedding")
+        split = _os.path.join(work, "split")
+        inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+        _os.makedirs(src)
+        parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+        for i, fname in enumerate(parts):
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(split, fname), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_pca_moments_stream(
+            spark, src, inserts.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        model = index_sync.load_synced_pca_model(
+            spark, root, n_components=2, n_iter=12
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    # the model is driver-side state — projection needs no temp files
     return pca_project(emb, "vec_id", "embedding", model).orderBy("vec_id")
 
 

@@ -1,6 +1,31 @@
-"""Streaming maintenance of a PERSISTED vector index: embedding
-micro-batches fold into a SAVED kNN graph via ``knn_graph_upsert``,
-exactly-once, never a rebuild.
+"""Streaming maintenance of PERSISTED derived artifacts — one
+epoch-ledger protocol, four artifact kinds:
+
+- kNN graph (``sync_knn_graph_stream``): micro-batches fold into a
+  SAVED graph via ``knn_graph_upsert`` — |batch|·N + |affected|·N per
+  epoch, upsert semantics (stale edges evicted corpus-wide);
+- IVF posting table (``sync_ivf_index_stream``): batches route against
+  the FIXED saved centroids into epoch partitions — FAISS ``add``
+  semantics, the exactly-once wrapper ``append_to_ivf_index`` defers
+  to;
+- PCA moment table (``sync_pca_moments_stream``): each batch reduces
+  to its own exact int64 moment table (dim²-sized state), refit =
+  model-sized fold + O(dim³) driver eigensolve, bit-identical to a
+  from-scratch fit (moment additivity);
+- MinHash dedup index (``sync_minhash_index_stream``): probe the batch
+  against the index AS OF the pointer, then fold the batch's shingles
+  + band keys in — the GROWING index (first-seen-wins) that a static
+  probe can't express.
+
+All four share the commit protocol below: epoch-keyed staged writes
+(overwrite-idempotent, invisible to readers) published by ONE fsync'd
+pointer flip; replayed epochs no-op; crash-window orphans are never
+scanned and the replay overwrites them. Crash-restart is pytest-pinned
+per artifact kind (tests/test_streaming.py).
+
+The original kNN-graph story, kept for the design rationale:
+embedding micro-batches fold into a SAVED kNN graph via
+``knn_graph_upsert``, exactly-once, never a rebuild.
 
 This closes the lifecycle × streaming cell: ``save_knn_graph`` /
 ``load_knn_graph`` give the persisted artifact, ``knn_graph_upsert``
@@ -354,6 +379,271 @@ def vacuum_ivf_orphans(root: str) -> int:
     for e in doomed:
         shutil.rmtree(_ivf_epoch_path(root, e))
     return len(doomed)
+
+
+def _moments_epoch_path(root: str, epoch: int) -> str:
+    return os.path.join(root, "moments", f"epoch={epoch}")
+
+
+def init_pca_moments_root(corpus: DataFrame, root: str, vec_col: str) -> None:
+    """One-time moment base: ONE corpus pass collects the exact int64
+    moment table (N, Σq, Σqqᵀ — model-sized, ~2,145 rows at dim 64;
+    ``operators/linalg.py:quantized_moments``) and saves it as epoch 0.
+    The corpus itself is never persisted here — moments are the ONLY
+    state a PCA refit needs, which is what makes the streaming story
+    cheap: O(dim²) rows per epoch, never O(corpus)."""
+    from spacex_data_engineering_pipeline_spark.operators.linalg import (
+        quantized_moments,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    quantized_moments(
+        corpus.filter(F.col(vec_col).isNotNull()), vec_col
+    ).write.mode("overwrite").parquet(_moments_epoch_path(root, 0))
+    _flip_pointer(
+        root, {"max_epoch": 0, "last_batch_id": None, "vec_col": vec_col}
+    )
+
+
+def sync_pca_moments_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain ``source_path`` (parquet file stream of NEW embedding
+    rows) with AvailableNow: per micro-batch, ONE Arrow pass reduces
+    the batch to its own exact int64 moment table, written
+    overwrite-idempotently to ``moments/epoch=<epoch_id+1>`` and
+    published by one pointer flip — the same epoch-ledger exactly-once
+    protocol as the kNN-graph and IVF syncs (replays no-op, staged
+    orphans invisible + overwritten).
+
+    Why this is the RIGHT streaming shape for PCA: every moment cell
+    is an order-free exact integer sum, so moments(base ∪ batches) =
+    Σ per-epoch moment tables BIT-EXACTLY (``merge_moments``
+    additivity) — the refit model is IDENTICAL to a from-scratch fit
+    over everything seen, the corpus is never rescanned, and per-epoch
+    state is dim²-sized regardless of batch or corpus size. Contract:
+    INSERT-only (moments are sums over disjoint row sets; re-vectoring
+    an id would need a subtract-then-add epoch, not expressed here)."""
+    from spacex_data_engineering_pipeline_spark.operators.linalg import (
+        quantized_moments,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if on_batch_start is not None:
+            on_batch_start(epoch_id)
+        ptr = read_index_pointer(root)
+        last = ptr["last_batch_id"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        vec_col = ptr["vec_col"]
+        m = quantized_moments(
+            batch_df.filter(F.col(vec_col).isNotNull()), vec_col
+        )
+        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        m.write.mode("overwrite").parquet(_moments_epoch_path(root, epoch))
+        _flip_pointer(
+            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def load_synced_pca_model(
+    spark: SparkSession, root: str, n_components: int, n_iter: int = 12
+):
+    """Refit from the committed moment ledger: read epochs ≤ the
+    pointer (partition-pruned), fold them with one model-sized
+    groupBy-sum (exact int64 — the ``merge_moments`` additivity), and
+    run the O(dim³) driver-side eigensolve. Total input is
+    epochs × ~2,145 rows; the corpus is untouched."""
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca_from_moments,
+    )
+
+    ptr = read_index_pointer(root)
+    merged = (
+        spark.read.parquet(os.path.join(root, "moments"))
+        .filter(F.col("epoch") <= ptr["max_epoch"])
+        .groupBy("i", "j")
+        .agg(F.sum("m").alias("m"))
+        .collect()
+    )
+    return fit_pca_from_moments(merged, n_components, n_iter=n_iter)
+
+
+def _minhash_epoch_path(root: str, table: str, epoch: int) -> str:
+    return os.path.join(root, table, f"epoch={epoch}")
+
+
+def init_minhash_root(
+    corpus: DataFrame,
+    root: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard_micro: int = 300_000,
+) -> None:
+    """One-time dedup-index base: shingle + band the corpus ONCE
+    (``operators/dedup.py:build_minhash_index``) and save both index
+    tables — ``grams`` (exact-verify side) and ``bands`` (candidate
+    side) — as epoch 0 of an epoch-keyed layout, with the probe
+    parameters pinned in the pointer (an index probed with different
+    banding than it was built with silently loses recall, so the
+    params travel with the artifact)."""
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    grams, banded = build_minhash_index(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    grams.write.mode("overwrite").parquet(
+        _minhash_epoch_path(root, "grams", 0)
+    )
+    banded.write.mode("overwrite").parquet(
+        _minhash_epoch_path(root, "bands", 0)
+    )
+    banded.unpersist()
+    _flip_pointer(
+        root,
+        {
+            "max_epoch": 0,
+            "last_batch_id": None,
+            "id_col": id_col,
+            "text_col": text_col,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "min_jaccard_micro": min_jaccard_micro,
+        },
+    )
+
+
+def sync_minhash_index_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain ``source_path`` (parquet file stream of (id, text) docs)
+    with AvailableNow: per micro-batch, (1) probe the batch against
+    the index AS OF the pointer (``probe_minhash_index`` — O(batch)
+    hashing + one band-key shuffle, the committed 100 TB of postings
+    partition-pruned by epoch), writing flagged near-dup pairs to the
+    epoch's pairs partition, then (2) fold the WHOLE batch's shingles
+    and band keys into the index as the same epoch, then (3) publish
+    pairs + index growth together with one pointer flip.
+
+    This upgrades ``streaming_dedup_against_index`` (static index —
+    batch k is never checked against batches < k) to the GROWING index
+    every continuously-ingesting dedup actually needs: first-seen
+    wins, so a document re-ingested in a later batch is flagged
+    against its earlier twin. Every doc enters the index regardless of
+    its own verdict (flag-and-audit semantics — dropping flagged docs
+    instead is a filter on the pairs table downstream), which keeps
+    each batch's verdicts a pure function of (corpus ∪ earlier
+    batches) — exactly replayable. Same exactly-once ledger as the
+    kNN/IVF/PCA syncs: replayed epochs no-op, a crash between the
+    three staged writes and the flip leaves only invisible orphans
+    that the replay overwrites."""
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if on_batch_start is not None:
+            on_batch_start(epoch_id)
+        ptr = read_index_pointer(root)
+        last = ptr["last_batch_id"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        idx_grams = (
+            spark.read.parquet(os.path.join(root, "grams"))
+            .filter(F.col("epoch") <= ptr["max_epoch"])
+            .drop("epoch")
+        )
+        idx_bands = (
+            spark.read.parquet(os.path.join(root, "bands"))
+            .filter(F.col("epoch") <= ptr["max_epoch"])
+            .drop("epoch")
+        )
+        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        probe_minhash_index(
+            idx_grams,
+            idx_bands,
+            batch_df,
+            ptr["id_col"],
+            ptr["text_col"],
+            num_hashes=ptr["num_hashes"],
+            bands=ptr["bands"],
+            shingle_n=ptr["shingle_n"],
+            min_jaccard_micro=ptr["min_jaccard_micro"],
+        ).write.mode("overwrite").parquet(
+            _minhash_epoch_path(root, "pairs", epoch)
+        )
+        bg, bb = build_minhash_index(
+            batch_df,
+            ptr["id_col"],
+            ptr["text_col"],
+            ptr["num_hashes"],
+            ptr["bands"],
+            ptr["shingle_n"],
+        )
+        bg.write.mode("overwrite").parquet(
+            _minhash_epoch_path(root, "grams", epoch)
+        )
+        bb.write.mode("overwrite").parquet(
+            _minhash_epoch_path(root, "bands", epoch)
+        )
+        bb.unpersist()
+        _flip_pointer(
+            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def load_synced_dedup_pairs(spark: SparkSession, root: str) -> DataFrame:
+    """All committed near-dup pairs: epochs ≤ the pointer, staged
+    orphans invisible. Columns (new_doc, corpus_doc, jaccard_micro);
+    batches are disjoint so epochs never repeat a pair."""
+    ptr = read_index_pointer(root)
+    return (
+        spark.read.parquet(os.path.join(root, "pairs"))
+        .filter(F.col("epoch") <= ptr["max_epoch"])
+        .drop("epoch")
+    )
 
 
 def vacuum_generations(root: str, keep_last: int = 1) -> int:

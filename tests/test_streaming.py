@@ -1337,3 +1337,194 @@ def test_streaming_ivf_index_sync_crash_restart(spark, sf_dir, tmp_path):
     assert sorted(os.listdir(os.path.join(root, "postings"))) == [
         "epoch=0", "epoch=1", "epoch=2", "epoch=3",
     ]
+
+
+def test_streaming_pca_moment_sync_crash_restart(spark, sf_dir, tmp_path):
+    """Streaming PCA moment maintenance survives a crash MID-COMMIT-
+    WINDOW and a checkpoint-wiped re-drain: epochs 0-1 commit, the sink
+    dies at epoch 2, the crash window is made WORSE by hand (epoch-3
+    moments staged with GARBAGE values, never published), and the
+    restart must overwrite the orphan and converge: the synced refit ==
+    a from-scratch fit over base + all batches, bit for bit (moment
+    additivity is exact int64)."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators.pca import fit_pca
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97 = mx * 97 // 100
+    base = emb.filter(F.col("vec_id") < s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    root = str(tmp_path / "moments_root")
+    src = tmp_path / "src"
+    split = str(tmp_path / "split")
+    index_sync.init_pca_moments_root(base, root, "embedding")
+    inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+    src.mkdir()
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    assert len(parts) == 3
+    for i, fname in enumerate(parts):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_pca_moments_stream(
+            spark, str(src), inserts.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    # worst crash window: epoch-3 moments staged with GARBAGE values —
+    # if a reader or the replay ever folds these, the refit diverges
+    spark.createDataFrame(
+        [(0, 0, 999_999_999), (1, 0, -12345)], "i int, j int, m long"
+    ).write.parquet(index_sync._moments_epoch_path(root, 3))
+
+    index_sync.sync_pca_moments_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["max_epoch"] == 3
+
+    synced = index_sync.load_synced_pca_model(spark, root, n_components=2)
+    scratch = fit_pca(emb, "embedding", n_components=2, n_iter=12)
+    assert synced.n_rows == scratch.n_rows
+    assert [list(v) for v in synced.basis] == [list(v) for v in scratch.basis]
+    assert list(synced.eigvals) == list(scratch.eigvals)
+    assert list(synced.mean) == list(scratch.mean)
+
+    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    index_sync.sync_pca_moments_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert (
+        os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+        == ptr_mtime
+    )
+
+
+def test_streaming_minhash_index_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The growing dedup index survives a crash MID-COMMIT-WINDOW and a
+    checkpoint-wiped re-drain: epochs 0-1 commit, the sink dies at
+    epoch 2, the crash window is made WORSE by hand (epoch-3 pairs AND
+    band partitions staged with garbage, never published), and the
+    restart must overwrite the orphans and converge: committed pairs ==
+    an imperative replay that probes each batch against corpus + all
+    earlier batches."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        minhash_probe_pairs,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 15 == 5).select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 45 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 15 == 10)
+        .select("doc_id", "text")
+        .unionByName(plants)
+    )
+    batches = [b0, b1, b2]
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+    for i, bdf in enumerate(batches):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_minhash_index_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    # worst crash window: epoch-3 partitions staged with garbage
+    spark.createDataFrame(
+        [(999, 888, 1_000_000)], "new_doc long, corpus_doc long, jaccard_micro long"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "pairs", 3))
+    spark.createDataFrame(
+        [(999, 0, "deadbeef")], "doc long, band_idx int, band_hash string"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "bands", 3))
+
+    index_sync.sync_minhash_index_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["max_epoch"] == 3
+
+    got = {
+        (r.new_doc, r.corpus_doc, r.jaccard_micro)
+        for r in index_sync.load_synced_dedup_pairs(spark, root).collect()
+    }
+    assert (999, 888, 1_000_000) not in got  # garbage orphan overwritten
+
+    # imperative replay: batch k probes corpus + batches < k
+    truth = set()
+    seen = corpus
+    for bdf in batches:
+        truth |= {
+            (r.new_doc, r.corpus_doc, r.jaccard_micro)
+            for r in minhash_probe_pairs(
+                seen, bdf, "doc_id", "text", min_jaccard_micro=300_000
+            ).collect()
+        }
+        seen = seen.unionByName(bdf)
+    assert got == truth
+
+    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    index_sync.sync_minhash_index_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert (
+        os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+        == ptr_mtime
+    )
