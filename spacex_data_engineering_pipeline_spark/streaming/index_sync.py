@@ -566,7 +566,15 @@ def sync_minhash_index_stream(
     batches) — exactly replayable. Same exactly-once ledger as the
     kNN/IVF/PCA syncs: replayed epochs no-op, a crash between the
     three staged writes and the flip leaves only invisible orphans
-    that the replay overwrites."""
+    that the replay overwrites.
+
+    Per-epoch cost, honestly: O(batch) shingle/band hashing + one
+    band-key shuffle for candidates + ONE scan-speed pass over the
+    committed grams table for exact-Jaccard verification (the
+    candidate side is batch-sized, so the join broadcasts it into the
+    scan). At 100 TB, bucket the grams epochs by id — the
+    ``save_knn_graph`` layout — to turn that verify scan into
+    partition-pruned fetches."""
     from spacex_data_engineering_pipeline_spark.operators.dedup import (
         build_minhash_index,
         probe_minhash_index,
