@@ -160,10 +160,43 @@ def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
     return base.join(latest.select(id_col), id_col, "left_anti").unionByName(latest)
 
 
-def load_synced_graph(spark: SparkSession, root: str) -> DataFrame:
-    """The committed graph: pointer → generation dir → ``load_knn_graph``."""
+def _resolve_as_of(ptr: dict, key: str, as_of) -> int:
+    """TIME-TRAVEL resolution shared by every synced reader: the ledger
+    keeps one immutable partition (or generation dir) per committed
+    epoch, so any historical index state is reproducible by reading
+    epochs ≤ k — the audit/rollback story the epoch layout buys beyond
+    exactly-once. ``None`` means the committed head; anything above the
+    head is refused (it would silently read staged crash orphans)."""
+    head = ptr[key]
+    if as_of is None:
+        return head
+    as_of = int(as_of)
+    if as_of < 0 or as_of > head:
+        raise ValueError(
+            f"as_of={as_of} is not a committed state (committed head is "
+            f"{key}={head}); states above the head are staged crash "
+            "orphans, not history"
+        )
+    return as_of
+
+
+def load_synced_graph(
+    spark: SparkSession, root: str, as_of_generation: int | None = None
+) -> DataFrame:
+    """The committed graph: pointer → generation dir → ``load_knn_graph``.
+    ``as_of_generation`` time-travels to any still-retained generation
+    (each generation dir is a complete graph snapshot; ``vacuum_
+    generations`` is what ends a generation's readability)."""
     ptr = read_index_pointer(root)
-    return S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
+    gen = _resolve_as_of(ptr, "generation", as_of_generation)
+    path = _graph_gen_path(root, gen)
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"generation {gen} was vacuumed (vacuum_generations keeps "
+            "only recent ones) — time travel reaches retained "
+            "generations only"
+        )
+    return S.load_knn_graph(spark, path)
 
 
 def sync_knn_graph_stream(
@@ -270,22 +303,27 @@ def init_ivf_root(
     )
 
 
-def load_synced_ivf(spark: SparkSession, root: str):
+def load_synced_ivf(
+    spark: SparkSession, root: str, as_of_epoch: int | None = None
+):
     """Open the committed index: postings at epochs ≤ the pointer's
     high-water mark (partition-pruned — a staged epoch a crash left
     above the pointer is never scanned), centroids from the sidecar.
     Returns an ``IvfIndex``; probes prune on the ``cluster`` partition
-    column exactly as for an offline-saved index."""
+    column exactly as for an offline-saved index. ``as_of_epoch``
+    time-travels: epoch partitions are immutable once committed, so
+    the index as of any past epoch is the exact filter ≤ k."""
     from spacex_data_engineering_pipeline_spark.operators import (
         similarity as S_,
     )
 
     ptr = read_index_pointer(root)
+    epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
     with open(os.path.join(root, "centroids.json")) as f:
         centroids = json.load(f)
     assigned = (
         spark.read.parquet(os.path.join(root, "postings"))
-        .filter(F.col("epoch") <= ptr["max_epoch"])
+        .filter(F.col("epoch") <= epoch)
         .drop("epoch")
     )
     return S_.IvfIndex(assigned, centroids, ptr["id_col"], ptr["vec_col"])
@@ -464,21 +502,29 @@ def sync_pca_moments_stream(
 
 
 def load_synced_pca_model(
-    spark: SparkSession, root: str, n_components: int, n_iter: int = 12
+    spark: SparkSession,
+    root: str,
+    n_components: int,
+    n_iter: int = 12,
+    as_of_epoch: int | None = None,
 ):
     """Refit from the committed moment ledger: read epochs ≤ the
     pointer (partition-pruned), fold them with one model-sized
     groupBy-sum (exact int64 — the ``merge_moments`` additivity), and
     run the O(dim³) driver-side eigensolve. Total input is
-    epochs × ~2,145 rows; the corpus is untouched."""
+    epochs × ~2,145 rows; the corpus is untouched. ``as_of_epoch``
+    time-travels: the model as trained after any past batch is exactly
+    the fold over epochs ≤ k — full model provenance at dim² bytes per
+    epoch."""
     from spacex_data_engineering_pipeline_spark.operators.pca import (
         fit_pca_from_moments,
     )
 
     ptr = read_index_pointer(root)
+    epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
     merged = (
         spark.read.parquet(os.path.join(root, "moments"))
-        .filter(F.col("epoch") <= ptr["max_epoch"])
+        .filter(F.col("epoch") <= epoch)
         .groupBy("i", "j")
         .agg(F.sum("m").alias("m"))
         .collect()
@@ -642,14 +688,20 @@ def sync_minhash_index_stream(
     q.awaitTermination()
 
 
-def load_synced_dedup_pairs(spark: SparkSession, root: str) -> DataFrame:
+def load_synced_dedup_pairs(
+    spark: SparkSession, root: str, as_of_epoch: int | None = None
+) -> DataFrame:
     """All committed near-dup pairs: epochs ≤ the pointer, staged
     orphans invisible. Columns (new_doc, corpus_doc, jaccard_micro);
-    batches are disjoint so epochs never repeat a pair."""
+    batches are disjoint so epochs never repeat a pair.
+    ``as_of_epoch`` time-travels to the verdicts as of any past batch
+    (epoch partitions are immutable once committed) — the audit shape
+    "what did dedup flag before batch k landed"."""
     ptr = read_index_pointer(root)
+    epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
     return (
         spark.read.parquet(os.path.join(root, "pairs"))
-        .filter(F.col("epoch") <= ptr["max_epoch"])
+        .filter(F.col("epoch") <= epoch)
         .drop("epoch")
     )
 

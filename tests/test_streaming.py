@@ -1528,3 +1528,205 @@ def test_streaming_minhash_index_sync_crash_restart(spark, sf_dir, tmp_path):
         os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
         == ptr_mtime
     )
+
+
+def test_synced_artifact_time_travel(spark, sf_dir, tmp_path):
+    """The epoch ledger doubles as TIME TRAVEL: committed epochs are
+    immutable, so every synced reader accepts as_of and reproduces the
+    artifact as of any past batch. Pinned across three artifact kinds
+    (IVF postings, PCA moments, dedup pairs) + the graph's generation
+    variant, plus the two refusals: above-head as_of (staged orphans
+    are not history) and a vacuumed generation."""
+    import os
+
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.operators.linalg import (
+        quantized_moments,
+    )
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca_from_moments,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97 = mx * 97 // 100
+    base = emb.filter(F.col("vec_id") < s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    src = tmp_path / "src"
+    split = str(tmp_path / "split")
+    inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+    src.mkdir()
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    batch_dfs = []
+    for i, fname in enumerate(parts):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        batch_dfs.append(spark.read.parquet(str(dst)))
+
+    # --- IVF: index as of epoch 1 holds exactly base + batch 0 ids
+    ivf_root = str(tmp_path / "ivf")
+    index_sync.init_ivf_root(
+        base, ivf_root, "vec_id", "embedding", n_clusters=8, seed=42
+    )
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), inserts.schema, ivf_root,
+        checkpoint_dir=str(tmp_path / "ckpt_ivf"),
+    )
+    got_ids = {
+        r.vec_id
+        for r in index_sync.load_synced_ivf(
+            spark, ivf_root, as_of_epoch=1
+        ).assigned.collect()
+    }
+    want_ids = {r.vec_id for r in base.collect()} | {
+        r.vec_id for r in batch_dfs[0].collect()
+    }
+    assert got_ids == want_ids
+    with pytest.raises(ValueError, match="not a committed state"):
+        index_sync.load_synced_ivf(spark, ivf_root, as_of_epoch=99)
+
+    # --- PCA: model as of epoch 2 == from-scratch fit over base+b0+b1
+    pca_root = str(tmp_path / "pca")
+    index_sync.init_pca_moments_root(base, pca_root, "embedding")
+    index_sync.sync_pca_moments_stream(
+        spark, str(src), inserts.schema, pca_root,
+        checkpoint_dir=str(tmp_path / "ckpt_pca"),
+    )
+    asof = index_sync.load_synced_pca_model(
+        spark, pca_root, n_components=2, as_of_epoch=2
+    )
+    want = fit_pca_from_moments(
+        quantized_moments(
+            base.unionByName(batch_dfs[0]).unionByName(batch_dfs[1]),
+            "embedding",
+        ).collect(),
+        2,
+    )
+    assert asof.n_rows == want.n_rows
+    assert [list(v) for v in asof.basis] == [list(v) for v in want.basis]
+
+    # --- dedup pairs: as of epoch 1 == only batch-0 docs' verdicts
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    d0 = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id", "text")
+    d1 = docs.filter(F.col("doc_id") % 15 == 5).select("doc_id", "text")
+    mh_root = str(tmp_path / "mh")
+    mh_src = tmp_path / "mh_src"
+    mh_src.mkdir()
+    index_sync.init_minhash_root(
+        corpus, mh_root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+    for i, bdf in enumerate((d0, d1)):
+        staged = str(tmp_path / f"mh_stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = mh_src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_sync.sync_minhash_index_stream(
+        spark, str(mh_src), d0.schema, mh_root,
+        checkpoint_dir=str(tmp_path / "ckpt_mh"),
+    )
+    b0_ids = {r.doc_id for r in d0.collect()}
+    asof_pairs = {
+        (r.new_doc, r.corpus_doc)
+        for r in index_sync.load_synced_dedup_pairs(
+            spark, mh_root, as_of_epoch=1
+        ).collect()
+    }
+    full_pairs = {
+        (r.new_doc, r.corpus_doc)
+        for r in index_sync.load_synced_dedup_pairs(spark, mh_root).collect()
+    }
+    assert {p for p in full_pairs if p[0] in b0_ids} == asof_pairs
+    assert all(p[0] in b0_ids for p in asof_pairs)
+
+    # --- graph: retained generation readable; vacuumed one refused
+    g_root = str(tmp_path / "graph")
+    g_src = tmp_path / "g_src"
+    g_src.mkdir()
+    index_sync.init_knn_graph_root(
+        base, g_root, "vec_id", "embedding", k=5, n_blocks=4, n_buckets=8
+    )
+    for i, fname in enumerate(sorted(os.listdir(src))):
+        os.link(str(src / fname), str(g_src / fname))
+        os.utime(
+            g_src / fname, (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+    index_sync.sync_knn_graph_stream(
+        spark, str(g_src), inserts.schema, g_root,
+        checkpoint_dir=str(tmp_path / "ckpt_g"),
+    )
+    gen1 = index_sync.load_synced_graph(spark, g_root, as_of_generation=1)
+    assert gen1.count() > 0
+    index_sync.vacuum_generations(g_root, keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        index_sync.load_synced_graph(spark, g_root, as_of_generation=1)
+
+
+def test_streaming_ivf_appended_vectors_self_retrievable(spark, sf_dir, tmp_path):
+    """Routing/probe agreement under growth: a vector appended via the
+    streaming sync is ALWAYS found by probing a single cluster with
+    itself, because batch assignment (centroid_assign_udf) and probe
+    selection (IvfIndex.probe_clusters) share one centroid map — the
+    invariant that makes a FIXED quantizer safe to append to even for
+    directionally-novel batches (here: REVERSED vectors, directions the
+    quantizer never trained on)."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97 = mx * 97 // 100
+    base = emb.filter(F.col("vec_id") < s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # directionally novel: reversed + id-shifted so they are pure inserts
+    novel = emb.filter(F.col("vec_id") >= s97).select(
+        (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"),
+        F.reverse(F.col("embedding").cast("array<double>")).alias("embedding"),
+    )
+
+    root = str(tmp_path / "ivf")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_ivf_root(
+        base, root, "vec_id", "embedding", n_clusters=8, seed=42
+    )
+    split = str(tmp_path / "split")
+    novel.repartitionByRange(2, F.col("vec_id")).write.parquet(split)
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    for i, fname in enumerate(parts):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), novel.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    idx = index_sync.load_synced_ivf(spark, root)
+    probes = novel.orderBy("vec_id").limit(5).collect()
+    for r in probes:
+        top = S.ivf_topk(
+            idx, [float(x) for x in r.embedding], k=1, n_probes=1
+        ).collect()
+        assert top and top[0][idx.id_col] == r.vec_id, (
+            f"appended id {r.vec_id} not self-retrievable at n_probes=1 — "
+            "assignment and probe routing diverged"
+        )
