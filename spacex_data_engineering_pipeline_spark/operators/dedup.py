@@ -491,6 +491,8 @@ def probe_minhash_index(
     bands: int = 16,
     shingle_n: int = 3,
     min_jaccard_micro: int = 500_000,
+    new_grams: DataFrame | None = None,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a batch of NEW documents against a prebuilt corpus index
     (``build_minhash_index``): banding-hash ONLY the new side, join its
@@ -499,14 +501,34 @@ def probe_minhash_index(
     band_hash), candidate volume proportional to new-side bucket
     occupancy — corpus×corpus pairs are never enumerated.
 
+    A caller that ALSO folds the batch into the index (the streaming
+    growing-index sync) already ran ``build_minhash_index`` on the
+    batch; passing that (``new_grams``, ``new_banded``) pair skips the
+    second shingle+band pass — one hash pass per batch total — and
+    leaves cache ownership with the caller (this function only releases
+    blocks it created).
+
     Returns (new_doc, corpus_doc, jaccard_micro BIGINT).
     """
-    gn = _minhash_grams(new_df, id_col, text_col, shingle_n)
-    band_hashes = _minhash_band_hashes_udf(num_hashes, bands)
-    probe = gn.select(
-        "doc",
-        F.posexplode(band_hashes(F.col("shingles"))).alias("band_idx", "band_hash"),
-    ).alias("n")
+    if (new_grams is None) != (new_banded is None):
+        raise ValueError(
+            "pass new_grams and new_banded together (both from "
+            "build_minhash_index on the same batch) or neither"
+        )
+    if new_grams is not None:
+        gn = new_grams
+        probe = new_banded.alias("n")
+        owned: tuple[DataFrame, ...] = ()
+    else:
+        gn = _minhash_grams(new_df, id_col, text_col, shingle_n)
+        band_hashes = _minhash_band_hashes_udf(num_hashes, bands)
+        probe = gn.select(
+            "doc",
+            F.posexplode(band_hashes(F.col("shingles"))).alias(
+                "band_idx", "band_hash"
+            ),
+        ).alias("n")
+        owned = (gn,)
     candidates = (
         probe.join(
             index_banded.alias("c"),
@@ -539,7 +561,7 @@ def probe_minhash_index(
         .filter(F.col("jaccard_micro") >= min_jaccard_micro)
         .select("new_doc", "corpus_doc", "jaccard_micro")
     )
-    return release_caches_with(out, gn)
+    return release_caches_with(out, *owned)
 
 
 def minhash_probe_pairs(

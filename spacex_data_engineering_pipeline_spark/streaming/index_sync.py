@@ -568,6 +568,7 @@ def init_minhash_root(
         _minhash_epoch_path(root, "bands", 0)
     )
     banded.unpersist()
+    grams.unpersist()
     _flip_pointer(
         root,
         {
@@ -644,6 +645,17 @@ def sync_minhash_index_stream(
             .drop("epoch")
         )
         epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        # ONE shingle+band pass per batch: the fold's index build doubles
+        # as the probe's query side (probe_minhash_index new_grams/
+        # new_banded contract), cached across the three writes below
+        bg, bb = build_minhash_index(
+            batch_df,
+            ptr["id_col"],
+            ptr["text_col"],
+            ptr["num_hashes"],
+            ptr["bands"],
+            ptr["shingle_n"],
+        )
         probe_minhash_index(
             idx_grams,
             idx_bands,
@@ -654,16 +666,10 @@ def sync_minhash_index_stream(
             bands=ptr["bands"],
             shingle_n=ptr["shingle_n"],
             min_jaccard_micro=ptr["min_jaccard_micro"],
+            new_grams=bg,
+            new_banded=bb,
         ).write.mode("overwrite").parquet(
             _minhash_epoch_path(root, "pairs", epoch)
-        )
-        bg, bb = build_minhash_index(
-            batch_df,
-            ptr["id_col"],
-            ptr["text_col"],
-            ptr["num_hashes"],
-            ptr["bands"],
-            ptr["shingle_n"],
         )
         bg.write.mode("overwrite").parquet(
             _minhash_epoch_path(root, "grams", epoch)
@@ -672,6 +678,7 @@ def sync_minhash_index_stream(
             _minhash_epoch_path(root, "bands", epoch)
         )
         bb.unpersist()
+        bg.unpersist()
         _flip_pointer(
             root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
         )
