@@ -481,6 +481,65 @@ def build_minhash_index(
     return grams, banded
 
 
+def minhash_candidate_pairs(
+    index_banded: DataFrame, probe_banded: DataFrame
+) -> DataFrame:
+    """Candidate stage of an index probe, exposed on its own so callers
+    can prune the VERIFY side between stages: join the probe batch's
+    band keys against the index's — one shuffle keyed on (band_idx,
+    band_hash), candidate volume = probe-side bucket occupancy. Ids may
+    overlap between sides (a re-ingested doc); a doc is never its own
+    near-duplicate. Returns distinct (new_doc, corpus_doc)."""
+    return (
+        probe_banded.alias("n")
+        .join(
+            index_banded.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            & (F.col("n.doc") != F.col("c.doc")),
+        )
+        .select(F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc"))
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+
+
+def minhash_verify_pairs(
+    candidates: DataFrame,
+    new_grams: DataFrame,
+    index_grams: DataFrame,
+    min_jaccard_micro: int,
+) -> DataFrame:
+    """Verification stage of an index probe: join the shingle sets back
+    onto the (new_doc, corpus_doc) candidates and keep exact integer-
+    micro Jaccard ≥ threshold (kills LSH false positives). The
+    ``index_grams`` side only needs rows for docs that actually appear
+    as candidates — the streaming growing-index sync exploits that by
+    passing a bucket-pruned read of the persisted grams ledger (see
+    streaming/index_sync.py), so a 100 TB grams table is fetched, not
+    scanned. Returns (new_doc, corpus_doc, jaccard_micro BIGINT)."""
+    ga = new_grams.select(
+        F.col("doc").alias("new_doc"), F.col("shingles").alias("grams_n")
+    )
+    gb = index_grams.select(
+        F.col("doc").alias("corpus_doc"), F.col("shingles").alias("grams_c")
+    )
+    inter = F.size(F.array_intersect(F.col("grams_n"), F.col("grams_c"))).cast("long")
+    union = (
+        F.size(F.col("grams_n")).cast("long")
+        + F.size(F.col("grams_c")).cast("long")
+        - inter
+    )
+    return (
+        candidates.join(ga, "new_doc")
+        .join(gb, "corpus_doc")
+        .withColumn(
+            "jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long")
+        )
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+        .select("new_doc", "corpus_doc", "jaccard_micro")
+    )
+
+
 def probe_minhash_index(
     index_grams: DataFrame,
     index_banded: DataFrame,
@@ -508,6 +567,16 @@ def probe_minhash_index(
     leaves cache ownership with the caller (this function only releases
     blocks it created).
 
+    API CONTRACT on that path: when (``new_grams``, ``new_banded``) are
+    supplied, ``new_df``, ``num_hashes``, ``bands``, and ``shingle_n``
+    are IGNORED — the probe's hash geometry is whatever the pair was
+    built with, and it must match the geometry the INDEX was built with
+    or recall silently degrades (band keys from different geometries
+    never collide, they just never match). Callers holding a persisted
+    index must thread the index's pinned parameters into
+    ``build_minhash_index`` for the batch (the streaming sync reads
+    them from the ledger pointer for exactly this reason).
+
     Returns (new_doc, corpus_doc, jaccard_micro BIGINT).
     """
     if (new_grams is None) != (new_banded is None):
@@ -517,7 +586,7 @@ def probe_minhash_index(
         )
     if new_grams is not None:
         gn = new_grams
-        probe = new_banded.alias("n")
+        probe = new_banded
         owned: tuple[DataFrame, ...] = ()
     else:
         gn = _minhash_grams(new_df, id_col, text_col, shingle_n)
@@ -527,40 +596,10 @@ def probe_minhash_index(
             F.posexplode(band_hashes(F.col("shingles"))).alias(
                 "band_idx", "band_hash"
             ),
-        ).alias("n")
+        )
         owned = (gn,)
-    candidates = (
-        probe.join(
-            index_banded.alias("c"),
-            (F.col("n.band_idx") == F.col("c.band_idx"))
-            & (F.col("n.band_hash") == F.col("c.band_hash"))
-            # ids may overlap between sides (re-ingested doc): a doc is
-            # never its own near-duplicate
-            & (F.col("n.doc") != F.col("c.doc")),
-        )
-        .select(F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc"))
-        .dropDuplicates(["new_doc", "corpus_doc"])
-    )
-
-    ga = gn.select(F.col("doc").alias("new_doc"), F.col("shingles").alias("grams_n"))
-    gb = index_grams.select(
-        F.col("doc").alias("corpus_doc"), F.col("shingles").alias("grams_c")
-    )
-    inter = F.size(F.array_intersect(F.col("grams_n"), F.col("grams_c"))).cast("long")
-    union = (
-        F.size(F.col("grams_n")).cast("long")
-        + F.size(F.col("grams_c")).cast("long")
-        - inter
-    )
-    out = (
-        candidates.join(ga, "new_doc")
-        .join(gb, "corpus_doc")
-        .withColumn(
-            "jaccard_micro", F.floor((inter * F.lit(1_000_000)) / union).cast("long")
-        )
-        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
-        .select("new_doc", "corpus_doc", "jaccard_micro")
-    )
+    candidates = minhash_candidate_pairs(index_banded, probe)
+    out = minhash_verify_pairs(candidates, gn, index_grams, min_jaccard_micro)
     return release_caches_with(out, *owned)
 
 

@@ -536,6 +536,26 @@ def _minhash_epoch_path(root: str, table: str, epoch: int) -> str:
     return os.path.join(root, table, f"epoch={epoch}")
 
 
+def _grams_bucket(id_expr, n_buckets: int):
+    """Doc-id hash bucket for the grams ledger layout. Cast through
+    string so long and string doc ids bucket stably — the layout is
+    internal (pruning only), so portability to the SQL oracle is not
+    required, but determinism across sessions is."""
+    return F.pmod(F.xxhash64(id_expr.cast("string")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def _write_grams_epoch(
+    grams: DataFrame, root: str, epoch: int, n_buckets: int
+) -> None:
+    grams.withColumn(
+        "__bucket", _grams_bucket(F.col("doc"), n_buckets)
+    ).write.mode("overwrite").partitionBy("__bucket").parquet(
+        _minhash_epoch_path(root, "grams", epoch)
+    )
+
+
 def init_minhash_root(
     corpus: DataFrame,
     root: str,
@@ -545,6 +565,7 @@ def init_minhash_root(
     bands: int = 16,
     shingle_n: int = 3,
     min_jaccard_micro: int = 300_000,
+    grams_buckets: int = 16,
 ) -> None:
     """One-time dedup-index base: shingle + band the corpus ONCE
     (``operators/dedup.py:build_minhash_index``) and save both index
@@ -552,7 +573,16 @@ def init_minhash_root(
     side) — as epoch 0 of an epoch-keyed layout, with the probe
     parameters pinned in the pointer (an index probed with different
     banding than it was built with silently loses recall, so the
-    params travel with the artifact)."""
+    params travel with the artifact).
+
+    The grams ledger is written partitioned by a doc-id hash bucket
+    inside each epoch (``epoch=<e>/__bucket=<b>/``, the
+    ``save_knn_graph`` layout): candidates are batch-sized, so the
+    exact-Jaccard verify only ever needs the buckets the candidate
+    corpus docs hash into — a partition-pruned fetch of ≤ |candidate
+    buckets|/``grams_buckets`` of the files, never a scan of all
+    committed grams. At 100 TB raise ``grams_buckets`` so one bucket
+    ≈ one task's worth of files."""
     from spacex_data_engineering_pipeline_spark.operators.dedup import (
         build_minhash_index,
     )
@@ -561,9 +591,7 @@ def init_minhash_root(
     grams, banded = build_minhash_index(
         corpus, id_col, text_col, num_hashes, bands, shingle_n
     )
-    grams.write.mode("overwrite").parquet(
-        _minhash_epoch_path(root, "grams", 0)
-    )
+    _write_grams_epoch(grams, root, 0, grams_buckets)
     banded.write.mode("overwrite").parquet(
         _minhash_epoch_path(root, "bands", 0)
     )
@@ -580,8 +608,111 @@ def init_minhash_root(
             "bands": bands,
             "shingle_n": shingle_n,
             "min_jaccard_micro": min_jaccard_micro,
+            "grams_buckets": grams_buckets,
         },
     )
+
+
+def read_synced_grams(
+    spark: SparkSession,
+    root: str,
+    buckets: list[int] | None = None,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """The committed grams (doc, shingles) as of the pointer (or
+    ``as_of_epoch``), optionally restricted to a doc-id bucket list —
+    both epoch and bucket are PARTITION columns, so the restriction
+    prunes at file-listing time (assert: the scan's PartitionFilters
+    carry ``__bucket``; ``.inputFiles()`` lists only the probed bucket
+    dirs). ``buckets=[]`` means "no corpus docs can match" and returns
+    the empty frame without touching files."""
+    ptr = read_index_pointer(root)
+    epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
+    g = spark.read.parquet(os.path.join(root, "grams")).filter(
+        F.col("epoch") <= epoch
+    )
+    if buckets is not None:
+        g = g.filter(
+            F.col("__bucket").isin(buckets) if buckets else F.lit(False)
+        )
+    return g.drop("epoch", "__bucket")
+
+
+def _probe_pruned(
+    spark: SparkSession,
+    root: str,
+    ptr: dict,
+    new_grams: DataFrame,
+    new_banded: DataFrame,
+) -> DataFrame:
+    """Probe a pre-hashed batch against the committed index with the
+    verify side PARTITION-PRUNED: candidates first (band-key join —
+    the bands ledger is narrow keys, epoch-pruned to the pointer),
+    then ONE bounded driver collect of the candidates' distinct doc-id
+    buckets (≤ ``grams_buckets`` ints — model-sized, the repo's
+    bounded-probe convention), then the exact-Jaccard verify against
+    only those grams bucket dirs. The candidate frame is persisted so
+    the band join runs once across the bucket collect and the verify."""
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_verify_pairs,
+    )
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        release_caches_with,
+    )
+
+    idx_bands = (
+        spark.read.parquet(os.path.join(root, "bands"))
+        .filter(F.col("epoch") <= ptr["max_epoch"])
+        .drop("epoch")
+    )
+    candidates = minhash_candidate_pairs(idx_bands, new_banded).persist()
+    n_buckets = ptr.get("grams_buckets")
+    if n_buckets:
+        buckets = sorted(
+            r["b"]
+            for r in candidates.select(
+                _grams_bucket(F.col("corpus_doc"), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        idx_grams = read_synced_grams(spark, root, buckets=buckets)
+    else:  # pre-bucketing root layout: epoch-pruned full read
+        idx_grams = read_synced_grams(spark, root)
+    out = minhash_verify_pairs(
+        candidates, new_grams, idx_grams, ptr["min_jaccard_micro"]
+    )
+    return release_caches_with(out, candidates)
+
+
+def probe_minhash_root(
+    spark: SparkSession, root: str, new_df: DataFrame
+) -> DataFrame:
+    """Batch-probe NEW documents against a persisted synced index
+    WITHOUT folding them in (read-only): hash the batch with the
+    ledger's pinned parameters (the pointer is the source of truth —
+    a caller-supplied geometry could silently mismatch the index, see
+    ``probe_minhash_index``'s contract note), then run the same
+    partition-pruned candidates→verify path the streaming fold uses.
+    Returns (new_doc, corpus_doc, jaccard_micro)."""
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from spacex_data_engineering_pipeline_spark.operators.util import (
+        release_caches_with,
+    )
+
+    ptr = read_index_pointer(root)
+    bg, bb = build_minhash_index(
+        new_df,
+        ptr["id_col"],
+        ptr["text_col"],
+        ptr["num_hashes"],
+        ptr["bands"],
+        ptr["shingle_n"],
+    )
+    return release_caches_with(_probe_pruned(spark, root, ptr, bg, bb), bg, bb)
 
 
 def sync_minhash_index_stream(
@@ -616,15 +747,27 @@ def sync_minhash_index_stream(
     that the replay overwrites.
 
     Per-epoch cost, honestly: O(batch) shingle/band hashing + one
-    band-key shuffle for candidates + ONE scan-speed pass over the
-    committed grams table for exact-Jaccard verification (the
-    candidate side is batch-sized, so the join broadcasts it into the
-    scan). At 100 TB, bucket the grams epochs by id — the
-    ``save_knn_graph`` layout — to turn that verify scan into
-    partition-pruned fetches."""
+    band-key shuffle for candidates + a PARTITION-PRUNED fetch of the
+    committed grams buckets the candidate corpus docs hash into, for
+    exact-Jaccard verification (the candidate side is batch-sized, so
+    the join broadcasts it into the fetch) — the grams ledger is
+    bucketed by doc id inside each epoch exactly so this never scans
+    all committed grams (``_write_grams_epoch``; pruning pinned by
+    test_minhash_sync_verify_partition_prunes).
+
+    CHECKPOINT-WIPE HAZARD (shared by all four syncs): exactly-once
+    keys on foreachBatch's ``epoch_id`` alone, which is only safe
+    while the source-file→epoch mapping is stable. Wiping the
+    checkpoint is a proven fixed point for an UNCHANGED source (the
+    re-drain replays epochs 0..last and no-ops) — but wiping it AFTER
+    new files landed renumbers epochs from 0, so the not-yet-processed
+    files can be misread as replays and silently skipped. Recover from
+    a lost checkpoint by re-draining with the same source listing, or
+    a fresh checkpoint dir plus a source that starts after the
+    pointer's high-water mark — never a wiped checkpoint over a grown
+    source."""
     from spacex_data_engineering_pipeline_spark.operators.dedup import (
         build_minhash_index,
-        probe_minhash_index,
     )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -634,16 +777,6 @@ def sync_minhash_index_stream(
         last = ptr["last_batch_id"]
         if last is not None and epoch_id <= last:
             return  # replayed epoch: already committed
-        idx_grams = (
-            spark.read.parquet(os.path.join(root, "grams"))
-            .filter(F.col("epoch") <= ptr["max_epoch"])
-            .drop("epoch")
-        )
-        idx_bands = (
-            spark.read.parquet(os.path.join(root, "bands"))
-            .filter(F.col("epoch") <= ptr["max_epoch"])
-            .drop("epoch")
-        )
         epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
         # ONE shingle+band pass per batch: the fold's index build doubles
         # as the probe's query side (probe_minhash_index new_grams/
@@ -656,24 +789,10 @@ def sync_minhash_index_stream(
             ptr["bands"],
             ptr["shingle_n"],
         )
-        probe_minhash_index(
-            idx_grams,
-            idx_bands,
-            batch_df,
-            ptr["id_col"],
-            ptr["text_col"],
-            num_hashes=ptr["num_hashes"],
-            bands=ptr["bands"],
-            shingle_n=ptr["shingle_n"],
-            min_jaccard_micro=ptr["min_jaccard_micro"],
-            new_grams=bg,
-            new_banded=bb,
-        ).write.mode("overwrite").parquet(
-            _minhash_epoch_path(root, "pairs", epoch)
-        )
-        bg.write.mode("overwrite").parquet(
-            _minhash_epoch_path(root, "grams", epoch)
-        )
+        _probe_pruned(spark, root, ptr, bg, bb).write.mode(
+            "overwrite"
+        ).parquet(_minhash_epoch_path(root, "pairs", epoch))
+        _write_grams_epoch(bg, root, epoch, ptr.get("grams_buckets", 16))
         bb.write.mode("overwrite").parquet(
             _minhash_epoch_path(root, "bands", epoch)
         )
@@ -703,11 +822,37 @@ def load_synced_dedup_pairs(
     batches are disjoint so epochs never repeat a pair.
     ``as_of_epoch`` time-travels to the verdicts as of any past batch
     (epoch partitions are immutable once committed) — the audit shape
-    "what did dedup flag before batch k landed"."""
+    "what did dedup flag before batch k landed".
+
+    Epoch 0 (a freshly-initialized root, or ``as_of_epoch=0``) is a
+    legal committed state with NO pairs directory yet — the base
+    corpus is indexed but nothing has been probed — so it returns the
+    EMPTY verdict set (doc-id type taken from the grams ledger), not
+    an AnalysisException, matching the other synced readers' epoch-0
+    validity."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     ptr = read_index_pointer(root)
     epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
+    pairs_dir = os.path.join(root, "pairs")
+    if epoch == 0 or not os.path.isdir(pairs_dir):
+        id_type = (
+            spark.read.parquet(os.path.join(root, "grams"))
+            .schema["doc"]
+            .dataType
+        )
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("new_doc", id_type),
+                    StructField("corpus_doc", id_type),
+                    StructField("jaccard_micro", LongType()),
+                ]
+            ),
+        )
     return (
-        spark.read.parquet(os.path.join(root, "pairs"))
+        spark.read.parquet(pairs_dir)
         .filter(F.col("epoch") <= epoch)
         .drop("epoch")
     )

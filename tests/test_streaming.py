@@ -1530,6 +1530,78 @@ def test_streaming_minhash_index_sync_crash_restart(spark, sf_dir, tmp_path):
     )
 
 
+def test_minhash_sync_verify_partition_prunes(spark, sf_dir, tmp_path):
+    """The growing dedup index's exact-verify side must PARTITION-PRUNE
+    to the candidate docs' grams buckets, never scan all committed
+    grams (the 100 TB contract: the grams ledger is bucketed by doc id
+    inside each epoch, and the verify reads ≤ |candidate buckets| of
+    them). Pinned three ways: the bucket-restricted reader's scan
+    carries __bucket in PartitionFilters and lists ONLY the probed
+    bucket dirs; the pruned read-only probe returns exactly what the
+    unpruned in-memory probe returns; and a fresh root's pairs reader
+    returns the empty verdict set (epoch 0 is a legal committed
+    state)."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        minhash_probe_pairs,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+
+    root = str(tmp_path / "index")
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+
+    # epoch 0 with no pairs dir is a legal committed state: empty verdicts
+    empty = index_sync.load_synced_dedup_pairs(spark, root)
+    assert empty.columns == ["new_doc", "corpus_doc", "jaccard_micro"]
+    assert empty.count() == 0
+
+    # bucket-restricted reader: partition filter present, file listing pruned
+    some = index_sync.read_synced_grams(spark, root, buckets=[2, 5])
+    plan = some._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+    assert "__bucket" in pf, f"verify read must prune on __bucket: {plan[:600]}"
+    # actual files READ (input_file_name survives the pruned scan;
+    # .inputFiles() would list the whole relation pre-pruning)
+    files = {
+        r[0]
+        for r in some.select(F.input_file_name()).distinct().collect()
+    }
+    assert files, "bucket dirs 2/5 should hold committed grams"
+    assert all(
+        "/__bucket=2/" in f or "/__bucket=5/" in f for f in files
+    ), sorted(files)[:5]
+    all_files = {
+        r[0]
+        for r in index_sync.read_synced_grams(spark, root)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert len(files) < len(all_files)
+    # the empty bucket list reads nothing at all
+    assert index_sync.read_synced_grams(spark, root, buckets=[]).count() == 0
+
+    # pruned read-only probe == unpruned in-memory probe, value-exact
+    got = {
+        (r.new_doc, r.corpus_doc, r.jaccard_micro)
+        for r in index_sync.probe_minhash_root(spark, root, batch).collect()
+    }
+    want = {
+        (r.new_doc, r.corpus_doc, r.jaccard_micro)
+        for r in minhash_probe_pairs(
+            corpus, batch, "doc_id", "text", min_jaccard_micro=300_000
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_synced_artifact_time_travel(spark, sf_dir, tmp_path):
     """The epoch ledger doubles as TIME TRAVEL: committed epochs are
     immutable, so every synced reader accepts as_of and reproduces the
