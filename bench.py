@@ -74,6 +74,10 @@ LARGE_RESULT = {
     "multimodal_video_scene_cuts",
     # pairs-shaped (≤ N·k/2 mutual edges)
     "embedding_mutual_knn_pairs",
+    # round 12: the synced-graph entries return the SAME N·k shape as
+    # embedding_knn_graph (the round-7 GC-poisoning lesson) — count()
+    "streaming_knn_graph_sync",
+    "streaming_knn_graph_ivf_sync",
 }
 
 

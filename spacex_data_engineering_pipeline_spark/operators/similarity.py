@@ -1256,6 +1256,180 @@ def knn_graph_auto(
     raise ValueError(params["reason"])
 
 
+def knn_graph_ivf_fold(
+    postings: DataFrame,
+    centroids,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probes: int,
+    base_graph: DataFrame,
+    cluster_col: str = "cluster",
+    decimals: int = 6,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """Fold an APPEND-ONLY batch into a kNN graph through IVF ROUTING —
+    the maintenance arm for the regime ``knn_graph_auto_plan`` refuses
+    (> ivf_max_rows), where even the |batch|·N exact fold of
+    ``knn_graph_incremental`` is too much corpus to touch per batch.
+    The corpus arrives as an IVF POSTING table ((id, vec, cluster) —
+    ``build_ivf_index``/``load_synced_ivf``'s layout) plus its FIXED
+    centroids; per batch the only corpus rows read are the postings in
+    the union of the batch vectors' probed clusters — a
+    partition-pruned fetch when the postings are saved partitioned by
+    ``cluster``, so per-epoch cost is |batch| · |probed postings|,
+    never |batch| · N.
+
+    Candidate generation is symmetric per probed cluster c: batch
+    vectors that probe c take c's postings as neighbor candidates
+    (forward), and c's postings take exactly those batch vectors as
+    candidates (reverse) — plus a driver-side batch×batch block under
+    the same routing mask (own-cluster ∈ the other's probe set).
+    Rows in un-probed clusters keep their stored lists bit-unchanged.
+
+    EXACTNESS AT FULL WIDTH (what the oracle grades): with n_probes ≥
+    n_clusters every cluster is probed, so forward sees the whole
+    corpus, reverse gives every corpus row its full partial top-k
+    against the batch, and the batch block is unmasked — the merge is
+    then exactly ``knn_graph_incremental``'s candidate set, whose
+    re-ranked union equals a full rebuild (its theorem), with the same
+    strict-sum 6dp cosines from the shared ``_partial_topk_side``
+    kernel. At partial width the SAME merge is the recall dial: a
+    missed edge is always a cross-cluster one the probe mass chose not
+    to pay for (pytest-pinned recall floor on clustered batches).
+
+    APPEND-ONLY CONTRACT (as ``knn_graph_incremental``): ``new`` ids
+    must be disjoint from the postings' — an upsert needs corpus-wide
+    stale-edge eviction, which is ``knn_graph_upsert``'s exact job.
+    ``new`` is an update batch: it ships in the scan closure.
+    """
+    from pyspark.sql.window import Window
+
+    centers = np.asarray(centroids, dtype="float64")
+    n_clusters = len(centers)
+    new_rows = (
+        new.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).collect()
+    )
+    new_list = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in new_rows
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    if not new_list:
+        return (
+            base_graph.select(id_col, "neighbor", "cos_sim")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "rnk", "neighbor", "cos_sim")
+        )
+    qids = np.asarray([q for q, _ in new_list], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in new_list])
+    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+
+    # probe routing: the SAME normalized-matmul expression as
+    # centroid_assign_udf / IvfIndex.probe_clusters, stable tiebreak
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = (qmat / np.where(qn > 0, qn, 1.0)) @ centers.T
+    order = np.argsort(-sims, axis=1, kind="stable")
+    width = min(n_probes, n_clusters)
+    probe_sets = [set(int(c) for c in order[r, :width]) for r in range(len(qids))]
+    own_cluster = order[:, 0]
+    probed_union = sorted(set().union(*probe_sets))
+    cluster_to_q = {}
+    for r, ps in enumerate(probe_sets):
+        for c in ps:
+            cluster_to_q.setdefault(c, []).append(r)
+    cluster_to_q = {c: np.asarray(rs, dtype=np.int64) for c, rs in cluster_to_q.items()}
+
+    def fold_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_i, out_n, out_c = [], [], []
+            for c, grp in pdf.groupby(cluster_col):
+                q_idx = cluster_to_q.get(int(c))
+                if q_idx is None or not len(q_idx):
+                    continue
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+                sq_i, sq_m, sq_n = qids[q_idx], qmat[q_idx], qnorm[q_idx]
+                # forward: batch rows gather this cluster's postings
+                _partial_topk_side(
+                    sq_i, sq_m, sq_n, ids, mat, norms,
+                    k, slack, out_i, out_n, out_c,
+                )
+                # reverse: this cluster's postings gather the batch
+                # vectors that probed it
+                _partial_topk_side(
+                    ids, mat, norms, sq_i, sq_m, sq_n,
+                    k, slack, out_i, out_n, out_c,
+                )
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_i),
+                        "neighbor": np.concatenate(out_n),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    emitted = (
+        postings.filter(F.col(cluster_col).isin(probed_union))
+        .select(id_col, vec_col, cluster_col)
+        .mapInPandas(fold_scan, f"{id_col} long, neighbor long, cos_raw double")
+        .withColumn("cos_sim", F.round("cos_raw", decimals))
+        .select(id_col, "neighbor", "cos_sim")
+    )
+
+    # batch × batch under the same routing mask, driver-side (the batch
+    # is closure-sized by contract; the kernel drops self-pairs)
+    nn_i, nn_n, nn_c = [], [], []
+    for r in range(len(qids)):
+        allowed = np.asarray(
+            [j for j in range(len(qids)) if int(own_cluster[j]) in probe_sets[r]],
+            dtype=np.int64,
+        )
+        if len(allowed):
+            _partial_topk_side(
+                qids[r : r + 1], qmat[r : r + 1], qnorm[r : r + 1],
+                qids[allowed], qmat[allowed], qnorm[allowed],
+                k, slack, nn_i, nn_n, nn_c,
+            )
+    spark = new.sparkSession
+    if nn_i:
+        nn_rows = [
+            (int(i), int(n), float(c))
+            for i, n, c in zip(
+                np.concatenate(nn_i), np.concatenate(nn_n), np.concatenate(nn_c)
+            )
+        ]
+    else:
+        nn_rows = []
+    nn_df = (
+        spark.createDataFrame(
+            nn_rows, f"{id_col} long, neighbor long, cos_raw double"
+        )
+        .withColumn("cos_sim", F.round("cos_raw", decimals))
+        .select(id_col, "neighbor", "cos_sim")
+    )
+
+    cands = (
+        base_graph.select(id_col, "neighbor", "cos_sim")
+        .unionByName(emitted)
+        .unionByName(nn_df)
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "neighbor", "cos_sim")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = random.Random(seed)
@@ -1490,12 +1664,22 @@ class IvfIndex:
     def probe_clusters(self, query_vec: list[float], n_probes: int) -> list[int]:
         """Driver-side centroid scan (numpy over a (k, dim) matrix — no
         Spark job): the ``n_probes`` clusters nearest the query by cosine.
+
+        Ranks with the SAME expression form as ``centroid_assign_udf``
+        (normalize the query, one plain matmul against the centroid
+        matrix — centroids are unit-norm by ``_spherical_kmeans``
+        construction, so dividing by their norms was a redundant float
+        op that could flip argmax on ulp-level ties between assignment
+        and probe routing) and breaks exact score ties toward the
+        lower cluster id, as argmax does. Residual caveat: BLAS may
+        still block a (1, dim) and an (n, dim) matmul differently, so
+        bit-identity across the two call shapes is very likely but not
+        guaranteed by the standard.
         """
-        q = np.asarray(query_vec, dtype="float64")
-        qn = np.linalg.norm(q)
-        cn = np.linalg.norm(self.centroids, axis=1)
-        sims = self.centroids @ q / np.where(cn * qn > 0, cn * qn, 1.0)
-        return [int(i) for i in np.argsort(-sims)[:n_probes]]
+        q = np.asarray([query_vec], dtype="float64")
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        sims = (q / np.where(qn > 0, qn, 1.0) @ self.centroids.T)[0]
+        return [int(i) for i in np.argsort(-sims, kind="stable")[:n_probes]]
 
     def save(self, path: str) -> None:
         """Persist postings partitioned by ``cluster`` + centroid sidecar."""

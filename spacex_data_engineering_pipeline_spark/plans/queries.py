@@ -1400,7 +1400,10 @@ def _minhash_probe_oracle_sql(
 
 
 def _minhash_sync_oracle_sql(
-    num_hashes: int = 64, bands: int = 16, min_jaccard_micro: int = 300_000
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard_micro: int = 300_000,
+    time_travel: bool = False,
 ) -> str:
     """DuckDB replay of the GROWING-index streaming dedup
     (``streaming_minhash_index_sync``): documents carry a deterministic
@@ -1411,7 +1414,13 @@ def _minhash_sync_oracle_sql(
     index side arrived STRICTLY EARLIER (c.batch < n.batch) — the
     first-seen-wins semantics of an index that folds each batch in
     after probing it. Exact-Jaccard verification as in the probe
-    oracle."""
+    oracle.
+
+    ``time_travel=True`` is the ``dedup_index_time_travel`` variant:
+    the ledger's epoch e holds batch e−1's verdicts, so "pairs as of
+    epoch k" ≡ verdicts whose probing batch < k — one closed-form
+    predicate per as-of point, unioned with an ``as_of_epoch`` label
+    for every committed epoch 1..3."""
     from spacex_data_engineering_pipeline_spark.operators.dedup import minhash_coeffs
 
     coeffs = minhash_coeffs(num_hashes)
@@ -1464,18 +1473,77 @@ def _minhash_sync_oracle_sql(
           ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
          AND c.batch < n.batch AND n.batch >= 0
          AND n.doc <> c.doc
+    ),
+    verdicts AS (
+        SELECT gn.batch AS nb, p.new_doc, p.corpus_doc,
+               CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
+                    / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
+                    AS BIGINT) AS jaccard_micro
+        FROM pairs p
+        JOIN hb gn ON p.new_doc = gn.doc
+        JOIN hb gc ON p.corpus_doc = gc.doc
+        WHERE CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
+                   / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
+                   AS BIGINT) >= {min_jaccard_micro}
     )
-    SELECT p.new_doc, p.corpus_doc,
-           CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
-                / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
-                AS BIGINT) AS jaccard_micro
-    FROM pairs p
-    JOIN hb gn ON p.new_doc = gn.doc
-    JOIN hb gc ON p.corpus_doc = gc.doc
-    WHERE CAST(floor(len(list_intersect(gn.grams, gc.grams)) * 1000000
-               / (len(gn.grams) + len(gc.grams) - len(list_intersect(gn.grams, gc.grams))))
-               AS BIGINT) >= {min_jaccard_micro}
+    """ + (
+        """
+    SELECT CAST(e.as_of_epoch AS BIGINT) AS as_of_epoch,
+           v.new_doc, v.corpus_doc, v.jaccard_micro
+    FROM (VALUES (1), (2), (3)) AS e(as_of_epoch)
+    JOIN verdicts v ON v.nb < e.as_of_epoch
     """
+        if time_travel
+        else """
+    SELECT new_doc, corpus_doc, jaccard_micro FROM verdicts
+    """
+    )
+
+
+def _drain_minhash_sync(spark: SparkSession, sf_dir: str, work: str) -> str:
+    """Shared setup for the growing-dedup-index entries: init the root
+    from the corpus (doc_id % 5 ≠ 0), stage the three deterministic
+    micro-batches (doc_id % 15 = 0/5/10, plus the verbatim plants
+    doc_id % 45 = 0 re-ingested in batch 2 under id + 10,000,000) as a
+    file stream with pinned mtimes, and drain it through
+    ``sync_minhash_index_stream``. Returns the ledger root under
+    ``work`` (caller owns the rmtree)."""
+    import os as _os
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 15 == 5).select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 45 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 15 == 10)
+        .select("doc_id", "text")
+        .unionByName(plants)
+    )
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+    for i, bdf in enumerate((b0, b1, b2)):
+        staged = _os.path.join(work, f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(src, f"batch{i:04d}.parquet")
+        _os.replace(_os.path.join(staged, part), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_sync.sync_minhash_index_stream(
+        spark, src, b0.schema, root,
+        checkpoint_dir=_os.path.join(work, "ckpt"),
+    )
+    return root
 
 
 @_register("streaming_minhash_index_sync", oracle=_minhash_sync_oracle_sql())
@@ -1500,50 +1568,62 @@ def streaming_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result. Per-batch cost is O(batch) hashing + one band-key
     shuffle; the committed index is read partition-pruned by epoch,
     never rebuilt."""
-    import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
     from spacex_data_engineering_pipeline_spark.streaming import index_sync
 
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
-    b0 = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id", "text")
-    b1 = docs.filter(F.col("doc_id") % 15 == 5).select("doc_id", "text")
-    plants = docs.filter(F.col("doc_id") % 45 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
-    )
-    b2 = (
-        docs.filter(F.col("doc_id") % 15 == 10)
-        .select("doc_id", "text")
-        .unionByName(plants)
-    )
-
     work = _tempfile.mkdtemp(prefix="minhash_sync_")
-    root = _os.path.join(work, "index")
-    src = _os.path.join(work, "src")
-    _os.makedirs(src)
     try:
-        index_sync.init_minhash_root(
-            corpus, root, "doc_id", "text", min_jaccard_micro=300_000
-        )
-        for i, bdf in enumerate((b0, b1, b2)):
-            staged = _os.path.join(work, f"stage{i}")
-            bdf.repartition(1).write.parquet(staged)
-            part = next(
-                f for f in sorted(_os.listdir(staged))
-                if f.endswith(".parquet")
-            )
-            dst = _os.path.join(src, f"batch{i:04d}.parquet")
-            _os.replace(_os.path.join(staged, part), dst)
-            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        index_sync.sync_minhash_index_stream(
-            spark, src, b0.schema, root,
-            checkpoint_dir=_os.path.join(work, "ckpt"),
-        )
+        root = _drain_minhash_sync(spark, sf_dir, work)
         out = (
             index_sync.load_synced_dedup_pairs(spark, root)
             .orderBy("new_doc", "corpus_doc")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "dedup_index_time_travel",
+    oracle=_minhash_sync_oracle_sql(time_travel=True),
+)
+def dedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the epoch ledger, oracle-graded (the committed
+    counterpart of the pytest-only ``as_of`` pins): after the same
+    three-batch drain as ``streaming_minhash_index_sync``, read the
+    near-dup verdicts AS OF every committed epoch 1..3 — immutable
+    epoch partitions make each read an exact ``epoch ≤ k`` filter, so
+    "what had dedup flagged before batch k landed" is reproducible
+    forever (audit/rollback shape; ``customer_dim_time_travel`` is the
+    SCD analog). Non-vacuous by construction: as-of 1 holds only
+    batch 0's organic pairs, as-of 3 adds the batch-2 plants — a reader
+    that ignored the epoch filter, or a ledger that rewrote history,
+    shifts every slice. The oracle replays each slice closed-form
+    (verdicts whose probing batch < k)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    work = _tempfile.mkdtemp(prefix="minhash_tt_")
+    try:
+        root = _drain_minhash_sync(spark, sf_dir, work)
+        slices = [
+            index_sync.load_synced_dedup_pairs(
+                spark, root, as_of_epoch=k
+            ).withColumn("as_of_epoch", F.lit(k).cast("long"))
+            for k in (1, 2, 3)
+        ]
+        out = (
+            slices[0]
+            .unionByName(slices[1])
+            .unionByName(slices[2])
+            .select("as_of_epoch", "new_doc", "corpus_doc", "jaccard_micro")
+            .orderBy("as_of_epoch", "new_doc", "corpus_doc")
             # materialize before the temp dir vanishes (lazy scan)
             .localCheckpoint(eager=True)
         )
@@ -2248,6 +2328,97 @@ def streaming_knn_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         index_sync.sync_knn_graph_stream(
             spark, src, updates.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_graph(spark, root)
+            .orderBy("vec_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "streaming_knn_graph_ivf_sync",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND({_DUCK_PAIR_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def streaming_knn_graph_ivf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming graph maintenance through IVF ROUTING — the graded
+    arm for the regime ``knn_graph_auto`` refuses (> 2M rows), where
+    even ``streaming_knn_graph_sync``'s exact |batch|·N fold touches
+    too much corpus per epoch: the corpus lives as a cluster-
+    partitioned IVF posting ledger next to the graph generations, and
+    each micro-batch folds in by probing its ``n_probes`` nearest
+    clusters only — per-epoch work is |batch| × |probed postings|,
+    partition-pruned at the file listing
+    (streaming/index_sync.py:sync_knn_graph_ivf_stream,
+    operators/similarity.py:knn_graph_ivf_fold).
+
+    Graded at FULL probe width, where the routed fold is provably
+    exact (every cluster probed ⇒ the candidate set equals
+    ``knn_graph_incremental``'s, whose merge ≡ rebuild): base graph
+    over ids below the 94% mark, the last 6% arrive as a 3-micro-batch
+    INSERT stream (append-only — the ``knn_graph_incremental``
+    contract; upserts route through the exact sync), and the oracle is
+    the full-rebuild ranking over the final corpus — three chained
+    IVF-routed folds ≡ one rebuild, row for row at 6dp. The partial-
+    width recall dial and crash-restart are pytest-pinned
+    (tests/test_operators.py, tests/test_streaming.py)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s94 = mx * 94 // 100
+    base = emb.filter(F.col("vec_id") < s94).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s94).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    work = _tempfile.mkdtemp(prefix="knng_ivf_sync_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    try:
+        index_sync.init_knn_graph_ivf_root(
+            base, root, "vec_id", "embedding", k=5,
+            n_clusters=8, n_probes=8, seed=7, n_blocks=8, n_buckets=16,
+        )
+        split = _os.path.join(work, "split")
+        inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+        _os.makedirs(src)
+        parts = sorted(f for f in _os.listdir(split) if f.endswith(".parquet"))
+        for i, fname in enumerate(parts):
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(split, fname), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_knn_graph_ivf_stream(
+            spark, src, inserts.schema, root,
             checkpoint_dir=_os.path.join(work, "ckpt"),
         )
         out = (

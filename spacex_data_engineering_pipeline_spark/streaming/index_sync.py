@@ -1,9 +1,14 @@
 """Streaming maintenance of PERSISTED derived artifacts — one
-epoch-ledger protocol, four artifact kinds:
+epoch-ledger protocol, five sync arms over four artifact kinds:
 
 - kNN graph (``sync_knn_graph_stream``): micro-batches fold into a
   SAVED graph via ``knn_graph_upsert`` — |batch|·N + |affected|·N per
   epoch, upsert semantics (stale edges evicted corpus-wide);
+- kNN graph through IVF ROUTING (``sync_knn_graph_ivf_stream``): the
+  arm for the regime ``knn_graph_auto`` refuses — append batches fold
+  by probing only their ``n_probes`` nearest clusters of a cluster-
+  partitioned posting ledger, |batch| × |probed postings| per epoch,
+  exact at full probe width;
 - IVF posting table (``sync_ivf_index_stream``): batches route against
   the FIXED saved centroids into epoch partitions — FAISS ``add``
   semantics, the exactly-once wrapper ``append_to_ivf_index`` defers
@@ -13,15 +18,25 @@ epoch-ledger protocol, four artifact kinds:
   model-sized fold + O(dim³) driver eigensolve, bit-identical to a
   from-scratch fit (moment additivity);
 - MinHash dedup index (``sync_minhash_index_stream``): probe the batch
-  against the index AS OF the pointer, then fold the batch's shingles
-  + band keys in — the GROWING index (first-seen-wins) that a static
-  probe can't express.
+  against the index AS OF the pointer (exact-verify side PARTITION-
+  PRUNED to the candidate docs' grams buckets), then fold the batch's
+  shingles + band keys in — the GROWING index (first-seen-wins) that
+  a static probe can't express.
 
-All four share the commit protocol below: epoch-keyed staged writes
+All arms share the commit protocol below: epoch-keyed staged writes
 (overwrite-idempotent, invisible to readers) published by ONE fsync'd
 pointer flip; replayed epochs no-op; crash-window orphans are never
 scanned and the replay overwrites them. Crash-restart is pytest-pinned
 per artifact kind (tests/test_streaming.py).
+
+RETENTION, per ledger: ``compact_minhash_epochs`` / ``compact_ivf_
+epochs`` rewrite committed epochs into one compact dataset per table
+(epoch kept as an int data column — as-of reads stay row-exact, the
+bucket/cluster partitioning survives so pruned reads keep pruning);
+``compact_pca_epochs`` SUMS moments (ending pre-compaction as-of
+readability explicitly); the matching ``vacuum_*_epochs`` sweeps drop
+only compacted-away dirs, superseded compacts, and staged orphans.
+Graph generations keep their own ``vacuum_generations``.
 
 The original kNN-graph story, kept for the design rationale:
 embedding micro-batches fold into a SAVED kNN graph via
@@ -312,7 +327,12 @@ def load_synced_ivf(
     Returns an ``IvfIndex``; probes prune on the ``cluster`` partition
     column exactly as for an offline-saved index. ``as_of_epoch``
     time-travels: epoch partitions are immutable once committed, so
-    the index as of any past epoch is the exact filter ≤ k."""
+    the index as of any past epoch is the exact filter ≤ k.
+
+    Compaction-aware: after ``compact_ivf_epochs`` the committed
+    history comes from the cluster-partitioned compact dataset (epoch
+    a data column — as-of reads stay row-exact, cluster pruning keeps
+    working) plus any live epoch dirs above it."""
     from spacex_data_engineering_pipeline_spark.operators import (
         similarity as S_,
     )
@@ -321,12 +341,15 @@ def load_synced_ivf(
     epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
     with open(os.path.join(root, "centroids.json")) as f:
         centroids = json.load(f)
-    assigned = (
-        spark.read.parquet(os.path.join(root, "postings"))
-        .filter(F.col("epoch") <= epoch)
-        .drop("epoch")
+    assigned = _ledger_frames(spark, root, "postings", ptr, epoch)
+    if assigned is None:
+        raise ValueError(
+            f"no committed postings at epoch {epoch} — the root is not "
+            "initialized (init_ivf_root writes epoch 0)"
+        )
+    return S_.IvfIndex(
+        assigned.drop("epoch"), centroids, ptr["id_col"], ptr["vec_col"]
     )
-    return S_.IvfIndex(assigned, centroids, ptr["id_col"], ptr["vec_col"])
 
 
 def sync_ivf_index_stream(
@@ -399,6 +422,142 @@ def sync_ivf_index_stream(
     q.awaitTermination()
 
 
+def init_knn_graph_ivf_root(
+    corpus: DataFrame,
+    root: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    seed: int = 42,
+    sample_cap: int = 65536,
+    n_blocks: int = 8,
+    n_buckets: int = 16,
+) -> None:
+    """One-time base for IVF-ROUTED graph maintenance — the streaming
+    arm for the regime ``knn_graph_auto_plan`` refuses: the base kNN
+    graph (exact, built once) saved as generation 0, the corpus saved
+    as IVF POSTINGS (epoch 0, partitioned by cluster — the layout the
+    per-batch probed-cluster fetch partition-prunes on) with the FIXED
+    centroid sidecar, and one pointer carrying both high-water marks
+    (graph ``generation``, postings ``max_epoch``) plus the pinned
+    probe width. ``load_synced_graph``, ``vacuum_generations``, and
+    ``vacuum_ivf_orphans`` all work on this root unchanged — it is the
+    graph ledger and the IVF ledger sharing one commit point."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    idx = S_.build_ivf_index(
+        corpus, id_col, vec_col,
+        n_clusters=n_clusters, seed=seed, sample_cap=sample_cap,
+        persist=False,
+    )
+    with open(os.path.join(root, "centroids.json"), "w") as f:
+        json.dump(idx.centroids.tolist(), f)
+    idx.assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        _ivf_epoch_path(root, 0)
+    )
+    graph = S_.knn_graph(corpus, id_col, vec_col, k, n_blocks=n_blocks)
+    S_.save_knn_graph(graph, _graph_gen_path(root, 0), id_col, n_buckets=n_buckets)
+    _flip_pointer(
+        root,
+        {
+            "generation": 0,
+            "max_epoch": 0,
+            "last_batch_id": None,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "k": k,
+            "n_probes": n_probes,
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def sync_knn_graph_ivf_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain ``source_path`` (parquet file stream of NEW (id, vector)
+    rows — INSERT-only, the ``knn_graph_incremental`` append contract;
+    re-vectored ids need ``sync_knn_graph_stream``'s exact upsert fold)
+    with AvailableNow: per micro-batch, fold the batch into the SAVED
+    graph through IVF ROUTING (``knn_graph_ivf_fold`` — only the
+    postings in the batch's probed clusters are read, partition-pruned
+    by the cluster layout), append the batch to the postings ledger as
+    its own epoch, and publish graph generation + postings high-water
+    mark in ONE pointer flip. This is the maintenance path the
+    ``knn_graph_auto`` refusal names for > 2M-row corpora: per-epoch
+    work is |batch| × |probed postings|, never |batch| × N, at the
+    pinned recall dial ``n_probes`` (full width ⇒ the fold is exact —
+    the oracle-graded configuration).
+
+    Same exactly-once epoch ledger as the other syncs (replays no-op,
+    staged orphans overwritten, one fsync'd pointer flip), and the
+    same checkpoint-wipe hazard (see ``sync_minhash_index_stream``):
+    wiping the checkpoint after NEW source files landed renumbers
+    epochs and can skip them as replays."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if on_batch_start is not None:
+            on_batch_start(epoch_id)
+        ptr = read_index_pointer(root)
+        last = ptr["last_batch_id"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
+        with open(os.path.join(root, "centroids.json")) as f:
+            centers = json.load(f)
+        postings = _ledger_frames(
+            spark, root, "postings", ptr, ptr["max_epoch"]
+        ).drop("epoch")
+        prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
+        updates = batch_df.select(id_col, vec_col)
+        new_graph = S_.knn_graph_ivf_fold(
+            postings, centers, updates, id_col, vec_col, k,
+            n_probes=ptr["n_probes"], base_graph=prev,
+        )
+        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        S_.save_knn_graph(
+            new_graph, _graph_gen_path(root, epoch), id_col,
+            n_buckets=ptr["n_buckets"],
+        )
+        updates.select(
+            F.col(id_col),
+            F.col(vec_col),
+            S_.centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
+        ).write.mode("overwrite").partitionBy("cluster").parquet(
+            _ivf_epoch_path(root, epoch)
+        )
+        _flip_pointer(
+            root,
+            {**ptr, "generation": epoch, "max_epoch": epoch,
+             "last_batch_id": epoch_id},
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def vacuum_ivf_orphans(root: str) -> int:
     """Drop staged posting epochs ABOVE the pointer — the crash-window
     orphans a final crash can leave. Unlike graph generations, committed
@@ -417,6 +576,39 @@ def vacuum_ivf_orphans(root: str) -> int:
     for e in doomed:
         shutil.rmtree(_ivf_epoch_path(root, e))
     return len(doomed)
+
+
+def compact_ivf_epochs(spark: SparkSession, root: str) -> int:
+    """Retention for the IVF posting ledger — the worst directory
+    growth of the family (``n_clusters`` dirs per committed epoch):
+    rewrite every posting epoch at or below the pointer into ONE
+    cluster-partitioned compact dataset with epoch kept as an int data
+    column, so probes keep partition-pruning on ``cluster``, as-of
+    reads stay row-exact, and the live tail keeps its epoch dirs. Same
+    staged-then-pointer-flip commit as ``compact_minhash_epochs``;
+    superseded dirs removed by ``vacuum_ivf_epochs``. Returns epochs
+    newly folded. Works on both plain IVF roots (``init_ivf_root``)
+    and combined graph+IVF roots (``init_knn_graph_ivf_root``)."""
+    ptr = read_index_pointer(root)
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    if head <= cu:
+        return 0
+    df = _ledger_frames(spark, root, "postings", ptr, head)
+    df.write.mode("overwrite").partitionBy("cluster").parquet(
+        _compact_path(root, "postings", head)
+    )
+    _flip_pointer(root, {**ptr, "compact_upto": head})
+    return head - cu
+
+
+def vacuum_ivf_epochs(root: str) -> int:
+    """Retention sweep for the posting ledger: see
+    ``_vacuum_ledger_dirs`` (compacted-away epoch dirs, superseded
+    compacts, staged crash orphans — never the committed tail or the
+    pointer-named compact). Supersedes ``vacuum_ivf_orphans`` on
+    compacted roots (orphans are swept by both)."""
+    return _vacuum_ledger_dirs(root, ("postings",))
 
 
 def _moments_epoch_path(root: str, epoch: int) -> str:
@@ -515,16 +707,29 @@ def load_synced_pca_model(
     epochs × ~2,145 rows; the corpus is untouched. ``as_of_epoch``
     time-travels: the model as trained after any past batch is exactly
     the fold over epochs ≤ k — full model provenance at dim² bytes per
-    epoch."""
+    epoch.
+
+    Retention interplay: ``compact_pca_epochs`` SUMS epochs away
+    (unlike the MinHash compaction, which rewrites rows — a summed
+    moment table cannot be re-sliced), so as-of points strictly below
+    the pointer's ``compact_upto`` are refused the way vacuumed graph
+    generations are: compaction is the explicit choice to end their
+    readability."""
     from spacex_data_engineering_pipeline_spark.operators.pca import (
         fit_pca_from_moments,
     )
 
     ptr = read_index_pointer(root)
     epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    if epoch < cu:
+        raise ValueError(
+            f"as_of={epoch} was compacted away (compact_upto={cu}) — "
+            "moment compaction sums epochs, so time travel reaches "
+            "epochs ≥ the compaction point only"
+        )
     merged = (
-        spark.read.parquet(os.path.join(root, "moments"))
-        .filter(F.col("epoch") <= epoch)
+        _ledger_frames(spark, root, "moments", ptr, epoch)
         .groupBy("i", "j")
         .agg(F.sum("m").alias("m"))
         .collect()
@@ -532,8 +737,163 @@ def load_synced_pca_model(
     return fit_pca_from_moments(merged, n_components, n_iter=n_iter)
 
 
+def compact_pca_epochs(spark: SparkSession, root: str) -> int:
+    """Retention for the PCA moment ledger: SUM every committed epoch
+    at or below the pointer into one model-sized moment table (exact
+    int64 — ``merge_moments`` additivity makes the fold bit-identical
+    to reading the epochs separately), staged at
+    ``moments_compact/upto=<head>`` and published by one pointer flip.
+    The summed table carries ``epoch = compact point`` so the generic
+    ledger reader unions it with the live tail transparently; as-of
+    reads below the compaction point are refused (the detail is gone —
+    see ``load_synced_pca_model``). Superseded dirs stay until
+    ``vacuum_pca_epochs``. Returns the number of epochs newly folded."""
+    ptr = read_index_pointer(root)
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    if head <= cu:
+        return 0
+    df = _ledger_frames(spark, root, "moments", ptr, head)
+    (
+        df.groupBy("i", "j")
+        .agg(F.sum("m").alias("m"))
+        .withColumn("epoch", F.lit(head).cast("int"))
+        .write.mode("overwrite")
+        .parquet(_compact_path(root, "moments", head))
+    )
+    _flip_pointer(root, {**ptr, "compact_upto": head})
+    return head - cu
+
+
+def vacuum_pca_epochs(root: str) -> int:
+    """Retention sweep for the moment ledger: see
+    ``_vacuum_ledger_dirs`` (summed-away epoch dirs, superseded
+    compacts, staged crash orphans — never the committed tail or the
+    pointer-named compact)."""
+    return _vacuum_ledger_dirs(root, ("moments",))
+
+
 def _minhash_epoch_path(root: str, table: str, epoch: int) -> str:
     return os.path.join(root, table, f"epoch={epoch}")
+
+
+def _compact_path(root: str, table: str, upto: int) -> str:
+    return os.path.join(root, f"{table}_compact", f"upto={upto}")
+
+
+def _live_epochs(root: str, table: str) -> list[int]:
+    d = os.path.join(root, table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(d)
+        if e.startswith("epoch=")
+    )
+
+
+def _ledger_frames(
+    spark: SparkSession, root: str, table: str, ptr: dict, epoch: int
+) -> DataFrame | None:
+    """Committed rows of an epoch-keyed ledger table as of ``epoch``,
+    compaction-aware: the compact dataset (all epochs ≤ the pointer's
+    ``compact_upto``, epoch kept as an int DATA column so time travel
+    stays row-exact across compaction — parquet min/max stats skip
+    row groups below an as-of filter) unioned with the live epoch
+    dirs in (compact_upto, epoch] (epoch is a PARTITION column there —
+    pruned at file listing). Returns None when neither side has
+    committed rows in range (e.g. the pairs table of a fresh root).
+    The returned frame keeps ``epoch`` (and ``__bucket`` where the
+    layout has it) for callers to filter/drop."""
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    # cu == 0 means nothing was ever compacted: epoch 0 itself is live
+    lo = cu if cu > 0 else -1
+    frames = []
+    if any(lo < e <= epoch for e in _live_epochs(root, table)):
+        frames.append(
+            spark.read.parquet(os.path.join(root, table))
+            .filter((F.col("epoch") > lo) & (F.col("epoch") <= epoch))
+            .withColumn("epoch", F.col("epoch").cast("int"))
+        )
+    if cu > 0 and os.path.isdir(_compact_path(root, table, cu)):
+        frames.append(
+            spark.read.parquet(_compact_path(root, table, cu)).filter(
+                F.col("epoch") <= epoch
+            )
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def compact_minhash_epochs(spark: SparkSession, root: str) -> int:
+    """Fold every committed MinHash ledger epoch (grams / bands /
+    pairs) at or below the pointer into one compact dataset per table
+    — the retention step that stops the root from accumulating one
+    epoch directory per micro-batch forever. Rows are REWRITTEN, never
+    summarized: epoch survives as an int data column, so as-of reads
+    stay row-exact after compaction (unlike graph generations, where
+    vacuuming ends a generation's readability). The grams compact
+    keeps the ``__bucket`` partitioning, so the probe's verify fetch
+    still partition-prunes. Same commit discipline as the syncs: the
+    compact dataset is STAGED (readers only consult the upto the
+    pointer names), published by one pointer flip; superseded dirs
+    stay on disk, harmless, until ``vacuum_minhash_epochs``. Returns
+    the number of epochs newly folded."""
+    ptr = read_index_pointer(root)
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    if head <= cu:
+        return 0
+    for table in ("grams", "bands", "pairs"):
+        df = _ledger_frames(spark, root, table, ptr, head)
+        if df is None:
+            continue  # a fresh root's pairs table: nothing probed yet
+        writer = df.write.mode("overwrite")
+        if "__bucket" in df.columns:
+            writer = writer.partitionBy("__bucket")
+        writer.parquet(_compact_path(root, table, head))
+    _flip_pointer(root, {**ptr, "compact_upto": head})
+    return head - cu
+
+
+def _vacuum_ledger_dirs(root: str, tables: tuple[str, ...]) -> int:
+    """Shared retention sweep: drop (a) live epoch dirs at or below
+    the pointer's ``compact_upto`` (their rows live on in the compact
+    dataset), (b) compact datasets superseded by a newer compaction,
+    and (c) staged orphan epochs a crash left above the pointer. The
+    committed tail (epochs in (compact_upto, max_epoch]) and the
+    pointer-named compact are NEVER touched — the head state always
+    stays readable. Returns directories removed."""
+    import shutil
+
+    ptr = read_index_pointer(root)
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    removed = 0
+    for table in tables:
+        for e in _live_epochs(root, table):
+            if e <= cu or e > head:
+                shutil.rmtree(_minhash_epoch_path(root, table, e))
+                removed += 1
+        cdir = os.path.join(root, f"{table}_compact")
+        if os.path.isdir(cdir):
+            for d in os.listdir(cdir):
+                if d.startswith("upto=") and int(d.split("=", 1)[1]) != cu:
+                    shutil.rmtree(os.path.join(cdir, d))
+                    removed += 1
+    return removed
+
+
+def vacuum_minhash_epochs(root: str) -> int:
+    """Retention for the MinHash dedup ledger: see
+    ``_vacuum_ledger_dirs`` (compacted-away epoch dirs, superseded
+    compacts, staged crash orphans — never the committed tail or the
+    pointer-named compact)."""
+    return _vacuum_ledger_dirs(root, ("grams", "bands", "pairs"))
 
 
 def _grams_bucket(id_expr, n_buckets: int):
@@ -625,12 +985,20 @@ def read_synced_grams(
     prunes at file-listing time (assert: the scan's PartitionFilters
     carry ``__bucket``; ``.inputFiles()`` lists only the probed bucket
     dirs). ``buckets=[]`` means "no corpus docs can match" and returns
-    the empty frame without touching files."""
+    the empty frame without touching files.
+
+    Compaction-aware: after ``compact_minhash_epochs`` the committed
+    history comes from the bucket-partitioned compact dataset (epoch a
+    data column — as-of filters stay row-exact) plus any live epoch
+    dirs above it; the bucket restriction partition-prunes both."""
     ptr = read_index_pointer(root)
     epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
-    g = spark.read.parquet(os.path.join(root, "grams")).filter(
-        F.col("epoch") <= epoch
-    )
+    g = _ledger_frames(spark, root, "grams", ptr, epoch)
+    if g is None:
+        raise ValueError(
+            f"no committed grams at epoch {epoch} — the root is not "
+            "initialized (init_minhash_root writes epoch 0)"
+        )
     if buckets is not None:
         g = g.filter(
             F.col("__bucket").isin(buckets) if buckets else F.lit(False)
@@ -661,11 +1029,9 @@ def _probe_pruned(
         release_caches_with,
     )
 
-    idx_bands = (
-        spark.read.parquet(os.path.join(root, "bands"))
-        .filter(F.col("epoch") <= ptr["max_epoch"])
-        .drop("epoch")
-    )
+    idx_bands = _ledger_frames(
+        spark, root, "bands", ptr, ptr["max_epoch"]
+    ).drop("epoch")
     candidates = minhash_candidate_pairs(idx_bands, new_banded).persist()
     n_buckets = ptr.get("grams_buckets")
     if n_buckets:
@@ -834,13 +1200,13 @@ def load_synced_dedup_pairs(
 
     ptr = read_index_pointer(root)
     epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
-    pairs_dir = os.path.join(root, "pairs")
-    if epoch == 0 or not os.path.isdir(pairs_dir):
-        id_type = (
-            spark.read.parquet(os.path.join(root, "grams"))
-            .schema["doc"]
-            .dataType
-        )
+    pairs = (
+        None
+        if epoch == 0
+        else _ledger_frames(spark, root, "pairs", ptr, epoch)
+    )
+    if pairs is None:
+        id_type = read_synced_grams(spark, root).schema["doc"].dataType
         return spark.createDataFrame(
             [],
             StructType(
@@ -851,11 +1217,7 @@ def load_synced_dedup_pairs(
                 ]
             ),
         )
-    return (
-        spark.read.parquet(pairs_dir)
-        .filter(F.col("epoch") <= epoch)
-        .drop("epoch")
-    )
+    return pairs.drop("epoch")
 
 
 def vacuum_generations(root: str, keep_last: int = 1) -> int:

@@ -244,6 +244,77 @@ def test_knn_graph_incremental_equals_rebuild(spark, sf_dir):
     assert inc == full
 
 
+def test_knn_graph_ivf_fold_full_width_equals_rebuild(spark, sf_dir):
+    """IVF-ROUTED graph maintenance, both ends of the recall dial: at
+    FULL probe width (n_probes = n_clusters) folding an append batch
+    through the posting table must be row-identical to a full rebuild
+    over the union (every cluster probed ⇒ the candidate set is
+    knn_graph_incremental's, whose merge is exact by theorem); at
+    partial width the result must (a) leave every row of an un-probed
+    cluster bit-unchanged from the base graph and (b) keep a recall
+    floor on the probed ones — a missed edge is a cross-cluster one
+    the probe mass chose not to pay for, never a corrupted list."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    split = mx * 90 // 100
+    base = emb.filter(F.col("vec_id") < split)
+    new = emb.filter(F.col("vec_id") >= split)
+    idx = S.build_ivf_index(
+        base, "vec_id", "embedding", n_clusters=8, seed=7, persist=False
+    )
+    base_graph = S.knn_graph(base, "vec_id", "embedding", k=4)
+
+    folded = [
+        tuple(r)
+        for r in S.knn_graph_ivf_fold(
+            idx.assigned, idx.centroids, new, "vec_id", "embedding", 4,
+            n_probes=8, base_graph=base_graph,
+        ).orderBy("vec_id", "rnk").collect()
+    ]
+    rebuilt = [
+        tuple(r)
+        for r in S.knn_graph(emb, "vec_id", "embedding", k=4)
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    assert folded == rebuilt
+
+    # partial width: probed-cluster rows keep a recall floor, rows in
+    # never-probed clusters are bit-identical to the base graph
+    part = S.knn_graph_ivf_fold(
+        idx.assigned, idx.centroids, new, "vec_id", "embedding", 4,
+        n_probes=2, base_graph=base_graph,
+    )
+    part_rows = {tuple(r) for r in part.collect()}
+    true_rows = set(rebuilt)
+    recall = len(part_rows & true_rows) / len(true_rows)
+    assert recall >= 0.5, f"partial-probe recall {recall}"
+    base_rows = {
+        tuple(r) for r in base_graph.orderBy("vec_id", "rnk").collect()
+    }
+    # every base row the fold changed must belong to a PROBED cluster
+    changed_ids = {r[0] for r in (base_rows - part_rows)}
+    if changed_ids:
+        import numpy as np
+
+        centers = np.asarray(idx.centroids)
+        probed = set()
+        for r in new.collect():
+            q = np.asarray([list(r["embedding"])], dtype="float64")
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            sims = (q / np.where(qn > 0, qn, 1.0) @ centers.T)[0]
+            probed |= {int(i) for i in np.argsort(-sims, kind="stable")[:2]}
+        clusters = {
+            r["vec_id"]: r["cluster"]
+            for r in idx.assigned.select("vec_id", "cluster").collect()
+        }
+        assert all(clusters[i] in probed for i in changed_ids)
+
+
 def test_cdc_chunking_edit_locality(spark):
     """THE content-defined-chunking property: inserting a span into
     the middle of a document changes only the chunks whose boundary

@@ -1602,6 +1602,397 @@ def test_minhash_sync_verify_partition_prunes(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_streaming_knn_graph_ivf_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The IVF-ROUTED graph sync (the maintenance arm for the regime
+    knn_graph_auto refuses) survives a crash MID-COMMIT-WINDOW and a
+    checkpoint-wiped re-drain: epochs 0-1 commit, the sink dies at
+    epoch 2, the crash window is made worse by hand (a garbage graph
+    generation AND a garbage postings epoch staged above the pointer),
+    and the restart must overwrite the orphans and converge — at full
+    probe width the final loaded graph equals a from-scratch rebuild
+    over base + all batches, row for row at 6dp, after three CHAINED
+    IVF-routed folds."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s94 = mx * 94 // 100
+    base = emb.filter(F.col("vec_id") < s94).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s94).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    split = str(tmp_path / "split")
+    index_sync.init_knn_graph_ivf_root(
+        base, root, "vec_id", "embedding", k=4,
+        n_clusters=8, n_probes=8, seed=7, n_blocks=4, n_buckets=8,
+    )
+    inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+    src.mkdir()
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    assert len(parts) == 3
+    for i, fname in enumerate(parts):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_knn_graph_ivf_stream(
+            spark, str(src), inserts.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1
+    assert ptr["generation"] == 2 and ptr["max_epoch"] == 2
+
+    # worst crash window: garbage staged above the pointer on BOTH
+    # ledgers — never published, must be overwritten by the replay
+    spark.createDataFrame(
+        [(999_999, 1, 888_888, 0.5)],
+        "vec_id long, rnk int, neighbor long, cos_sim double",
+    ).write.parquet(os.path.join(root, "graph", "gen=3", "edges"))
+    spark.createDataFrame(
+        [(999_999, [0.0] * 4, 0)],
+        "vec_id long, embedding array<double>, cluster int",
+    ).write.partitionBy("cluster").parquet(index_sync._ivf_epoch_path(root, 3))
+
+    index_sync.sync_knn_graph_ivf_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2
+    assert ptr["generation"] == 3 and ptr["max_epoch"] == 3
+
+    got = [
+        tuple(r)
+        for r in index_sync.load_synced_graph(spark, root)
+        .orderBy("vec_id", "rnk")
+        .collect()
+    ]
+    truth = [
+        tuple(r)
+        for r in S.knn_graph(
+            base.unionByName(inserts), "vec_id", "embedding", k=4
+        ).orderBy("vec_id", "rnk").collect()
+    ]
+    assert got == truth
+    assert not any(r[0] == 999_999 for r in got)  # garbage overwritten
+
+    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    index_sync.sync_knn_graph_ivf_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert (
+        os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+        == ptr_mtime
+    )
+
+
+def test_minhash_ledger_compaction_and_vacuum(spark, sf_dir, tmp_path):
+    """Retention for the GROWING dedup index: committed epoch dirs fold
+    into one compact dataset per table (rows rewritten, epoch kept as a
+    data column), the vacuum drops only compacted-away dirs, superseded
+    compacts, and staged orphans — and every read (head, as-of slice,
+    bucket-pruned verify, further growth through the stream) is
+    row-exact before == after. The pointer head must always stay
+    readable."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        minhash_probe_pairs,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 45 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 15 == 5)
+        .select("doc_id", "text")
+        .unionByName(plants)
+    )
+    b2 = docs.filter(F.col("doc_id") % 15 == 10).select("doc_id", "text")
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+
+    def stage(i, bdf):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stage(0, b0)
+    stage(1, b1)
+    index_sync.sync_minhash_index_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+
+    pairs_fn = index_sync.load_synced_dedup_pairs
+    before_head = {tuple(r) for r in pairs_fn(spark, root).collect()}
+    before_as1 = {
+        tuple(r) for r in pairs_fn(spark, root, as_of_epoch=1).collect()
+    }
+    assert before_head > before_as1  # the batch-1 plants grew the verdicts
+    grams_n = index_sync.read_synced_grams(spark, root).count()
+
+    assert index_sync.compact_minhash_epochs(spark, root) == 2
+    assert index_sync.compact_minhash_epochs(spark, root) == 0  # no-op
+    # staged orphan above the head is vacuumed along with folded dirs
+    spark.createDataFrame(
+        [(1, 2, 3)], "new_doc long, corpus_doc long, jaccard_micro long"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "pairs", 9))
+    removed = index_sync.vacuum_minhash_epochs(root)
+    # grams epochs 0-2, bands 0-2, pairs 1-2 + the planted orphan
+    assert removed == 3 + 3 + 2 + 1
+    assert index_sync.vacuum_minhash_epochs(root) == 0  # idempotent
+
+    # every read row-exact after compaction+vacuum
+    assert {tuple(r) for r in pairs_fn(spark, root).collect()} == before_head
+    assert {
+        tuple(r) for r in pairs_fn(spark, root, as_of_epoch=1).collect()
+    } == before_as1
+    assert index_sync.read_synced_grams(spark, root).count() == grams_n
+    # the bucket-pruned verify fetch prunes on the COMPACT layout too
+    some = index_sync.read_synced_grams(spark, root, buckets=[2, 5])
+    files = {
+        r[0] for r in some.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all(
+        "/__bucket=2/" in f or "/__bucket=5/" in f for f in files
+    ), sorted(files)[:5]
+    assert all("_compact/" in f for f in files)  # live dirs are gone
+
+    # the stream keeps growing THROUGH the compacted root: batch 2
+    # lands as live epoch 3 above compact_upto=2, and the union of
+    # compact + live matches the imperative growing replay
+    stage(2, b2)
+    index_sync.sync_minhash_index_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 3 and ptr["compact_upto"] == 2
+    got = {tuple(r) for r in pairs_fn(spark, root).collect()}
+    truth = set()
+    seen = corpus
+    for bdf in (b0, b1, b2):
+        truth |= {
+            tuple(r)
+            for r in minhash_probe_pairs(
+                seen, bdf, "doc_id", "text", min_jaccard_micro=300_000
+            ).collect()
+        }
+        seen = seen.unionByName(bdf)
+    assert got == truth
+
+
+def test_ivf_ledger_compaction_and_vacuum(spark, sf_dir, tmp_path):
+    """Retention for the IVF posting ledger — the worst dir growth of
+    the family (n_clusters dirs per epoch): committed epochs rewrite
+    into ONE cluster-partitioned compact dataset (epoch kept as data),
+    the vacuum drops only compacted-away dirs, and afterwards the
+    loaded index is row-identical, as-of reads stay exact, cluster
+    probes still partition-prune, and the stream keeps appending live
+    epochs above the compact."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s94 = mx * 94 // 100
+    base = emb.filter(F.col("vec_id") < s94).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s94).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    root = str(tmp_path / "ivf_root")
+    src = tmp_path / "src"
+    split = str(tmp_path / "split")
+    index_sync.init_ivf_root(
+        base, root, "vec_id", "embedding", n_clusters=8, seed=7
+    )
+    inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+    src.mkdir()
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    for i, fname in enumerate(parts[:2]):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+
+    def rows(idx):
+        return {
+            (r.vec_id, r.cluster)
+            for r in idx.assigned.select("vec_id", "cluster").collect()
+        }
+
+    before = rows(index_sync.load_synced_ivf(spark, root))
+    before_as1 = rows(index_sync.load_synced_ivf(spark, root, as_of_epoch=1))
+    assert before > before_as1
+
+    assert index_sync.compact_ivf_epochs(spark, root) == 2
+    assert index_sync.compact_ivf_epochs(spark, root) == 0  # no-op
+    removed = index_sync.vacuum_ivf_epochs(root)
+    assert removed == 3  # posting epochs 0-2 folded away
+    assert index_sync.vacuum_ivf_epochs(root) == 0  # idempotent
+
+    loaded = index_sync.load_synced_ivf(spark, root)
+    assert rows(loaded) == before
+    assert rows(index_sync.load_synced_ivf(spark, root, as_of_epoch=1)) == before_as1
+    # cluster probes still partition-prune on the compact layout
+    probed = loaded.probe_clusters(
+        [list(r[0]) for r in base.limit(1).select("embedding").collect()][0], 2
+    )
+    files = {
+        r[0]
+        for r in loaded.assigned.filter(F.col("cluster").isin(probed))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert files and all(
+        any(f"/cluster={c}/" in f for c in probed) for f in files
+    ), sorted(files)[:3]
+
+    # live growth above the compact: batch 2 lands as epoch 3
+    dst = src / "batch0002.parquet"
+    os.replace(os.path.join(split, parts[2]), str(dst))
+    os.utime(dst, (1_700_000_002, 1_700_000_002))
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 3 and ptr["compact_upto"] == 2
+    n_inserts = inserts.count()
+    assert len(rows(index_sync.load_synced_ivf(spark, root))) == (
+        base.count() + n_inserts
+    )
+
+
+def test_pca_ledger_compaction_and_vacuum(spark, sf_dir, tmp_path):
+    """Retention for the PCA moment ledger: epochs are SUMMED into one
+    model-sized table (bit-exact by moment additivity), the vacuum
+    drops the summed-away dirs, the refit is identical before == after,
+    as-of below the compaction point is refused (the detail is gone),
+    and the stream keeps folding new epochs above the compact."""
+    import os
+
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.operators.pca import fit_pca
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s97 = mx * 97 // 100
+    base = emb.filter(F.col("vec_id") < s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(F.col("vec_id") >= s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    root = str(tmp_path / "moments_root")
+    src = tmp_path / "src"
+    split = str(tmp_path / "split")
+    index_sync.init_pca_moments_root(base, root, "embedding")
+    inserts.repartitionByRange(3, F.col("vec_id")).write.parquet(split)
+    src.mkdir()
+    parts = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    assert len(parts) == 3
+    # drain the first two batches only; the third arrives post-compaction
+    for i, fname in enumerate(parts[:2]):
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(split, fname), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_sync.sync_pca_moments_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+
+    before = index_sync.load_synced_pca_model(spark, root, n_components=2)
+    assert index_sync.compact_pca_epochs(spark, root) == 2
+    assert index_sync.compact_pca_epochs(spark, root) == 0  # no-op
+    removed = index_sync.vacuum_pca_epochs(root)
+    assert removed == 3  # moment epochs 0-2 summed away
+    assert index_sync.vacuum_pca_epochs(root) == 0  # idempotent
+
+    after = index_sync.load_synced_pca_model(spark, root, n_components=2)
+    assert after.n_rows == before.n_rows
+    assert [list(v) for v in after.basis] == [list(v) for v in before.basis]
+    assert list(after.eigvals) == list(before.eigvals)
+    # the summed table cannot be re-sliced: pre-compaction as-of refused
+    with pytest.raises(ValueError, match="compacted away"):
+        index_sync.load_synced_pca_model(
+            spark, root, n_components=2, as_of_epoch=1
+        )
+
+    # growth through the compacted root: batch 2 lands as live epoch 3,
+    # and the refit over compact + live == a from-scratch fit
+    dst = src / "batch0002.parquet"
+    os.replace(os.path.join(split, parts[2]), str(dst))
+    os.utime(dst, (1_700_000_002, 1_700_000_002))
+    index_sync.sync_pca_moments_stream(
+        spark, str(src), inserts.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 3 and ptr["compact_upto"] == 2
+    synced = index_sync.load_synced_pca_model(spark, root, n_components=2)
+    scratch = fit_pca(
+        base.unionByName(inserts), "embedding", n_components=2, n_iter=12
+    )
+    assert synced.n_rows == scratch.n_rows
+    assert [list(v) for v in synced.basis] == [list(v) for v in scratch.basis]
+    assert list(synced.eigvals) == list(scratch.eigvals)
+
+
 def test_synced_artifact_time_travel(spark, sf_dir, tmp_path):
     """The epoch ledger doubles as TIME TRAVEL: committed epochs are
     immutable, so every synced reader accepts as_of and reproduces the

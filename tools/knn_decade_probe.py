@@ -47,8 +47,10 @@ Stage-RESUMABLE: each measurement persists into
 ``<dst>/probe_state.json`` (and the exact graph into parquet) as it
 completes, so an interrupted run re-measures only what's missing.
 
-Run: python tools/knn_decade_probe.py [sf1_dir] [dst]
-     (defaults /tmp/sf1.0 /tmp/sf_decade; corpus build is idempotent)
+Run: python tools/knn_decade_probe.py [sf1_dir] [dst] [sf01_dir]
+     (defaults /tmp/sf1.0 /tmp/sf_decade /root/testdata/sf0.1; the
+     clustered arm seeds from sf01_dir's embeddings — thread it on
+     hosts that keep testdata elsewhere; corpus builds are idempotent)
 """
 
 from __future__ import annotations
@@ -103,8 +105,8 @@ CLUSTER_MEMBERS = 100
 CLUSTER_EPS = 0.2
 
 
-def build_clustered_corpus(spark, dst: str) -> str:
-    """200k planted-cluster corpus derived from the driver's sf0.1
+def build_clustered_corpus(spark, dst: str, sf01_dir: str) -> str:
+    """200k planted-cluster corpus derived from ``sf01_dir``'s
     embeddings (2,000 unit vectors, dim 64, vec_id 0..1999 contiguous):
     center i spawns CLUSTER_MEMBERS members by mixing eps of partner
     c_{(i+j+1) mod 2000} into it and re-normalizing. vec_id encodes the
@@ -116,7 +118,7 @@ def build_clustered_corpus(spark, dst: str) -> str:
         return out
     os.makedirs(dst, exist_ok=True)
     base = (
-        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        spark.read.parquet(os.path.join(sf01_dir, "embeddings.parquet"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("c"))
     )
     n_centers = base.count()
@@ -170,6 +172,7 @@ def _save_state(dst: str, state: dict) -> None:
 def main() -> int:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_decade"
+    sf01_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="knn-decade")
     spark.sparkContext.setLogLevel("ERROR")
     path = build_corpus(spark, sf1_dir, dst)
@@ -291,7 +294,7 @@ def main() -> int:
     # 4. planted-cluster corpus (verdict r10 task 3): IVF recall at the
     # SAME probe masses on data that actually clusters — where routing
     # should concentrate a query's true neighbors into few cells.
-    cl_path = build_clustered_corpus(spark, dst)
+    cl_path = build_clustered_corpus(spark, dst, sf01_dir)
     cl = spark.read.parquet(cl_path).filter(F.col("embedding").isNotNull())
     cl_n = cl.count()
     cl_state = state.setdefault("clustered", {})
