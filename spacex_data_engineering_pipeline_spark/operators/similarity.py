@@ -1343,21 +1343,39 @@ def knn_graph_ivf_fold(
             cluster_to_q.setdefault(c, []).append(r)
     cluster_to_q = {c: np.asarray(rs, dtype=np.int64) for c, rs in cluster_to_q.items()}
 
+    # FULL-WIDTH FAST PATH: every query probes every cluster, so the
+    # per-cluster routing masks are all-true — grouping by cluster
+    # would only fragment one big BLAS matmul into n_clusters small
+    # ones (measured 1.4× slower than the exact fold at 448 clusters;
+    # see SCALE_NOTES round 12). Skip the grouping and run the two
+    # kernel passes once per Arrow chunk, which IS the exact fold's
+    # shape — routing overhead only exists where routing can prune.
+    full_width = width >= n_clusters
+
     def fold_scan(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             out_i, out_n, out_c = [], [], []
-            for c, grp in pdf.groupby(cluster_col):
-                q_idx = cluster_to_q.get(int(c))
-                if q_idx is None or not len(q_idx):
-                    continue
+            groups = (
+                ((None, pdf),) if full_width else pdf.groupby(cluster_col)
+            )
+            for c, grp in groups:
+                if full_width:
+                    q_idx = None
+                else:
+                    q_idx = cluster_to_q.get(int(c))
+                    if q_idx is None or not len(q_idx):
+                        continue
                 ids = grp[id_col].to_numpy(dtype=np.int64)
                 mat = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
                 )
                 norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
-                sq_i, sq_m, sq_n = qids[q_idx], qmat[q_idx], qnorm[q_idx]
+                if full_width:
+                    sq_i, sq_m, sq_n = qids, qmat, qnorm
+                else:
+                    sq_i, sq_m, sq_n = qids[q_idx], qmat[q_idx], qnorm[q_idx]
                 # forward: batch rows gather this cluster's postings
                 _partial_topk_side(
                     sq_i, sq_m, sq_n, ids, mat, norms,
@@ -1427,6 +1445,132 @@ def knn_graph_ivf_fold(
         cands.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "neighbor", "cos_sim")
+    )
+
+
+def embedding_near_dup_probe(
+    postings: DataFrame,
+    centroids,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probes: int,
+    min_cosine: float,
+    cluster_col: str = "cluster",
+    decimals: int = 6,
+) -> DataFrame:
+    """Probe a batch of NEW vectors against an IVF posting table for
+    near-duplicate pairs (rounded cosine ≥ ``min_cosine``) — the
+    embedding analog of ``probe_minhash_index``: per batch vector only
+    the postings in its ``n_probes`` nearest clusters are scored
+    (partition-pruned fetch on a saved cluster-partitioned table), so
+    per-ingest cost is |batch| × |probed postings|, and corpus×corpus
+    pairs are never enumerated. At full probe width the verdicts are
+    EXHAUSTIVE — every (new, corpus) pair above threshold, exactly —
+    which is the oracle-graded configuration; partial width is the
+    recall dial (a missed pair is a cross-cluster one, and a true
+    near-duplicate is in the same cluster unless the pair straddles a
+    centroid boundary).
+
+    Same exactness discipline as ``_partial_topk_side``: one BLAS
+    matmul prunes (threshold − slack − reassociation bound), survivors
+    recomputed with strict left-to-right ``np.cumsum`` sums —
+    bit-identical to DuckDB's ``list_dot_product`` — then rounded at
+    ``decimals`` and thresholded, so a SQL oracle replays the pair set
+    value-exactly. Returns (new_vec, corpus_vec, cos_sim)."""
+    centers = np.asarray(centroids, dtype="float64")
+    n_clusters = len(centers)
+    new_rows = (
+        new.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).collect()
+    )
+    new_list = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in new_rows
+    )
+    spark = new.sparkSession
+    if not new_list:
+        return spark.createDataFrame(
+            [], "new_vec long, corpus_vec long, cos_sim double"
+        )
+    qids = np.asarray([q for q, _ in new_list], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in new_list])
+    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = (qmat / np.where(qn > 0, qn, 1.0)) @ centers.T
+    order = np.argsort(-sims, axis=1, kind="stable")
+    width = min(n_probes, n_clusters)
+    cluster_to_q: dict[int, list[int]] = {}
+    for r in range(len(qids)):
+        for c in order[r, :width]:
+            cluster_to_q.setdefault(int(c), []).append(r)
+    cluster_to_q = {
+        c: np.asarray(rs, dtype=np.int64) for c, rs in cluster_to_q.items()
+    }
+    probed_union = sorted(cluster_to_q)
+    blas_eps = 1e-9
+    # covers BLAS reassociation + the downstream rounding band
+    prune_floor = min_cosine - 0.5 * 10 ** (-decimals) - 2 * blas_eps
+
+    # full-width fast path: routing masks all-true — one matmul per
+    # Arrow chunk instead of n_clusters fragments (knn_graph_ivf_fold's
+    # measured lesson, SCALE_NOTES round 12)
+    full_width = width >= n_clusters
+
+    def probe_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_n, out_c, out_s = [], [], []
+            groups = (
+                ((None, pdf),) if full_width else pdf.groupby(cluster_col)
+            )
+            for c, grp in groups:
+                if full_width:
+                    q_idx = np.arange(len(qids), dtype=np.int64)
+                else:
+                    q_idx = cluster_to_q.get(int(c))
+                    if q_idx is None or not len(q_idx):
+                        continue
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+                sq_i, sq_m, sq_n = qids[q_idx], qmat[q_idx], qnorm[q_idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    approx = (sq_m @ mat.T) / (sq_n[:, None] * norms[None, :])
+                    hit_q, hit_r = np.nonzero(
+                        np.isfinite(approx)
+                        & (approx >= prune_floor)
+                        & (sq_i[:, None] != ids[None, :])
+                    )
+                    if not len(hit_q):
+                        continue
+                    # strict-sum recompute for every surviving pair
+                    dots = np.cumsum(
+                        mat[hit_r] * sq_m[hit_q], axis=1
+                    )[:, -1]
+                    cos = dots / (norms[hit_r] * sq_n[hit_q])
+                out_n.append(sq_i[hit_q])
+                out_c.append(ids[hit_r])
+                out_s.append(cos)
+            if out_n:
+                yield pd.DataFrame(
+                    {
+                        "new_vec": np.concatenate(out_n),
+                        "corpus_vec": np.concatenate(out_c),
+                        "cos_raw": np.concatenate(out_s),
+                    }
+                )
+
+    return (
+        postings.filter(F.col(cluster_col).isin(probed_union))
+        .select(id_col, vec_col, cluster_col)
+        .mapInPandas(
+            probe_scan, "new_vec long, corpus_vec long, cos_raw double"
+        )
+        .withColumn("cos_sim", F.round("cos_raw", decimals))
+        .filter(F.col("cos_sim") >= min_cosine)
+        .select("new_vec", "corpus_vec", "cos_sim")
     )
 
 

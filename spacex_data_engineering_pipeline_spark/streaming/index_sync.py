@@ -611,6 +611,193 @@ def vacuum_ivf_epochs(root: str) -> int:
     return _vacuum_ledger_dirs(root, ("postings",))
 
 
+def init_semantic_dedup_root(
+    corpus: DataFrame,
+    root: str,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    n_probes: int = 16,
+    min_cosine: float = 0.95,
+    seed: int = 42,
+    sample_cap: int = 65536,
+) -> None:
+    """One-time base for STREAMING SEMANTIC DEDUP — the embedding
+    analog of the growing MinHash index: the corpus saved as an IVF
+    posting ledger (epoch 0, cluster-partitioned) with fixed centroids,
+    and the probe parameters (threshold + probe width) pinned in the
+    pointer, exactly as the MinHash root pins its hash geometry. Full
+    probe width (n_probes ≥ n_clusters) makes every batch's verdicts
+    EXHAUSTIVE — the oracle-graded configuration; partial width is the
+    recall dial for corpora whose near-dups cluster."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    idx = S_.build_ivf_index(
+        corpus, id_col, vec_col,
+        n_clusters=n_clusters, seed=seed, sample_cap=sample_cap,
+        persist=False,
+    )
+    with open(os.path.join(root, "centroids.json"), "w") as f:
+        json.dump(idx.centroids.tolist(), f)
+    idx.assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        _ivf_epoch_path(root, 0)
+    )
+    _flip_pointer(
+        root,
+        {
+            "max_epoch": 0,
+            "last_batch_id": None,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_probes": n_probes,
+            "min_cosine": min_cosine,
+        },
+    )
+
+
+def sync_semantic_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain ``source_path`` (parquet file stream of (id, vector)
+    docs) with AvailableNow: per micro-batch, (1) probe the batch
+    against the posting ledger AS OF the pointer
+    (``embedding_near_dup_probe`` — only the batch's probed clusters
+    are fetched, partition-pruned), writing flagged near-dup pairs to
+    the epoch's pairs partition, then (2) fold the batch into the
+    postings as the same epoch, then (3) publish pairs + growth with
+    one pointer flip. First-seen-wins: batch k's vectors are checked
+    against corpus + batches < k and never against their own batch —
+    the GROWING semantic index that ``semantic_dedup_pairs`` (one
+    static corpus) and ``streaming_minhash_index_sync`` (text
+    shingles) leave uncovered for embeddings. Every vector enters the
+    index regardless of its own verdict (flag-and-audit, as the
+    MinHash sync). Same exactly-once ledger; same checkpoint-wipe
+    hazard (see ``sync_minhash_index_stream``)."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if on_batch_start is not None:
+            on_batch_start(epoch_id)
+        ptr = read_index_pointer(root)
+        last = ptr["last_batch_id"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        id_col, vec_col = ptr["id_col"], ptr["vec_col"]
+        with open(os.path.join(root, "centroids.json")) as f:
+            centers = json.load(f)
+        postings = _ledger_frames(
+            spark, root, "postings", ptr, ptr["max_epoch"]
+        ).drop("epoch")
+        batch = batch_df.select(id_col, vec_col)
+        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        S_.embedding_near_dup_probe(
+            postings, centers, batch, id_col, vec_col,
+            n_probes=ptr["n_probes"], min_cosine=ptr["min_cosine"],
+        ).write.mode("overwrite").parquet(
+            _minhash_epoch_path(root, "pairs", epoch)
+        )
+        batch.select(
+            F.col(id_col),
+            F.col(vec_col),
+            S_.centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
+        ).write.mode("overwrite").partitionBy("cluster").parquet(
+            _ivf_epoch_path(root, epoch)
+        )
+        _flip_pointer(
+            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def load_synced_semantic_pairs(
+    spark: SparkSession, root: str, as_of_epoch: int | None = None
+) -> DataFrame:
+    """All committed semantic near-dup verdicts: epochs ≤ the pointer,
+    staged orphans invisible, columns (new_vec, corpus_vec, cos_sim).
+    ``as_of_epoch`` time-travels (immutable epoch partitions — exact
+    across compaction too, epoch survives as a data column there); a
+    fresh root (or ``as_of_epoch=0``) returns the empty verdict set."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ptr = read_index_pointer(root)
+    epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
+    pairs = (
+        None if epoch == 0 else _ledger_frames(spark, root, "pairs", ptr, epoch)
+    )
+    if pairs is None:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("new_vec", LongType()),
+                    StructField("corpus_vec", LongType()),
+                    StructField("cos_sim", DoubleType()),
+                ]
+            ),
+        )
+    return pairs.drop("epoch")
+
+
+def compact_semantic_epochs(spark: SparkSession, root: str) -> int:
+    """Retention for the semantic-dedup root: fold BOTH its ledgers —
+    postings (cluster-partitioned compact) and pairs — at or below the
+    pointer into compact datasets in one staged pass, then one pointer
+    flip. Both must move together: the shared ``compact_upto`` governs
+    which live epoch dirs ``vacuum_semantic_epochs`` may drop, so
+    compacting only one table would let the sweep delete the other's
+    uncompacted rows. (For the same reason, do not run
+    ``compact_ivf_epochs`` on a semantic root.) Returns epochs newly
+    folded."""
+    ptr = read_index_pointer(root)
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    if head <= cu:
+        return 0
+    df = _ledger_frames(spark, root, "postings", ptr, head)
+    df.write.mode("overwrite").partitionBy("cluster").parquet(
+        _compact_path(root, "postings", head)
+    )
+    pairs = _ledger_frames(spark, root, "pairs", ptr, head)
+    if pairs is not None:
+        pairs.write.mode("overwrite").parquet(
+            _compact_path(root, "pairs", head)
+        )
+    _flip_pointer(root, {**ptr, "compact_upto": head})
+    return head - cu
+
+
+def vacuum_semantic_epochs(root: str) -> int:
+    """Retention sweep for the semantic-dedup root's two ledgers: see
+    ``_vacuum_ledger_dirs``."""
+    return _vacuum_ledger_dirs(root, ("postings", "pairs"))
+
+
 def _moments_epoch_path(root: str, epoch: int) -> str:
     return os.path.join(root, "moments", f"epoch={epoch}")
 

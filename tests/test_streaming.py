@@ -1819,6 +1819,142 @@ def test_minhash_ledger_compaction_and_vacuum(spark, sf_dir, tmp_path):
     assert got == truth
 
 
+def test_streaming_semantic_dedup_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The GROWING semantic dedup index (embedding analog of the
+    MinHash sync) survives a crash MID-COMMIT-WINDOW and a
+    checkpoint-wiped re-drain: epochs 0-1 commit, the sink dies at
+    epoch 2, the crash window is made worse by hand (garbage pairs AND
+    postings epochs staged above the pointer), and the restart must
+    overwrite the orphans and converge: committed pairs == an
+    imperative replay that probes each batch against corpus + all
+    earlier batches at full probe width. Retention composes: after
+    compact_semantic_epochs + vacuum_semantic_epochs, the verdicts and
+    the as-of slices are row-identical."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    perturb = F.transform(
+        "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    b0 = emb.filter(F.col("vec_id") % 15 == 0)
+    b1 = emb.filter(F.col("vec_id") % 15 == 5).unionByName(
+        emb.filter(F.col("vec_id") % 20 == 1).select(
+            (F.col("vec_id") + F.lit(200_000_000)).alias("vec_id"),
+            perturb.alias("embedding"),
+        )
+    )
+    b2 = emb.filter(F.col("vec_id") % 15 == 10).unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
+            perturb.alias("embedding"),
+        )
+    )
+    batches = [b0, b1, b2]
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_semantic_dedup_root(
+        corpus, root, "vec_id", "embedding",
+        n_clusters=8, n_probes=8, min_cosine=0.95, seed=7,
+    )
+    for i, bdf in enumerate(batches):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_semantic_dedup_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    # worst crash window: garbage staged above the pointer, both ledgers
+    spark.createDataFrame(
+        [(999, 888, 1.0)], "new_vec long, corpus_vec long, cos_sim double"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "pairs", 3))
+    spark.createDataFrame(
+        [(999, [0.0] * 4, 0)],
+        "vec_id long, embedding array<double>, cluster int",
+    ).write.partitionBy("cluster").parquet(index_sync._ivf_epoch_path(root, 3))
+
+    index_sync.sync_semantic_dedup_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["max_epoch"] == 3
+
+    got = {
+        (r.new_vec, r.corpus_vec, r.cos_sim)
+        for r in index_sync.load_synced_semantic_pairs(spark, root).collect()
+    }
+    assert (999, 888, 1.0) not in got  # garbage orphan overwritten
+    assert got  # the plants guarantee non-empty verdicts
+
+    # imperative replay at full width: batch k vs corpus + batches < k
+    truth = set()
+    seen = corpus
+    for bdf in batches:
+        idx = S.build_ivf_index(
+            seen, "vec_id", "embedding", n_clusters=8, seed=7, persist=False
+        )
+        truth |= {
+            (r.new_vec, r.corpus_vec, r.cos_sim)
+            for r in S.embedding_near_dup_probe(
+                idx.assigned, idx.centroids, bdf, "vec_id", "embedding",
+                n_probes=8, min_cosine=0.95,
+            ).collect()
+        }
+        idx.unpersist()
+        seen = seen.unionByName(bdf)
+    assert got == truth
+
+    # retention composes: compact + vacuum leave every read row-exact
+    before_as2 = {
+        tuple(r)
+        for r in index_sync.load_synced_semantic_pairs(
+            spark, root, as_of_epoch=2
+        ).collect()
+    }
+    assert index_sync.compact_semantic_epochs(spark, root) == 3
+    assert index_sync.vacuum_semantic_epochs(root) > 0
+    assert {
+        (r.new_vec, r.corpus_vec, r.cos_sim)
+        for r in index_sync.load_synced_semantic_pairs(spark, root).collect()
+    } == got
+    assert {
+        tuple(r)
+        for r in index_sync.load_synced_semantic_pairs(
+            spark, root, as_of_epoch=2
+        ).collect()
+    } == before_as2
+
+
 def test_ivf_ledger_compaction_and_vacuum(spark, sf_dir, tmp_path):
     """Retention for the IVF posting ledger — the worst dir growth of
     the family (n_clusters dirs per epoch): committed epochs rewrite
