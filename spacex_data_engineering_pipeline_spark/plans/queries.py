@@ -1632,6 +1632,127 @@ def dedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SEM_SYNC_PERTURB = """list_transform(CAST(embedding AS DOUBLE[]),
+                          (x, i) -> CASE WHEN i = 1 THEN x + 0.0625
+                                    ELSE x END)"""
+_SEM_SYNC_COS = """list_dot_product(n.v, c.v)
+           / (sqrt(list_dot_product(n.v, n.v))
+              * sqrt(list_dot_product(c.v, c.v)))"""
+
+
+@_register(
+    "streaming_semantic_dedup_sync",
+    oracle=f"""
+    WITH src AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN vec_id % 5 <> 0 THEN -1
+                    WHEN vec_id % 15 = 0 THEN 0
+                    WHEN vec_id % 15 = 5 THEN 1
+                    ELSE 2 END AS batch
+        FROM embeddings WHERE embedding IS NOT NULL
+        UNION ALL
+        SELECT vec_id + 200000000, {_SEM_SYNC_PERTURB}, 1
+        FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 20 = 1
+        UNION ALL
+        SELECT vec_id + 100000000, {_SEM_SYNC_PERTURB}, 2
+        FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 20 = 0
+    )
+    SELECT n.vec_id AS new_vec, c.vec_id AS corpus_vec,
+           ROUND({_SEM_SYNC_COS}, 6) AS cos_sim
+    FROM src n JOIN src c
+      ON c.batch < n.batch AND n.batch >= 0
+    WHERE ROUND({_SEM_SYNC_COS}, 6) >= 0.95
+    """,
+)
+def streaming_semantic_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC dedup with a GROWING persisted vector index —
+    the embedding analog of ``streaming_minhash_index_sync``, closing
+    the cell ``semantic_dedup_pairs`` (one static corpus) leaves open:
+    each micro-batch is probed against the IVF posting ledger AS OF
+    the pointer (``embedding_near_dup_probe``: only the batch's probed
+    clusters are fetched; rounded strict-sum cosine ≥ 0.95 flags a
+    pair) and then FOLDED INTO it as its own epoch, pairs + growth
+    published in one pointer flip
+    (streaming/index_sync.py:sync_semantic_dedup_stream, the shared
+    exactly-once ledger — crash-restart pytest-pinned). Graded at full
+    probe width, where verdicts are exhaustive.
+
+    The embeddings carry no organic near-dups (max off-diagonal cosine
+    ≈ 0.51 at grade scale), so growth is made non-vacuous with TWO
+    plant families (the ``semantic_dedup_pairs`` perturbation, +0.0625
+    on one coordinate → cosine ≈ 0.999 to the original, sub-1.0 and
+    value-graded): batch 1 re-ingests perturbed twins of CORPUS
+    vectors (vec_id % 20 = 1, +200M — flagged against epoch 0, the
+    probe-the-base case) and batch 2 re-ingests perturbed twins of
+    STREAMED vectors (vec_id % 20 = 0, +100M — their originals landed
+    in batches 0/1/2, so they are flagged iff the index actually GREW,
+    and the ~⅓ whose original shares batch 2 must NOT be flagged:
+    first-seen-wins, same-batch excluded)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    perturb = F.transform(
+        "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    b0 = emb.filter(F.col("vec_id") % 15 == 0)
+    b1 = emb.filter(F.col("vec_id") % 15 == 5).unionByName(
+        emb.filter(F.col("vec_id") % 20 == 1).select(
+            (F.col("vec_id") + F.lit(200_000_000)).alias("vec_id"),
+            perturb.alias("embedding"),
+        )
+    )
+    b2 = emb.filter(F.col("vec_id") % 15 == 10).unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
+            perturb.alias("embedding"),
+        )
+    )
+
+    work = _tempfile.mkdtemp(prefix="sem_sync_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_semantic_dedup_root(
+            corpus, root, "vec_id", "embedding",
+            n_clusters=8, n_probes=8, min_cosine=0.95, seed=7,
+        )
+        for i, bdf in enumerate((b0, b1, b2)):
+            staged = _os.path.join(work, f"stage{i}")
+            bdf.repartition(1).write.parquet(staged)
+            part = next(
+                f for f in sorted(_os.listdir(staged))
+                if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(staged, part), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_semantic_dedup_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_semantic_pairs(spark, root)
+            .orderBy("new_vec", "corpus_vec")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @_register("minhash_index_probe", oracle=_minhash_probe_oracle_sql())
 def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup (operators/dedup.py
