@@ -1,5 +1,5 @@
 """Streaming maintenance of PERSISTED derived artifacts — one
-epoch-ledger protocol, five sync arms over four artifact kinds:
+epoch-ledger protocol, seven sync arms over six artifact kinds:
 
 - kNN graph (``sync_knn_graph_stream``): micro-batches fold into a
   SAVED graph via ``knn_graph_upsert`` — |batch|·N + |affected|·N per
@@ -21,7 +21,15 @@ epoch-ledger protocol, five sync arms over four artifact kinds:
   against the index AS OF the pointer (exact-verify side PARTITION-
   PRUNED to the candidate docs' grams buckets), then fold the batch's
   shingles + band keys in — the GROWING index (first-seen-wins) that
-  a static probe can't express.
+  a static probe can't express;
+- semantic dedup index (``sync_semantic_dedup_stream``): the embedding
+  analog — probe the batch for cosine-threshold near-dup pairs against
+  the IVF posting ledger, then fold it in, pairs + growth in one flip;
+- BM25 inverted index (``sync_bm25_index_stream``): one tokenize pass
+  per batch appends term-bucketed postings + df + model-sized stats
+  (all additive over disjoint doc sets) — queries read only their
+  terms' buckets and rank bit-identically to a batch rescore
+  (``bm25_topk_synced``).
 
 All arms share the commit protocol below: epoch-keyed staged writes
 (overwrite-idempotent, invisible to readers) published by ONE fsync'd
@@ -30,7 +38,8 @@ scanned and the replay overwrites them. Crash-restart is pytest-pinned
 per artifact kind (tests/test_streaming.py).
 
 RETENTION, per ledger: ``compact_minhash_epochs`` / ``compact_ivf_
-epochs`` rewrite committed epochs into one compact dataset per table
+epochs`` / ``compact_semantic_epochs`` / ``compact_bm25_epochs``
+rewrite committed epochs into one compact dataset per table
 (epoch kept as an int data column — as-of reads stay row-exact, the
 bucket/cluster partitioning survives so pruned reads keep pruning);
 ``compact_pca_epochs`` SUMS moments (ending pre-compaction as-of
@@ -796,6 +805,253 @@ def vacuum_semantic_epochs(root: str) -> int:
     """Retention sweep for the semantic-dedup root's two ledgers: see
     ``_vacuum_ledger_dirs``."""
     return _vacuum_ledger_dirs(root, ("postings", "pairs"))
+
+
+def _term_bucket(term_expr, n_buckets: int):
+    """Term hash bucket for the BM25 ledger layout — queries name a
+    handful of terms, so bucketing postings and df by term hash turns
+    a query-time read into a partition-pruned fetch of ≤ |query terms|
+    bucket dirs (the grams-ledger pattern, keyed on term not doc)."""
+    return F.pmod(F.xxhash64(term_expr), F.lit(n_buckets)).cast("int")
+
+
+def _bm25_epoch_tables(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+):
+    """ONE tokenize pass over a document set → the three BM25 ledger
+    tables: postings (term, doc, tf, dl — per distinct (doc, term)),
+    dfreq (term, df — this set's document frequency), stats (one row:
+    n_docs, sum_dl). Tokenization is the catalog's ``words()`` so the
+    synced index ranks bit-identically to the batch scorer and its
+    DuckDB oracle."""
+    from spacex_data_engineering_pipeline_spark.functions.text import words
+
+    docs = (
+        df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
+        .withColumn("dl", F.size("w"))
+        .persist()
+    )
+    exploded = docs.select("doc", "dl", F.explode("w").alias("term"))
+    postings = (
+        exploded.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("__tbucket", _term_bucket(F.col("term"), n_buckets))
+    )
+    dfreq = (
+        exploded.select("doc", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("__tbucket", _term_bucket(F.col("term"), n_buckets))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    return postings, dfreq, stats, docs
+
+
+def init_bm25_root(
+    corpus: DataFrame,
+    root: str,
+    id_col: str,
+    text_col: str,
+    term_buckets: int = 16,
+) -> None:
+    """One-time base for a STREAMING-MAINTAINED BM25 inverted index —
+    the retrieval-artifact arm of the ledger family: postings and
+    per-term document frequencies saved term-bucket-partitioned as
+    epoch 0 (query-time reads partition-prune to the query terms'
+    buckets), plus a one-row per-epoch stats table (n_docs, sum_dl —
+    exact integer sums, additive across epochs exactly as the PCA
+    moments are, so global N and avgdl fold from model-sized state and
+    the synced ranking is bit-identical to a from-scratch batch
+    scorer)."""
+    os.makedirs(root, exist_ok=True)
+    postings, dfreq, stats, docs = _bm25_epoch_tables(
+        corpus, id_col, text_col, term_buckets
+    )
+    postings.write.mode("overwrite").partitionBy("__tbucket").parquet(
+        _minhash_epoch_path(root, "postings", 0)
+    )
+    dfreq.write.mode("overwrite").partitionBy("__tbucket").parquet(
+        _minhash_epoch_path(root, "df", 0)
+    )
+    stats.write.mode("overwrite").parquet(
+        _minhash_epoch_path(root, "stats", 0)
+    )
+    docs.unpersist()
+    _flip_pointer(
+        root,
+        {
+            "max_epoch": 0,
+            "last_batch_id": None,
+            "id_col": id_col,
+            "text_col": text_col,
+            "term_buckets": term_buckets,
+        },
+    )
+
+
+def sync_bm25_index_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain ``source_path`` (parquet file stream of (id, text) docs)
+    with AvailableNow: per micro-batch, ONE tokenize pass reduces the
+    batch to its postings / dfreq / stats epoch tables (document sets
+    are disjoint across epochs, so df and the stats sums are additive
+    — no read-modify-write of existing index state, the committed
+    100 TB of postings is never touched), staged overwrite-idempotently
+    and published by one pointer flip. INSERT-only (a re-ingested doc
+    id would double-count df and tf; document updates need a delete
+    epoch, not expressed here). Same exactly-once ledger and
+    checkpoint-wipe hazard as the other syncs."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if on_batch_start is not None:
+            on_batch_start(epoch_id)
+        ptr = read_index_pointer(root)
+        last = ptr["last_batch_id"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        postings, dfreq, stats, docs = _bm25_epoch_tables(
+            batch_df, ptr["id_col"], ptr["text_col"], ptr["term_buckets"]
+        )
+        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+        postings.write.mode("overwrite").partitionBy("__tbucket").parquet(
+            _minhash_epoch_path(root, "postings", epoch)
+        )
+        dfreq.write.mode("overwrite").partitionBy("__tbucket").parquet(
+            _minhash_epoch_path(root, "df", epoch)
+        )
+        stats.write.mode("overwrite").parquet(
+            _minhash_epoch_path(root, "stats", epoch)
+        )
+        docs.unpersist()
+        _flip_pointer(
+            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def bm25_topk_synced(
+    spark: SparkSession,
+    root: str,
+    terms: tuple[str, ...],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """Query the synced BM25 index: fold the model-sized stats ledger
+    into exact global (N, avgdl), read ONLY the query terms' bucket
+    partitions of the postings and df ledgers (partition-pruned at
+    file listing — at 100 TB a 3-term query fetches ≤ 3 of
+    ``term_buckets`` dirs per epoch), fold per-term df across epochs,
+    and score with Lucene's nonnegative-idf BM25 — the identical
+    expression text as the batch scorer, with N and avgdl inlined as
+    the same exact doubles, so the synced ranking replays the batch
+    oracle bit-for-bit. ``as_of_epoch`` time-travels the whole
+    ranking (stats, df, and postings all epoch-filtered together)."""
+    ptr = read_index_pointer(root)
+    epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
+    nb = ptr["term_buckets"]
+    st = (
+        _ledger_frames(spark, root, "stats", ptr, epoch)
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .first()
+    )
+    n_docs = float(st["n"])
+    avgdl = float(int(st["s"]) / int(st["n"]))
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_term_bucket(F.col("term"), nb).alias("b"))
+            .collect()
+        }
+    )
+    posts = (
+        _ledger_frames(spark, root, "postings", ptr, epoch)
+        .filter(F.col("__tbucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+        .drop("epoch", "__tbucket")
+    )
+    dfreq = (
+        _ledger_frames(spark, root, "df", ptr, epoch)
+        .filter(F.col("__tbucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    posts.createOrReplaceTempView("__bm25_sync_tf")
+    dfreq.createOrReplaceTempView("__bm25_sync_df")
+    return spark.sql(
+        f"""
+        SELECT doc AS doc_id,
+               ROUND(SUM(
+                   ln(({n_docs!r} - CAST(d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(t.tf AS DOUBLE) * ({k1!r} + 1.0))
+                   / (CAST(t.tf AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r}
+                      * CAST(t.dl AS DOUBLE) / {avgdl!r}))
+               ), 4) AS score
+        FROM __bm25_sync_tf t JOIN __bm25_sync_df d ON t.term = d.term
+        GROUP BY doc
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {int(k)}
+        """
+    )
+
+
+def compact_bm25_epochs(spark: SparkSession, root: str) -> int:
+    """Retention for the BM25 ledger: rewrite the three tables'
+    committed epochs into one compact dataset each — postings and df
+    keep the term-bucket partitioning (query pruning survives) and
+    epoch as an int data column (as-of rankings stay exact); stats is
+    already model-sized but compacts too so all three move under the
+    one shared ``compact_upto`` (the paired-ledger rule: compacting a
+    subset would let the vacuum drop the rest's uncompacted rows).
+    Returns epochs newly folded."""
+    ptr = read_index_pointer(root)
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    if head <= cu:
+        return 0
+    for table, bucketed in (("postings", True), ("df", True), ("stats", False)):
+        df = _ledger_frames(spark, root, table, ptr, head)
+        if df is None:
+            continue
+        writer = df.write.mode("overwrite")
+        if bucketed:
+            writer = writer.partitionBy("__tbucket")
+        writer.parquet(_compact_path(root, table, head))
+    _flip_pointer(root, {**ptr, "compact_upto": head})
+    return head - cu
+
+
+def vacuum_bm25_epochs(root: str) -> int:
+    """Retention sweep for the BM25 ledger's three tables: see
+    ``_vacuum_ledger_dirs``."""
+    return _vacuum_ledger_dirs(root, ("postings", "df", "stats"))
 
 
 def _moments_epoch_path(root: str, epoch: int) -> str:

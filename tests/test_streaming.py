@@ -1955,6 +1955,166 @@ def test_streaming_semantic_dedup_sync_crash_restart(spark, sf_dir, tmp_path):
     } == before_as2
 
 
+def test_streaming_bm25_index_sync_crash_restart_prune_retention(
+    spark, sf_dir, tmp_path
+):
+    """The streaming BM25 index survives a crash MID-COMMIT-WINDOW and
+    a checkpoint-wiped re-drain (epochs 0-1 commit, sink dies at epoch
+    2, garbage postings + stats staged above the pointer, restart
+    converges), the synced ranking equals the batch scorer over the
+    full corpus, a query reads ONLY its terms' bucket partitions
+    (partition-pruned), time travel re-ranks as of a past epoch, and
+    retention (compact + vacuum) leaves the ranking row-exact."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batches = [
+        docs.filter(F.col("doc_id") % 15 == r) for r in (0, 5, 10)
+    ]
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+    for i, bdf in enumerate(batches):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_bm25_index_stream(
+            spark, str(src), docs.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    # worst crash window: garbage staged above the pointer — stats
+    # garbage is the sharpest probe (one wrong row shifts EVERY score)
+    spark.createDataFrame(
+        [("zzz", 999, 99, 99, 0)],
+        "term string, doc long, tf long, dl long, __tbucket int",
+    ).write.partitionBy("__tbucket").parquet(
+        index_sync._minhash_epoch_path(root, "postings", 3)
+    )
+    spark.createDataFrame(
+        [(1_000_000, 50_000_000)], "n_docs long, sum_dl long"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "stats", 3))
+
+    index_sync.sync_bm25_index_stream(
+        spark, str(src), docs.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["max_epoch"] == 3
+
+    terms = ("spark", "vector", "stream")
+    got = [
+        tuple(r)
+        for r in index_sync.bm25_topk_synced(spark, root, terms, k=10).collect()
+    ]
+    from spacex_data_engineering_pipeline_spark.plans.queries import QUERIES
+
+    truth = [
+        tuple(r) for r in QUERIES["bm25_keyword_search"](spark, sf_dir).collect()
+    ]
+    assert got == truth
+
+    # a query fetches ONLY its terms' bucket partitions per epoch
+    ptr_now = index_sync.read_index_pointer(root)
+    nb = ptr_now["term_buckets"]
+    want_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(index_sync._term_bucket(F.col("term"), nb).alias("b"))
+        .collect()
+    }
+    posts = (
+        index_sync._ledger_frames(spark, root, "postings", ptr_now, 3)
+        .filter(F.col("__tbucket").isin(sorted(want_buckets)))
+    )
+    plan = posts._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+    assert "__tbucket" in pf, plan[:400]
+    files = {
+        r[0] for r in posts.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all(
+        any(f"/__tbucket={b}/" in f for b in want_buckets) for f in files
+    ), sorted(files)[:3]
+
+    # time travel: ranking as of epoch 1 == batch scorer over corpus+b0
+    as_of = [
+        tuple(r)
+        for r in index_sync.bm25_topk_synced(
+            spark, root, terms, k=10, as_of_epoch=1
+        ).collect()
+    ]
+    sub = corpus.unionByName(batches[0])
+    sub.createOrReplaceTempView("__bm25_truth_docs")
+    from spacex_data_engineering_pipeline_spark.functions.text import words
+
+    tok = sub.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).withColumn("dl", F.size("w")).persist()
+    st = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("a")
+    ).first()
+    tok.select("doc_id", "dl", F.explode("w").alias("term")).filter(
+        F.col("term").isin(list(terms))
+    ).createOrReplaceTempView("__bm25_truth_tf")
+    sub_truth = [
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            WITH tf AS (
+                SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                       CAST(max(dl) AS DOUBLE) AS dl
+                FROM __bm25_truth_tf GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+            )
+            SELECT doc_id,
+                   ROUND(SUM(
+                       ln(({float(st["n"])!r} - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / {float(st["a"])!r}))
+                   ), 4) AS score
+            FROM tf JOIN dfreq ON tf.term = dfreq.term
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+            """
+        ).collect()
+    ]
+    tok.unpersist()
+    assert as_of == sub_truth
+
+    # retention: compact + vacuum leave the ranking row-exact
+    assert index_sync.compact_bm25_epochs(spark, root) == 3
+    assert index_sync.vacuum_bm25_epochs(root) > 0
+    assert [
+        tuple(r)
+        for r in index_sync.bm25_topk_synced(spark, root, terms, k=10).collect()
+    ] == truth
+
+
 def test_ivf_ledger_compaction_and_vacuum(spark, sf_dir, tmp_path):
     """Retention for the IVF posting ledger — the worst dir growth of
     the family (n_clusters dirs per epoch): committed epochs rewrite
