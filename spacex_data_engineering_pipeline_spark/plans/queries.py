@@ -8794,6 +8794,105 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk(spark, sf_dir, 10)
 
 
+@_register(
+    "streaming_bm25_index_sync",
+    oracle=rf"""
+    WITH docs AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(avg(length(w)) AS DOUBLE) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(count(*) AS DOUBLE) AS tf,
+               CAST(max(dl) AS DOUBLE) AS dl
+        FROM (SELECT doc_id, length(w) AS dl, unnest(w) AS term FROM docs)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           ), 4) AS score
+    FROM tf, dfreq, stats
+    WHERE tf.term = dfreq.term
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def streaming_bm25_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED BM25 inverted index — the retrieval arm of
+    the epoch-ledger family (streaming/index_sync.py:
+    sync_bm25_index_stream): ``bm25_keyword_search`` re-tokenizes the
+    corpus per query, but a production retrieval index is a PERSISTED
+    artifact documents fold into as they arrive. Here the base corpus
+    (doc_id % 5 ≠ 0) is indexed once — postings and per-term document
+    frequencies term-bucket-partitioned, one model-sized stats row
+    (n_docs, sum_dl) — and the remaining 20% arrives as a
+    3-micro-batch stream; each epoch is ONE tokenize pass over the
+    batch (document sets are disjoint, so df and the stats sums are
+    additive — the committed postings are never read or rewritten),
+    published by one pointer flip.
+
+    The graded result is the same 3-term top-10 as the batch scorer,
+    answered FROM the synced index (``bm25_topk_synced``: stats fold
+    to the identical exact N/avgdl doubles, the query reads only the
+    terms' bucket partitions — partition-pruned, pytest-pinned), and
+    the oracle is the batch formulation over the full corpus — a
+    dropped epoch, a double-counted df, or a stats drift all flip the
+    ranking. Crash-restart and retention (compact/vacuum) are
+    pytest-pinned alongside the other ledger arms."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    b0 = docs.filter(F.col("doc_id") % 15 == 0)
+    b1 = docs.filter(F.col("doc_id") % 15 == 5)
+    b2 = docs.filter(F.col("doc_id") % 15 == 10)
+
+    work = _tempfile.mkdtemp(prefix="bm25_sync_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+        for i, bdf in enumerate((b0, b1, b2)):
+            staged = _os.path.join(work, f"stage{i}")
+            bdf.repartition(1).write.parquet(staged)
+            part = next(
+                f for f in sorted(_os.listdir(staged))
+                if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(staged, part), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_bm25_index_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.bm25_topk_synced(spark, root, _BM25_TERMS, k=10)
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _bm25_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Shared BM25 scorer: (doc_id, score) top-k — the sparse arm for
     both the standalone keyword search and the RRF hybrid fusion."""
