@@ -1209,8 +1209,11 @@ def knn_graph_auto_plan(
             f"{n_rows} rows exceed ivf_max_rows={ivf_max_rows}: a one-shot "
             "whole-corpus graph at this size pays probe_mass*N^2 anyway — "
             "build a persisted IVF index (build_ivf_index + save) and run "
-            "batched probes / streaming maintenance instead, or raise "
-            "ivf_max_rows deliberately"
+            "batched probes, or maintain the graph incrementally through "
+            "IVF routing (init_knn_graph_ivf_root + "
+            "sync_knn_graph_ivf_stream, streaming/index_sync.py — "
+            "per-batch cost |batch| x |probed postings|, never N^2), or "
+            "raise ivf_max_rows deliberately"
         )
     }
 
