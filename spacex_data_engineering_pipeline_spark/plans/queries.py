@@ -8951,9 +8951,7 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return release_caches_with(out, docs)
 
 
-@_register(
-    "hybrid_rrf_retrieval",
-    oracle=rf"""
+_HYBRID_RRF_ORACLE = rf"""
     WITH docs AS (
         SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
     ),
@@ -9016,8 +9014,10 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     FROM fused
     ORDER BY rrf_score DESC, doc_id ASC
     LIMIT 10
-    """,
-)
+    """
+
+
+@_register("hybrid_rrf_retrieval", oracle=_HYBRID_RRF_ORACLE)
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
     sparse arm and the dense cosine arm — the standard two-tower
@@ -9038,24 +9038,30 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions drift independently.
     """
     sparse = _bm25_topk(spark, sf_dir, 20)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = S.brute_force_topk(
+        emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 20
+    )
+    return _rrf_fuse(sparse, dense)
+
+
+def _rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10) -> DataFrame:
+    """Shared RRF fusion (k=60) over a sparse (doc_id, score) top list
+    and a dense (vec_id, cos_sim) top list — the rank windows and the
+    full-outer join run over ≤ 2×20 rows, model-sized no matter which
+    arm produced them (batch scorers or synced indexes)."""
     sparse_r = sparse.withColumn(
         "r_sparse",
         F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         ),
     ).select("doc_id", "r_sparse")
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dense = S.brute_force_topk(
-        emb, "vec_id", "embedding", _query_vector(spark, sf_dir), 20
-    )
     dense_r = dense.withColumn(
         "r_dense",
         F.row_number().over(
             Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         ),
     ).select(F.col("vec_id").alias("doc_id"), "r_dense")
-
     fused = sparse_r.join(dense_r, "doc_id", "full_outer").select(
         "doc_id",
         "r_sparse",
@@ -9066,7 +9072,9 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_score"),
     )
-    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(k)
 
 
 @_register(
@@ -13694,3 +13702,319 @@ def embedding_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iters=4,
     )
     return final
+
+
+@_register(
+    "streaming_bm25_cdc_sync",
+    oracle=rf"""
+    WITH final AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 1 THEN text || ' spark spark'
+                    ELSE text END AS text
+        FROM documents
+        WHERE (doc_id % 5 <> 0 OR doc_id % 15 = 0 OR doc_id % 7 = 1)
+          AND NOT (doc_id % 5 <> 0 AND doc_id % 11 = 3 AND doc_id % 7 <> 1)
+    ),
+    docs AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM final
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(avg(length(w)) AS DOUBLE) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(count(*) AS DOUBLE) AS tf,
+               CAST(max(dl) AS DOUBLE) AS dl
+        FROM (SELECT doc_id, length(w) AS dl, unnest(w) AS term FROM docs)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           ), 4) AS score
+    FROM tf, dfreq, stats
+    WHERE tf.term = dfreq.term
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def streaming_bm25_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE/UPDATE epochs for the streamed BM25 index — the seam the
+    INSERT-only arm named ("a re-ingested doc id would double-count df
+    and tf"): a CDC stream of (id, text, op ∈ I/U/D) folds into the
+    synced inverted index via SIGNED tombstone epochs
+    (streaming/index_sync.py:sync_bm25_cdc_stream). Per batch, the old
+    version of each touched doc is fetched from the doc-id-bucketed
+    DOC LOG (partition-pruned to the batch's buckets — the committed
+    postings are never read) and its exact postings/df/stats rows are
+    written NEGATED alongside the new version's positive rows; readers
+    fold per-(doc,term) tf/dl and per-term df as sums and drop
+    non-positive rows — the additive-moments discipline with a sign
+    bit, so N and avgdl stay exact integers across updates.
+
+    The scenario: base corpus (doc_id % 5 ≠ 0) indexed once; batch 1
+    INSERTS doc_id % 15 = 0; batch 2 UPDATES doc_id % 7 = 1 (text
+    gains ' spark spark' — an update on an unseen id is an insert) and
+    DELETES doc_id % 11 = 3 of the base (disjoint from the updates).
+    The graded result is the synced 3-term top-10 after the drain, and
+    the oracle is a from-scratch batch BM25 over the post-CDC corpus —
+    a double-counted df, a missed tombstone, a stats drift, or a
+    resurrected deleted doc all flip the ranking. Crash-restart,
+    re-insert-after-delete, as-of time travel, and compaction are
+    pytest-pinned (test_bm25_cdc_sync_updates_deletes_crash_restart)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    in_base = did % 5 != 0
+    upd_set = did % 7 == 1
+    del_set = in_base & (did % 11 == 3) & ~upd_set
+
+    corpus = docs.filter(in_base)
+    b0 = docs.filter(did % 15 == 0).withColumn("op", F.lit("I"))
+    b1 = (
+        docs.filter(upd_set)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" spark spark")).alias("text"),
+        )
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            docs.filter(del_set)
+            .select("doc_id", "text")
+            .withColumn("op", F.lit("D"))
+        )
+    )
+
+    work = _tempfile.mkdtemp(prefix="bm25_cdc_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+        for i, bdf in enumerate((b0, b1)):
+            staged = _os.path.join(work, f"stage{i}")
+            bdf.repartition(1).write.parquet(staged)
+            part = next(
+                f for f in sorted(_os.listdir(staged))
+                if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(staged, part), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_bm25_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.bm25_topk_synced(spark, root, _BM25_TERMS, k=10)
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "embedding_ivf_delete_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id < 8 AND embedding IS NOT NULL
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN q
+        WHERE e.embedding IS NOT NULL
+          AND (e.vec_id % 4 = 3 OR e.vec_id % 9 <> 2)
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def embedding_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-LEVEL DELETE for the IVF posting ledger, interleaved with
+    streamed growth — the lifecycle verb the vector-index family
+    lacked (whole-epoch compaction was the only removal path, but a
+    right-to-be-forgotten request names specific ids):
+    ``delete_index_ids`` writes a TOMBSTONE EPOCH that probes anti-join
+    against (delete epoch > posting epoch), so history before the
+    delete stays readable and a later re-insert is visible again;
+    ``compact_*_epochs(purge_deleted=True)`` is the physical removal
+    with an explicit as-of refusal floor (both pytest-pinned,
+    test_ivf_delete_ids_tombstones_reinsert_purge).
+
+    The scenario: the quantizer trains on base vectors (vec_id % 4 ≠
+    3, ``init_ivf_root``); vec_id % 9 = 2 of the base is tombstoned as
+    a MANUAL epoch; then the remaining 25% arrives as a streamed batch
+    — landing ABOVE the tombstone epoch because the stream's next
+    epoch is max(epoch_id+1, head+1) (``EpochLedger.next_epoch``), the
+    rule that lets manual and streamed epochs interleave without
+    collision. Graded at full probe width: the synced probe must equal
+    brute force over (base − deleted) ∪ batch; a tombstone that leaks
+    onto the streamed rows, a posting that survives its delete, or an
+    epoch collision all flip the result."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vid = F.col("vec_id")
+    base = emb.filter(vid % 4 != 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inserts = emb.filter(vid % 4 == 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    doomed = [
+        int(r["vec_id"])
+        for r in base.filter(vid % 9 == 2).select("vec_id").collect()
+    ]
+    qrows = (
+        emb.filter(vid < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+
+    work = _tempfile.mkdtemp(prefix="ivf_del_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_ivf_root(
+            base, root, "vec_id", "embedding", n_clusters=16, seed=42
+        )
+        index_sync.delete_index_ids(spark, root, doomed)
+        staged = _os.path.join(work, "stage0")
+        inserts.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
+        )
+        _os.replace(
+            _os.path.join(staged, part),
+            _os.path.join(src, "batch0000.parquet"),
+        )
+        index_sync.sync_ivf_index_stream(
+            spark, src, inserts.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        idx = index_sync.load_synced_ivf(spark, root)
+        out = (
+            S.ivf_batch_topk(idx, queries, k=5, n_probes=16)
+            .orderBy("query_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register("hybrid_rrf_synced", oracle=_HYBRID_RRF_ORACLE)
+def hybrid_rrf_synced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED FROM THE SYNCED INDEXES — the
+    production counterpart of ``hybrid_rrf_retrieval``, which
+    re-tokenizes the corpus and brute-force-scans the embeddings per
+    query: here BOTH arms read persisted, streaming-maintained
+    artifacts. The sparse arm is the synced BM25 inverted index (base
+    corpus doc_id % 5 ≠ 0 indexed once, the rest drained as a stream;
+    the query fetches only its 3 terms' bucket partitions —
+    ``bm25_topk_synced``); the dense arm is the synced IVF posting
+    ledger (base vec_id % 4 ≠ 3, the rest streamed; probed at full
+    width, where the synced probe EQUALS brute force). Identical RRF
+    fusion (``_rrf_fuse``) over the two top-20 lists.
+
+    Graded against the SAME oracle as the batch entry: the fused
+    top-10 from the synced artifacts must equal the from-scratch
+    formulation over the full corpus — a dropped epoch in either
+    ledger, a stats drift in the BM25 fold, or a mis-routed posting
+    all flip the fusion. At 100 TB this is the serving path: per query
+    the sparse arm reads |terms| bucket dirs and the dense arm reads
+    the probed clusters; nothing re-derives corpus-sized state."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    d_base = docs.filter(F.col("doc_id") % 5 != 0)
+    d_rest = docs.filter(F.col("doc_id") % 5 == 0)
+    e_base = emb.filter(F.col("vec_id") % 4 != 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e_rest = emb.filter(F.col("vec_id") % 4 == 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = _query_vector(spark, sf_dir)
+
+    work = _tempfile.mkdtemp(prefix="rrf_sync_")
+    try:
+        broot = _os.path.join(work, "bm25")
+        droot = _os.path.join(work, "ivf")
+        index_sync.init_bm25_root(d_base, broot, "doc_id", "text")
+        index_sync.init_ivf_root(
+            e_base, droot, "vec_id", "embedding", n_clusters=16, seed=42
+        )
+        for name, bdf in (("bm25", d_rest), ("ivf", e_rest)):
+            src = _os.path.join(work, f"src_{name}")
+            staged = _os.path.join(work, f"stage_{name}")
+            _os.makedirs(src)
+            bdf.repartition(1).write.parquet(staged)
+            part = next(
+                f for f in sorted(_os.listdir(staged))
+                if f.endswith(".parquet")
+            )
+            _os.replace(
+                _os.path.join(staged, part),
+                _os.path.join(src, "batch0000.parquet"),
+            )
+        index_sync.sync_bm25_index_stream(
+            spark, _os.path.join(work, "src_bm25"), d_rest.schema, broot,
+            checkpoint_dir=_os.path.join(work, "ckpt_bm25"),
+        )
+        index_sync.sync_ivf_index_stream(
+            spark, _os.path.join(work, "src_ivf"), e_rest.schema, droot,
+            checkpoint_dir=_os.path.join(work, "ckpt_ivf"),
+        )
+        sparse = index_sync.bm25_topk_synced(spark, broot, _BM25_TERMS, k=20)
+        idx = index_sync.load_synced_ivf(spark, droot)
+        dense = S.ivf_topk(idx, qvec, k=20, n_probes=16)
+        out = _rrf_fuse(sparse, dense).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -1,5 +1,8 @@
 """Streaming maintenance of PERSISTED derived artifacts — one
-epoch-ledger protocol, seven sync arms over six artifact kinds:
+epoch-ledger protocol (the generic ``EpochLedger``:
+streaming/ledger.py — staged epoch writes, one fsync'd pointer flip,
+replay-safe drains, compact/vacuum; every arm here is a thin fold
+over one instance), eight sync arms over six artifact kinds:
 
 - kNN graph (``sync_knn_graph_stream``): micro-batches fold into a
   SAVED graph via ``knn_graph_upsert`` — |batch|·N + |affected|·N per
@@ -25,11 +28,20 @@ epoch-ledger protocol, seven sync arms over six artifact kinds:
 - semantic dedup index (``sync_semantic_dedup_stream``): the embedding
   analog — probe the batch for cosine-threshold near-dup pairs against
   the IVF posting ledger, then fold it in, pairs + growth in one flip;
-- BM25 inverted index (``sync_bm25_index_stream``): one tokenize pass
-  per batch appends term-bucketed postings + df + model-sized stats
-  (all additive over disjoint doc sets) — queries read only their
-  terms' buckets and rank bit-identically to a batch rescore
+- BM25 inverted index (streaming/bm25_sync.py, re-exported here):
+  INSERT-only arm (``sync_bm25_index_stream`` — one tokenize pass per
+  batch, df/stats additive over disjoint doc sets) plus the CDC arm
+  (``sync_bm25_cdc_stream`` — op ∈ I/U/D folded as SIGNED tombstone
+  epochs derived from the doc log); queries read only their terms'
+  buckets and rank bit-identically to a batch rescore
   (``bm25_topk_synced``).
+
+Id-level lifecycle verbs for the IVF-family posting ledgers:
+``delete_index_ids`` writes tombstone epochs that probes anti-join
+(delete epoch > posting epoch — re-inserts stay visible, history
+before the delete stays readable), and ``compact_ivf_epochs`` /
+``compact_semantic_epochs`` with ``purge_deleted=True`` are the
+physical right-to-be-forgotten removal (as-of refusal floor).
 
 All arms share the commit protocol below: epoch-keyed staged writes
 (overwrite-idempotent, invisible to readers) published by ONE fsync'd
@@ -89,39 +101,68 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spacex_data_engineering_pipeline_spark.operators import similarity as S
+from spacex_data_engineering_pipeline_spark.streaming.ledger import (
+    EpochLedger,
+    compact_path as _compact_path,
+    epoch_path as _epoch_path,
+    flip_pointer as _flip_pointer,
+    id_bucket as _id_bucket,
+    ledger_frames as _ledger_frames,
+    read_index_pointer,
+    resolve_as_of as _resolve_as_of,
+    vacuum_ledger_dirs as _vacuum_ledger_dirs,
+)
 
-_POINTER = "_index_pointer.json"
+# The BM25 arm lives in its own module since round 13; re-exported here
+# so the catalog/tests keep one address for the sync family.
+from spacex_data_engineering_pipeline_spark.streaming.bm25_sync import (  # noqa: F401
+    _bm25_epoch_tables,
+    _bm25_ledger,
+    _term_bucket,
+    bm25_topk_synced,
+    compact_bm25_epochs,
+    init_bm25_root,
+    sync_bm25_cdc_stream,
+    sync_bm25_index_stream,
+    vacuum_bm25_epochs,
+)
 
 
-def _pointer_path(root: str) -> str:
-    return os.path.join(root, _POINTER)
+# Per-arm ledger layouts — the ONLY thing that differs between the
+# sync families besides the fold body. Partition columns are the
+# query-time pruning keys: doc-id bucket for the dedup verify fetch,
+# cluster for IVF probes, term bucket for BM25 queries.
+# Back-compat private aliases (tests and older callers address the
+# ledger internals through this module): the generic machinery now
+# lives in streaming/ledger.py.
+def _minhash_epoch_path(root: str, table: str, epoch: int) -> str:
+    return _epoch_path(root, table, epoch)
 
 
-def read_index_pointer(root: str) -> dict:
-    with open(_pointer_path(root)) as f:
-        return json.load(f)
+def _minhash_ledger(root: str) -> EpochLedger:
+    return EpochLedger(
+        root, {"grams": "__bucket", "bands": None, "pairs": None}
+    )
 
 
-def _flip_pointer(root: str, pointer: dict) -> None:
-    # same single-commit-point contract as operators/txn.py::_commit:
-    # stage, fsync, one atomic replace (conditional PUT on object stores)
-    fd, tmp = tempfile.mkstemp(dir=root, prefix="._ptr_")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(pointer, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, _pointer_path(root))
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+def _ivf_ledger(root: str) -> EpochLedger:
+    return EpochLedger(root, {"postings": "cluster", "deletes": None})
+
+
+def _semantic_ledger(root: str) -> EpochLedger:
+    return EpochLedger(
+        root, {"postings": "cluster", "pairs": None, "deletes": None}
+    )
+
+
+def _pca_ledger(root: str) -> EpochLedger:
+    return EpochLedger(root, {"moments": None})
 
 
 def _graph_gen_path(root: str, generation: int) -> str:
@@ -184,26 +225,6 @@ def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
     return base.join(latest.select(id_col), id_col, "left_anti").unionByName(latest)
 
 
-def _resolve_as_of(ptr: dict, key: str, as_of) -> int:
-    """TIME-TRAVEL resolution shared by every synced reader: the ledger
-    keeps one immutable partition (or generation dir) per committed
-    epoch, so any historical index state is reproducible by reading
-    epochs ≤ k — the audit/rollback story the epoch layout buys beyond
-    exactly-once. ``None`` means the committed head; anything above the
-    head is refused (it would silently read staged crash orphans)."""
-    head = ptr[key]
-    if as_of is None:
-        return head
-    as_of = int(as_of)
-    if as_of < 0 or as_of > head:
-        raise ValueError(
-            f"as_of={as_of} is not a committed state (committed head is "
-            f"{key}={head}); states above the head are staged crash "
-            "orphans, not history"
-        )
-    return as_of
-
-
 def load_synced_graph(
     spark: SparkSession, root: str, as_of_generation: int | None = None
 ) -> DataFrame:
@@ -240,13 +261,7 @@ def sync_knn_graph_stream(
     until the drain completes. ``on_batch_start`` is a test hook
     (crash injection): called with the epoch id before any work."""
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if on_batch_start is not None:
-            on_batch_start(epoch_id)
-        ptr = read_index_pointer(root)
-        last = ptr["last_batch_id"]
-        if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed
+    def fold(ptr: dict, gen: int, batch_df: DataFrame) -> dict:
         id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
         updates = batch_df.select(id_col, vec_col)
         corpus_before = _corpus_at(spark, root, ptr)
@@ -260,26 +275,19 @@ def sync_knn_graph_stream(
             n_blocks=ptr["n_blocks"],
             base_graph=prev,
         )
-        gen = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
         S.save_knn_graph(
             new_graph, _graph_gen_path(root, gen), id_col,
             n_buckets=ptr["n_buckets"],
         )
-        updates.withColumn("__epoch", F.lit(epoch_id).cast("long")).write.mode(
+        updates.withColumn("__epoch", F.lit(gen - 1).cast("long")).write.mode(
             "append"
         ).parquet(os.path.join(root, "applied"))
-        _flip_pointer(root, {**ptr, "generation": gen, "last_batch_id": epoch_id})
+        return {"generation": gen}
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    EpochLedger(root, {}).drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
     )
-    q.awaitTermination()
 
 
 def _ivf_epoch_path(root: str, epoch: int) -> str:
@@ -350,7 +358,9 @@ def load_synced_ivf(
     epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
     with open(os.path.join(root, "centroids.json")) as f:
         centroids = json.load(f)
-    assigned = _ledger_frames(spark, root, "postings", ptr, epoch)
+    assigned = _synced_postings(
+        spark, _ivf_ledger(root), ptr, epoch, ptr["id_col"]
+    )
     if assigned is None:
         raise ValueError(
             f"no committed postings at epoch {epoch} — the root is not "
@@ -359,6 +369,106 @@ def load_synced_ivf(
     return S_.IvfIndex(
         assigned.drop("epoch"), centroids, ptr["id_col"], ptr["vec_col"]
     )
+
+
+def _apply_tombstones(
+    spark: SparkSession,
+    led: EpochLedger,
+    ptr: dict,
+    epoch: int,
+    posts: DataFrame | None,
+    id_col: str,
+) -> DataFrame | None:
+    """Filter a posting frame (epoch column still attached) through the
+    ``deletes`` tombstone ledger AS OF ``epoch``: a posting is visible
+    unless a LATER tombstone at or below the as-of point names its id —
+    so a re-insert after a delete is visible again, and reads as of a
+    point before the delete still see the row (row-exact history until
+    an explicit ``purge_deleted`` compaction).
+
+    Shape: tombstones reduce to one (id, max delete epoch) row per
+    deleted id, then ONE equi-join against the (already
+    cluster/epoch-pruned) postings — delete-request-sized, so AQE
+    broadcasts it in the common case; no driver collect."""
+    if posts is None:
+        return None
+    dels = led.frames(spark, "deletes", ptr, epoch)
+    if dels is None:
+        return posts
+    dmax = dels.groupBy(id_col).agg(F.max("epoch").alias("__del_epoch"))
+    return (
+        posts.join(dmax, id_col, "left")
+        .filter(
+            F.col("__del_epoch").isNull()
+            | (F.col("epoch") > F.col("__del_epoch"))
+        )
+        .drop("__del_epoch")
+    )
+
+
+def _synced_postings(
+    spark: SparkSession, led: EpochLedger, ptr: dict, epoch: int, id_col: str
+) -> DataFrame | None:
+    """Committed postings as of ``epoch`` with id-level tombstones
+    applied — THE posting read path for every IVF-family root (plain
+    IVF, semantic dedup). Keeps the ``epoch`` column for callers."""
+    return _apply_tombstones(
+        spark, led, ptr, epoch, led.frames(spark, "postings", ptr, epoch),
+        id_col,
+    )
+
+
+def delete_index_ids(
+    spark: SparkSession, root: str, ids, max_affected: int = 1_000_000
+) -> int:
+    """ID-LEVEL DELETE for the IVF-family posting ledgers (plain IVF
+    roots and semantic-dedup roots) — the lifecycle verb the family
+    lacked: ``compact_*`` could only drop whole epochs, but a
+    right-to-be-forgotten request names specific vector ids. Writes a
+    TOMBSTONE EPOCH (just the ids), published by the usual pointer
+    flip; every reader (``load_synced_ivf``, the semantic probe/fold)
+    anti-joins postings against tombstones with delete-epoch >
+    posting-epoch, so:
+
+    - a later re-insert of the same id IS visible (the tombstone only
+      covers postings committed before it);
+    - ``as_of_epoch`` reads before the delete still see the row —
+      tombstones are history too, until ``compact_*_epochs(...,
+      purge_deleted=True)`` physically removes both and sets the
+      as-of refusal floor;
+    - streaming syncs interleave safely: the stream's next epoch is
+      ``max(epoch_id + 1, head + 1)`` (``EpochLedger.next_epoch``), so
+      a manual tombstone epoch never collides with a replayed batch.
+
+    ``ids`` is a list of id values or a DataFrame holding the root's
+    id column. ``max_affected`` is the refusal guard the repo's
+    destructive verbs carry (reference pattern: operators/delete.py's
+    affected-partitions discipline): a tombstone set larger than this
+    is almost certainly a bug upstream, and it also bounds this verb's
+    one count() job. Crash window: a staged tombstone epoch above the
+    pointer is invisible, overwritten by the next delete, and swept by
+    vacuum. Returns the committed tombstone epoch."""
+    led_ptr = read_index_pointer(root)
+    id_col = led_ptr["id_col"]
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(id_col).distinct()
+    else:
+        id_type = "long" if ids and isinstance(ids[0], int) else "string"
+        tomb = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} {id_type}"
+        ).distinct()
+    n = tomb.count()
+    if n > max_affected:
+        raise ValueError(
+            f"delete_index_ids would tombstone {n} ids > max_affected="
+            f"{max_affected} — pass a higher bound explicitly if this "
+            "is intended"
+        )
+    led = EpochLedger(root, {"deletes": None})
+    epoch = int(led_ptr["max_epoch"]) + 1
+    led.write_epoch(tomb, "deletes", epoch)
+    _flip_pointer(root, {**led_ptr, "max_epoch": epoch})
+    return epoch
 
 
 def sync_ivf_index_stream(
@@ -391,18 +501,13 @@ def sync_ivf_index_stream(
     per-id latest-wins read path, so feeding updates here would
     surface both versions. ``on_batch_start`` is the crash-injection
     test hook."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if on_batch_start is not None:
-            on_batch_start(epoch_id)
-        ptr = read_index_pointer(root)
-        last = ptr["last_batch_id"]
-        if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed
-        from spacex_data_engineering_pipeline_spark.operators import (
-            similarity as S_,
-        )
+    led = _ivf_ledger(root)
 
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
         id_col, vec_col = ptr["id_col"], ptr["vec_col"]
@@ -411,24 +516,13 @@ def sync_ivf_index_stream(
             F.col(vec_col),
             S_.centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
         )
-        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
-        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-            _ivf_epoch_path(root, epoch)
-        )
-        _flip_pointer(
-            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
-        )
+        led.write_epoch(assigned, "postings", epoch)
+        return {"max_epoch": epoch}
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
     )
-    q.awaitTermination()
 
 
 def init_knn_graph_ivf_root(
@@ -518,53 +612,42 @@ def sync_knn_graph_ivf_stream(
         similarity as S_,
     )
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if on_batch_start is not None:
-            on_batch_start(epoch_id)
-        ptr = read_index_pointer(root)
-        last = ptr["last_batch_id"]
-        if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed
+    led = _ivf_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
         id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
-        postings = _ledger_frames(
-            spark, root, "postings", ptr, ptr["max_epoch"]
-        ).drop("epoch")
+        postings = led.frames(spark, "postings", ptr, ptr["max_epoch"]).drop(
+            "epoch"
+        )
         prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
         updates = batch_df.select(id_col, vec_col)
         new_graph = S_.knn_graph_ivf_fold(
             postings, centers, updates, id_col, vec_col, k,
             n_probes=ptr["n_probes"], base_graph=prev,
         )
-        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
         S_.save_knn_graph(
             new_graph, _graph_gen_path(root, epoch), id_col,
             n_buckets=ptr["n_buckets"],
         )
-        updates.select(
-            F.col(id_col),
-            F.col(vec_col),
-            S_.centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
-        ).write.mode("overwrite").partitionBy("cluster").parquet(
-            _ivf_epoch_path(root, epoch)
+        led.write_epoch(
+            updates.select(
+                F.col(id_col),
+                F.col(vec_col),
+                S_.centroid_assign_udf(centers)(F.col(vec_col)).alias(
+                    "cluster"
+                ),
+            ),
+            "postings",
+            epoch,
         )
-        _flip_pointer(
-            root,
-            {**ptr, "generation": epoch, "max_epoch": epoch,
-             "last_batch_id": epoch_id},
-        )
+        return {"generation": epoch, "max_epoch": epoch}
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
     )
-    q.awaitTermination()
 
 
 def vacuum_ivf_orphans(root: str) -> int:
@@ -587,7 +670,9 @@ def vacuum_ivf_orphans(root: str) -> int:
     return len(doomed)
 
 
-def compact_ivf_epochs(spark: SparkSession, root: str) -> int:
+def compact_ivf_epochs(
+    spark: SparkSession, root: str, purge_deleted: bool = False
+) -> int:
     """Retention for the IVF posting ledger — the worst directory
     growth of the family (``n_clusters`` dirs per committed epoch):
     rewrite every posting epoch at or below the pointer into ONE
@@ -597,18 +682,56 @@ def compact_ivf_epochs(spark: SparkSession, root: str) -> int:
     staged-then-pointer-flip commit as ``compact_minhash_epochs``;
     superseded dirs removed by ``vacuum_ivf_epochs``. Returns epochs
     newly folded. Works on both plain IVF roots (``init_ivf_root``)
-    and combined graph+IVF roots (``init_knn_graph_ivf_root``)."""
-    ptr = read_index_pointer(root)
+    and combined graph+IVF roots (``init_knn_graph_ivf_root``); the
+    ``deletes`` tombstone table (``delete_index_ids``) compacts along
+    under the same shared ``compact_upto``.
+
+    ``purge_deleted=True`` is the RIGHT-TO-BE-FORGOTTEN hard removal:
+    the postings compact is written with tombstoned rows physically
+    DROPPED and the tombstones themselves discarded, and the pointer
+    records ``purge_floor = head`` — as-of reads below the floor are
+    refused afterwards (the rows needed to reconstruct them are gone;
+    the same explicit end-of-readability contract as PCA moment
+    compaction). The default keeps every row, so compaction alone
+    never changes what time travel can see."""
+    return _compact_posting_family(spark, _ivf_ledger(root), purge_deleted)
+
+
+def _compact_posting_family(
+    spark: SparkSession, led: EpochLedger, purge_deleted: bool
+) -> int:
+    """Shared compact for roots carrying a ``postings`` + ``deletes``
+    pair (plain IVF, graph+IVF, semantic-dedup): the plain path
+    rewrites rows; the purge path drops tombstoned postings and the
+    spent tombstones, recording the as-of refusal floor."""
+    if not purge_deleted:
+        return led.compact(spark)
+    ptr = led.pointer()
     head = ptr["max_epoch"]
     cu = int(ptr.get("compact_upto", 0) or 0)
     if head <= cu:
-        return 0
-    df = _ledger_frames(spark, root, "postings", ptr, head)
-    df.write.mode("overwrite").partitionBy("cluster").parquet(
-        _compact_path(root, "postings", head)
+        # a silent no-op would leave "purged" rows readable — refuse.
+        # (delete_index_ids always bumps the head, so purging right
+        # after a delete never hits this; only purging deletes that an
+        # earlier PLAIN compaction already folded does. Recovery: write
+        # a fresh tombstone epoch for the same ids, then purge.)
+        raise ValueError(
+            f"purge needs uncompacted epochs (head={head}, "
+            f"compact_upto={cu}): the staged-compact commit can't "
+            "rewrite a live compact in place"
+        )
+    id_col = ptr["id_col"]
+
+    def transform(table: str, df: DataFrame, head_: int):
+        if table == "postings":
+            return _apply_tombstones(spark, led, ptr, head_, df, id_col)
+        if table == "deletes":
+            return None  # spent: their targets are physically gone
+        return df
+
+    return led.compact(
+        spark, transform=transform, extra={"purge_floor": head}
     )
-    _flip_pointer(root, {**ptr, "compact_upto": head})
-    return head - cu
 
 
 def vacuum_ivf_epochs(root: str) -> int:
@@ -617,7 +740,7 @@ def vacuum_ivf_epochs(root: str) -> int:
     compacts, staged crash orphans — never the committed tail or the
     pointer-named compact). Supersedes ``vacuum_ivf_orphans`` on
     compacted roots (orphans are swept by both)."""
-    return _vacuum_ledger_dirs(root, ("postings",))
+    return _ivf_ledger(root).vacuum()
 
 
 def init_semantic_dedup_root(
@@ -695,48 +818,41 @@ def sync_semantic_dedup_stream(
         similarity as S_,
     )
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if on_batch_start is not None:
-            on_batch_start(epoch_id)
-        ptr = read_index_pointer(root)
-        last = ptr["last_batch_id"]
-        if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed
+    led = _semantic_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
         id_col, vec_col = ptr["id_col"], ptr["vec_col"]
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
-        postings = _ledger_frames(
-            spark, root, "postings", ptr, ptr["max_epoch"]
+        postings = _synced_postings(
+            spark, led, ptr, ptr["max_epoch"], id_col
         ).drop("epoch")
         batch = batch_df.select(id_col, vec_col)
-        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
-        S_.embedding_near_dup_probe(
-            postings, centers, batch, id_col, vec_col,
-            n_probes=ptr["n_probes"], min_cosine=ptr["min_cosine"],
-        ).write.mode("overwrite").parquet(
-            _minhash_epoch_path(root, "pairs", epoch)
+        led.write_epoch(
+            S_.embedding_near_dup_probe(
+                postings, centers, batch, id_col, vec_col,
+                n_probes=ptr["n_probes"], min_cosine=ptr["min_cosine"],
+            ),
+            "pairs",
+            epoch,
         )
-        batch.select(
-            F.col(id_col),
-            F.col(vec_col),
-            S_.centroid_assign_udf(centers)(F.col(vec_col)).alias("cluster"),
-        ).write.mode("overwrite").partitionBy("cluster").parquet(
-            _ivf_epoch_path(root, epoch)
+        led.write_epoch(
+            batch.select(
+                F.col(id_col),
+                F.col(vec_col),
+                S_.centroid_assign_udf(centers)(F.col(vec_col)).alias(
+                    "cluster"
+                ),
+            ),
+            "postings",
+            epoch,
         )
-        _flip_pointer(
-            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
-        )
+        return {"max_epoch": epoch}
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
     )
-    q.awaitTermination()
 
 
 def load_synced_semantic_pairs(
@@ -773,7 +889,9 @@ def load_synced_semantic_pairs(
     return pairs.drop("epoch")
 
 
-def compact_semantic_epochs(spark: SparkSession, root: str) -> int:
+def compact_semantic_epochs(
+    spark: SparkSession, root: str, purge_deleted: bool = False
+) -> int:
     """Retention for the semantic-dedup root: fold BOTH its ledgers —
     postings (cluster-partitioned compact) and pairs — at or below the
     pointer into compact datasets in one staged pass, then one pointer
@@ -782,276 +900,17 @@ def compact_semantic_epochs(spark: SparkSession, root: str) -> int:
     compacting only one table would let the sweep delete the other's
     uncompacted rows. (For the same reason, do not run
     ``compact_ivf_epochs`` on a semantic root.) Returns epochs newly
-    folded."""
-    ptr = read_index_pointer(root)
-    head = ptr["max_epoch"]
-    cu = int(ptr.get("compact_upto", 0) or 0)
-    if head <= cu:
-        return 0
-    df = _ledger_frames(spark, root, "postings", ptr, head)
-    df.write.mode("overwrite").partitionBy("cluster").parquet(
-        _compact_path(root, "postings", head)
+    folded. The ``deletes`` tombstone table compacts along; see
+    ``compact_ivf_epochs`` for the ``purge_deleted`` contract."""
+    return _compact_posting_family(
+        spark, _semantic_ledger(root), purge_deleted
     )
-    pairs = _ledger_frames(spark, root, "pairs", ptr, head)
-    if pairs is not None:
-        pairs.write.mode("overwrite").parquet(
-            _compact_path(root, "pairs", head)
-        )
-    _flip_pointer(root, {**ptr, "compact_upto": head})
-    return head - cu
 
 
 def vacuum_semantic_epochs(root: str) -> int:
-    """Retention sweep for the semantic-dedup root's two ledgers: see
+    """Retention sweep for the semantic-dedup root's ledgers: see
     ``_vacuum_ledger_dirs``."""
-    return _vacuum_ledger_dirs(root, ("postings", "pairs"))
-
-
-def _term_bucket(term_expr, n_buckets: int):
-    """Term hash bucket for the BM25 ledger layout — queries name a
-    handful of terms, so bucketing postings and df by term hash turns
-    a query-time read into a partition-pruned fetch of ≤ |query terms|
-    bucket dirs (the grams-ledger pattern, keyed on term not doc)."""
-    return F.pmod(F.xxhash64(term_expr), F.lit(n_buckets)).cast("int")
-
-
-def _bm25_epoch_tables(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int
-):
-    """ONE tokenize pass over a document set → the three BM25 ledger
-    tables: postings (term, doc, tf, dl — per distinct (doc, term)),
-    dfreq (term, df — this set's document frequency), stats (one row:
-    n_docs, sum_dl). Tokenization is the catalog's ``words()`` so the
-    synced index ranks bit-identically to the batch scorer and its
-    DuckDB oracle."""
-    from spacex_data_engineering_pipeline_spark.functions.text import words
-
-    docs = (
-        df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
-        .withColumn("dl", F.size("w"))
-        .persist()
-    )
-    exploded = docs.select("doc", "dl", F.explode("w").alias("term"))
-    postings = (
-        exploded.groupBy("doc", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .withColumn("__tbucket", _term_bucket(F.col("term"), n_buckets))
-    )
-    dfreq = (
-        exploded.select("doc", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("__tbucket", _term_bucket(F.col("term"), n_buckets))
-    )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-    )
-    return postings, dfreq, stats, docs
-
-
-def init_bm25_root(
-    corpus: DataFrame,
-    root: str,
-    id_col: str,
-    text_col: str,
-    term_buckets: int = 16,
-) -> None:
-    """One-time base for a STREAMING-MAINTAINED BM25 inverted index —
-    the retrieval-artifact arm of the ledger family: postings and
-    per-term document frequencies saved term-bucket-partitioned as
-    epoch 0 (query-time reads partition-prune to the query terms'
-    buckets), plus a one-row per-epoch stats table (n_docs, sum_dl —
-    exact integer sums, additive across epochs exactly as the PCA
-    moments are, so global N and avgdl fold from model-sized state and
-    the synced ranking is bit-identical to a from-scratch batch
-    scorer)."""
-    os.makedirs(root, exist_ok=True)
-    postings, dfreq, stats, docs = _bm25_epoch_tables(
-        corpus, id_col, text_col, term_buckets
-    )
-    postings.write.mode("overwrite").partitionBy("__tbucket").parquet(
-        _minhash_epoch_path(root, "postings", 0)
-    )
-    dfreq.write.mode("overwrite").partitionBy("__tbucket").parquet(
-        _minhash_epoch_path(root, "df", 0)
-    )
-    stats.write.mode("overwrite").parquet(
-        _minhash_epoch_path(root, "stats", 0)
-    )
-    docs.unpersist()
-    _flip_pointer(
-        root,
-        {
-            "max_epoch": 0,
-            "last_batch_id": None,
-            "id_col": id_col,
-            "text_col": text_col,
-            "term_buckets": term_buckets,
-        },
-    )
-
-
-def sync_bm25_index_stream(
-    spark: SparkSession,
-    source_path: str,
-    schema,
-    root: str,
-    checkpoint_dir: str,
-    max_files_per_trigger: int = 1,
-    on_batch_start=None,
-) -> None:
-    """Drain ``source_path`` (parquet file stream of (id, text) docs)
-    with AvailableNow: per micro-batch, ONE tokenize pass reduces the
-    batch to its postings / dfreq / stats epoch tables (document sets
-    are disjoint across epochs, so df and the stats sums are additive
-    — no read-modify-write of existing index state, the committed
-    100 TB of postings is never touched), staged overwrite-idempotently
-    and published by one pointer flip. INSERT-only (a re-ingested doc
-    id would double-count df and tf; document updates need a delete
-    epoch, not expressed here). Same exactly-once ledger and
-    checkpoint-wipe hazard as the other syncs."""
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if on_batch_start is not None:
-            on_batch_start(epoch_id)
-        ptr = read_index_pointer(root)
-        last = ptr["last_batch_id"]
-        if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed
-        postings, dfreq, stats, docs = _bm25_epoch_tables(
-            batch_df, ptr["id_col"], ptr["text_col"], ptr["term_buckets"]
-        )
-        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
-        postings.write.mode("overwrite").partitionBy("__tbucket").parquet(
-            _minhash_epoch_path(root, "postings", epoch)
-        )
-        dfreq.write.mode("overwrite").partitionBy("__tbucket").parquet(
-            _minhash_epoch_path(root, "df", epoch)
-        )
-        stats.write.mode("overwrite").parquet(
-            _minhash_epoch_path(root, "stats", epoch)
-        )
-        docs.unpersist()
-        _flip_pointer(
-            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
-        )
-
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-
-def bm25_topk_synced(
-    spark: SparkSession,
-    root: str,
-    terms: tuple[str, ...],
-    k: int,
-    k1: float = 1.2,
-    b: float = 0.75,
-    as_of_epoch: int | None = None,
-) -> DataFrame:
-    """Query the synced BM25 index: fold the model-sized stats ledger
-    into exact global (N, avgdl), read ONLY the query terms' bucket
-    partitions of the postings and df ledgers (partition-pruned at
-    file listing — at 100 TB a 3-term query fetches ≤ 3 of
-    ``term_buckets`` dirs per epoch), fold per-term df across epochs,
-    and score with Lucene's nonnegative-idf BM25 — the identical
-    expression text as the batch scorer, with N and avgdl inlined as
-    the same exact doubles, so the synced ranking replays the batch
-    oracle bit-for-bit. ``as_of_epoch`` time-travels the whole
-    ranking (stats, df, and postings all epoch-filtered together)."""
-    ptr = read_index_pointer(root)
-    epoch = _resolve_as_of(ptr, "max_epoch", as_of_epoch)
-    nb = ptr["term_buckets"]
-    st = (
-        _ledger_frames(spark, root, "stats", ptr, epoch)
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-        .first()
-    )
-    n_docs = float(st["n"])
-    avgdl = float(int(st["s"]) / int(st["n"]))
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(_term_bucket(F.col("term"), nb).alias("b"))
-            .collect()
-        }
-    )
-    posts = (
-        _ledger_frames(spark, root, "postings", ptr, epoch)
-        .filter(F.col("__tbucket").isin(buckets))
-        .filter(F.col("term").isin(list(terms)))
-        .drop("epoch", "__tbucket")
-    )
-    dfreq = (
-        _ledger_frames(spark, root, "df", ptr, epoch)
-        .filter(F.col("__tbucket").isin(buckets))
-        .filter(F.col("term").isin(list(terms)))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-    )
-    posts.createOrReplaceTempView("__bm25_sync_tf")
-    dfreq.createOrReplaceTempView("__bm25_sync_df")
-    return spark.sql(
-        f"""
-        SELECT doc AS doc_id,
-               ROUND(SUM(
-                   ln(({n_docs!r} - CAST(d.df AS DOUBLE) + 0.5)
-                      / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-                   * (CAST(t.tf AS DOUBLE) * ({k1!r} + 1.0))
-                   / (CAST(t.tf AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r}
-                      * CAST(t.dl AS DOUBLE) / {avgdl!r}))
-               ), 4) AS score
-        FROM __bm25_sync_tf t JOIN __bm25_sync_df d ON t.term = d.term
-        GROUP BY doc
-        ORDER BY score DESC, doc_id ASC
-        LIMIT {int(k)}
-        """
-    )
-
-
-def compact_bm25_epochs(spark: SparkSession, root: str) -> int:
-    """Retention for the BM25 ledger: rewrite the three tables'
-    committed epochs into one compact dataset each — postings and df
-    keep the term-bucket partitioning (query pruning survives) and
-    epoch as an int data column (as-of rankings stay exact); stats is
-    already model-sized but compacts too so all three move under the
-    one shared ``compact_upto`` (the paired-ledger rule: compacting a
-    subset would let the vacuum drop the rest's uncompacted rows).
-    Returns epochs newly folded."""
-    ptr = read_index_pointer(root)
-    head = ptr["max_epoch"]
-    cu = int(ptr.get("compact_upto", 0) or 0)
-    if head <= cu:
-        return 0
-    for table, bucketed in (("postings", True), ("df", True), ("stats", False)):
-        df = _ledger_frames(spark, root, table, ptr, head)
-        if df is None:
-            continue
-        writer = df.write.mode("overwrite")
-        if bucketed:
-            writer = writer.partitionBy("__tbucket")
-        writer.parquet(_compact_path(root, table, head))
-    _flip_pointer(root, {**ptr, "compact_upto": head})
-    return head - cu
-
-
-def vacuum_bm25_epochs(root: str) -> int:
-    """Retention sweep for the BM25 ledger's three tables: see
-    ``_vacuum_ledger_dirs``."""
-    return _vacuum_ledger_dirs(root, ("postings", "df", "stats"))
+    return _semantic_ledger(root).vacuum()
 
 
 def _moments_epoch_path(root: str, epoch: int) -> str:
@@ -1107,33 +966,20 @@ def sync_pca_moments_stream(
         quantized_moments,
     )
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if on_batch_start is not None:
-            on_batch_start(epoch_id)
-        ptr = read_index_pointer(root)
-        last = ptr["last_batch_id"]
-        if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed
+    led = _pca_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
         vec_col = ptr["vec_col"]
         m = quantized_moments(
             batch_df.filter(F.col(vec_col).isNotNull()), vec_col
         )
-        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
-        m.write.mode("overwrite").parquet(_moments_epoch_path(root, epoch))
-        _flip_pointer(
-            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
-        )
+        led.write_epoch(m, "moments", epoch)
+        return {"max_epoch": epoch}
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
     )
-    q.awaitTermination()
 
 
 def load_synced_pca_model(
@@ -1191,21 +1037,14 @@ def compact_pca_epochs(spark: SparkSession, root: str) -> int:
     reads below the compaction point are refused (the detail is gone —
     see ``load_synced_pca_model``). Superseded dirs stay until
     ``vacuum_pca_epochs``. Returns the number of epochs newly folded."""
-    ptr = read_index_pointer(root)
-    head = ptr["max_epoch"]
-    cu = int(ptr.get("compact_upto", 0) or 0)
-    if head <= cu:
-        return 0
-    df = _ledger_frames(spark, root, "moments", ptr, head)
-    (
-        df.groupBy("i", "j")
-        .agg(F.sum("m").alias("m"))
-        .withColumn("epoch", F.lit(head).cast("int"))
-        .write.mode("overwrite")
-        .parquet(_compact_path(root, "moments", head))
+    return _pca_ledger(root).compact(
+        spark,
+        transform=lambda table, df, head: (
+            df.groupBy("i", "j")
+            .agg(F.sum("m").alias("m"))
+            .withColumn("epoch", F.lit(head).cast("int"))
+        ),
     )
-    _flip_pointer(root, {**ptr, "compact_upto": head})
-    return head - cu
 
 
 def vacuum_pca_epochs(root: str) -> int:
@@ -1213,63 +1052,7 @@ def vacuum_pca_epochs(root: str) -> int:
     ``_vacuum_ledger_dirs`` (summed-away epoch dirs, superseded
     compacts, staged crash orphans — never the committed tail or the
     pointer-named compact)."""
-    return _vacuum_ledger_dirs(root, ("moments",))
-
-
-def _minhash_epoch_path(root: str, table: str, epoch: int) -> str:
-    return os.path.join(root, table, f"epoch={epoch}")
-
-
-def _compact_path(root: str, table: str, upto: int) -> str:
-    return os.path.join(root, f"{table}_compact", f"upto={upto}")
-
-
-def _live_epochs(root: str, table: str) -> list[int]:
-    d = os.path.join(root, table)
-    if not os.path.isdir(d):
-        return []
-    return sorted(
-        int(e.split("=", 1)[1])
-        for e in os.listdir(d)
-        if e.startswith("epoch=")
-    )
-
-
-def _ledger_frames(
-    spark: SparkSession, root: str, table: str, ptr: dict, epoch: int
-) -> DataFrame | None:
-    """Committed rows of an epoch-keyed ledger table as of ``epoch``,
-    compaction-aware: the compact dataset (all epochs ≤ the pointer's
-    ``compact_upto``, epoch kept as an int DATA column so time travel
-    stays row-exact across compaction — parquet min/max stats skip
-    row groups below an as-of filter) unioned with the live epoch
-    dirs in (compact_upto, epoch] (epoch is a PARTITION column there —
-    pruned at file listing). Returns None when neither side has
-    committed rows in range (e.g. the pairs table of a fresh root).
-    The returned frame keeps ``epoch`` (and ``__bucket`` where the
-    layout has it) for callers to filter/drop."""
-    cu = int(ptr.get("compact_upto", 0) or 0)
-    # cu == 0 means nothing was ever compacted: epoch 0 itself is live
-    lo = cu if cu > 0 else -1
-    frames = []
-    if any(lo < e <= epoch for e in _live_epochs(root, table)):
-        frames.append(
-            spark.read.parquet(os.path.join(root, table))
-            .filter((F.col("epoch") > lo) & (F.col("epoch") <= epoch))
-            .withColumn("epoch", F.col("epoch").cast("int"))
-        )
-    if cu > 0 and os.path.isdir(_compact_path(root, table, cu)):
-        frames.append(
-            spark.read.parquet(_compact_path(root, table, cu)).filter(
-                F.col("epoch") <= epoch
-            )
-        )
-    if not frames:
-        return None
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return _pca_ledger(root).vacuum()
 
 
 def compact_minhash_epochs(spark: SparkSession, root: str) -> int:
@@ -1286,49 +1069,7 @@ def compact_minhash_epochs(spark: SparkSession, root: str) -> int:
     pointer names), published by one pointer flip; superseded dirs
     stay on disk, harmless, until ``vacuum_minhash_epochs``. Returns
     the number of epochs newly folded."""
-    ptr = read_index_pointer(root)
-    head = ptr["max_epoch"]
-    cu = int(ptr.get("compact_upto", 0) or 0)
-    if head <= cu:
-        return 0
-    for table in ("grams", "bands", "pairs"):
-        df = _ledger_frames(spark, root, table, ptr, head)
-        if df is None:
-            continue  # a fresh root's pairs table: nothing probed yet
-        writer = df.write.mode("overwrite")
-        if "__bucket" in df.columns:
-            writer = writer.partitionBy("__bucket")
-        writer.parquet(_compact_path(root, table, head))
-    _flip_pointer(root, {**ptr, "compact_upto": head})
-    return head - cu
-
-
-def _vacuum_ledger_dirs(root: str, tables: tuple[str, ...]) -> int:
-    """Shared retention sweep: drop (a) live epoch dirs at or below
-    the pointer's ``compact_upto`` (their rows live on in the compact
-    dataset), (b) compact datasets superseded by a newer compaction,
-    and (c) staged orphan epochs a crash left above the pointer. The
-    committed tail (epochs in (compact_upto, max_epoch]) and the
-    pointer-named compact are NEVER touched — the head state always
-    stays readable. Returns directories removed."""
-    import shutil
-
-    ptr = read_index_pointer(root)
-    head = ptr["max_epoch"]
-    cu = int(ptr.get("compact_upto", 0) or 0)
-    removed = 0
-    for table in tables:
-        for e in _live_epochs(root, table):
-            if e <= cu or e > head:
-                shutil.rmtree(_minhash_epoch_path(root, table, e))
-                removed += 1
-        cdir = os.path.join(root, f"{table}_compact")
-        if os.path.isdir(cdir):
-            for d in os.listdir(cdir):
-                if d.startswith("upto=") and int(d.split("=", 1)[1]) != cu:
-                    shutil.rmtree(os.path.join(cdir, d))
-                    removed += 1
-    return removed
+    return _minhash_ledger(root).compact(spark)
 
 
 def vacuum_minhash_epochs(root: str) -> int:
@@ -1336,22 +1077,25 @@ def vacuum_minhash_epochs(root: str) -> int:
     ``_vacuum_ledger_dirs`` (compacted-away epoch dirs, superseded
     compacts, staged crash orphans — never the committed tail or the
     pointer-named compact)."""
-    return _vacuum_ledger_dirs(root, ("grams", "bands", "pairs"))
+    return _minhash_ledger(root).vacuum()
 
 
-def _grams_bucket(id_expr, n_buckets: int):
-    """Doc-id hash bucket for the grams ledger layout. Cast through
-    string so long and string doc ids bucket stably — the layout is
-    internal (pruning only), so portability to the SQL oracle is not
-    required, but determinism across sessions is."""
-    return F.pmod(F.xxhash64(id_expr.cast("string")), F.lit(n_buckets)).cast(
-        "int"
-    )
+_grams_bucket = _id_bucket  # the grams ledger's historical name
 
 
 def _write_grams_epoch(
-    grams: DataFrame, root: str, epoch: int, n_buckets: int
+    grams: DataFrame, root: str, epoch: int, n_buckets: int | None
 ) -> None:
+    """``n_buckets=None`` writes an UNBUCKETED epoch — the layout a
+    pre-bucketing root (pointer without ``grams_buckets``) uses. Mixing
+    layouts inside one grams table would make Spark's partition
+    discovery reject the whole dataset ('conflicting directory
+    structures'), so a legacy root keeps its flat layout forever."""
+    if not n_buckets:
+        grams.write.mode("overwrite").parquet(
+            _minhash_epoch_path(root, "grams", epoch)
+        )
+        return
     grams.withColumn(
         "__bucket", _grams_bucket(F.col("doc"), n_buckets)
     ).write.mode("overwrite").partitionBy("__bucket").parquet(
@@ -1579,14 +1323,9 @@ def sync_minhash_index_stream(
         build_minhash_index,
     )
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if on_batch_start is not None:
-            on_batch_start(epoch_id)
-        ptr = read_index_pointer(root)
-        last = ptr["last_batch_id"]
-        if last is not None and epoch_id <= last:
-            return  # replayed epoch: already committed
-        epoch = epoch_id + 1  # deterministic per epoch ⇒ replay overwrites
+    led = _minhash_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
         # ONE shingle+band pass per batch: the fold's index build doubles
         # as the probe's query side (probe_minhash_index new_grams/
         # new_banded contract), cached across the three writes below
@@ -1598,29 +1337,19 @@ def sync_minhash_index_stream(
             ptr["bands"],
             ptr["shingle_n"],
         )
-        _probe_pruned(spark, root, ptr, bg, bb).write.mode(
-            "overwrite"
-        ).parquet(_minhash_epoch_path(root, "pairs", epoch))
-        _write_grams_epoch(bg, root, epoch, ptr.get("grams_buckets", 16))
-        bb.write.mode("overwrite").parquet(
-            _minhash_epoch_path(root, "bands", epoch)
-        )
+        led.write_epoch(_probe_pruned(spark, root, ptr, bg, bb), "pairs", epoch)
+        # ptr.get, no default: a pre-bucketing root (no grams_buckets)
+        # must keep writing UNBUCKETED epochs — one dataset, one layout
+        _write_grams_epoch(bg, root, epoch, ptr.get("grams_buckets"))
+        led.write_epoch(bb, "bands", epoch)
         bb.unpersist()
         bg.unpersist()
-        _flip_pointer(
-            root, {**ptr, "max_epoch": epoch, "last_batch_id": epoch_id}
-        )
+        return {"max_epoch": epoch}
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
     )
-    q.awaitTermination()
 
 
 def load_synced_dedup_pairs(

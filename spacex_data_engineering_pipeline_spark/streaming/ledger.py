@@ -1,0 +1,335 @@
+"""THE epoch-ledger protocol, factored once (round 13 — previously
+five sync arms hand-rolled this choreography inside index_sync.py):
+
+a *ledger root* is a directory holding N epoch-keyed parquet tables
+(``<table>/epoch=<e>/``, each optionally sub-partitioned by one layout
+column for query-time pruning) plus ONE pointer file. Every mutation —
+streaming micro-batch folds, manual tombstone epochs, compaction —
+stages its writes overwrite-idempotently (invisible to readers, keyed
+deterministically so replays overwrite crash orphans) and publishes
+with a single fsync'd pointer flip, the same single-commit-point
+contract as operators/txn.py. Readers resolve the pointer first and
+only ever consult epochs at or below its high-water mark, so a crash
+at ANY instant leaves them a consistent committed state.
+
+Retention, generically: ``EpochLedger.compact`` folds committed
+epochs into one compact dataset per table with epoch demoted to an
+int DATA column (as-of time travel stays row-exact across compaction;
+parquet min/max stats skip row groups below an as-of filter), and
+``EpochLedger.vacuum`` sweeps only compacted-away epoch dirs,
+superseded compacts, and staged crash orphans — the committed tail
+and the pointer-named compact are never touched.
+
+Scale posture: the pointer is O(1) bytes; per-epoch state is whatever
+the arm's fold writes (batch-sized postings, model-sized moments);
+reads partition-prune on epoch (a partition column in the live tail)
+and on the per-table layout column (doc-id bucket / cluster / term
+bucket). Nothing here ever rewrites committed data outside an
+explicit compaction.
+
+The concrete arms — MinHash dedup, semantic dedup, IVF postings, BM25
+inverted index, PCA moments, kNN-graph generations — live in
+streaming/index_sync.py as thin folds over one ``EpochLedger`` each.
+Reference parity note: the reference keeps exactly one durable
+artifact current per ingest batch (raw rows + state committed
+together, reference src/database.py:133-223); this module is that
+commit discipline generalized to many artifact kinds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_index_pointer.json"
+
+
+def pointer_path(root: str) -> str:
+    return os.path.join(root, _POINTER)
+
+
+def read_index_pointer(root: str) -> dict:
+    with open(pointer_path(root)) as f:
+        return json.load(f)
+
+
+def flip_pointer(root: str, pointer: dict) -> None:
+    # same single-commit-point contract as operators/txn.py::_commit:
+    # stage, fsync, one atomic replace (conditional PUT on object stores)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._ptr_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(pointer, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, pointer_path(root))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def resolve_as_of(ptr: dict, key: str, as_of) -> int:
+    """TIME-TRAVEL resolution shared by every synced reader: the ledger
+    keeps one immutable partition (or generation dir) per committed
+    epoch, so any historical index state is reproducible by reading
+    epochs ≤ k — the audit/rollback story the epoch layout buys beyond
+    exactly-once. ``None`` means the committed head; anything above the
+    head is refused (it would silently read staged crash orphans), and
+    anything below a ``purge_floor`` a purging compaction recorded is
+    refused too (the rows needed to reconstruct it are physically
+    gone)."""
+    head = ptr[key]
+    if as_of is None:
+        return head
+    as_of = int(as_of)
+    if as_of < 0 or as_of > head:
+        raise ValueError(
+            f"as_of={as_of} is not a committed state (committed head is "
+            f"{key}={head}); states above the head are staged crash "
+            "orphans, not history"
+        )
+    floor = int(ptr.get("purge_floor", 0) or 0)
+    if as_of < floor:
+        raise ValueError(
+            f"as_of={as_of} predates the purge floor ({floor}): a "
+            "purging compaction physically removed tombstoned rows, so "
+            "states before it are no longer reconstructible — the same "
+            "explicit end-of-readability as PCA moment compaction"
+        )
+    return as_of
+
+
+def id_bucket(id_expr, n_buckets: int):
+    """Doc-id hash bucket for id-keyed ledger layouts (the minhash
+    grams ledger, the BM25 doc log). Cast through string so long and
+    string doc ids bucket stably — the layout is internal (pruning
+    only), so portability to the SQL oracle is not required, but
+    determinism across sessions is."""
+    return F.pmod(F.xxhash64(id_expr.cast("string")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def epoch_path(root: str, table: str, epoch: int) -> str:
+    return os.path.join(root, table, f"epoch={epoch}")
+
+
+def compact_path(root: str, table: str, upto: int) -> str:
+    return os.path.join(root, f"{table}_compact", f"upto={upto}")
+
+
+def live_epochs(root: str, table: str) -> list[int]:
+    d = os.path.join(root, table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(d)
+        if e.startswith("epoch=")
+    )
+
+
+def ledger_frames(
+    spark: SparkSession, root: str, table: str, ptr: dict, epoch: int
+) -> DataFrame | None:
+    """Committed rows of an epoch-keyed ledger table as of ``epoch``,
+    compaction-aware: the compact dataset (all epochs ≤ the pointer's
+    ``compact_upto``, epoch kept as an int DATA column so time travel
+    stays row-exact across compaction — parquet min/max stats skip
+    row groups below an as-of filter) unioned with the live epoch
+    dirs in (compact_upto, epoch] (epoch is a PARTITION column there —
+    pruned at file listing). Returns None when neither side has
+    committed rows in range (e.g. the pairs table of a fresh root).
+    The returned frame keeps ``epoch`` (and the layout column where
+    the table has one) for callers to filter/drop."""
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    # cu == 0 means nothing was ever compacted: epoch 0 itself is live
+    lo = cu if cu > 0 else -1
+    frames = []
+    if any(lo < e <= epoch for e in live_epochs(root, table)):
+        frames.append(
+            spark.read.parquet(os.path.join(root, table))
+            .filter((F.col("epoch") > lo) & (F.col("epoch") <= epoch))
+            .withColumn("epoch", F.col("epoch").cast("int"))
+        )
+    if cu > 0 and os.path.isdir(compact_path(root, table, cu)):
+        frames.append(
+            spark.read.parquet(compact_path(root, table, cu)).filter(
+                F.col("epoch") <= epoch
+            )
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def vacuum_ledger_dirs(root: str, tables: tuple[str, ...]) -> int:
+    """Shared retention sweep: drop (a) live epoch dirs at or below
+    the pointer's ``compact_upto`` (their rows live on in the compact
+    dataset), (b) compact datasets superseded by a newer compaction,
+    and (c) staged orphan epochs a crash left above the pointer. The
+    committed tail (epochs in (compact_upto, max_epoch]) and the
+    pointer-named compact are NEVER touched — the head state always
+    stays readable. Returns directories removed."""
+    ptr = read_index_pointer(root)
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    removed = 0
+    for table in tables:
+        for e in live_epochs(root, table):
+            # cu == 0 means NOTHING was ever compacted — epoch 0 is the
+            # live base (ledger_frames' lo = -1 special case), not a
+            # compacted-away dir; only orphans above the pointer go.
+            if (cu > 0 and e <= cu) or e > head:
+                shutil.rmtree(epoch_path(root, table, e))
+                removed += 1
+        cdir = os.path.join(root, f"{table}_compact")
+        if os.path.isdir(cdir):
+            for d in os.listdir(cdir):
+                if d.startswith("upto=") and int(d.split("=", 1)[1]) != cu:
+                    shutil.rmtree(os.path.join(cdir, d))
+                    removed += 1
+    return removed
+
+
+class EpochLedger:
+    """One ledger root bound to its table layout — the five sync arms
+    (minhash / semantic / ivf / bm25 / pca, plus the graph arms'
+    posting side) are thin per-batch folds over one instance; what
+    differs per arm is ONLY the table dict and the fold body.
+
+    ``tables``: {name: partition_column | None}. The partition column
+    is applied when present in the frame being written (a legacy
+    pre-bucketing minhash root writes flat grams — one dataset, one
+    layout), and preserved by compaction so pruned reads keep pruning.
+    """
+
+    def __init__(self, root: str, tables: dict[str, str | None]):
+        self.root = root
+        self.tables = dict(tables)
+
+    # -- pointer --------------------------------------------------------
+    def pointer(self) -> dict:
+        return read_index_pointer(self.root)
+
+    def flip(self, ptr: dict) -> None:
+        flip_pointer(self.root, ptr)
+
+    # -- io -------------------------------------------------------------
+    def epoch_path(self, table: str, epoch: int) -> str:
+        return epoch_path(self.root, table, epoch)
+
+    def write_epoch(self, df: DataFrame, table: str, epoch: int) -> None:
+        part = self.tables[table]
+        writer = df.write.mode("overwrite")
+        if part and part in df.columns:
+            writer = writer.partitionBy(part)
+        writer.parquet(self.epoch_path(table, epoch))
+
+    def frames(
+        self, spark: SparkSession, table: str, ptr: dict, epoch: int
+    ) -> DataFrame | None:
+        return ledger_frames(spark, self.root, table, ptr, epoch)
+
+    # -- streaming commit -----------------------------------------------
+    def next_epoch(self, ptr: dict, epoch_id: int) -> int:
+        """The epoch a micro-batch stages as — deterministic given
+        (pointer, epoch_id), so a crash-window replay recomputes the
+        same number and overwrites the orphan. ``max`` with the
+        pointer head keeps stream epochs monotonic across MANUAL
+        epochs (``delete_index_ids`` & co. bump ``max_epoch`` outside
+        the stream); on a purely-streamed root it equals the classic
+        ``epoch_id + 1``."""
+        head = ptr.get("max_epoch")
+        if head is None:
+            return epoch_id + 1
+        return max(epoch_id + 1, int(head) + 1)
+
+    def drain(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        schema,
+        checkpoint_dir: str,
+        fold,
+        max_files_per_trigger: int = 1,
+        on_batch_start=None,
+    ) -> None:
+        """AvailableNow drain of a parquet file stream with the shared
+        exactly-once commit choreography: per micro-batch, skip
+        replayed epochs (≤ ``last_batch_id``), call
+        ``fold(ptr, epoch, batch_df) -> dict`` to stage the epoch's
+        writes (the dict is the arm's pointer advance, e.g.
+        ``{"max_epoch": epoch}`` or ``{"generation": g, "max_epoch":
+        e}``), then flip the ONE pointer. ``on_batch_start`` is the
+        crash-injection test hook. Blocks until the drain completes."""
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            if on_batch_start is not None:
+                on_batch_start(epoch_id)
+            ptr = self.pointer()
+            last = ptr["last_batch_id"]
+            if last is not None and epoch_id <= last:
+                return  # replayed epoch: already committed
+            epoch = self.next_epoch(ptr, epoch_id)
+            advance = fold(ptr, epoch, batch_df)
+            self.flip({**ptr, **advance, "last_batch_id": epoch_id})
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_path)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- retention --------------------------------------------------------
+    def compact(self, spark: SparkSession, transform=None, extra=None) -> int:
+        """Fold every committed epoch at or below the pointer into one
+        compact dataset per table (``<table>_compact/upto=<head>``,
+        staged then published by one pointer flip — readers only
+        consult the upto the pointer names). Rows are REWRITTEN with
+        epoch as an int data column unless ``transform(table, df,
+        head)`` says otherwise (the PCA arm SUMS moments there; a
+        ``None`` return skips the table entirely — the purge path's
+        spent tombstones). ``extra`` merges into the flipped pointer
+        (e.g. the purge floor). All tables move under the one shared
+        ``compact_upto`` — compacting a subset would let the vacuum
+        drop the rest's uncompacted rows. Returns epochs newly
+        folded."""
+        ptr = self.pointer()
+        head = ptr["max_epoch"]
+        cu = int(ptr.get("compact_upto", 0) or 0)
+        if head <= cu:
+            return 0
+        for table, part in self.tables.items():
+            df = self.frames(spark, table, ptr, head)
+            if df is None:
+                continue  # e.g. a fresh root's pairs table
+            if transform is not None:
+                df = transform(table, df, head)
+                if df is None:
+                    continue
+            writer = df.write.mode("overwrite")
+            if part and part in df.columns:
+                writer = writer.partitionBy(part)
+            writer.parquet(compact_path(self.root, table, head))
+        self.flip({**ptr, "compact_upto": head, **(extra or {})})
+        return head - cu
+
+    def vacuum(self) -> int:
+        """See ``vacuum_ledger_dirs`` — compacted-away epoch dirs,
+        superseded compacts, staged crash orphans; never the committed
+        tail or the pointer-named compact."""
+        return vacuum_ledger_dirs(self.root, tuple(self.tables))

@@ -2489,3 +2489,465 @@ def test_streaming_ivf_appended_vectors_self_retrievable(spark, sf_dir, tmp_path
             f"appended id {r.vec_id} not self-retrievable at n_probes=1 — "
             "assignment and probe routing diverged"
         )
+
+
+def test_vacuum_on_uncompacted_root_spares_committed_epochs(
+    spark, sf_dir, tmp_path
+):
+    """Vacuum BEFORE the first compaction must remove ONLY staged
+    orphans above the pointer — never epoch 0, which is live state
+    while compact_upto is absent (_ledger_frames' cu==0 special case).
+    Regression: the sweep used `e <= cu` with cu defaulting to 0, so a
+    vacuum on a never-compacted root rmtree'd the base-corpus epoch and
+    every later read silently lost the base corpus."""
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    root = str(tmp_path / "index")
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+    base_grams = index_sync.read_synced_grams(spark, root).count()
+    assert base_grams > 0
+
+    # a staged crash orphan above the pointer IS sweepable
+    spark.createDataFrame(
+        [(1, 2, 3)], "new_doc long, corpus_doc long, jaccard_micro long"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "pairs", 9))
+
+    assert index_sync.vacuum_minhash_epochs(root) == 1  # orphan only
+    assert index_sync.vacuum_minhash_epochs(root) == 0  # idempotent
+    # the base epoch survived and reads are intact
+    assert index_sync.read_synced_grams(spark, root).count() == base_grams
+
+
+def test_minhash_sync_continues_pre_bucketing_root(spark, sf_dir, tmp_path):
+    """A LEGACY root whose pointer predates grams bucketing (no
+    ``grams_buckets`` key, flat ``epoch=N/part-*.parquet`` grams) must
+    keep its flat layout when the new sync folds batches in — mixing
+    bucketed epochs into the same dataset makes Spark's partition
+    discovery reject the whole grams table ('conflicting directory
+    structures'), killing the next batch's probe. Regression for the
+    r12 ADVICE finding: the fold wrote ptr.get('grams_buckets', 16)."""
+    import os
+    import shutil
+
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        minhash_probe_pairs,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 45 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 15 == 5)
+        .select("doc_id", "text")
+        .unionByName(plants)
+    )
+
+    root = str(tmp_path / "index")
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+    # retro-fit the pre-bucketing layout: flat grams epoch 0, pointer
+    # without the grams_buckets key
+    g0 = spark.read.parquet(
+        index_sync._minhash_epoch_path(root, "grams", 0)
+    ).drop("__bucket")
+    flat = str(tmp_path / "flat_grams")
+    g0.write.parquet(flat)
+    shutil.rmtree(os.path.join(root, "grams"))
+    os.makedirs(os.path.join(root, "grams"))
+    os.replace(flat, index_sync._minhash_epoch_path(root, "grams", 0))
+    ptr = index_sync.read_index_pointer(root)
+    del ptr["grams_buckets"]
+    index_sync._flip_pointer(root, ptr)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, bdf in enumerate((b0, b1)):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # two batches: batch 1's probe READS the grams table batch 0 wrote
+    # into — the step that used to hit the mixed-layout failure
+    index_sync.sync_minhash_index_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+    # the grams dataset stayed one flat layout: no __bucket anywhere
+    g = index_sync._ledger_frames(
+        spark, root, "grams", index_sync.read_index_pointer(root), 2
+    )
+    assert "__bucket" not in g.columns
+
+    # and the verdicts still equal the imperative growing replay
+    got = {
+        tuple(r)
+        for r in index_sync.load_synced_dedup_pairs(spark, root).collect()
+    }
+    truth = set()
+    seen = corpus
+    for bdf in (b0, b1):
+        truth |= {
+            tuple(r)
+            for r in minhash_probe_pairs(
+                seen, bdf, "doc_id", "text", min_jaccard_micro=300_000
+            ).collect()
+        }
+        seen = seen.unionByName(bdf)
+    assert got == truth
+
+
+def test_bm25_synced_lazy_queries_are_independent(spark, sf_dir, tmp_path):
+    """Two lazy synced-BM25 queries over the same session (different
+    as-of points) must not clobber each other: building the second
+    query before collecting the first used to re-register the fixed
+    session-global temp views the first one's plan read from (r12
+    ADVICE low), silently changing its result. The scorer is now pure
+    DataFrame API — no shared names."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    b0 = docs.filter(F.col("doc_id") % 5 == 0)
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+    staged = str(tmp_path / "stage0")
+    b0.repartition(1).write.parquet(staged)
+    part = next(f for f in sorted(os.listdir(staged)) if f.endswith(".parquet"))
+    os.replace(os.path.join(staged, part), str(src / "batch0000.parquet"))
+    index_sync.sync_bm25_index_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    terms = ("spark", "vector", "stream")
+    # isolated ground truths, one collect each
+    want_head = [
+        tuple(r)
+        for r in index_sync.bm25_topk_synced(
+            spark, root, terms, k=10, as_of_epoch=1
+        ).collect()
+    ]
+    want_base = [
+        tuple(r)
+        for r in index_sync.bm25_topk_synced(
+            spark, root, terms, k=10, as_of_epoch=0
+        ).collect()
+    ]
+    assert want_head != want_base  # the batch actually moved the ranking
+
+    # interleaved: build BOTH lazily, then collect in reverse order
+    q_head = index_sync.bm25_topk_synced(spark, root, terms, k=10, as_of_epoch=1)
+    q_base = index_sync.bm25_topk_synced(spark, root, terms, k=10, as_of_epoch=0)
+    assert [tuple(r) for r in q_head.collect()] == want_head
+    assert [tuple(r) for r in q_base.collect()] == want_base
+
+
+def test_bm25_cdc_sync_updates_deletes_crash_restart(spark, sf_dir, tmp_path):
+    """The BM25 CDC arm (signed tombstone epochs): inserts, then
+    updates+deletes, then a re-insert of a deleted doc, with a crash
+    MID-COMMIT-WINDOW before the last batch and garbage staged above
+    the pointer. After the re-drain, the synced ranking must equal a
+    FROM-SCRATCH index over the final corpus (an updated doc re-ranks
+    with its new text, a deleted doc vanishes, a re-inserted doc
+    returns), as-of time travel reconstructs the pre-CDC state, and
+    compaction + vacuum leave everything row-exact."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    in_base = did % 5 != 0
+    in_b0 = did % 15 == 0
+    upd_set = did % 7 == 1
+    del_set = in_base & (did % 11 == 3) & ~upd_set
+    reins_set = in_base & (did % 11 == 3) & ~upd_set & (did % 2 == 0)
+
+    corpus = docs.filter(in_base)
+    b0 = docs.filter(in_b0).withColumn("op", F.lit("I"))
+    b1 = (
+        docs.filter(upd_set)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" spark spark")).alias("text"),
+        )
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            docs.filter(del_set).select("doc_id", "text").withColumn(
+                "op", F.lit("D")
+            )
+        )
+    )
+    b2 = docs.filter(reins_set).withColumn("op", F.lit("I"))
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+
+    def stage(i, bdf):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    for i, bdf in enumerate((b0, b1, b2)):
+        stage(i, bdf)
+
+    def poison(epoch_id):
+        if epoch_id == 2:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_bm25_cdc_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    # worst crash window: garbage staged above the pointer on the
+    # stats (sharpest: one row shifts every score) and doclog tables
+    spark.createDataFrame(
+        [(1_000_000, 50_000_000)], "n_docs long, sum_dl long"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "stats", 3))
+    spark.createDataFrame(
+        [(999_999, ["zzz"], 1, 0)],
+        "doc long, w array<string>, dl int, __dbucket int",
+    ).write.partitionBy("__dbucket").parquet(
+        index_sync._minhash_epoch_path(root, "doclog", 3)
+    )
+
+    index_sync.sync_bm25_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["max_epoch"] == 3
+
+    # ground truth: a FRESH index over the final corpus
+    final = (
+        docs.filter(in_base | in_b0 | upd_set)
+        .filter(~(del_set & ~reins_set))
+        .select(
+            "doc_id",
+            F.when(
+                upd_set, F.concat(F.col("text"), F.lit(" spark spark"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    truth_root = str(tmp_path / "truth")
+    index_sync.init_bm25_root(final, truth_root, "doc_id", "text")
+    terms = ("spark", "vector", "stream")
+
+    def topk(r, **kw):
+        return [
+            tuple(x)
+            for x in index_sync.bm25_topk_synced(
+                spark, r, terms, k=10, **kw
+            ).collect()
+        ]
+
+    got = topk(root)
+    assert got == topk(truth_root)
+
+    # the updates actually moved the ranking (every updated doc gained
+    # two 'spark' tokens) and a deleted-not-reinserted doc is gone
+    pre_root = str(tmp_path / "pre")
+    index_sync.init_bm25_root(
+        corpus.unionByName(docs.filter(in_b0).select("doc_id", "text")),
+        pre_root, "doc_id", "text",
+    )
+    as_of1 = topk(root, as_of_epoch=1)
+    assert as_of1 == topk(pre_root)  # time travel = state after inserts
+    assert got != as_of1
+
+    # retention: compact + vacuum leave the signed fold row-exact
+    assert index_sync.compact_bm25_epochs(spark, root) == 3
+    assert index_sync.vacuum_bm25_epochs(root) > 0
+    assert topk(root) == got
+    assert topk(root, as_of_epoch=1) == as_of1
+
+
+def test_ivf_delete_ids_tombstones_reinsert_purge(spark, sf_dir, tmp_path):
+    """Id-level deletes for the IVF posting ledger: a tombstone epoch
+    hides postings committed before it, a streamed re-insert AFTER the
+    delete is visible again, as-of reads before the delete still see
+    the row, and the purging compaction physically removes tombstoned
+    rows + sets the as-of refusal floor while head reads stay
+    identical."""
+    import os
+
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vid = F.col("vec_id")
+    base = emb.filter(vid % 4 != 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    batch = emb.filter(vid % 4 == 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    doomed = [
+        r["vec_id"] for r in base.filter(vid % 9 == 2).select("vec_id").collect()
+    ]
+    assert doomed
+
+    root = str(tmp_path / "index")
+    index_sync.init_ivf_root(base, root, "vec_id", "embedding", n_clusters=8)
+
+    # tombstone epoch 1 (manual, outside any stream)
+    assert index_sync.delete_index_ids(spark, root, doomed) == 1
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 1
+
+    def visible(as_of=None):
+        return {
+            r["vec_id"]
+            for r in index_sync.load_synced_ivf(
+                spark, root, as_of_epoch=as_of
+            ).assigned.select("vec_id").collect()
+        }
+
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    assert visible(as_of=0) == base_ids  # history intact
+    assert visible() == base_ids - set(doomed)
+
+    # crash window: a STAGED tombstone epoch above the pointer (a
+    # delete that died before its flip) is invisible to every reader
+    spark.createDataFrame(
+        [(v,) for v in sorted(base_ids)[:3]], "vec_id long"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "deletes", 5))
+    assert visible() == base_ids - set(doomed)
+
+    # a streamed batch lands ABOVE the manual epoch (max-rule: epoch 2)
+    # and re-inserts one of the deleted ids — visible again
+    reins = base.filter(vid == doomed[0])
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = str(tmp_path / "stage0")
+    batch.unionByName(reins).repartition(1).write.parquet(staged)
+    part = next(f for f in sorted(os.listdir(staged)) if f.endswith(".parquet"))
+    os.replace(os.path.join(staged, part), str(src / "batch0000.parquet"))
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), batch.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 2 and ptr["last_batch_id"] == 0
+
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    want_head = (base_ids - set(doomed)) | batch_ids | {doomed[0]}
+    assert visible() == want_head
+    assert visible(as_of=1) == base_ids - set(doomed)
+
+    # the guard refuses absurd tombstone sets
+    with pytest.raises(ValueError, match="max_affected"):
+        index_sync.delete_index_ids(spark, root, doomed, max_affected=1)
+
+    # purge: physical removal + refusal floor; head reads identical
+    assert index_sync.compact_ivf_epochs(spark, root, purge_deleted=True) == 2
+    assert index_sync.vacuum_ivf_epochs(root) > 0
+    assert visible() == want_head
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr.get("purge_floor") == 2
+    with pytest.raises(ValueError, match="purge floor"):
+        index_sync.load_synced_ivf(spark, root, as_of_epoch=1)
+    # tombstoned rows are PHYSICALLY gone (read the compact directly)
+    raw = spark.read.parquet(
+        index_sync._compact_path(root, "postings", 2)
+    )
+    gone = set(doomed) - {doomed[0]}
+    assert not {
+        r["vec_id"] for r in raw.select("vec_id").collect()
+    } & gone
+    # purging again without new epochs is refused, not silently no-op'd
+    with pytest.raises(ValueError, match="purge needs uncompacted"):
+        index_sync.compact_ivf_epochs(spark, root, purge_deleted=True)
+
+
+def test_semantic_dedup_sync_respects_id_deletes(spark, sf_dir, tmp_path):
+    """`delete_index_ids` on a SEMANTIC dedup root: the streaming
+    probe reads postings through the tombstone anti-join
+    (_synced_postings), so a deleted corpus vector stops being flagged
+    as a near-dup source while an undeleted twin keeps matching — and
+    verdicts committed BEFORE the delete survive (flag-and-audit
+    history is never rewritten)."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    c1, c2 = 1, 2  # both in the corpus (id % 5 != 0)
+    plants = (
+        corpus.filter(F.col("vec_id").isin([c1, c2]))
+        .select(
+            (F.col("vec_id") + F.lit(300_000_000)).alias("vec_id"),
+            "embedding",
+        )
+    )
+
+    root = str(tmp_path / "index")
+    index_sync.init_semantic_dedup_root(
+        corpus, root, "vec_id", "embedding",
+        n_clusters=8, n_probes=8, min_cosine=0.95, seed=7,
+    )
+    assert index_sync.delete_index_ids(spark, root, [c1]) == 1
+
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = str(tmp_path / "stage0")
+    plants.repartition(1).write.parquet(staged)
+    part = next(f for f in sorted(os.listdir(staged)) if f.endswith(".parquet"))
+    os.replace(os.path.join(staged, part), str(src / "batch0000.parquet"))
+    index_sync.sync_semantic_dedup_stream(
+        spark, str(src), plants.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+
+    pairs = {
+        (r["new_vec"], r["corpus_vec"])
+        for r in index_sync.load_synced_semantic_pairs(spark, root).collect()
+    }
+    assert (c2 + 300_000_000, c2) in pairs  # the live twin still flags
+    assert not any(cv == c1 for _, cv in pairs), (
+        "a deleted corpus vector was still offered as a near-dup source"
+    )
