@@ -1404,6 +1404,8 @@ def _minhash_sync_oracle_sql(
     bands: int = 16,
     min_jaccard_micro: int = 300_000,
     time_travel: bool = False,
+    src_sql: str | None = None,
+    index_excluded_pred: str | None = None,
 ) -> str:
     """DuckDB replay of the GROWING-index streaming dedup
     (``streaming_minhash_index_sync``): documents carry a deterministic
@@ -1420,7 +1422,14 @@ def _minhash_sync_oracle_sql(
     the ledger's epoch e holds batch e−1's verdicts, so "pairs as of
     epoch k" ≡ verdicts whose probing batch < k — one closed-form
     predicate per as-of point, unioned with an ``as_of_epoch`` label
-    for every committed epoch 1..3."""
+    for every committed epoch 1..3.
+
+    ``src_sql`` overrides the document/batch source CTE (columns
+    doc_id, text, batch) for scenario variants;
+    ``index_excluded_pred`` (referencing c.doc / c.batch) removes
+    index-side docs from candidate generation — the closed form of an
+    id-level tombstone (``delete_index_ids``): a deleted doc stops
+    being offered as a near-dup source."""
     from spacex_data_engineering_pipeline_spark.operators.dedup import minhash_coeffs
 
     coeffs = minhash_coeffs(num_hashes)
@@ -1436,17 +1445,23 @@ def _minhash_sync_oracle_sql(
             f"SELECT doc, batch, {b} AS band_idx, md5(concat_ws(',', {mins})) AS band_hash FROM hb"
         )
     bands_union = "\n        UNION ALL ".join(band_selects)
-
-    return f"""
-    WITH src AS (
-        SELECT doc_id, text,
+    src_body = src_sql or """SELECT doc_id, text,
                CASE WHEN doc_id % 5 <> 0 THEN -1
                     WHEN doc_id % 15 = 0 THEN 0
                     WHEN doc_id % 15 = 5 THEN 1
                     ELSE 2 END AS batch
         FROM documents
         UNION ALL
-        SELECT doc_id + 10000000, text, 2 FROM documents WHERE doc_id % 45 = 0
+        SELECT doc_id + 10000000, text, 2 FROM documents WHERE doc_id % 45 = 0"""
+    excluded = (
+        f"\n         AND NOT ({index_excluded_pred})"
+        if index_excluded_pred
+        else ""
+    )
+
+    return f"""
+    WITH src AS (
+        {src_body}
     ),
     g AS (
         SELECT doc, batch, grams FROM (
@@ -1472,7 +1487,7 @@ def _minhash_sync_oracle_sql(
         FROM bt n JOIN bt c
           ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
          AND c.batch < n.batch AND n.batch >= 0
-         AND n.doc <> c.doc
+         AND n.doc <> c.doc{excluded}
     ),
     verdicts AS (
         SELECT gn.batch AS nb, p.new_doc, p.corpus_doc,
@@ -14015,6 +14030,91 @@ def hybrid_rrf_synced(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = index_sync.load_synced_ivf(spark, droot)
         dense = S.ivf_topk(idx, qvec, k=20, n_probes=16)
         out = _rrf_fuse(sparse, dense).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "dedup_index_delete_probe",
+    oracle=_minhash_sync_oracle_sql(
+        src_sql="""SELECT doc_id, text, -1 AS batch
+        FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000, text, 0
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 10 = 1""",
+        index_excluded_pred="c.batch = -1 AND c.doc % 20 = 1",
+    ),
+)
+def dedup_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-LEVEL DELETE for the GROWING MinHash dedup index — the dedup
+    counterpart of ``embedding_ivf_delete_topk``, completing the
+    tombstone verb across the ledger family: a retracted document must
+    stop being offered as a near-dup source the moment its tombstone
+    commits, without rewriting the committed grams/bands ledgers.
+    ``delete_index_ids`` writes the tombstone epoch; the probe's
+    candidate side (bands) and exact-verify side (grams) both
+    anti-join it with delete-epoch > row-epoch semantics, so history
+    before the delete stays readable and a later re-ingest of the
+    same doc re-enters the index. ``compact_minhash_epochs(...,
+    purge_deleted=True)`` is the physical content removal
+    (pytest-pinned alongside re-ingest and the purge floor).
+
+    The scenario: the corpus (doc_id % 5 ≠ 0) is indexed once; corpus
+    docs with doc_id % 20 = 1 are tombstoned as a manual epoch; then
+    VERBATIM COPIES of every corpus doc with doc_id % 10 = 1 (a strict
+    superset of the deleted set) arrive as one streamed batch under
+    id + 10,000,000. Each copy whose twin survives must flag
+    (jaccard = 1.0); each copy whose twin was deleted must NOT — the
+    oracle replays the full banding with the deleted docs excluded
+    from the index side, so a tombstone that leaks onto the batch, a
+    band key that survives its delete, or a verify against deleted
+    grams all flip the verdict set."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 5 != 0)
+    doomed = [
+        int(r["doc_id"])
+        for r in corpus.filter(did % 20 == 1).select("doc_id").collect()
+    ]
+    plants = corpus.filter(did % 10 == 1).select(
+        (did + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+
+    work = _tempfile.mkdtemp(prefix="minhash_del_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_minhash_root(
+            corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+        )
+        index_sync.delete_index_ids(spark, root, doomed)
+        staged = _os.path.join(work, "stage0")
+        plants.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
+        )
+        _os.replace(
+            _os.path.join(staged, part),
+            _os.path.join(src, "batch0000.parquet"),
+        )
+        index_sync.sync_minhash_index_stream(
+            spark, src, plants.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_dedup_pairs(spark, root)
+            .orderBy("new_doc", "corpus_doc")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out

@@ -147,7 +147,8 @@ def _minhash_epoch_path(root: str, table: str, epoch: int) -> str:
 
 def _minhash_ledger(root: str) -> EpochLedger:
     return EpochLedger(
-        root, {"grams": "__bucket", "bands": None, "pairs": None}
+        root,
+        {"grams": "__bucket", "bands": None, "pairs": None, "deletes": None},
     )
 
 
@@ -421,9 +422,9 @@ def _synced_postings(
 def delete_index_ids(
     spark: SparkSession, root: str, ids, max_affected: int = 1_000_000
 ) -> int:
-    """ID-LEVEL DELETE for the IVF-family posting ledgers (plain IVF
-    roots and semantic-dedup roots) — the lifecycle verb the family
-    lacked: ``compact_*`` could only drop whole epochs, but a
+    """ID-LEVEL DELETE for the id-keyed index ledgers (plain IVF
+    roots, semantic-dedup roots, and MinHash dedup roots) — the
+    lifecycle verb the family lacked: ``compact_*`` could only drop whole epochs, but a
     right-to-be-forgotten request names specific vector ids. Writes a
     TOMBSTONE EPOCH (just the ids), published by the usual pointer
     flip; every reader (``load_synced_ivf``, the semantic probe/fold)
@@ -449,7 +450,15 @@ def delete_index_ids(
     pointer is invisible, overwritten by the next delete, and swept by
     vacuum. Returns the committed tombstone epoch."""
     led_ptr = read_index_pointer(root)
-    id_col = led_ptr["id_col"]
+    if "tomb_col" not in led_ptr and os.path.isdir(
+        os.path.join(root, "grams")
+    ):
+        raise ValueError(
+            "this dedup root predates id-level deletes (no tomb_col in "
+            "its pointer) — its readers would silently ignore the "
+            "tombstones; rebuild with init_minhash_root to enable them"
+        )
+    id_col = led_ptr.get("tomb_col", led_ptr["id_col"])
     if isinstance(ids, DataFrame):
         tomb = ids.select(id_col).distinct()
     else:
@@ -694,16 +703,25 @@ def compact_ivf_epochs(
     the same explicit end-of-readability contract as PCA moment
     compaction). The default keeps every row, so compaction alone
     never changes what time travel can see."""
-    return _compact_posting_family(spark, _ivf_ledger(root), purge_deleted)
+    return _compact_with_tombstones(
+        spark, _ivf_ledger(root), purge_deleted,
+        ("postings",), lambda ptr: ptr["id_col"],
+    )
 
 
-def _compact_posting_family(
-    spark: SparkSession, led: EpochLedger, purge_deleted: bool
+def _compact_with_tombstones(
+    spark: SparkSession,
+    led: EpochLedger,
+    purge_deleted: bool,
+    data_tables: tuple[str, ...],
+    tomb_col_of,
 ) -> int:
-    """Shared compact for roots carrying a ``postings`` + ``deletes``
-    pair (plain IVF, graph+IVF, semantic-dedup): the plain path
-    rewrites rows; the purge path drops tombstoned postings and the
-    spent tombstones, recording the as-of refusal floor."""
+    """Shared compact for roots carrying id-keyed data tables plus a
+    ``deletes`` tombstone ledger (IVF/semantic postings; the minhash
+    grams+bands pair): the plain path rewrites rows; the purge path
+    drops tombstoned rows from every table in ``data_tables`` and the
+    spent tombstones, recording the as-of refusal floor.
+    ``tomb_col_of(ptr)`` names the id column tombstones join on."""
     if not purge_deleted:
         return led.compact(spark)
     ptr = led.pointer()
@@ -720,11 +738,11 @@ def _compact_posting_family(
             f"compact_upto={cu}): the staged-compact commit can't "
             "rewrite a live compact in place"
         )
-    id_col = ptr["id_col"]
+    col = tomb_col_of(ptr)
 
     def transform(table: str, df: DataFrame, head_: int):
-        if table == "postings":
-            return _apply_tombstones(spark, led, ptr, head_, df, id_col)
+        if table in data_tables:
+            return _apply_tombstones(spark, led, ptr, head_, df, col)
         if table == "deletes":
             return None  # spent: their targets are physically gone
         return df
@@ -902,8 +920,9 @@ def compact_semantic_epochs(
     ``compact_ivf_epochs`` on a semantic root.) Returns epochs newly
     folded. The ``deletes`` tombstone table compacts along; see
     ``compact_ivf_epochs`` for the ``purge_deleted`` contract."""
-    return _compact_posting_family(
-        spark, _semantic_ledger(root), purge_deleted
+    return _compact_with_tombstones(
+        spark, _semantic_ledger(root), purge_deleted,
+        ("postings",), lambda ptr: ptr["id_col"],
     )
 
 
@@ -1055,7 +1074,9 @@ def vacuum_pca_epochs(root: str) -> int:
     return _pca_ledger(root).vacuum()
 
 
-def compact_minhash_epochs(spark: SparkSession, root: str) -> int:
+def compact_minhash_epochs(
+    spark: SparkSession, root: str, purge_deleted: bool = False
+) -> int:
     """Fold every committed MinHash ledger epoch (grams / bands /
     pairs) at or below the pointer into one compact dataset per table
     — the retention step that stops the root from accumulating one
@@ -1068,8 +1089,18 @@ def compact_minhash_epochs(spark: SparkSession, root: str) -> int:
     compact dataset is STAGED (readers only consult the upto the
     pointer names), published by one pointer flip; superseded dirs
     stay on disk, harmless, until ``vacuum_minhash_epochs``. Returns
-    the number of epochs newly folded."""
-    return _minhash_ledger(root).compact(spark)
+    the number of epochs newly folded.
+
+    ``purge_deleted=True`` physically drops tombstoned docs' grams and
+    band keys (the content-bearing tables) plus the spent tombstones,
+    and sets the as-of refusal floor — see ``compact_ivf_epochs``. The
+    PAIRS table is audit history and keeps its rows: verdicts carry
+    only ids and scores, never document content; filter them
+    downstream if the ids themselves must go."""
+    return _compact_with_tombstones(
+        spark, _minhash_ledger(root), purge_deleted,
+        ("grams", "bands"), lambda ptr: ptr.get("tomb_col", "doc"),
+    )
 
 
 def vacuum_minhash_epochs(root: str) -> int:
@@ -1156,6 +1187,9 @@ def init_minhash_root(
             "shingle_n": shingle_n,
             "min_jaccard_micro": min_jaccard_micro,
             "grams_buckets": grams_buckets,
+            # id-level tombstones join the ledger tables on their
+            # canonical "doc" column, not the caller-facing id_col
+            "tomb_col": "doc",
         },
     )
 
@@ -1190,6 +1224,12 @@ def read_synced_grams(
         g = g.filter(
             F.col("__bucket").isin(buckets) if buckets else F.lit(False)
         )
+    # id-level tombstones (delete_index_ids) hide grams of deleted docs
+    # — applied AFTER the bucket prune, so the anti-join sees only the
+    # fetched rows; legacy roots (no deletes ledger) skip it entirely
+    g = _apply_tombstones(
+        spark, _minhash_ledger(root), ptr, epoch, g, ptr.get("tomb_col", "doc")
+    )
     return g.drop("epoch", "__bucket")
 
 
@@ -1216,8 +1256,14 @@ def _probe_pruned(
         release_caches_with,
     )
 
-    idx_bands = _ledger_frames(
-        spark, root, "bands", ptr, ptr["max_epoch"]
+    led = _minhash_ledger(root)
+    idx_bands = _apply_tombstones(
+        spark,
+        led,
+        ptr,
+        ptr["max_epoch"],
+        led.frames(spark, "bands", ptr, ptr["max_epoch"]),
+        ptr.get("tomb_col", "doc"),
     ).drop("epoch")
     candidates = minhash_candidate_pairs(idx_bands, new_banded).persist()
     n_buckets = ptr.get("grams_buckets")

@@ -2951,3 +2951,110 @@ def test_semantic_dedup_sync_respects_id_deletes(spark, sf_dir, tmp_path):
     assert not any(cv == c1 for _, cv in pairs), (
         "a deleted corpus vector was still offered as a near-dup source"
     )
+
+
+def test_minhash_delete_ids_reingest_and_purge(spark, sf_dir, tmp_path):
+    """Id-level deletes for the GROWING dedup index: a tombstoned
+    corpus doc stops being offered as a near-dup source (bands AND
+    grams sides), a later re-ingest of the same doc re-enters the
+    index, the purging compaction physically removes the deleted
+    docs' grams/bands (content) while keeping the pairs audit history,
+    and legacy roots without a tomb_col refuse the verb instead of
+    silently ignoring tombstones."""
+    import os
+
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 5 != 0)
+    doomed = [
+        int(r["doc_id"])
+        for r in corpus.filter(did % 20 == 1).select("doc_id").collect()
+    ]
+    assert doomed
+    # batch 0: verbatim copies of %10==1 docs (superset of doomed)
+    b0 = corpus.filter(did % 10 == 1).select(
+        (did + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    # batch 1: RE-INGEST one deleted doc under its own id;
+    # batch 2: one more copy of it — the copy must flag against the
+    # re-ingest (same-batch docs are never probed against each other)
+    reins = corpus.filter(did == doomed[0])
+    b1 = reins
+    b2 = reins.select((did + F.lit(20_000_000)).alias("doc_id"), "text")
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+    assert index_sync.delete_index_ids(spark, root, doomed) == 1
+
+    def stage(i, bdf):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stage(0, b0)
+    stage(1, b1)
+    stage(2, b2)
+    index_sync.sync_minhash_index_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    # delete at epoch 1, batches at 2, 3, 4 (max-rule interleave)
+    assert ptr["max_epoch"] == 4 and ptr["last_batch_id"] == 2
+
+    pairs = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in index_sync.load_synced_dedup_pairs(spark, root).collect()
+    }
+    live_twin = next(
+        int(r["doc_id"])
+        for r in corpus.filter((did % 10 == 1) & (did % 20 != 1))
+        .select("doc_id").collect()
+    )
+    assert (live_twin + 10_000_000, live_twin) in pairs
+    # batch-0 copies of DELETED docs found no corpus twin
+    assert not any(
+        (d + 10_000_000, d) in pairs for d in doomed
+    ), "a tombstoned doc was still offered as a near-dup source"
+    # the batch-1 re-ingest re-entered the index (epoch 3 > delete
+    # epoch 1): the batch-2 copy flags against it
+    assert (doomed[0] + 20_000_000, doomed[0]) in pairs
+
+    # purge: grams/bands physically clean of deleted docs (except the
+    # re-ingested one, whose re-ingest epoch outlives its tombstone),
+    # pairs audit history intact, purge floor refuses earlier as-of
+    before = pairs
+    assert index_sync.compact_minhash_epochs(spark, root, purge_deleted=True) == 4
+    assert index_sync.vacuum_minhash_epochs(root) > 0
+    raw = spark.read.parquet(
+        index_sync._compact_path(root, "grams", 4)
+    )
+    left = {r["doc"] for r in raw.select("doc").distinct().collect()}
+    assert not (set(doomed) - {doomed[0]}) & left
+    assert doomed[0] in left  # the re-ingest survives its tombstone
+    assert {
+        (r["new_doc"], r["corpus_doc"])
+        for r in index_sync.load_synced_dedup_pairs(spark, root).collect()
+    } == before
+    with pytest.raises(ValueError, match="purge floor"):
+        index_sync.load_synced_dedup_pairs(spark, root, as_of_epoch=2)
+
+    # legacy roots (no tomb_col) refuse the verb
+    legacy_ptr = index_sync.read_index_pointer(root)
+    del legacy_ptr["tomb_col"]
+    index_sync._flip_pointer(root, legacy_ptr)
+    with pytest.raises(ValueError, match="predates id-level deletes"):
+        index_sync.delete_index_ids(spark, root, doomed[:1])
