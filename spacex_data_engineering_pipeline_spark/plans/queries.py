@@ -3476,7 +3476,11 @@ def embedding_pagerank_centrality_ivf(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def _pca_oracle_sql(
-    n_components: int = 2, n_iter: int = 12, dim: int = 64, whiten: bool = False
+    n_components: int = 2,
+    n_iter: int = 12,
+    dim: int = 64,
+    whiten: bool = False,
+    src_sql: str | None = None,
 ) -> str:
     """Generate the DuckDB replay of the deterministic power-iteration
     PCA (operators/pca.py) — the same pattern as ``_kcenter_oracle_sql``:
@@ -3487,14 +3491,22 @@ def _pca_oracle_sql(
     the same left-to-right order as the driver's np.cumsum) → the
     projection matmul. Every double on both engines carries the same
     bits, which is what lets an EIGENSOLVE be value-hash graded at all.
+
+    ``src_sql`` overrides the corpus source (columns vec_id, embedding
+    castable to DOUBLE[]) — the CDC variant fits AND projects over the
+    post-CDC corpus.
     """
     d1 = dim + 1
+    src_body = src_sql or (
+        "SELECT vec_id, embedding FROM embeddings "
+        "WHERE embedding IS NOT NULL"
+    )
     parts = [
         f"""
     WITH qv AS MATERIALIZED (
         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                       x -> floor(x * 1048576.0)) AS qd
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM ({src_body})
     ),
     cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qv),
     sums AS MATERIALIZED (
@@ -14118,3 +14130,113 @@ def dedup_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_PCA_CDC_SRC_SQL = """SELECT vec_id,
+           CASE WHEN vec_id % 8 = 1
+                THEN list_transform(CAST(embedding AS DOUBLE[]),
+                         (x, i) -> CASE WHEN i = 1 THEN x + 0.0625
+                                   ELSE x END)
+                ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND NOT (vec_id % 9 = 2 AND vec_id % 8 <> 1)"""
+
+
+@_register(
+    "streaming_pca_cdc_sync",
+    oracle=_pca_oracle_sql(2, 12, 64, src_sql=_PCA_CDC_SRC_SQL),
+)
+def streaming_pca_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBTRACT-THEN-ADD epochs for the PCA moment ledger — the seam
+    the INSERT-only arm named ("re-vectoring an id would need a
+    subtract-then-add epoch"): a CDC stream of (vector, before-image,
+    op ∈ I/U/D) folds through ``sync_pca_cdc_stream``, each batch
+    reducing to ONE signed moment epoch (new vectors positive, before
+    images negated — exact int64 cells of the same quantization, so
+    the subtraction is bit-exact) and every existing reader summing
+    it unchanged. Moments stay the ONLY state: O(dim²) per epoch, the
+    corpus never persisted — before images ride the CDC rows, the
+    Debezium shape, instead of a corpus-sized vector log.
+
+    The scenario: the base moment table covers vec_id % 4 ≠ 3; batch 1
+    INSERTS the rest; batch 2 UPDATES vec_id % 8 = 1 (dimension 0
+    perturbed by +0.0625, before image = the original vector) and
+    DELETES vec_id % 9 = 2 of the remainder. The graded result
+    projects the post-CDC corpus through the refit synced model, and
+    the oracle replays the full eigensolve over that same corpus — a
+    missed subtraction, a double-negated cell, or a stale count all
+    shift every projected coordinate. Crash-restart is pytest-pinned
+    (test_streaming_pca_cdc_sync_crash_restart)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        pca_project,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    vid = F.col("vec_id")
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x),
+    )
+    nullvec = F.lit(None).cast("array<double>")
+
+    base = emb.filter(vid % 4 != 3)
+    b0 = emb.filter(vid % 4 == 3).select(
+        "vec_id", "embedding", nullvec.alias("old_vec"), F.lit("I").alias("op")
+    )
+    upd = emb.filter(vid % 8 == 1).select(
+        "vec_id",
+        perturbed.alias("embedding"),
+        F.col("embedding").alias("old_vec"),
+        F.lit("U").alias("op"),
+    )
+    dele = emb.filter((vid % 9 == 2) & (vid % 8 != 1)).select(
+        "vec_id",
+        nullvec.alias("embedding"),
+        F.col("embedding").alias("old_vec"),
+        F.lit("D").alias("op"),
+    )
+    b1 = upd.unionByName(dele)
+
+    final = emb.filter(~((vid % 9 == 2) & (vid % 8 != 1))).select(
+        "vec_id",
+        F.when(vid % 8 == 1, perturbed).otherwise(F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+
+    work = _tempfile.mkdtemp(prefix="pca_cdc_")
+    root = _os.path.join(work, "moments_root")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_pca_moments_root(base, root, "embedding")
+        for i, bdf in enumerate((b0, b1)):
+            staged = _os.path.join(work, f"stage{i}")
+            bdf.repartition(1).write.parquet(staged)
+            part = next(
+                f for f in sorted(_os.listdir(staged))
+                if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src, f"batch{i:04d}.parquet")
+            _os.replace(_os.path.join(staged, part), dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_sync.sync_pca_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        model = index_sync.load_synced_pca_model(
+            spark, root, n_components=2, n_iter=12
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return pca_project(final, "vec_id", "embedding", model).orderBy("vec_id")

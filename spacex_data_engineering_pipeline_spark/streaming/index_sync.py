@@ -830,8 +830,10 @@ def sync_semantic_dedup_stream(
     static corpus) and ``streaming_minhash_index_sync`` (text
     shingles) leave uncovered for embeddings. Every vector enters the
     index regardless of its own verdict (flag-and-audit, as the
-    MinHash sync). Same exactly-once ledger; same checkpoint-wipe
-    hazard (see ``sync_minhash_index_stream``)."""
+    MinHash sync). Re-vectoring an id = ``delete_index_ids`` (its
+    tombstone hides the old posting from every later probe) followed
+    by re-streaming the new vector. Same exactly-once ledger; same
+    checkpoint-wipe hazard (see ``sync_minhash_index_stream``)."""
     from spacex_data_engineering_pipeline_spark.operators import (
         similarity as S_,
     )
@@ -979,8 +981,8 @@ def sync_pca_moments_stream(
     additivity) — the refit model is IDENTICAL to a from-scratch fit
     over everything seen, the corpus is never rescanned, and per-epoch
     state is dim²-sized regardless of batch or corpus size. Contract:
-    INSERT-only (moments are sums over disjoint row sets; re-vectoring
-    an id would need a subtract-then-add epoch, not expressed here)."""
+    INSERT-only (moments are sums over disjoint row sets); updates and
+    deletes are ``sync_pca_cdc_stream``'s signed-moment job."""
     from spacex_data_engineering_pipeline_spark.operators.linalg import (
         quantized_moments,
     )
@@ -993,6 +995,72 @@ def sync_pca_moments_stream(
             batch_df.filter(F.col(vec_col).isNotNull()), vec_col
         )
         led.write_epoch(m, "moments", epoch)
+        return {"max_epoch": epoch}
+
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
+    )
+
+
+def sync_pca_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    old_vec_col: str = "old_vec",
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain a CDC stream of (vector, old_vector, op ∈ I/U/D) rows into
+    the PCA moment ledger — the subtract-then-add epoch the
+    INSERT-only arm names as its own seam: per micro-batch, ONE Arrow
+    pass reduces the non-delete rows' NEW vectors to positive moments
+    and the update/delete rows' BEFORE-IMAGE vectors to NEGATED
+    moments, written together as one signed epoch. Because every
+    moment cell is an exact int64 sum of the same quantization,
+    subtracting the identical old vector is bit-exact — the refit over
+    the folded ledger EQUALS a from-scratch fit over
+    (corpus − old versions + new versions), and every existing reader
+    (``load_synced_pca_model`` sums, ``compact_pca_epochs`` sums)
+    handles signed rows unchanged.
+
+    Why before-images instead of a vector log: the PCA arm's whole
+    identity is that moments are the ONLY state — O(dim²) per epoch,
+    the corpus never persisted here (``init_pca_moments_root``). A
+    Debezium-style CDC stream carries the before image anyway; an
+    upstream that can't produce it should keep its own corpus table
+    and diff there. Contract: ``old_vec_col`` must hold EXACTLY the
+    vector previously folded in (same doubles — the subtraction has no
+    way to validate it against state that was never kept); op I rows
+    ignore it, op D rows ignore the new-vector column. Same
+    exactly-once ledger as every arm; crash-restart pytest-pinned."""
+    from spacex_data_engineering_pipeline_spark.operators.linalg import (
+        quantized_moments,
+    )
+
+    led = _pca_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
+        vec_col = ptr["vec_col"]
+        ops = batch_df.withColumn(
+            "__op", F.upper(F.col(op_col).cast("string")).substr(1, 1)
+        )
+        pos = quantized_moments(
+            ops.filter(F.col("__op") != "D").filter(
+                F.col(vec_col).isNotNull()
+            ),
+            vec_col,
+        )
+        neg = quantized_moments(
+            ops.filter(F.col("__op").isin("U", "D"))
+            .filter(F.col(old_vec_col).isNotNull())
+            .select(F.col(old_vec_col).alias(vec_col)),
+            vec_col,
+        ).select("i", "j", (-F.col("m")).alias("m"))
+        led.write_epoch(pos.unionByName(neg), "moments", epoch)
         return {"max_epoch": epoch}
 
     led.drain(

@@ -3058,3 +3058,116 @@ def test_minhash_delete_ids_reingest_and_purge(spark, sf_dir, tmp_path):
     index_sync._flip_pointer(root, legacy_ptr)
     with pytest.raises(ValueError, match="predates id-level deletes"):
         index_sync.delete_index_ids(spark, root, doomed[:1])
+
+
+def test_streaming_pca_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The PCA CDC arm (signed moment epochs from before-image CDC
+    rows) survives a crash MID-COMMIT-WINDOW: inserts commit, the sink
+    dies before the update/delete batch, a garbage moments epoch is
+    staged above the pointer by hand, and the re-drain must overwrite
+    it and converge — the refit model equals a from-scratch fit over
+    (base ∪ inserts − deleted + updated), asserted via bit-identical
+    projections."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators.pca import (
+        fit_pca,
+        pca_project,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    vid = F.col("vec_id")
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x),
+    )
+    nullvec = F.lit(None).cast("array<double>")
+
+    base = emb.filter(vid % 4 != 3)
+    b0 = emb.filter(vid % 4 == 3).select(
+        "vec_id", "embedding", nullvec.alias("old_vec"), F.lit("I").alias("op")
+    )
+    b1 = (
+        emb.filter(vid % 8 == 1)
+        .select(
+            "vec_id", perturbed.alias("embedding"),
+            F.col("embedding").alias("old_vec"), F.lit("U").alias("op"),
+        )
+        .unionByName(
+            emb.filter((vid % 9 == 2) & (vid % 8 != 1)).select(
+                "vec_id", nullvec.alias("embedding"),
+                F.col("embedding").alias("old_vec"), F.lit("D").alias("op"),
+            )
+        )
+    )
+    final = emb.filter(~((vid % 9 == 2) & (vid % 8 != 1))).select(
+        "vec_id",
+        F.when(vid % 8 == 1, perturbed).otherwise(F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+
+    root = str(tmp_path / "moments_root")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_pca_moments_root(base, root, "embedding")
+    for i, bdf in enumerate((b0, b1)):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def poison(epoch_id):
+        if epoch_id == 1:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_pca_cdc_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 0 and ptr["max_epoch"] == 1
+
+    # worst crash window: a garbage moments epoch above the pointer
+    # (one wrong cell shifts every projected coordinate)
+    spark.createDataFrame(
+        [(0, 0, 999_999)], "i int, j int, m long"
+    ).write.parquet(index_sync._moments_epoch_path(root, 2))
+
+    index_sync.sync_pca_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    model = index_sync.load_synced_pca_model(
+        spark, root, n_components=2, n_iter=12
+    )
+    got = [
+        tuple(r)
+        for r in pca_project(final, "vec_id", "embedding", model)
+        .orderBy("vec_id").collect()
+    ]
+    truth_model = fit_pca(final, "embedding", n_components=2, n_iter=12)
+    truth = [
+        tuple(r)
+        for r in pca_project(final, "vec_id", "embedding", truth_model)
+        .orderBy("vec_id").collect()
+    ]
+    assert got == truth
