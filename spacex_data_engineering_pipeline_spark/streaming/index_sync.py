@@ -111,6 +111,7 @@ from spacex_data_engineering_pipeline_spark.streaming.ledger import (
     EpochLedger,
     compact_path as _compact_path,
     epoch_path as _epoch_path,
+    clear_staged_epoch as _clear_staged_epoch,
     flip_pointer as _flip_pointer,
     id_bucket as _id_bucket,
     ledger_frames as _ledger_frames,
@@ -475,6 +476,11 @@ def delete_index_ids(
         )
     led = EpochLedger(root, {"deletes": None})
     epoch = int(led_ptr["max_epoch"]) + 1
+    # sweep ANY verb's crash orphan at this number before staging (a
+    # crashed stream batch's posting epoch must not activate when this
+    # delete's flip advances the pointer past it) — ledger.py:
+    # clear_staged_epoch documents the invariant
+    _clear_staged_epoch(root, epoch)
     led.write_epoch(tomb, "deletes", epoch)
     _flip_pointer(root, {**led_ptr, "max_epoch": epoch})
     return epoch

@@ -171,6 +171,27 @@ def ledger_frames(
     return out
 
 
+def clear_staged_epoch(root: str, epoch: int) -> int:
+    """Remove EVERY table's staged dir at exactly ``epoch`` — callers
+    pass only epochs strictly ABOVE the committed head, where any
+    existing dir is a crash orphan by definition. This guards the
+    invariant a multi-verb root would otherwise lose: a verb that
+    crashed between its staged write and its pointer flip must stay
+    dead, but a LATER commit that reuses the same epoch number writes
+    only ITS OWN tables — without this sweep, flipping the pointer
+    past the orphan's epoch would activate the dead verb's tables
+    (e.g. a crashed ``delete_index_ids``'s tombstones silently taking
+    effect after an unrelated stream batch). Committed epochs are
+    never touched. Returns directories removed."""
+    removed = 0
+    for entry in os.listdir(root):
+        d = os.path.join(root, entry, f"epoch={epoch}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed += 1
+    return removed
+
+
 def vacuum_ledger_dirs(root: str, tables: tuple[str, ...]) -> int:
     """Shared retention sweep: drop (a) live epoch dirs at or below
     the pointer's ``compact_upto`` (their rows live on in the compact
@@ -280,6 +301,10 @@ class EpochLedger:
             if last is not None and epoch_id <= last:
                 return  # replayed epoch: already committed
             epoch = self.next_epoch(ptr, epoch_id)
+            # epoch > committed head always, so anything already there
+            # is a crash orphan — possibly ANOTHER verb's (a crashed
+            # manual delete); sweep it so this commit can't activate it
+            clear_staged_epoch(self.root, epoch)
             advance = fold(ptr, epoch, batch_df)
             self.flip({**ptr, **advance, "last_batch_id": epoch_id})
 

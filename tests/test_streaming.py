@@ -3171,3 +3171,86 @@ def test_streaming_pca_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
         .orderBy("vec_id").collect()
     ]
     assert got == truth
+
+
+def test_crashed_verb_orphan_never_activates(spark, sf_dir, tmp_path):
+    """A verb that crashed between its staged epoch write and its
+    pointer flip must stay DEAD even when a later commit reuses its
+    epoch number: stream batches write only their own tables, so
+    without the pre-commit sweep (ledger.clear_staged_epoch) advancing
+    the pointer past the orphan's epoch would silently activate the
+    dead verb's tables. Probed both ways: a crashed delete's
+    tombstones must not hide postings after a stream batch lands, and
+    a crashed stream's posting orphan must not surface after a manual
+    delete lands."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vid = F.col("vec_id")
+    base = emb.filter(vid % 4 != 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    batch = emb.filter(vid % 4 == 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+
+    root = str(tmp_path / "index")
+    index_sync.init_ivf_root(base, root, "vec_id", "embedding", n_clusters=8)
+
+    # simulate a delete_index_ids that died between write and flip:
+    # tombstones staged at epoch 1, pointer still at max_epoch 0
+    some = sorted(base_ids)[:5]
+    spark.createDataFrame(
+        [(v,) for v in some], "vec_id long"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "deletes", 1))
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 0
+
+    # a stream batch now lands AT epoch 1 — the dead delete must not
+    # activate when the pointer advances to 1
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = str(tmp_path / "stage0")
+    batch.repartition(1).write.parquet(staged)
+    part = next(f for f in sorted(os.listdir(staged)) if f.endswith(".parquet"))
+    os.replace(os.path.join(staged, part), str(src / "batch0000.parquet"))
+    index_sync.sync_ivf_index_stream(
+        spark, str(src), batch.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 1
+    visible = {
+        r["vec_id"]
+        for r in index_sync.load_synced_ivf(spark, root)
+        .assigned.select("vec_id").collect()
+    }
+    assert visible == base_ids | batch_ids, (
+        "a crashed delete's staged tombstones activated after an "
+        "unrelated stream batch advanced the pointer past their epoch"
+    )
+
+    # mirror: a crashed stream batch's posting orphan at epoch 2 must
+    # not surface when a manual delete takes epoch 2 and flips
+    spark.createDataFrame(
+        [(999_999, [0.0] * 4, 0)],
+        "vec_id long, embedding array<double>, cluster int",
+    ).write.partitionBy("cluster").parquet(
+        index_sync._ivf_epoch_path(root, 2)
+    )
+    index_sync.delete_index_ids(spark, root, some)
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+    visible = {
+        r["vec_id"]
+        for r in index_sync.load_synced_ivf(spark, root)
+        .assigned.select("vec_id").collect()
+    }
+    assert 999_999 not in visible, (
+        "a crashed stream's staged postings activated after a manual "
+        "delete advanced the pointer past their epoch"
+    )
+    assert visible == (base_ids - set(some)) | batch_ids
