@@ -1515,6 +1515,24 @@ def _minhash_sync_oracle_sql(
     )
 
 
+def _stage_stream_batches(work: str, src: str, batches) -> None:
+    """Stage DataFrames as a deterministic parquet FILE STREAM: one
+    single-part file per batch with pinned mtimes, so AvailableNow +
+    maxFilesPerTrigger=1 replays them as stable micro-batch epochs —
+    the setup every synced-ledger catalog entry shares."""
+    import os as _os
+
+    for i, bdf in enumerate(batches):
+        staged = _os.path.join(work, f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(src, f"batch{i:04d}.parquet")
+        _os.replace(_os.path.join(staged, part), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 def _drain_minhash_sync(spark: SparkSession, sf_dir: str, work: str) -> str:
     """Shared setup for the growing-dedup-index entries: init the root
     from the corpus (doc_id % 5 ≠ 0), stage the three deterministic
@@ -1545,15 +1563,7 @@ def _drain_minhash_sync(spark: SparkSession, sf_dir: str, work: str) -> str:
     index_sync.init_minhash_root(
         corpus, root, "doc_id", "text", min_jaccard_micro=300_000
     )
-    for i, bdf in enumerate((b0, b1, b2)):
-        staged = _os.path.join(work, f"stage{i}")
-        bdf.repartition(1).write.parquet(staged)
-        part = next(
-            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(src, f"batch{i:04d}.parquet")
-        _os.replace(_os.path.join(staged, part), dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    _stage_stream_batches(work, src, (b0, b1, b2))
     index_sync.sync_minhash_index_stream(
         spark, src, b0.schema, root,
         checkpoint_dir=_os.path.join(work, "ckpt"),
@@ -8896,16 +8906,7 @@ def streaming_bm25_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(src)
     try:
         index_sync.init_bm25_root(corpus, root, "doc_id", "text")
-        for i, bdf in enumerate((b0, b1, b2)):
-            staged = _os.path.join(work, f"stage{i}")
-            bdf.repartition(1).write.parquet(staged)
-            part = next(
-                f for f in sorted(_os.listdir(staged))
-                if f.endswith(".parquet")
-            )
-            dst = _os.path.join(src, f"batch{i:04d}.parquet")
-            _os.replace(_os.path.join(staged, part), dst)
-            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _stage_stream_batches(work, src, (b0, b1, b2))
         index_sync.sync_bm25_index_stream(
             spark, src, b0.schema, root,
             checkpoint_dir=_os.path.join(work, "ckpt"),
@@ -13832,16 +13833,7 @@ def streaming_bm25_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(src)
     try:
         index_sync.init_bm25_root(corpus, root, "doc_id", "text")
-        for i, bdf in enumerate((b0, b1)):
-            staged = _os.path.join(work, f"stage{i}")
-            bdf.repartition(1).write.parquet(staged)
-            part = next(
-                f for f in sorted(_os.listdir(staged))
-                if f.endswith(".parquet")
-            )
-            dst = _os.path.join(src, f"batch{i:04d}.parquet")
-            _os.replace(_os.path.join(staged, part), dst)
-            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _stage_stream_batches(work, src, (b0, b1))
         index_sync.sync_bm25_cdc_stream(
             spark, src, b0.schema, root,
             checkpoint_dir=_os.path.join(work, "ckpt"),
@@ -13943,15 +13935,7 @@ def embedding_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, root, "vec_id", "embedding", n_clusters=16, seed=42
         )
         index_sync.delete_index_ids(spark, root, doomed)
-        staged = _os.path.join(work, "stage0")
-        inserts.repartition(1).write.parquet(staged)
-        part = next(
-            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
-        )
-        _os.replace(
-            _os.path.join(staged, part),
-            _os.path.join(src, "batch0000.parquet"),
-        )
+        _stage_stream_batches(work, src, (inserts,))
         index_sync.sync_ivf_index_stream(
             spark, src, inserts.schema, root,
             checkpoint_dir=_os.path.join(work, "ckpt"),
@@ -14019,17 +14003,8 @@ def hybrid_rrf_synced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name, bdf in (("bm25", d_rest), ("ivf", e_rest)):
             src = _os.path.join(work, f"src_{name}")
-            staged = _os.path.join(work, f"stage_{name}")
             _os.makedirs(src)
-            bdf.repartition(1).write.parquet(staged)
-            part = next(
-                f for f in sorted(_os.listdir(staged))
-                if f.endswith(".parquet")
-            )
-            _os.replace(
-                _os.path.join(staged, part),
-                _os.path.join(src, "batch0000.parquet"),
-            )
+            _stage_stream_batches(_os.path.join(work, name), src, (bdf,))
         index_sync.sync_bm25_index_stream(
             spark, _os.path.join(work, "src_bm25"), d_rest.schema, broot,
             checkpoint_dir=_os.path.join(work, "ckpt_bm25"),
@@ -14108,15 +14083,7 @@ def dedup_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, root, "doc_id", "text", min_jaccard_micro=300_000
         )
         index_sync.delete_index_ids(spark, root, doomed)
-        staged = _os.path.join(work, "stage0")
-        plants.repartition(1).write.parquet(staged)
-        part = next(
-            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
-        )
-        _os.replace(
-            _os.path.join(staged, part),
-            _os.path.join(src, "batch0000.parquet"),
-        )
+        _stage_stream_batches(work, src, (plants,))
         index_sync.sync_minhash_index_stream(
             spark, src, plants.schema, root,
             checkpoint_dir=_os.path.join(work, "ckpt"),
@@ -14220,16 +14187,7 @@ def streaming_pca_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(src)
     try:
         index_sync.init_pca_moments_root(base, root, "embedding")
-        for i, bdf in enumerate((b0, b1)):
-            staged = _os.path.join(work, f"stage{i}")
-            bdf.repartition(1).write.parquet(staged)
-            part = next(
-                f for f in sorted(_os.listdir(staged))
-                if f.endswith(".parquet")
-            )
-            dst = _os.path.join(src, f"batch{i:04d}.parquet")
-            _os.replace(_os.path.join(staged, part), dst)
-            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _stage_stream_batches(work, src, (b0, b1))
         index_sync.sync_pca_cdc_stream(
             spark, src, b0.schema, root,
             checkpoint_dir=_os.path.join(work, "ckpt"),

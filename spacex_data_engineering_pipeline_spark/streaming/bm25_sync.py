@@ -102,10 +102,18 @@ def _bm25_doclog_rows(docs: DataFrame, n_buckets: int) -> DataFrame:
     batch's buckets) to derive exact tombstones for updated/deleted
     docs. Storage is ~1× the tokenized corpus: the price of an
     updatable inverted index, same tradeoff as the MinHash grams
-    ledger."""
-    return docs.select("doc", "w", "dl").withColumn(
-        "__dbucket", _id_bucket(F.col("doc"), n_buckets)
-    )
+    ledger.
+
+    Null tokens normalize to the EMPTY list: ``words(NULL text)`` is
+    null, but a null-w doclog row is the DELETE-MARKER shape — a
+    null-text upsert must stay a live (termless) doc, so its later
+    update/delete still finds an old version and nets the stats row
+    out (dl coalesces to 0 to match: the stats sum skipped the null)."""
+    return docs.select(
+        "doc",
+        F.coalesce(F.col("w"), F.array().cast("array<string>")).alias("w"),
+        F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
+    ).withColumn("__dbucket", _id_bucket(F.col("doc"), n_buckets))
 
 
 def init_bm25_root(
@@ -392,6 +400,28 @@ def bm25_topk_synced(
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
         .first()
     )
+    if not int(st["n"]):
+        # a CDC drain that deleted every document is a VALID committed
+        # state — the empty ranking, not a ZeroDivision in avgdl
+        from pyspark.sql.types import (
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        id_type = (
+            _ledger_frames(spark, root, "postings", ptr, epoch)
+            .schema["doc"].dataType
+        )
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("score", DoubleType()),
+                ]
+            ),
+        )
     n_docs = float(st["n"])
     avgdl = float(int(st["s"]) / int(st["n"]))
     buckets = sorted(

@@ -449,8 +449,17 @@ def delete_index_ids(
     is almost certainly a bug upstream, and it also bounds this verb's
     one count() job. Crash window: a staged tombstone epoch above the
     pointer is invisible, overwritten by the next delete, and swept by
-    vacuum. Returns the committed tombstone epoch."""
+    vacuum (and by any commit's pre-write orphan sweep). Returns the
+    committed tombstone epoch — or the unchanged head for an EMPTY id
+    set, which is a no-op rather than a burned epoch (an empty
+    list-built frame would also guess the id type). Refused on roots
+    whose readers don't honor tombstones: BM25 (route deletes through
+    the CDC arm), graph-bearing roots (use ``knn_graph_delete``), and
+    pre-``tomb_col`` dedup roots."""
     led_ptr = read_index_pointer(root)
+    # refuse roots whose READERS don't honor the deletes ledger — a
+    # committed tombstone nobody anti-joins is the worst outcome (the
+    # caller believes the right-to-be-forgotten delete took effect):
     if "tomb_col" not in led_ptr and os.path.isdir(
         os.path.join(root, "grams")
     ):
@@ -458,6 +467,18 @@ def delete_index_ids(
             "this dedup root predates id-level deletes (no tomb_col in "
             "its pointer) — its readers would silently ignore the "
             "tombstones; rebuild with init_minhash_root to enable them"
+        )
+    if "term_buckets" in led_ptr:
+        raise ValueError(
+            "BM25 roots don't take id tombstones — the inverted index "
+            "folds deletes SUBTRACTIVELY; route a 'D' row through "
+            "sync_bm25_cdc_stream instead"
+        )
+    if "generation" in led_ptr:
+        raise ValueError(
+            "graph-bearing roots don't take id tombstones — the saved "
+            "graph's edges would keep citing the deleted vectors; use "
+            "knn_graph_delete and save the result as a new generation"
         )
     id_col = led_ptr.get("tomb_col", led_ptr["id_col"])
     if isinstance(ids, DataFrame):
@@ -474,6 +495,11 @@ def delete_index_ids(
             f"{max_affected} — pass a higher bound explicitly if this "
             "is intended"
         )
+    if n == 0:
+        # no-op, and crucially NO epoch: an empty list-built frame has
+        # a GUESSED id type (string) that would poison the deletes
+        # dataset's parquet schema for long-keyed roots
+        return int(led_ptr["max_epoch"])
     led = EpochLedger(root, {"deletes": None})
     epoch = int(led_ptr["max_epoch"]) + 1
     # sweep ANY verb's crash orphan at this number before staging (a

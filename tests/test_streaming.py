@@ -3254,3 +3254,98 @@ def test_crashed_verb_orphan_never_activates(spark, sf_dir, tmp_path):
         "delete advanced the pointer past their epoch"
     )
     assert visible == (base_ids - set(some)) | batch_ids
+
+
+def test_bm25_cdc_null_text_and_empty_index_edges(spark, tmp_path):
+    """Review-found edges of the BM25 CDC arm, pinned: (1) a NULL-text
+    upsert is a live termless doc, NOT a delete marker — its later
+    delete nets n_docs back out instead of inflating N forever; (2) a
+    drain that deletes EVERY document leaves a valid committed state
+    whose query returns the empty ranking, not a ZeroDivision; (3)
+    delete_index_ids refuses BM25 roots (their readers never anti-join
+    tombstones) and no-ops on an empty id set without burning a
+    string-typed epoch."""
+    import os
+
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = spark.createDataFrame(
+        [(1, "spark stream"), (2, "vector spark")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "index")
+    index_sync.init_bm25_root(docs, root, "doc_id", "text")
+
+    # (3) refusals first, on the committed base
+    with pytest.raises(ValueError, match="BM25 roots"):
+        index_sync.delete_index_ids(spark, root, [1])
+
+    nulltext = F.lit(None).cast("string")
+    b0 = spark.createDataFrame([(3,)], "doc_id long").select(
+        "doc_id", nulltext.alias("text"), F.lit("I").alias("op")
+    )
+    b1 = spark.createDataFrame(
+        [(1, "D"), (2, "D"), (3, "D")], "doc_id long, op string"
+    ).select("doc_id", nulltext.alias("text"), "op")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, bdf in enumerate((b0, b1)):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_sync.sync_bm25_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 2
+
+    # (1)+(2): the null-text insert was counted AND its delete found
+    # the doclog old version, so the fully-deleted index nets to
+    # n_docs == 0 — and the query returns the empty ranking
+    led = index_sync._bm25_ledger(root)
+    st = (
+        led.frames(spark, "stats", ptr, 2)
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .first()
+    )
+    assert int(st["n"]) == 0 and int(st["s"]) == 0
+    out = index_sync.bm25_topk_synced(spark, root, ("spark",), k=5)
+    assert out.collect() == []
+    assert out.schema["doc_id"].dataType.typeName() == "long"
+
+
+def test_ivf_delete_empty_set_is_a_no_op(spark, sf_dir, tmp_path):
+    """An empty delete set must not burn an epoch: a []-built frame's
+    id type is a GUESS (string), and committing it would poison the
+    deletes dataset's parquet schema for long-keyed roots."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).limit(50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    root = str(tmp_path / "index")
+    index_sync.init_ivf_root(emb, root, "vec_id", "embedding", n_clusters=4)
+    assert index_sync.delete_index_ids(spark, root, []) == 0
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 0
+    assert not os.path.isdir(os.path.join(root, "deletes"))
+    # a real (long-typed) delete afterwards works unpoisoned
+    vid = int(emb.select("vec_id").first()["vec_id"])
+    assert index_sync.delete_index_ids(spark, root, [vid]) == 1
+    got = {
+        r["vec_id"]
+        for r in index_sync.load_synced_ivf(spark, root)
+        .assigned.select("vec_id").collect()
+    }
+    assert vid not in got and got
