@@ -14198,3 +14198,497 @@ def streaming_pca_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return pca_project(final, "vec_id", "embedding", model).orderBy("vec_id")
+
+
+@_register(
+    "bm25_netting_compact",
+    oracle=rf"""
+    WITH final AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 1 THEN text || ' spark spark'
+                    ELSE text END AS text
+        FROM documents
+        WHERE (doc_id % 5 <> 0 OR doc_id % 7 = 1)
+          AND NOT (doc_id % 5 <> 0 AND doc_id % 11 = 3 AND doc_id % 7 <> 1)
+    ),
+    docs AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM final
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(avg(length(w)) AS DOUBLE) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(count(*) AS DOUBLE) AS tf,
+               CAST(max(dl) AS DOUBLE) AS dl
+        FROM (SELECT doc_id, length(w) AS dl, unnest(w) AS term FROM docs)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           ), 4) AS score
+    FROM tf, dfreq, stats
+    WHERE tf.term = dfreq.term
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def bm25_netting_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NETTING/PURGING compaction for the BM25 ledger — the
+    churn-retention dial the signed-epoch design otherwise lacks
+    (streaming/bm25_sync.py:compact_bm25_epochs, ``net=True``): on an
+    update-heavy corpus the verbatim compact keeps 2k−1 signed posting
+    rows per doc updated k times, so the index grows with write
+    HISTORY; netting materializes the fold every reader already
+    computes (per-(doc,term) tf/dl and per-term df summed across all
+    epochs equal the live corpus's values by the signed-epoch
+    invariant), physically drops non-positive rows and spent delete
+    markers, keeps only the latest doc-log version per doc, and
+    records the as-of refusal floor — after it, compacted index size
+    tracks LIVE corpus size (pinned row-exactly by
+    test_bm25_netting_compact_tracks_live_size, which also proves the
+    CDC arm keeps folding against the netted doc log).
+
+    The scenario is deliberate churn: base corpus (doc_id % 5 ≠ 0)
+    indexed once; batch 0 UPDATES doc_id % 7 = 1 (+' spark') and
+    DELETES doc_id % 11 = 3 of the base; batch 1 updates the SAME
+    docs AGAIN (+' spark spark'); then ``compact_bm25_epochs(net=
+    True)`` + vacuum, and the graded result is the synced 3-term
+    top-10 SERVED FROM THE NETTED COMPACT ALONE (every epoch dir is
+    vacuumed away). The oracle is a from-scratch batch BM25 over the
+    live corpus — a mis-netted tf, a df summed across the wrong key, a
+    resurrected delete marker, or a dropped live row all flip the
+    ranking. At 100 TB this is the difference between an index sized
+    by churn history and one sized by the corpus."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    in_base = did % 5 != 0
+    upd_set = did % 7 == 1
+    del_set = in_base & (did % 11 == 3) & ~upd_set
+
+    corpus = docs.filter(in_base)
+    b0 = (
+        docs.filter(upd_set)
+        .select("doc_id", F.concat("text", F.lit(" spark")).alias("text"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            docs.filter(del_set)
+            .select("doc_id", "text")
+            .withColumn("op", F.lit("D"))
+        )
+    )
+    b1 = (
+        docs.filter(upd_set)
+        .select(
+            "doc_id", F.concat("text", F.lit(" spark spark")).alias("text")
+        )
+        .withColumn("op", F.lit("U"))
+    )
+
+    work = _tempfile.mkdtemp(prefix="bm25_net_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+        _stage_stream_batches(work, src, (b0, b1))
+        index_sync.sync_bm25_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        index_sync.compact_bm25_epochs(spark, root, net=True)
+        index_sync.vacuum_bm25_epochs(root)  # serve from the compact alone
+        out = (
+            index_sync.bm25_topk_synced(spark, root, _BM25_TERMS, k=10)
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "streaming_ivf_cdc_sync",
+    oracle=f"""
+    WITH src AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 8 = 1
+                    THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                    ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND NOT (vec_id % 9 = 2 AND vec_id % 8 <> 1)
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM src e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def streaming_ivf_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-VERB CDC for the IVF posting ledger
+    (streaming/index_sync.py:sync_ivf_cdc_stream) — closing the
+    two-step re-vector seam the insert arm documents
+    (``delete_index_ids`` then re-stream = two pointer flips with a
+    crash window where the id is deleted but not yet re-inserted):
+    here an op ∈ I/U/D stream folds each micro-batch as ONE epoch
+    carrying both the U/D tombstones and the non-delete rows' new
+    postings, so an update is atomic by the tombstone visibility rule
+    every reader already applies (delete epoch > posting epoch — the
+    same epoch's own posting survives, everything older is hidden).
+
+    The scenario: the quantizer trains on base vectors (vec_id % 4 ≠
+    3, ``init_ivf_root``); batch 0 INSERTS the rest; batch 1 UPDATES
+    vec_id % 8 = 1 (embedding negated — a deterministic, exactly
+    representable re-vector) and DELETES vec_id % 9 = 2 of everything
+    else — including ids batch 0 itself streamed, so the tombstone
+    must hide a STREAMED epoch, not just the base. Graded at full
+    probe width: the synced top-5 per query must equal brute force
+    over the post-CDC corpus — a stale pre-update posting surfacing,
+    a resurrected delete, or a tombstone leaking onto the same
+    epoch's new rows all flip the ranking. Crash-restart is
+    pytest-pinned (test_ivf_cdc_sync_crash_restart)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vid = F.col("vec_id")
+    neg = F.transform(F.col("embedding").cast("array<double>"), lambda x: -x)
+    base = emb.filter(vid % 4 != 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b0 = emb.filter(vid % 4 == 3).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("I").alias("op"),
+    )
+    b1 = (
+        emb.filter(vid % 8 == 1)
+        .select("vec_id", neg.alias("embedding"), F.lit("U").alias("op"))
+        .unionByName(
+            emb.filter((vid % 9 == 2) & (vid % 8 != 1)).select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+    qrows = (
+        emb.filter(vid < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+
+    work = _tempfile.mkdtemp(prefix="ivf_cdc_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_ivf_root(
+            base, root, "vec_id", "embedding", n_clusters=16, seed=42
+        )
+        _stage_stream_batches(work, src, (b0, b1))
+        index_sync.sync_ivf_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        idx = index_sync.load_synced_ivf(spark, root)
+        out = (
+            S.ivf_batch_topk(idx, queries, k=5, n_probes=16)
+            .orderBy("query_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "streaming_semantic_cdc_sync",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 5 <> 0
+    ),
+    upd AS (
+        SELECT x.vec_id,
+               list_transform(y.v, (e, i) -> CASE WHEN i = 1 THEN e + 0.0625
+                                             ELSE e END) AS v
+        FROM base x JOIN base y ON y.vec_id = x.vec_id + 5
+        WHERE x.vec_id % 20 = 2
+    ),
+    src AS (
+        SELECT vec_id, v, -1 AS batch,
+               CASE WHEN vec_id % 20 = 13 THEN 0
+                    WHEN vec_id IN (SELECT vec_id FROM upd) THEN 0
+                    ELSE 999 END AS died
+        FROM base
+        UNION ALL SELECT vec_id, v, 0, 999 FROM upd
+        UNION ALL
+        SELECT vec_id + 100000000,
+               list_transform(v, (e, i) -> CASE WHEN i = 1 THEN e + 0.0625
+                                           ELSE e END), 1, 999
+        FROM base WHERE vec_id % 20 = 9
+        UNION ALL
+        SELECT vec_id + 300000000,
+               list_transform(v, (e, i) -> CASE WHEN i = 1 THEN e + 0.0625
+                                           ELSE e END), 1, 999
+        FROM base WHERE vec_id % 20 = 13
+        UNION ALL SELECT vec_id + 400000000, v, 1, 999 FROM upd
+    )
+    SELECT n.vec_id AS new_vec, c.vec_id AS corpus_vec,
+           ROUND({_SEM_SYNC_COS}, 6) AS cos_sim
+    FROM src n JOIN src c
+      ON c.batch < n.batch AND n.batch >= 0 AND c.died > n.batch
+    WHERE ROUND({_SEM_SYNC_COS}, 6) >= 0.95
+    """,
+)
+def streaming_semantic_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-VERB CDC for the growing SEMANTIC dedup index
+    (streaming/index_sync.py:sync_semantic_cdc_stream): per
+    micro-batch, ONE epoch carries the U/D tombstones, the new
+    postings, AND the batch's near-dup verdicts — probed against the
+    committed index with pairs citing a this-batch-tombstoned corpus
+    vector dropped, so an updated doc is never flagged against its own
+    superseded embedding.
+
+    The scenario plants every lifecycle edge: batch 0 UPDATES
+    vec_id % 20 = 2 to a perturbed twin of ANOTHER corpus vector
+    (vec_id + 5 — the update itself must be flagged against that
+    vector, cosine ≈ 0.999, while its own old version is tombstone-
+    suppressed) and DELETES vec_id % 20 = 13; batch 1 then inserts
+    perturbed twins of SURVIVORS (% 20 = 9, +100M — flagged against
+    epoch-0 state), twins of the DELETED vectors (% 20 = 13, +300M —
+    must NOT be flagged: their original is gone), and exact copies of
+    the UPDATED values (+400M — flagged against both the batch-0 new
+    version at cosine 1.0 and the retarget source, proving the CDC
+    postings entered the index). The oracle replays visibility in
+    closed form: c visible to n iff c.batch < n.batch and c outlived
+    n's batch. Crash-restart pytest-pinned
+    (test_semantic_cdc_sync_crash_restart)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    perturb_of = lambda c: F.transform(  # noqa: E731
+        c, lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+    )
+    upd = (
+        base.alias("x")
+        .join(
+            base.alias("y"),
+            F.col("y.vec_id") == F.col("x.vec_id") + 5,
+        )
+        .filter(F.col("x.vec_id") % 20 == 2)
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            perturb_of(F.col("y.embedding")).alias("embedding"),
+        )
+    )
+    b0 = upd.withColumn("op", F.lit("U")).unionByName(
+        base.filter(F.col("vec_id") % 20 == 13)
+        .select("vec_id", "embedding")
+        .withColumn("op", F.lit("D"))
+    )
+    b1 = (
+        base.filter(F.col("vec_id") % 20 == 9)
+        .select(
+            (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
+            perturb_of(F.col("embedding")).alias("embedding"),
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 20 == 13).select(
+                (F.col("vec_id") + F.lit(300_000_000)).alias("vec_id"),
+                perturb_of(F.col("embedding")).alias("embedding"),
+            )
+        )
+        .unionByName(
+            upd.select(
+                (F.col("vec_id") + F.lit(400_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+        .withColumn("op", F.lit("I"))
+    )
+
+    work = _tempfile.mkdtemp(prefix="sem_cdc_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_semantic_dedup_root(
+            base, root, "vec_id", "embedding",
+            n_clusters=8, n_probes=8, min_cosine=0.95, seed=7,
+        )
+        _stage_stream_batches(work, src, (b0, b1))
+        index_sync.sync_semantic_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_semantic_pairs(spark, root)
+            .orderBy("new_vec", "corpus_vec")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "streaming_minhash_cdc_sync",
+    oracle=_minhash_sync_oracle_sql(
+        src_sql="""SELECT doc_id, text, -1 AS batch
+        FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT x.doc_id, y.text, 0
+        FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 5
+        WHERE x.doc_id % 5 <> 0 AND x.doc_id % 20 = 2
+        UNION ALL
+        SELECT doc_id + 100000000, text, 1 FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 20 = 9
+        UNION ALL
+        SELECT doc_id + 300000000, text, 1 FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 20 = 13
+        UNION ALL
+        SELECT x.doc_id + 400000000, y.text, 1
+        FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 5
+        WHERE x.doc_id % 5 <> 0 AND x.doc_id % 20 = 2""",
+        index_excluded_pred=(
+            "c.batch = -1 AND (c.doc % 20 = 13 OR (c.doc % 20 = 2 "
+            "AND EXISTS (SELECT 1 FROM documents d2 "
+            "WHERE d2.doc_id = c.doc + 5)))"
+        ),
+    ),
+)
+def streaming_minhash_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-VERB CDC for the growing MINHASH dedup index
+    (streaming/index_sync.py:sync_minhash_cdc_stream) — the text
+    analog of ``streaming_semantic_cdc_sync``: one epoch per
+    micro-batch carries the U/D tombstones (on the ledger's canonical
+    ``doc`` column), the upserted docs' shingles + band keys, and
+    their verdicts probed against the committed index (bucket-pruned
+    exact verify, this-batch tombstones anti-joined out).
+
+    The scenario: batch 0 RETARGETS doc_id % 20 = 2 to the VERBATIM
+    text of doc_id + 5 (each update is flagged against that doc at
+    jaccard 1.0 — while its own old text, still in the committed
+    grams, is tombstone-suppressed) and DELETES doc_id % 20 = 13;
+    batch 1 inserts verbatim twins of survivors (% 20 = 9, +100M —
+    flagged), twins of the DELETED docs (% 20 = 13, +300M — NOT
+    flagged: the original's grams are hidden by its tombstone), and
+    copies of the UPDATED text (+400M — flagged against both the
+    batch-0 new version and the retarget source). The oracle's
+    closed-form tombstone (``index_excluded_pred``) removes exactly
+    the batch-0-killed corpus versions from the candidate side.
+    Crash-restart pytest-pinned (test_minhash_cdc_sync_crash_restart)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    upd = (
+        docs.alias("x")
+        .join(docs.alias("y"), F.col("y.doc_id") == F.col("x.doc_id") + 5)
+        .filter((F.col("x.doc_id") % 5 != 0) & (F.col("x.doc_id") % 20 == 2))
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.text").alias("text"))
+    )
+    b0 = upd.withColumn("op", F.lit("U")).unionByName(
+        corpus.filter(F.col("doc_id") % 20 == 13).withColumn(
+            "op", F.lit("D")
+        )
+    )
+    b1 = (
+        corpus.filter(F.col("doc_id") % 20 == 9)
+        .select((F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 20 == 13).select(
+                (F.col("doc_id") + F.lit(300_000_000)).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            upd.select(
+                (F.col("doc_id") + F.lit(400_000_000)).alias("doc_id"), "text"
+            )
+        )
+        .withColumn("op", F.lit("I"))
+    )
+
+    work = _tempfile.mkdtemp(prefix="mh_cdc_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_minhash_root(
+            corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+        )
+        _stage_stream_batches(work, src, (b0, b1))
+        index_sync.sync_minhash_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_dedup_pairs(spark, root)
+            .orderBy("new_doc", "corpus_doc")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

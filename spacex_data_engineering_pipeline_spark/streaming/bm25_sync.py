@@ -282,9 +282,12 @@ def sync_bm25_cdc_stream(
     As-of time travel keeps working — the signed rows at epochs ≤ k
     reconstruct exactly the state after batch k.
 
-    Contracts: at most ONE row per doc id per micro-batch (two
-    versions of a doc in one batch have no defined order — collapse
-    upstream with ``latest_update_per_key``); deleting an absent id is
+    Contracts: at most ONE row per doc id per micro-batch, ENFORCED —
+    the fold refuses a batch whose row count exceeds its distinct doc
+    count (two versions of a doc in one batch have no defined order
+    and would negate the old version once while writing both new
+    versions' positive rows; collapse upstream with
+    ``latest_update_per_key``); deleting an absent id is
     a no-op; updating an absent id is an insert. The root must carry a
     doc log (``init_bm25_root`` writes it; pre-doclog roots are
     refused). Same exactly-once ledger + checkpoint-wipe hazard as the
@@ -305,6 +308,23 @@ def sync_bm25_cdc_stream(
             F.col(text_col).alias("__text"),
             F.upper(F.col(op_col).cast("string")).substr(1, 1).alias("__op"),
         ).persist()
+        # ENFORCE the at-most-one-row-per-doc-per-batch contract (the
+        # max_affected refusal discipline): two versions of a doc in
+        # one batch would negate the old version once but write
+        # positive rows for both, silently inflating N/df/tf forever.
+        # One batch-sized agg job — cheap next to the fold itself.
+        card = ops.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc").alias("d"),
+        ).first()
+        if int(card["n"]) != int(card["d"]):
+            raise ValueError(
+                f"CDC batch carries {int(card['n'])} rows over "
+                f"{int(card['d'])} distinct doc ids — at most ONE row "
+                "per doc per micro-batch (two versions have no defined "
+                "order and would double-count df/tf); collapse "
+                "upstream with latest_update_per_key"
+            )
         old = _bm25_old_versions(
             spark, led, ptr, ops.select("doc").distinct()
         )
@@ -480,7 +500,9 @@ def bm25_topk_synced(
     )
 
 
-def compact_bm25_epochs(spark: SparkSession, root: str) -> int:
+def compact_bm25_epochs(
+    spark: SparkSession, root: str, net: bool = False
+) -> int:
     """Retention for the BM25 ledger: rewrite the three tables'
     committed epochs into one compact dataset each — postings and df
     keep the term-bucket partitioning (query pruning survives) and
@@ -488,8 +510,76 @@ def compact_bm25_epochs(spark: SparkSession, root: str) -> int:
     already model-sized but compacts too so all three move under the
     one shared ``compact_upto`` (the paired-ledger rule: compacting a
     subset would let the vacuum drop the rest's uncompacted rows).
-    Returns epochs newly folded."""
-    return _bm25_ledger(root).compact(spark)
+    Returns epochs newly folded.
+
+    ``net=True`` is the NETTING/PURGING mode — the churn-retention
+    dial the signed-ledger design otherwise lacks: the default path
+    rewrites signed rows VERBATIM, so on a high-churn corpus a doc
+    updated k times keeps 2k−1 posting rows and k doc-log versions
+    forever (index size tracks write HISTORY, not live size). Netting
+    materializes exactly the fold every reader already computes —
+    per-(doc, term) tf/dl and per-term df summed across all epochs
+    equal the LIVE corpus's values by the signed-epoch invariant
+    (each negative row subtracts a value an earlier epoch added) —
+    then physically drops non-positive results, keeps only the LATEST
+    doc-log version per doc (delete markers vanish entirely), and
+    records ``purge_floor = head``: as-of rankings below the netting
+    point are refused afterwards, the same explicit end-of-readability
+    contract as PCA moment compaction and the IVF family's
+    ``purge_deleted``. After netting, the compacted postings hold one
+    row per live (doc, term) — index size tracks the live corpus
+    again — the term-bucket partitioning survives (queries keep
+    pruning), and the CDC arm keeps working against the netted doc
+    log (one live version per doc is exactly the state
+    ``_bm25_old_versions`` needs). Refused when nothing is uncompacted
+    (a silent no-op would leave "netted-away" history readable), the
+    ``purge_deleted`` precedent."""
+    led = _bm25_ledger(root)
+    if not net:
+        return led.compact(spark)
+    ptr = led.pointer()
+    head = ptr["max_epoch"]
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    if head <= cu:
+        raise ValueError(
+            f"netting needs uncompacted epochs (head={head}, "
+            f"compact_upto={cu}): the staged-compact commit can't "
+            "rewrite a live compact in place — drain or write an "
+            "epoch first"
+        )
+
+    def transform(table: str, df: DataFrame, head_: int):
+        if table == "postings":
+            return (
+                df.groupBy("doc", "term", "__tbucket")
+                .agg(F.sum("tf").alias("tf"), F.sum("dl").alias("dl"))
+                .filter(F.col("tf") > 0)
+                .withColumn("epoch", F.lit(head_).cast("int"))
+            )
+        if table == "df":
+            return (
+                df.groupBy("term", "__tbucket")
+                .agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0)
+                .withColumn("epoch", F.lit(head_).cast("int"))
+            )
+        if table == "stats":
+            return df.agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+            ).withColumn("epoch", F.lit(head_).cast("int"))
+        if table == "doclog":
+            w = Window.partitionBy("doc").orderBy(F.col("epoch").desc())
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col("w").isNotNull())  # spent delete markers
+                .select("doc", "w", "dl", "__dbucket")
+                .withColumn("epoch", F.lit(head_).cast("int"))
+            )
+        return df
+
+    return led.compact(spark, transform=transform, extra={"purge_floor": head})
 
 
 def vacuum_bm25_epochs(root: str) -> int:

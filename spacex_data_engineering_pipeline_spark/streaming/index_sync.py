@@ -383,10 +383,14 @@ def _apply_tombstones(
 ) -> DataFrame | None:
     """Filter a posting frame (epoch column still attached) through the
     ``deletes`` tombstone ledger AS OF ``epoch``: a posting is visible
-    unless a LATER tombstone at or below the as-of point names its id —
-    so a re-insert after a delete is visible again, and reads as of a
-    point before the delete still see the row (row-exact history until
-    an explicit ``purge_deleted`` compaction).
+    unless a STRICTLY LATER tombstone at or below the as-of point names
+    its id — so a re-insert after a delete is visible again, reads as
+    of a point before the delete still see the row (row-exact history
+    until an explicit ``purge_deleted`` compaction), and a posting
+    written IN THE SAME EPOCH as its id's tombstone survives it: that
+    is the CDC arms' atomic-update shape (``sync_ivf_cdc_stream`` & co.
+    stage tombstone + replacement posting in one epoch, one flip —
+    the tombstone covers every OLDER version only).
 
     Shape: tombstones reduce to one (id, max delete epoch) row per
     deleted id, then ONE equi-join against the (already
@@ -402,7 +406,7 @@ def _apply_tombstones(
         posts.join(dmax, id_col, "left")
         .filter(
             F.col("__del_epoch").isNull()
-            | (F.col("epoch") > F.col("__del_epoch"))
+            | (F.col("epoch") >= F.col("__del_epoch"))
         )
         .drop("__del_epoch")
     )
@@ -442,8 +446,12 @@ def delete_index_ids(
       ``max(epoch_id + 1, head + 1)`` (``EpochLedger.next_epoch``), so
       a manual tombstone epoch never collides with a replayed batch.
 
-    ``ids`` is a list of id values or a DataFrame holding the root's
-    id column. ``max_affected`` is the refusal guard the repo's
+    ``ids`` is a list of id values or a DataFrame holding either the
+    root's tombstone column (``'doc'`` on MinHash dedup roots — the
+    ledger tables' canonical id name, recorded as ``tomb_col`` in the
+    pointer) or the caller-facing id column the root was initialized
+    with; the latter is aliased to the tombstone column automatically.
+    ``max_affected`` is the refusal guard the repo's
     destructive verbs carry (reference pattern: operators/delete.py's
     affected-partitions discipline): a tombstone set larger than this
     is almost certainly a bug upstream, and it also bounds this verb's
@@ -476,13 +484,44 @@ def delete_index_ids(
         )
     if "generation" in led_ptr:
         raise ValueError(
-            "graph-bearing roots don't take id tombstones — the saved "
-            "graph's edges would keep citing the deleted vectors; use "
-            "knn_graph_delete and save the result as a new generation"
+            "graph-bearing roots don't take id tombstones alone — the "
+            "saved graph's edges would keep citing the deleted "
+            "vectors; use delete_graph_ids, which writes the tombstone "
+            "AND publishes the edge-repaired graph as a new generation "
+            "in one flip"
         )
-    id_col = led_ptr.get("tomb_col", led_ptr["id_col"])
+    if "tomb_col" not in led_ptr and "id_col" not in led_ptr:
+        # e.g. a PCA moments root: its ledger holds exact integer SUMS,
+        # not id-keyed rows — there is nothing a tombstone could name.
+        # An explicit refusal beats the bare KeyError a caller would
+        # otherwise have to decode.
+        raise ValueError(
+            "this root's ledger has no id-keyed rows to tombstone (its "
+            "pointer records neither tomb_col nor id_col — a moment "
+            "ledger stores sums, not per-id state); removals there are "
+            "the CDC arm's subtract-then-add job (sync_pca_cdc_stream)"
+        )
+    id_col = led_ptr.get("tomb_col", led_ptr.get("id_col"))
     if isinstance(ids, DataFrame):
-        tomb = ids.select(id_col).distinct()
+        if id_col in ids.columns:
+            tomb = ids.select(id_col).distinct()
+        elif led_ptr.get("id_col") in ids.columns:
+            # caller passed the root's caller-facing id column (the
+            # docstring's original wording) — alias it to the ledger
+            # tables' canonical tombstone column
+            tomb = ids.select(
+                F.col(led_ptr["id_col"]).alias(id_col)
+            ).distinct()
+        else:
+            raise ValueError(
+                f"ids frame has columns {ids.columns} — expected the "
+                f"root's tombstone column {id_col!r}"
+                + (
+                    f" or its id column {led_ptr['id_col']!r}"
+                    if led_ptr.get("id_col") not in (None, id_col)
+                    else ""
+                )
+            )
     else:
         id_type = "long" if ids and isinstance(ids[0], int) else "string"
         tomb = spark.createDataFrame(
@@ -510,6 +549,263 @@ def delete_index_ids(
     led.write_epoch(tomb, "deletes", epoch)
     _flip_pointer(root, {**led_ptr, "max_epoch": epoch})
     return epoch
+
+
+def _cdc_batch_ops(
+    batch_df: DataFrame, id_col: str, payload_cols, op_col: str
+) -> tuple[DataFrame, bool]:
+    """Normalize + GUARD one CDC micro-batch: returns (ops frame —
+    (id, payload, op first letter uppercased), persisted across the
+    fold's writes — and whether the batch carries any U/D row), and
+    ENFORCE the at-most-one-row-per-id-per-batch contract every CDC
+    arm shares (two versions of an id in one batch have no defined
+    order — one tombstone would cover both new rows and the surviving
+    state would depend on shuffle order; collapse upstream with
+    ``latest_update_per_key``). One batch-sized agg job — the BM25
+    arm's refusal discipline, factored for the vector arms."""
+    ops = batch_df.select(
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+        F.upper(F.col(op_col).cast("string")).substr(1, 1).alias("__op"),
+    ).persist()
+    card = ops.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("d"),
+        F.sum(
+            F.when(F.col("__op").isin("U", "D"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("ud"),
+    ).first()
+    if int(card["n"]) != int(card["d"]):
+        ops.unpersist()
+        raise ValueError(
+            f"CDC batch carries {int(card['n'])} rows over "
+            f"{int(card['d'])} distinct ids — at most ONE row per id "
+            "per micro-batch; collapse upstream with "
+            "latest_update_per_key"
+        )
+    return ops, bool(int(card["ud"] or 0))
+
+
+def sync_ivf_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """Drain a CDC stream of (id, vector, op ∈ I/U/D) rows into an IVF
+    posting ledger — the ONE-VERB update path the insert-only arm and
+    ``delete_index_ids`` previously left as a documented two-step
+    (tombstone, then re-stream: two pointer flips with a crash window
+    where the id is deleted but not yet re-inserted). Per micro-batch
+    the fold writes ONE epoch carrying both sides of the mutation:
+
+    1. a tombstone row for every U/D id (the ``deletes`` table —
+       delete-request-sized, skipped entirely on insert-only batches);
+    2. the non-delete rows routed against the FIXED saved centroids
+       into the epoch's posting partition (the committed corpus is
+       never read — same cost shape as the insert arm);
+
+    published by the one pointer flip. Visibility falls out of the
+    tombstone rule every reader already applies (delete epoch >
+    posting epoch): the SAME epoch's new posting survives its own
+    tombstone, everything older is hidden — so an update is atomic, a
+    delete is a plain tombstone, an op-U on an absent id is an insert
+    (its tombstone hides nothing), and a later re-insert stays
+    visible. Op-I must be a genuinely NEW id (an insert of an existing
+    id would surface both versions — use U; tombstoning inserts too
+    would grow the deletes ledger with the whole insert history and
+    break its delete-request-sized broadcast join). At most one row
+    per id per batch, ENFORCED (``_cdc_batch_ops``). Same exactly-once
+    ledger + checkpoint-lineage contract as every arm."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    led = _ivf_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
+        with open(os.path.join(root, "centroids.json")) as f:
+            centers = json.load(f)
+        id_col, vec_col = ptr["id_col"], ptr["vec_col"]
+        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        if has_ud:
+            led.write_epoch(
+                ops.filter(F.col("__op").isin("U", "D"))
+                .select(id_col)
+                .distinct(),
+                "deletes",
+                epoch,
+            )
+        led.write_epoch(
+            ops.filter(F.col("__op") != "D").select(
+                F.col(id_col),
+                F.col(vec_col),
+                S_.centroid_assign_udf(centers)(F.col(vec_col)).alias(
+                    "cluster"
+                ),
+            ),
+            "postings",
+            epoch,
+        )
+        ops.unpersist()
+        return {"max_epoch": epoch}
+
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
+    )
+
+
+def sync_semantic_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """CDC arm for the GROWING semantic-dedup index — closes the
+    delete-then-restream crash window ``sync_semantic_dedup_stream``
+    documents for re-vectored ids: per micro-batch, ONE epoch carries
+    the U/D tombstones AND the new postings (the
+    ``sync_ivf_cdc_stream`` commit shape), plus the batch's near-dup
+    VERDICTS: the non-delete rows are probed against the committed
+    postings as of the pointer (cluster-pruned, tombstones applied),
+    and pairs whose corpus side is tombstoned IN THIS BATCH are
+    dropped — an updated doc is never flagged against its own
+    superseded version, and a doc can't be a duplicate of one deleted
+    in the same batch (the anti-join is batch-sized, broadcast). At
+    most one row per id per batch, ENFORCED. First-seen-wins and
+    flag-and-audit semantics otherwise unchanged; the whole mutation
+    is one pointer flip."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    led = _semantic_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
+        with open(os.path.join(root, "centroids.json")) as f:
+            centers = json.load(f)
+        id_col, vec_col = ptr["id_col"], ptr["vec_col"]
+        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        tomb = (
+            ops.filter(F.col("__op").isin("U", "D")).select(id_col).distinct()
+        )
+        upserts = ops.filter(F.col("__op") != "D").select(id_col, vec_col)
+        postings = _synced_postings(
+            spark, led, ptr, ptr["max_epoch"], id_col
+        ).drop("epoch")
+        pairs = S_.embedding_near_dup_probe(
+            postings, centers, upserts, id_col, vec_col,
+            n_probes=ptr["n_probes"], min_cosine=ptr["min_cosine"],
+        )
+        if has_ud:
+            pairs = pairs.join(
+                F.broadcast(tomb.withColumnRenamed(id_col, "corpus_vec")),
+                "corpus_vec",
+                "anti",
+            )
+            led.write_epoch(tomb, "deletes", epoch)
+        led.write_epoch(pairs, "pairs", epoch)
+        led.write_epoch(
+            upserts.select(
+                F.col(id_col),
+                F.col(vec_col),
+                S_.centroid_assign_udf(centers)(F.col(vec_col)).alias(
+                    "cluster"
+                ),
+            ),
+            "postings",
+            epoch,
+        )
+        ops.unpersist()
+        return {"max_epoch": epoch}
+
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
+    )
+
+
+def sync_minhash_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """CDC arm for the GROWING MinHash dedup index — the text analog
+    of ``sync_semantic_cdc_stream``: per micro-batch, ONE epoch
+    carries the U/D tombstones (on the ledger's canonical ``doc``
+    column), the non-delete rows' shingles + band keys, and their
+    near-dup verdicts probed against the committed index as of the
+    pointer (band-candidates → bucket-pruned exact verify, tombstones
+    applied) with pairs citing a THIS-BATCH-tombstoned corpus doc
+    dropped — an updated doc is never flagged against its own old
+    text. Visibility is the shared tombstone rule (delete epoch >
+    posting epoch), so the same epoch's new grams survive while every
+    older version is hidden from all later probes, and as-of reads
+    before the update still see the old text's grams until a purging
+    compaction. At most one row per id per batch, ENFORCED. Refused on
+    pre-``tomb_col`` roots (their readers ignore the deletes ledger —
+    same guard as ``delete_index_ids``)."""
+    from spacex_data_engineering_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+    )
+
+    led = _minhash_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
+        if "tomb_col" not in ptr:
+            raise ValueError(
+                "this dedup root predates id-level deletes (no tomb_col "
+                "in its pointer) — its readers would silently ignore "
+                "the CDC tombstones; rebuild with init_minhash_root"
+            )
+        id_col, text_col = ptr["id_col"], ptr["text_col"]
+        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (text_col,), op_col)
+        tomb = (
+            ops.filter(F.col("__op").isin("U", "D"))
+            .select(F.col(id_col).alias(ptr["tomb_col"]))
+            .distinct()
+        )
+        upserts = ops.filter(F.col("__op") != "D").select(id_col, text_col)
+        bg, bb = build_minhash_index(
+            upserts, id_col, text_col,
+            ptr["num_hashes"], ptr["bands"], ptr["shingle_n"],
+        )
+        pairs = _probe_pruned(spark, root, ptr, bg, bb)
+        if has_ud:
+            pairs = pairs.join(
+                F.broadcast(
+                    tomb.withColumnRenamed(ptr["tomb_col"], "corpus_doc")
+                ),
+                "corpus_doc",
+                "anti",
+            )
+            led.write_epoch(tomb, "deletes", epoch)
+        led.write_epoch(pairs, "pairs", epoch)
+        _write_grams_epoch(bg, root, epoch, ptr.get("grams_buckets"))
+        led.write_epoch(bb, "bands", epoch)
+        bb.unpersist()
+        bg.unpersist()
+        ops.unpersist()
+        return {"max_epoch": epoch}
+
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
+    )
 
 
 def sync_ivf_index_stream(
@@ -1454,17 +1750,20 @@ def sync_minhash_index_stream(
     all committed grams (``_write_grams_epoch``; pruning pinned by
     test_minhash_sync_verify_partition_prunes).
 
-    CHECKPOINT-WIPE HAZARD (shared by all four syncs): exactly-once
-    keys on foreachBatch's ``epoch_id`` alone, which is only safe
-    while the source-file→epoch mapping is stable. Wiping the
-    checkpoint is a proven fixed point for an UNCHANGED source (the
-    re-drain replays epochs 0..last and no-ops) — but wiping it AFTER
-    new files landed renumbers epochs from 0, so the not-yet-processed
-    files can be misread as replays and silently skipped. Recover from
-    a lost checkpoint by re-draining with the same source listing, or
-    a fresh checkpoint dir plus a source that starts after the
-    pointer's high-water mark — never a wiped checkpoint over a grown
-    source."""
+    CHECKPOINT-WIPE HAZARD (shared by all the syncs): exactly-once
+    keys on foreachBatch's ``epoch_id`` scoped to the CHECKPOINT
+    LINEAGE (the pointer's ``checkpoint_token`` — ledger.py:drain).
+    Wiping the checkpoint's CONTENTS at the same path is a proven
+    fixed point for an UNCHANGED source (the re-drain replays epochs
+    0..last and no-ops) — but wiping it AFTER new files landed
+    renumbers epochs from 0, so the not-yet-processed files can be
+    misread as replays and silently skipped. Recover from a lost
+    checkpoint by re-draining the same source listing at the same
+    checkpoint path, or a FRESH checkpoint dir over a source holding
+    ONLY the files past the pointer's high-water mark (a new
+    checkpoint path declares a new lineage: every file in its source
+    is treated as new — pointing it at already-drained files
+    double-applies them)."""
     from spacex_data_engineering_pipeline_spark.operators.dedup import (
         build_minhash_index,
     )

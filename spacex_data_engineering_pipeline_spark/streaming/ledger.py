@@ -171,20 +171,46 @@ def ledger_frames(
     return out
 
 
-def clear_staged_epoch(root: str, epoch: int) -> int:
-    """Remove EVERY table's staged dir at exactly ``epoch`` — callers
-    pass only epochs strictly ABOVE the committed head, where any
-    existing dir is a crash orphan by definition. This guards the
-    invariant a multi-verb root would otherwise lose: a verb that
-    crashed between its staged write and its pointer flip must stay
-    dead, but a LATER commit that reuses the same epoch number writes
-    only ITS OWN tables — without this sweep, flipping the pointer
-    past the orphan's epoch would activate the dead verb's tables
-    (e.g. a crashed ``delete_index_ids``'s tombstones silently taking
-    effect after an unrelated stream batch). Committed epochs are
-    never touched. Returns directories removed."""
+# Every epoch-keyed table name any arm writes — the sweep allowlist for
+# clear_staged_epoch. A root may legitimately contain NON-ledger dirs
+# (a caller's checkpoint or stream-source dir) whose own epoch=N
+# subdirs must never be swept by an unrelated commit; restricting the
+# sweep to names a ledger arm actually manages closes that hazard.
+# Arms with custom table names pass them explicitly via ``tables``.
+LEDGER_TABLES = frozenset(
+    {
+        "grams", "bands", "pairs", "deletes",  # minhash dedup
+        "postings",                             # IVF / semantic / graph-IVF
+        "df", "stats", "doclog",                # BM25
+        "moments",                              # PCA
+    }
+)
+
+
+def clear_staged_epoch(
+    root: str, epoch: int, tables: tuple[str, ...] = ()
+) -> int:
+    """Remove every LEDGER-MANAGED table's staged dir at exactly
+    ``epoch`` — callers pass only epochs strictly ABOVE the committed
+    head, where any existing dir is a crash orphan by definition. This
+    guards the invariant a multi-verb root would otherwise lose: a
+    verb that crashed between its staged write and its pointer flip
+    must stay dead, but a LATER commit that reuses the same epoch
+    number writes only ITS OWN tables — without this sweep, flipping
+    the pointer past the orphan's epoch would activate the dead verb's
+    tables (e.g. a crashed ``delete_index_ids``'s tombstones silently
+    taking effect after an unrelated stream batch). The sweep is
+    restricted to ``tables`` ∪ the registry of table names the
+    built-in arms manage (``LEDGER_TABLES``) — a non-ledger directory
+    a caller placed inside the root (a stream source, a checkpoint)
+    is never touched even if it happens to contain an ``epoch=<N>``
+    subdir. Committed epochs are never touched either. Returns
+    directories removed."""
     removed = 0
+    managed = LEDGER_TABLES.union(tables)
     for entry in os.listdir(root):
+        if entry not in managed:
+            continue
         d = os.path.join(root, entry, f"epoch={epoch}")
         if os.path.isdir(d):
             shutil.rmtree(d)
@@ -291,22 +317,50 @@ class EpochLedger:
         writes (the dict is the arm's pointer advance, e.g.
         ``{"max_epoch": epoch}`` or ``{"generation": g, "max_epoch":
         e}``), then flip the ONE pointer. ``on_batch_start`` is the
-        crash-injection test hook. Blocks until the drain completes."""
+        crash-injection test hook. Blocks until the drain completes.
+
+        Replay detection is scoped to the CHECKPOINT LINEAGE: Spark's
+        ``epoch_id`` restarts at 0 under a fresh checkpoint dir, so a
+        bare ``epoch_id ≤ last_batch_id`` check would silently skip
+        the first batches of a legitimate continuation (a NEW source
+        drained under a NEW checkpoint into an existing root — the
+        recovery path the checkpoint-wipe hazard note prescribes). The
+        pointer therefore records a ``checkpoint_token`` (the resolved
+        checkpoint path): a drain under a DIFFERENT token treats every
+        epoch as new (``next_epoch``'s max() keeps the numbering
+        collision-free past the old head), while replays WITHIN one
+        checkpoint still no-op. The flipped contract: switching
+        checkpoint dirs declares the source's files all-new — reusing
+        an already-drained source under a fresh checkpoint double-
+        applies it (for insert-only arms that is duplication; the
+        CDC arms self-heal via their old-version lookup). Wiping the
+        checkpoint's CONTENTS at the same path keeps the old token and
+        stays the proven no-op fixed point."""
+        token = os.path.abspath(checkpoint_dir)
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             if on_batch_start is not None:
                 on_batch_start(epoch_id)
             ptr = self.pointer()
             last = ptr["last_batch_id"]
+            if ptr.get("checkpoint_token") not in (None, token):
+                last = None  # new checkpoint lineage: epoch ids restart
             if last is not None and epoch_id <= last:
                 return  # replayed epoch: already committed
             epoch = self.next_epoch(ptr, epoch_id)
             # epoch > committed head always, so anything already there
             # is a crash orphan — possibly ANOTHER verb's (a crashed
             # manual delete); sweep it so this commit can't activate it
-            clear_staged_epoch(self.root, epoch)
+            clear_staged_epoch(self.root, epoch, tuple(self.tables))
             advance = fold(ptr, epoch, batch_df)
-            self.flip({**ptr, **advance, "last_batch_id": epoch_id})
+            self.flip(
+                {
+                    **ptr,
+                    **advance,
+                    "last_batch_id": epoch_id,
+                    "checkpoint_token": token,
+                }
+            )
 
         q = (
             spark.readStream.schema(schema)

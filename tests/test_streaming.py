@@ -6,6 +6,7 @@ input, and the watermark+window aggregation over a streamed events table.
 from __future__ import annotations
 
 import json
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -1190,11 +1191,14 @@ def test_streaming_knn_graph_sync_crash_restart(spark, sf_dir, tmp_path):
     assert got == truth
 
     # checkpoint-wiped re-drain is a fixed point: every epoch replays,
-    # the ledger no-ops them all, the pointer file never moves
+    # the ledger no-ops them all, the pointer file never moves (loss =
+    # wiped CONTENTS at the same path; a different path would declare a
+    # new lineage — test_drain_checkpoint_lineage_scopes_replay_skip)
     ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    shutil.rmtree(str(tmp_path / "ckpt"))
     index_sync.sync_knn_graph_stream(
         spark, str(src), updates.schema, root,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert (
         os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
@@ -1315,11 +1319,14 @@ def test_streaming_ivf_index_sync_crash_restart(spark, sf_dir, tmp_path):
     }
     assert got == truth
 
-    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    # checkpoint-wiped re-drain is a fixed point: the pointer never
+    # moves (loss = wiped CONTENTS at the same path; a different path
+    # declares a new lineage)
     ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    shutil.rmtree(str(tmp_path / "ckpt"))
     index_sync.sync_ivf_index_stream(
         spark, str(src), inserts.schema, root,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert (
         os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
@@ -1412,11 +1419,14 @@ def test_streaming_pca_moment_sync_crash_restart(spark, sf_dir, tmp_path):
     assert list(synced.eigvals) == list(scratch.eigvals)
     assert list(synced.mean) == list(scratch.mean)
 
-    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    # checkpoint-wiped re-drain is a fixed point: the pointer never
+    # moves (loss = wiped CONTENTS at the same path; a different path
+    # declares a new lineage)
     ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    shutil.rmtree(str(tmp_path / "ckpt"))
     index_sync.sync_pca_moments_stream(
         spark, str(src), inserts.schema, root,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert (
         os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
@@ -1518,11 +1528,14 @@ def test_streaming_minhash_index_sync_crash_restart(spark, sf_dir, tmp_path):
         seen = seen.unionByName(bdf)
     assert got == truth
 
-    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    # checkpoint-wiped re-drain is a fixed point: the pointer never
+    # moves (loss = wiped CONTENTS at the same path; a different path
+    # declares a new lineage)
     ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    shutil.rmtree(str(tmp_path / "ckpt"))
     index_sync.sync_minhash_index_stream(
         spark, str(src), b0.schema, root,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert (
         os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
@@ -1695,11 +1708,14 @@ def test_streaming_knn_graph_ivf_sync_crash_restart(spark, sf_dir, tmp_path):
     assert got == truth
     assert not any(r[0] == 999_999 for r in got)  # garbage overwritten
 
-    # checkpoint-wiped re-drain is a fixed point: the pointer never moves
+    # checkpoint-wiped re-drain is a fixed point: the pointer never
+    # moves (loss = wiped CONTENTS at the same path; a different path
+    # declares a new lineage)
     ptr_mtime = os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
+    shutil.rmtree(str(tmp_path / "ckpt"))
     index_sync.sync_knn_graph_ivf_stream(
         spark, str(src), inserts.schema, root,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert (
         os.stat(os.path.join(root, "_index_pointer.json")).st_mtime_ns
@@ -3349,3 +3365,350 @@ def test_ivf_delete_empty_set_is_a_no_op(spark, sf_dir, tmp_path):
         .assigned.select("vec_id").collect()
     }
     assert vid not in got and got
+
+
+def test_bm25_netting_compact_tracks_live_size(spark, sf_dir, tmp_path):
+    """Netting/purging compaction for the BM25 ledger — the
+    churn-retention dial: update-heavy CDC leaves 2k−1 signed posting
+    rows per doc updated k times and k doc-log versions; a
+    ``compact_bm25_epochs(net=True)`` must (a) leave the synced
+    ranking equal to a from-scratch index over the live corpus, (b)
+    shrink the compacted postings/doclog to EXACTLY the live corpus's
+    size, (c) set the as-of refusal floor, and (d) keep the CDC arm
+    working afterwards (the netted doc log still serves old versions
+    for the next update's tombstones)."""
+    import os
+
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    in_base = did % 5 != 0
+    upd_set = did % 7 == 1
+    del_set = in_base & (did % 11 == 3) & ~upd_set
+
+    corpus = docs.filter(in_base)
+    # two successive updates of the SAME docs (churn) + one delete set
+    b0 = (
+        docs.filter(upd_set)
+        .select("doc_id", F.concat("text", F.lit(" spark")).alias("text"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            docs.filter(del_set).select("doc_id", "text").withColumn(
+                "op", F.lit("D")
+            )
+        )
+    )
+    b1 = (
+        docs.filter(upd_set)
+        .select(
+            "doc_id", F.concat("text", F.lit(" spark spark")).alias("text")
+        )
+        .withColumn("op", F.lit("U"))
+    )
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+
+    def stage(i, bdf):
+        staged = str(tmp_path / f"stage{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stage(0, b0)
+    stage(1, b1)
+    index_sync.sync_bm25_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    # ground truth: fresh index over the live (post-CDC) corpus
+    final = (
+        docs.filter(in_base | upd_set)
+        .filter(~del_set)
+        .select(
+            "doc_id",
+            F.when(upd_set, F.concat("text", F.lit(" spark spark")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    truth_root = str(tmp_path / "truth")
+    index_sync.init_bm25_root(final, truth_root, "doc_id", "text")
+    terms = ("spark", "vector", "stream")
+
+    def topk(r, **kw):
+        return [
+            tuple(x)
+            for x in index_sync.bm25_topk_synced(
+                spark, r, terms, k=10, **kw
+            ).collect()
+        ]
+
+    got = topk(root)
+    assert got == topk(truth_root)
+
+    # churn is real pre-netting: the signed ledger holds MORE posting
+    # rows than the live corpus (each update wrote negative+positive)
+    live_postings = spark.read.parquet(
+        os.path.join(truth_root, "postings", "epoch=0")
+    ).count()
+    pre_rows = spark.read.parquet(os.path.join(root, "postings")).count()
+    assert pre_rows > live_postings
+
+    # NET: compacted postings/doclog shrink to exactly live size
+    assert index_sync.compact_bm25_epochs(spark, root, net=True) == 2
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["compact_upto"] == 2 and ptr["purge_floor"] == 2
+    from spacex_data_engineering_pipeline_spark.streaming.ledger import (
+        compact_path,
+    )
+
+    netted = spark.read.parquet(compact_path(root, "postings", 2))
+    assert netted.count() == live_postings
+    assert netted.filter(F.col("tf") <= 0).count() == 0
+    netted_log = spark.read.parquet(compact_path(root, "doclog", 2))
+    assert netted_log.count() == final.count()  # one LIVE version per doc
+    assert netted_log.filter(F.col("w").isNull()).count() == 0
+    assert topk(root) == got
+
+    # the floor ends pre-netting readability explicitly
+    with pytest.raises(ValueError, match="purge floor"):
+        topk(root, as_of_epoch=1)
+
+    # vacuum drops the netted-away epoch dirs; the ranking survives
+    assert index_sync.vacuum_bm25_epochs(root) > 0
+    assert not os.path.isdir(os.path.join(root, "postings", "epoch=1"))
+    assert topk(root) == got
+
+    # netting with nothing uncompacted refuses (silent no-op hazard)
+    with pytest.raises(ValueError, match="uncompacted"):
+        index_sync.compact_bm25_epochs(spark, root, net=True)
+
+    # the CDC arm keeps working on the netted root: a post-netting
+    # update must find the netted doc log's live version to tombstone
+    b2 = (
+        docs.filter(upd_set)
+        .select("doc_id", F.col("text"))  # revert to the original text
+        .withColumn("op", F.lit("U"))
+    )
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    staged = str(tmp_path / "stage_b2")
+    b2.repartition(1).write.parquet(staged)
+    part = next(
+        f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(staged, part), str(src2 / "batch0000.parquet"))
+    index_sync.sync_bm25_cdc_stream(
+        spark, str(src2), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    truth2_root = str(tmp_path / "truth2")
+    index_sync.init_bm25_root(
+        docs.filter(in_base | upd_set).filter(~del_set),
+        truth2_root, "doc_id", "text",
+    )
+    assert topk(root) == topk(truth2_root)
+
+
+def test_bm25_cdc_refuses_duplicate_doc_rows_in_batch(spark, sf_dir, tmp_path):
+    """The at-most-one-row-per-doc-per-micro-batch contract is
+    ENFORCED: a batch carrying two versions of one doc would negate
+    the old version once but write both positive rows, silently
+    inflating N/df/tf — the fold must refuse, and the refusal must
+    leave the committed state untouched (staged writes above the
+    pointer are invisible)."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    dup_id = int(corpus.agg(F.min("doc_id")).first()[0])
+    bad = (
+        docs.filter(F.col("doc_id") == dup_id)
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            docs.filter(F.col("doc_id") == dup_id)
+            .select("doc_id", F.concat("text", F.lit(" twice")).alias("text"))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_bm25_root(corpus, root, "doc_id", "text")
+    staged = str(tmp_path / "stage0")
+    bad.repartition(1).write.parquet(staged)
+    part = next(
+        f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(staged, part), str(src / "batch0000.parquet"))
+    before = index_sync.bm25_topk_synced(
+        spark, root, ("spark", "vector", "stream"), k=10
+    ).collect()
+    with pytest.raises(StreamingQueryException, match="at most ONE row"):
+        index_sync.sync_bm25_cdc_stream(
+            spark, str(src), bad.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 0 and ptr["last_batch_id"] is None
+    assert (
+        index_sync.bm25_topk_synced(
+            spark, root, ("spark", "vector", "stream"), k=10
+        ).collect()
+        == before
+    )
+
+
+def test_delete_index_ids_refusals_and_id_col_alias(spark, sf_dir, tmp_path):
+    """The lifecycle verb's guard rails: a moment ledger (no id-keyed
+    rows) refuses EXPLICITLY instead of dying on a KeyError; a
+    DataFrame of ids may carry either the ledger's tombstone column
+    ('doc' on dedup roots) or the root's caller-facing id column (it
+    is aliased); and an unrecognized column set names both."""
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .limit(80)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    # PCA moments root: neither tomb_col nor id_col in the pointer
+    proot = str(tmp_path / "pca")
+    index_sync.init_pca_moments_root(emb, proot, "embedding")
+    with pytest.raises(ValueError, match="no id-keyed rows"):
+        index_sync.delete_index_ids(spark, proot, [1, 2])
+
+    # MinHash dedup root: tomb_col='doc' but id_col='doc_id' — a frame
+    # named by EITHER must work
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    droot = str(tmp_path / "dedup")
+    index_sync.init_minhash_root(docs, droot, "doc_id", "text")
+    two = docs.limit(2).select("doc_id")
+    e1 = index_sync.delete_index_ids(spark, droot, two)  # id_col frame
+    e2 = index_sync.delete_index_ids(
+        spark, droot, two.withColumnRenamed("doc_id", "doc")
+    )
+    assert e2 == e1 + 1
+    with pytest.raises(ValueError, match="expected the root's tombstone"):
+        index_sync.delete_index_ids(
+            spark, droot, two.withColumnRenamed("doc_id", "wrong")
+        )
+
+
+def test_clear_staged_epoch_spares_non_ledger_dirs(tmp_path):
+    """The orphan sweep is restricted to ledger-managed table names: a
+    caller-placed directory inside the root (a stream source, a
+    checkpoint) whose layout happens to contain an epoch=N subdir must
+    survive an unrelated commit's pre-write sweep."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.streaming.ledger import (
+        clear_staged_epoch,
+    )
+
+    root = tmp_path / "root"
+    (root / "postings" / "epoch=3").mkdir(parents=True)  # a real orphan
+    (root / "my_source" / "epoch=3").mkdir(parents=True)  # caller's dir
+    (root / "custom_tbl" / "epoch=3").mkdir(parents=True)  # arm-declared
+    removed = clear_staged_epoch(str(root), 3, tables=("custom_tbl",))
+    assert removed == 2
+    assert not os.path.isdir(str(root / "postings" / "epoch=3"))
+    assert not os.path.isdir(str(root / "custom_tbl" / "epoch=3"))
+    assert os.path.isdir(str(root / "my_source" / "epoch=3"))
+
+
+def test_drain_checkpoint_lineage_scopes_replay_skip(spark, sf_dir, tmp_path):
+    """Replay detection is scoped to the checkpoint lineage: (a) a NEW
+    source drained under a NEW checkpoint dir into an existing root is
+    a legitimate continuation — its epoch_ids restart at 0 but must
+    NOT be skipped as replays (the silent-skip hazard the old bare
+    ``epoch_id ≤ last_batch_id`` check carried); (b) wiping the
+    checkpoint's contents at the SAME path over an unchanged source
+    stays the proven no-op fixed point."""
+    import os
+    import shutil
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    b0 = emb.filter(F.col("vec_id") % 4 == 1)
+    b1 = emb.filter(F.col("vec_id") % 4 == 2)
+    root = str(tmp_path / "index")
+    index_sync.init_ivf_root(base, root, "vec_id", "embedding", n_clusters=4)
+
+    def stage(bdf, s):
+        os.makedirs(s, exist_ok=True)
+        staged = s + "_stage"
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(s, "batch0000.parquet")
+        os.replace(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000, 1_700_000_000))
+
+    src0 = str(tmp_path / "src0")
+    stage(b0, src0)
+    index_sync.sync_ivf_index_stream(
+        spark, src0, b0.schema, root, checkpoint_dir=str(tmp_path / "ckpt0")
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 1
+
+    # (a) continuation: fresh checkpoint + fresh source — epoch_id 0
+    # again, but a new lineage: must commit as epoch 2, not skip
+    src1 = str(tmp_path / "src1")
+    stage(b1, src1)
+    index_sync.sync_ivf_index_stream(
+        spark, src1, b1.schema, root, checkpoint_dir=str(tmp_path / "ckpt1")
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 2
+    n_all = index_sync.load_synced_ivf(spark, root).assigned.count()
+    assert n_all == base.count() + b0.count() + b1.count()
+
+    # (b) wiped checkpoint contents at the SAME path, unchanged source:
+    # replays epoch 0 under the recorded token — still a no-op
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    index_sync.sync_ivf_index_stream(
+        spark, src1, b1.schema, root, checkpoint_dir=str(tmp_path / "ckpt1")
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+    assert index_sync.load_synced_ivf(spark, root).assigned.count() == n_all
