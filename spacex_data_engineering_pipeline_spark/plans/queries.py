@@ -14692,3 +14692,126 @@ def streaming_minhash_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@_register(
+    "streaming_knn_graph_delete_sync",
+    oracle=f"""
+    WITH sp AS (
+        SELECT (MAX(vec_id) * 97) // 100 AS s97
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND NOT (vec_id % 17 = 3 AND vec_id < (SELECT s97 FROM sp))
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def streaming_knn_graph_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-LEVEL DELETE for a GRAPH-BEARING root, interleaved with the
+    stream — the lifecycle verb the sync family refused until now
+    (``delete_index_ids`` raises on graph roots because a bare
+    tombstone leaves edges citing the deleted vectors):
+    ``delete_graph_ids`` (streaming/index_sync.py) writes the
+    tombstone epoch AND publishes the EDGE-REPAIRED graph
+    (``knn_graph_delete`` — affected rows recomputed against the
+    remaining corpus, unaffected lists kept verbatim) as a
+    same-numbered new generation in ONE pointer flip, and the later
+    stream folds build on the repaired graph with the tombstones
+    anti-joined out of their candidate fetch.
+
+    The scenario: base graph over ids below the 94% mark (IVF-routed
+    root, full probe width — the exact configuration); batch 0 streams
+    ids in [94%, 97%); the delete verb then removes vec_id % 17 = 3 of
+    EVERYTHING committed so far — base ids AND batch-0 streamed ids,
+    so the tombstone must hide a streamed posting epoch too; batch 1
+    (ids ≥ 97%) then folds on top. Graded result: the final loaded
+    graph ≡ a full rebuild over (corpus − deleted), row for row at 6dp
+    — a surviving edge to a deleted vector, a deleted vector re-entering
+    as a later batch's candidate, or a generation/pointer tear all
+    flip it. Crash-window and plain-root (re-upsert-after-delete)
+    variants are pytest-pinned (test_delete_graph_ids_*)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s94, s97 = mx * 94 // 100, mx * 97 // 100
+    vid = F.col("vec_id")
+    base = emb.filter(vid < s94).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b0 = emb.filter((vid >= s94) & (vid < s97)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b1 = emb.filter(vid >= s97).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    doomed = [
+        int(r["vec_id"])
+        for r in emb.filter((vid % 17 == 3) & (vid < s97))
+        .select("vec_id")
+        .collect()
+    ]
+
+    work = _tempfile.mkdtemp(prefix="knng_del_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_knn_graph_ivf_root(
+            base, root, "vec_id", "embedding", k=5,
+            n_clusters=8, n_probes=8, seed=7, n_blocks=8, n_buckets=16,
+        )
+        _stage_stream_batches(work, src, (b0,))
+        index_sync.sync_knn_graph_ivf_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        index_sync.delete_graph_ids(spark, root, doomed)
+        # batch 1 lands AFTER the delete, same source + checkpoint
+        b1s = _os.path.join(work, "b1stage")
+        b1.repartition(1).write.parquet(b1s)
+        part = next(
+            f for f in sorted(_os.listdir(b1s)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(src, "batch0001.parquet")
+        _os.replace(_os.path.join(b1s, part), dst)
+        _os.utime(dst, (1_700_000_001, 1_700_000_001))
+        index_sync.sync_knn_graph_ivf_stream(
+            spark, src, b1.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_graph(spark, root)
+            .orderBy("vec_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

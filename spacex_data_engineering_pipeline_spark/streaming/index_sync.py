@@ -207,24 +207,54 @@ def init_knn_graph_root(
 def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
     """The corpus snapshot AS OF the pointer: base rows whose id never
     appeared in a committed batch, plus the latest committed vector per
-    upserted id. Only applied rows with ``__epoch ≤ last_batch_id``
-    count — rows a crash appended but never published stay invisible,
-    and duplicate rows a replay re-appended collapse in the
-    latest-per-id window."""
+    upserted id, MINUS ids a committed removal killed. Visibility is
+    keyed on the pointer's GENERATION: applied rows are stamped with
+    the generation that committed them (``__epoch`` — historical name;
+    legacy rows carry ``generation − 1``, still ≤ the filter), removal
+    rows (``delete_graph_ids``) with theirs (``__gen``), so rows a
+    crash appended but never published stay invisible, duplicate rows
+    a replay re-appended collapse in the latest-per-id window, and an
+    id removed at generation r then re-upserted at s > r is alive
+    again (its latest applied stamp outranks the removal)."""
     id_col, vec_col = ptr["id_col"], ptr["vec_col"]
+    gen_now = int(ptr["generation"])
     base = spark.read.parquet(os.path.join(root, "corpus_base"))
     applied_dir = os.path.join(root, "applied")
-    last = ptr["last_batch_id"]
-    if last is None or not os.path.isdir(applied_dir):
-        return base
-    applied = spark.read.parquet(applied_dir).filter(F.col("__epoch") <= last)
-    w = Window.partitionBy(id_col).orderBy(F.col("__epoch").desc())
-    latest = (
-        applied.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col)
-    )
-    return base.join(latest.select(id_col), id_col, "left_anti").unionByName(latest)
+    if os.path.isdir(applied_dir):
+        applied = spark.read.parquet(applied_dir).filter(
+            F.col("__epoch") <= gen_now
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("__epoch").desc())
+        latest = (
+            applied.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "__epoch")
+        )
+        corpus = (
+            base.join(latest.select(id_col), id_col, "left_anti")
+            # base rows predate every removal/upsert: stamp 0
+            .select(id_col, vec_col, F.lit(0).alias("__epoch"))
+            .unionByName(latest)
+        )
+    else:
+        corpus = base.select(id_col, vec_col, F.lit(0).alias("__epoch"))
+    removed_dir = os.path.join(root, "removed")
+    if os.path.isdir(removed_dir):
+        rmax = (
+            spark.read.parquet(removed_dir)
+            .filter(F.col("__gen") <= gen_now)
+            .groupBy(id_col)
+            .agg(F.max("__gen").alias("__del_gen"))
+        )
+        corpus = (
+            corpus.join(rmax, id_col, "left")
+            .filter(
+                F.col("__del_gen").isNull()
+                | (F.col("__epoch") >= F.col("__del_gen"))
+            )
+            .drop("__del_gen")
+        )
+    return corpus.drop("__epoch")
 
 
 def load_synced_graph(
@@ -281,7 +311,9 @@ def sync_knn_graph_stream(
             new_graph, _graph_gen_path(root, gen), id_col,
             n_buckets=ptr["n_buckets"],
         )
-        updates.withColumn("__epoch", F.lit(gen - 1).cast("long")).write.mode(
+        # stamp with the COMMITTING generation (not gen-1): visibility
+        # and the removal comparison in _corpus_at are generation-keyed
+        updates.withColumn("__epoch", F.lit(gen).cast("long")).write.mode(
             "append"
         ).parquet(os.path.join(root, "applied"))
         return {"generation": gen}
@@ -955,9 +987,12 @@ def sync_knn_graph_ivf_stream(
         id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
-        postings = led.frames(spark, "postings", ptr, ptr["max_epoch"]).drop(
-            "epoch"
-        )
+        # tombstone-aware (delete_graph_ids writes deletes epochs on
+        # graph+IVF roots): a deleted vector must never re-enter as a
+        # neighbor candidate for later batches
+        postings = _synced_postings(
+            spark, led, ptr, ptr["max_epoch"], id_col
+        ).drop("epoch")
         prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
         updates = batch_df.select(id_col, vec_col)
         new_graph = S_.knn_graph_ivf_fold(
@@ -985,6 +1020,108 @@ def sync_knn_graph_ivf_stream(
         spark, source_path, schema, checkpoint_dir, fold,
         max_files_per_trigger, on_batch_start,
     )
+
+
+def delete_graph_ids(
+    spark: SparkSession, root: str, ids, max_affected: int = 65536
+) -> int:
+    """ID-LEVEL DELETE for GRAPH-BEARING roots — the verb
+    ``delete_index_ids`` refuses (a bare tombstone would leave the
+    saved graph's edges citing the deleted vectors): write the
+    tombstone AND publish the EDGE-REPAIRED graph as a new generation
+    in ONE pointer flip, folding ``knn_graph_delete``
+    (operators/similarity.py — affected rows recomputed against the
+    remaining corpus, unaffected lists kept verbatim, merge ≡ rebuild
+    over corpus − deleted) into the sync family's commit discipline.
+
+    Works on both graph-root kinds:
+
+    - combined graph+IVF roots (``init_knn_graph_ivf_root``): the
+      delete is a ``deletes`` tombstone epoch (every posting reader
+      and the streaming fold anti-join it — the fold's candidate fetch
+      is ``_synced_postings``), the repaired graph is saved as the
+      same-numbered generation, and generation + ``max_epoch`` advance
+      together in the one flip;
+    - plain graph roots (``init_knn_graph_root``): the removal is
+      appended to the generation-stamped ``removed`` log that
+      ``_corpus_at`` nets out of the derived corpus (a later streamed
+      re-upsert of the id outranks the removal — alive again), and the
+      repaired graph is the new generation.
+
+    Interleaves safely with the streaming arms: the stream's next
+    epoch/generation is ``max(epoch_id+1, heads+1)``
+    (``EpochLedger.next_epoch`` consults both heads), so a manual
+    generation never collides with a replayed batch and later folds
+    build on the repaired graph. Crash window: the staged generation
+    dir and tombstone/removal rows above the pointer are invisible
+    (``_corpus_at`` and the posting readers filter by the committed
+    pointer), overwritten by a retry, and swept by the next commit's
+    orphan sweep. ``max_affected`` bounds both the tombstone set and
+    ``knn_graph_delete``'s affected-row recompute (hub-scale deletes
+    refuse with the rebuild recommendation). Returns the committed
+    generation — unchanged head for an empty id set (no burned
+    epoch)."""
+    ptr = read_index_pointer(root)
+    if "generation" not in ptr:
+        raise ValueError(
+            "not a graph-bearing root (no generation in its pointer) — "
+            "use delete_index_ids for posting-only ledgers"
+        )
+    id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
+    if isinstance(ids, DataFrame):
+        dels = ids.select(id_col).distinct()
+    else:
+        if not ids:
+            return int(ptr["generation"])
+        id_type = "long" if isinstance(ids[0], int) else "string"
+        dels = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} {id_type}"
+        ).distinct()
+    n = dels.count()
+    if n == 0:
+        return int(ptr["generation"])
+    if n > max_affected:
+        raise ValueError(
+            f"delete_graph_ids would remove {n} ids > max_affected="
+            f"{max_affected} — a hub-scale delete; rebuild the graph "
+            "instead (pass a higher bound explicitly if intended)"
+        )
+    new_gen = max(
+        int(ptr["generation"]), int(ptr.get("max_epoch") or 0)
+    ) + 1
+    _clear_staged_epoch(root, new_gen)
+    is_ivf = "max_epoch" in ptr
+    if is_ivf:
+        led = _ivf_ledger(root)
+        corpus = _synced_postings(
+            spark, led, ptr, ptr["max_epoch"], id_col
+        ).select(id_col, vec_col)
+    else:
+        corpus = _corpus_at(spark, root, ptr)
+    prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
+    repaired = S.knn_graph_delete(
+        corpus, dels, id_col, vec_col, k,
+        n_blocks=int(ptr.get("n_blocks", 8)),
+        base_graph=prev,
+        max_affected=max_affected,
+    )
+    S.save_knn_graph(
+        repaired, _graph_gen_path(root, new_gen), id_col,
+        n_buckets=ptr["n_buckets"],
+    )
+    if is_ivf:
+        EpochLedger(root, {"deletes": None}).write_epoch(
+            dels, "deletes", new_gen
+        )
+        _flip_pointer(
+            root, {**ptr, "generation": new_gen, "max_epoch": new_gen}
+        )
+    else:
+        dels.withColumn("__gen", F.lit(new_gen).cast("long")).write.mode(
+            "append"
+        ).parquet(os.path.join(root, "removed"))
+        _flip_pointer(root, {**ptr, "generation": new_gen})
+    return new_gen
 
 
 def vacuum_ivf_orphans(root: str) -> int:

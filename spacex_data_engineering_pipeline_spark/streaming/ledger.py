@@ -291,14 +291,21 @@ class EpochLedger:
         """The epoch a micro-batch stages as — deterministic given
         (pointer, epoch_id), so a crash-window replay recomputes the
         same number and overwrites the orphan. ``max`` with the
-        pointer head keeps stream epochs monotonic across MANUAL
-        epochs (``delete_index_ids`` & co. bump ``max_epoch`` outside
-        the stream); on a purely-streamed root it equals the classic
-        ``epoch_id + 1``."""
-        head = ptr.get("max_epoch")
-        if head is None:
+        pointer heads keeps stream epochs monotonic across MANUAL
+        epochs (``delete_index_ids`` bumps ``max_epoch``;
+        ``delete_graph_ids`` bumps ``generation`` — on a pure graph
+        root that is the only head there is, and without it a manual
+        generation would collide with the next stream fold's number
+        and the pointer could move BACKWARDS); on a purely-streamed
+        root it equals the classic ``epoch_id + 1``."""
+        heads = [
+            int(ptr[k])
+            for k in ("max_epoch", "generation")
+            if ptr.get(k) is not None
+        ]
+        if not heads:
             return epoch_id + 1
-        return max(epoch_id + 1, int(head) + 1)
+        return max(epoch_id + 1, max(heads) + 1)
 
     def drain(
         self,

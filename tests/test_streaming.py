@@ -3712,3 +3712,515 @@ def test_drain_checkpoint_lineage_scopes_replay_skip(spark, sf_dir, tmp_path):
     )
     assert index_sync.read_index_pointer(root)["max_epoch"] == 2
     assert index_sync.load_synced_ivf(spark, root).assigned.count() == n_all
+
+
+def _stage_cdc_batches(tmp_path, src, batches):
+    """Deterministic single-file-per-batch staging (pinned mtimes) —
+    the _stage_stream_batches shape, local to these tests."""
+    import os
+
+    src.mkdir(exist_ok=True)
+    for i, bdf in enumerate(batches):
+        staged = str(tmp_path / f"stage_{src.name}_{i}")
+        bdf.repartition(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def test_ivf_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The IVF CDC arm: inserts, then updates+deletes with a crash
+    MID-COMMIT-WINDOW before the U/D batch and a garbage postings
+    orphan staged above the pointer. After the re-drain the synced
+    probe must equal brute force over the post-CDC corpus, as-of time
+    travel reconstructs the pre-CDC state, a re-insert of a deleted id
+    (third batch) is visible again, and purge compaction physically
+    drops the tombstoned rows."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+    from spacex_data_engineering_pipeline_spark.streaming.ledger import (
+        compact_path,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    vid = F.col("vec_id")
+    neg = F.transform("embedding", lambda x: -x)
+    base = emb.filter(vid % 4 != 3)
+    b0 = emb.filter(vid % 4 == 3).withColumn("op", F.lit("I"))
+    upd_set = vid % 8 == 1
+    del_set = (vid % 9 == 2) & ~upd_set
+    reins_set = del_set & (vid % 2 == 0)
+    b1 = (
+        emb.filter(upd_set)
+        .select("vec_id", neg.alias("embedding"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(emb.filter(del_set).withColumn("op", F.lit("D")))
+    )
+    b2 = emb.filter(reins_set).withColumn("op", F.lit("I"))
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    index_sync.init_ivf_root(
+        base, root, "vec_id", "embedding", n_clusters=8, seed=42
+    )
+    _stage_cdc_batches(tmp_path, src, (b0, b1, b2))
+
+    def poison(epoch_id):
+        if epoch_id == 1:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_ivf_cdc_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 0 and ptr["max_epoch"] == 1
+
+    # worst window: garbage postings AND tombstones staged above the
+    # pointer — the replay must overwrite both, never activate them
+    spark.createDataFrame(
+        [(999_999, [9.9] * 8, 0)],
+        "vec_id long, embedding array<double>, cluster int",
+    ).write.partitionBy("cluster").parquet(
+        index_sync._ivf_epoch_path(root, 2)
+    )
+    spark.createDataFrame([(7,)], "vec_id long").write.parquet(
+        os.path.join(root, "deletes", "epoch=2")
+    )
+
+    index_sync.sync_ivf_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["max_epoch"] == 3
+
+    final = emb.filter(~(del_set & ~reins_set)).select(
+        "vec_id",
+        F.when(upd_set, neg).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    idx = index_sync.load_synced_ivf(spark, root)
+    got_ids = {int(r["vec_id"]) for r in idx.assigned.select("vec_id").collect()}
+    want_ids = {int(r["vec_id"]) for r in final.select("vec_id").collect()}
+    assert got_ids == want_ids
+
+    qrows = emb.filter(vid < 6).collect()
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    got = {
+        (r.query_id, r.rnk): (r.vec_id, r.cos_sim)
+        for r in S.ivf_batch_topk(idx, queries, k=5, n_probes=8).collect()
+    }
+    truth = {
+        (r.query_id, r.rnk): (r.vec_id, r.cos_sim)
+        for r in S.batch_knn_topk(
+            final, "vec_id", "embedding", queries, k=5
+        ).collect()
+    }
+    assert got == truth
+
+    # as-of: pre-CDC state (after inserts, before any U/D)
+    pre = index_sync.load_synced_ivf(spark, root, as_of_epoch=1)
+    assert pre.assigned.count() == base.count() + b0.count()
+
+    # purge: tombstoned rows physically gone from the compact
+    assert index_sync.compact_ivf_epochs(spark, root, purge_deleted=True) == 3
+    netted = spark.read.parquet(compact_path(root, "postings", 3))
+    # deleted-not-reinserted ids are gone; updated ids keep ONLY rows
+    # at their update epoch or later (the superseded version is purged)
+    gone = {
+        int(r["vec_id"])
+        for r in emb.filter(del_set & ~reins_set).select("vec_id").collect()
+    }
+    assert not gone & {
+        int(r["vec_id"]) for r in netted.select("vec_id").collect()
+    }
+    upd_rows = netted.filter(upd_set)
+    assert upd_rows.filter(F.col("epoch") < 2).count() == 0
+    assert upd_rows.count() == emb.filter(upd_set).count()
+
+
+def test_semantic_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The semantic CDC arm: a crash before the U/D batch plus staged
+    garbage (pairs AND tombstones) above the pointer; the re-drain
+    must converge to verdicts identical to an uncrashed run, with the
+    updated doc flagged against its retarget source but never against
+    its own superseded embedding."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    perturb_of = lambda c: F.transform(  # noqa: E731
+        c, lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+    )
+    upd = (
+        base.alias("x")
+        .join(base.alias("y"), F.col("y.vec_id") == F.col("x.vec_id") + 5)
+        .filter(F.col("x.vec_id") % 20 == 2)
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            perturb_of(F.col("y.embedding")).alias("embedding"),
+        )
+    )
+    b0 = upd.withColumn("op", F.lit("U")).unionByName(
+        base.filter(F.col("vec_id") % 20 == 13)
+        .select("vec_id", "embedding")
+        .withColumn("op", F.lit("D"))
+    )
+    b1 = (
+        base.filter(F.col("vec_id") % 20 == 9)
+        .select(
+            (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
+            perturb_of(F.col("embedding")).alias("embedding"),
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 20 == 13).select(
+                (F.col("vec_id") + F.lit(300_000_000)).alias("vec_id"),
+                perturb_of(F.col("embedding")).alias("embedding"),
+            )
+        )
+        .withColumn("op", F.lit("I"))
+    )
+
+    def run(root, ckpt, poison=None):
+        index_sync.init_semantic_dedup_root(
+            base, root, "vec_id", "embedding",
+            n_clusters=4, n_probes=4, min_cosine=0.95, seed=7,
+        )
+        try:
+            index_sync.sync_semantic_cdc_stream(
+                spark, str(src), b0.schema, root,
+                checkpoint_dir=ckpt, on_batch_start=poison,
+            )
+        except StreamingQueryException:
+            if poison is None:
+                raise
+            return
+
+    src = tmp_path / "src"
+    _stage_cdc_batches(tmp_path, src, (b0, b1))
+
+    # uncrashed reference run
+    ref_root = str(tmp_path / "ref")
+    run(ref_root, str(tmp_path / "ckpt_ref"))
+    want = {
+        (r.new_vec, r.corpus_vec, r.cos_sim)
+        for r in index_sync.load_synced_semantic_pairs(
+            spark, ref_root
+        ).collect()
+    }
+
+    # crashed + garbage-orphaned + re-drained run
+    root = str(tmp_path / "index")
+
+    def poison(epoch_id):
+        if epoch_id == 1:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    run(root, str(tmp_path / "ckpt"), poison)
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 0 and ptr["max_epoch"] == 1
+    spark.createDataFrame(
+        [(111, 222, 1.0)], "new_vec long, corpus_vec long, cos_sim double"
+    ).write.parquet(index_sync._minhash_epoch_path(root, "pairs", 2))
+    spark.createDataFrame([(3,)], "vec_id long").write.parquet(
+        index_sync._minhash_epoch_path(root, "deletes", 2)
+    )
+    index_sync.sync_semantic_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r.new_vec, r.corpus_vec, r.cos_sim)
+        for r in index_sync.load_synced_semantic_pairs(spark, root).collect()
+    }
+    assert got == want
+    assert (111, 222, 1.0) not in got
+    # the update was flagged against its retarget source...
+    upd_ids = {int(r["vec_id"]) for r in upd.select("vec_id").collect()}
+    flagged_new = {n for (n, c, s) in got}
+    assert upd_ids and upd_ids <= flagged_new
+    # ...but never against its own superseded embedding
+    assert not any(n == c for (n, c, s) in got)
+    # deleted originals never appear as a corpus side for batch-1 twins
+    del_ids = {
+        int(r["vec_id"])
+        for r in base.filter(F.col("vec_id") % 20 == 13)
+        .select("vec_id")
+        .collect()
+    }
+    assert not {c for (n, c, s) in got if n >= 300_000_000} & del_ids
+
+
+def test_minhash_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The MinHash CDC arm: crash before the U/D batch, garbage grams
+    orphan above the pointer, re-drain; verdicts equal an uncrashed
+    run; the retargeted doc flags at jaccard 1.0 against its source;
+    twins of deleted docs stay unflagged; and as-of reads before the
+    update still see the OLD text's grams (history preserved until an
+    explicit purge)."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    upd = (
+        docs.alias("x")
+        .join(docs.alias("y"), F.col("y.doc_id") == F.col("x.doc_id") + 5)
+        .filter((F.col("x.doc_id") % 5 != 0) & (F.col("x.doc_id") % 20 == 2))
+        .select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.text").alias("text")
+        )
+    )
+    b0 = upd.withColumn("op", F.lit("U")).unionByName(
+        corpus.filter(F.col("doc_id") % 20 == 13).withColumn("op", F.lit("D"))
+    )
+    b1 = (
+        corpus.filter(F.col("doc_id") % 20 == 9)
+        .select(
+            (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"), "text"
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 20 == 13).select(
+                (F.col("doc_id") + F.lit(300_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+        .withColumn("op", F.lit("I"))
+    )
+
+    src = tmp_path / "src"
+    _stage_cdc_batches(tmp_path, src, (b0, b1))
+    root = str(tmp_path / "index")
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+
+    def poison(epoch_id):
+        if epoch_id == 1:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_minhash_cdc_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 0 and ptr["max_epoch"] == 1
+    spark.createDataFrame(
+        [(999, ["zzz zzz zzz"], 1)], "doc long, grams array<string>, __bucket int"
+    ).write.partitionBy("__bucket").parquet(
+        index_sync._minhash_epoch_path(root, "grams", 2)
+    )
+    index_sync.sync_minhash_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1 and ptr["max_epoch"] == 2
+
+    got = {
+        (r.new_doc, r.corpus_doc, r.jaccard_micro)
+        for r in index_sync.load_synced_dedup_pairs(spark, root).collect()
+    }
+    # retargeted docs flag at jaccard 1.0 against their source...
+    upd_ids = {int(r["doc_id"]) for r in upd.select("doc_id").collect()}
+    exact = {(n, c) for (n, c, j) in got if j == 1_000_000}
+    for x in upd_ids:
+        assert (x, x + 5) in exact
+    # ...never against their own old text
+    assert not any(n == c for (n, c, j) in got)
+    # twins of deleted docs are NOT flagged against their original
+    del_ids = {
+        int(r["doc_id"])
+        for r in corpus.filter(F.col("doc_id") % 20 == 13)
+        .select("doc_id")
+        .collect()
+    }
+    assert not {
+        (n, c) for (n, c, j) in got if n >= 300_000_000
+    } & {(d + 300_000_000, d) for d in del_ids}
+    # survivors' twins ARE flagged
+    surv = {
+        int(r["doc_id"])
+        for r in corpus.filter(F.col("doc_id") % 20 == 9)
+        .select("doc_id")
+        .collect()
+    }
+    assert {(s + 100_000_000, s) for s in surv} <= exact
+    # as-of before the CDC epoch: old texts' grams still readable
+    pre = index_sync.read_synced_grams(spark, root, as_of_epoch=0)
+    assert {int(r["doc"]) for r in pre.select("doc").collect()} == {
+        int(r["doc_id"]) for r in corpus.select("doc_id").collect()
+    }
+
+
+def test_delete_graph_ids_plain_root_reupsert_and_crash(spark, sf_dir, tmp_path):
+    """``delete_graph_ids`` on a PLAIN graph root: the removal nets
+    the ids out of the derived corpus and publishes the edge-repaired
+    graph as a new generation; a later streamed RE-UPSERT of a removed
+    id outranks the removal (alive again); and a crash window (staged
+    generation + removal rows above the pointer) never activates."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    mx = int(emb.agg(F.max("vec_id")).first()[0])
+    s95 = mx * 95 // 100
+    vid = F.col("vec_id")
+    base = emb.filter(vid < s95)
+    b0 = emb.filter(vid >= s95)
+    doomed = [
+        int(r["vec_id"])
+        for r in emb.filter((vid % 13 == 4) & (vid < s95) | (vid == mx))
+        .select("vec_id")
+        .collect()
+    ]
+    reupsert_id = doomed[-1] if mx in doomed else mx
+    assert reupsert_id == mx  # one removed id comes back re-vectored
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    index_sync.init_knn_graph_root(
+        base, root, "vec_id", "embedding", k=4, n_blocks=4, n_buckets=8
+    )
+    _stage_cdc_batches(tmp_path, src, (b0,))
+    index_sync.sync_knn_graph_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    gen = index_sync.delete_graph_ids(spark, root, doomed)
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["generation"] == gen
+
+    # repaired graph ≡ rebuild over corpus − deleted (and no edge
+    # cites a deleted id)
+    final0 = emb.filter(~vid.isin(doomed))
+    truth0 = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in S.knn_graph(
+            final0, "vec_id", "embedding", k=4, n_blocks=4
+        ).collect()
+    }
+    got0 = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got0 == truth0
+    assert not {n for (_, n) in got0.values()} & set(doomed)
+
+    # a removed id RE-UPSERTED by a later stream batch is alive again
+    b1 = emb.filter(vid == reupsert_id).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    b1s = str(tmp_path / "b1stage")
+    b1.repartition(1).write.parquet(b1s)
+    part = next(f for f in sorted(os.listdir(b1s)) if f.endswith(".parquet"))
+    os.replace(os.path.join(b1s, part), str(src / "batch0001.parquet"))
+    os.utime(
+        str(src / "batch0001.parquet"), (1_700_000_001, 1_700_000_001)
+    )
+    index_sync.sync_knn_graph_stream(
+        spark, str(src), b1.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    final1 = final0.unionByName(b1)
+    truth1 = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in S.knn_graph(
+            final1, "vec_id", "embedding", k=4, n_blocks=4
+        ).collect()
+    }
+    got1 = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got1 == truth1
+    assert reupsert_id in {v for (v, _) in got1}
+
+    # crash window: removal rows + generation staged ABOVE the pointer
+    # are invisible to the corpus derivation and the loaded graph
+    ptr = index_sync.read_index_pointer(root)
+    orphan_gen = ptr["generation"] + 7
+    spark.createDataFrame(
+        [(int(r["vec_id"]), orphan_gen) for r in final1.limit(3).collect()],
+        "vec_id long, __gen long",
+    ).write.mode("append").parquet(os.path.join(root, "removed"))
+    got2 = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got2 == truth1
+    corpus_now = index_sync._corpus_at(spark, root, ptr)
+    assert corpus_now.count() == final1.count()
+
+    # empty delete set: no-op, no burned generation
+    assert index_sync.delete_graph_ids(spark, root, []) == ptr["generation"]
+
+
+def test_delete_graph_ids_refusals(spark, sf_dir, tmp_path):
+    """Guard rails: non-graph roots are routed to delete_index_ids;
+    hub-scale deletes refuse with the rebuild recommendation."""
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .limit(60)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    ivf_root = str(tmp_path / "ivf")
+    index_sync.init_ivf_root(emb, ivf_root, "vec_id", "embedding", n_clusters=4)
+    with pytest.raises(ValueError, match="not a graph-bearing root"):
+        index_sync.delete_graph_ids(spark, ivf_root, [1])
+
+    groot = str(tmp_path / "graph")
+    index_sync.init_knn_graph_root(
+        emb, groot, "vec_id", "embedding", k=3, n_blocks=4, n_buckets=4
+    )
+    two = [int(r["vec_id"]) for r in emb.limit(2).collect()]
+    with pytest.raises(ValueError, match="max_affected"):
+        index_sync.delete_graph_ids(spark, groot, two, max_affected=1)
