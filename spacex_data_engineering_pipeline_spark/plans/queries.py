@@ -14815,3 +14815,162 @@ def streaming_knn_graph_delete_sync(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_HYBRID_RRF_ASOF_ORACLE = rf"""
+    WITH docs AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(avg(length(w)) AS DOUBLE) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(count(*) AS DOUBLE) AS tf,
+               CAST(max(dl) AS DOUBLE) AS dl
+        FROM (SELECT doc_id, length(w) AS dl, unnest(w) AS term FROM docs)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    sparse AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+               ), 4) AS score
+        FROM tf, dfreq, stats
+        WHERE tf.term = dfreq.term
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    ),
+    sparse_r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+                   AS r_sparse
+        FROM sparse
+    ),
+    dense AS (
+        SELECT e.vec_id AS doc_id, ROUND({_DUCK_COSINE}, 6) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id % 4 <> 3 OR e.vec_id % 8 = 3
+        ORDER BY cos_sim DESC, doc_id ASC
+        LIMIT 20
+    ),
+    dense_r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS INT)
+                   AS r_dense
+        FROM dense
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.r_sparse, d.r_dense,
+               ROUND(COALESCE(1.0 / (60 + s.r_sparse), 0)
+                     + COALESCE(1.0 / (60 + d.r_dense), 0), 6) AS rrf_score
+        FROM sparse_r s FULL JOIN dense_r d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, r_sparse, r_dense, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@_register("hybrid_rrf_synced_asof", oracle=_HYBRID_RRF_ASOF_ORACLE)
+def hybrid_rrf_synced_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval at a PAIRED AS-OF point — closing the
+    cross-index consistency seam ``hybrid_rrf_synced`` names: its two
+    ledgers (synced BM25, synced IVF) commit INDEPENDENTLY, so a
+    serving read hitting them at different moments can fuse state
+    from different logical times. ``record_epoch_pair``
+    (streaming/ledger.py) appends one tiny atomic JSON record pinning
+    both committed heads after each paired drain; a serving read
+    resolves ONE record and passes its epochs as ``as_of`` to both
+    arms — a snapshot the two ledgers actually committed together.
+
+    The scenario: both roots drain TWO batches with a pairing record
+    after each cycle; the graded read serves at pair 0 (the mid
+    point: each index has exactly its first batch) and must equal the
+    from-scratch RRF over exactly the documents/vectors committed at
+    that pair — reading either arm at its HEAD instead (the unpaired
+    bug this closes) fuses in batch-2 state and flips the ranking.
+    Same fusion (``_rrf_fuse``) and per-arm plans as the head-serving
+    entry: |terms| bucket dirs + probed clusters, epoch-filtered."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    d_base = docs.filter(F.col("doc_id") % 5 != 0)
+    d1 = docs.filter(F.col("doc_id") % 10 == 0)
+    d2 = docs.filter(F.col("doc_id") % 10 == 5)
+    e_base = emb.filter(F.col("vec_id") % 4 != 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e1 = emb.filter(F.col("vec_id") % 8 == 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e2 = emb.filter(F.col("vec_id") % 8 == 7).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = _query_vector(spark, sf_dir)
+
+    work = _tempfile.mkdtemp(prefix="rrf_asof_")
+    try:
+        broot = _os.path.join(work, "bm25")
+        droot = _os.path.join(work, "ivf")
+        pairs_path = _os.path.join(work, "epoch_pairs.json")
+        index_sync.init_bm25_root(d_base, broot, "doc_id", "text")
+        index_sync.init_ivf_root(
+            e_base, droot, "vec_id", "embedding", n_clusters=16, seed=42
+        )
+        roots = {"bm25": broot, "ivf": droot}
+        for i, (db, eb) in enumerate(((d1, e1), (d2, e2))):
+            for name, bdf, root in (("bm25", db, broot), ("ivf", eb, droot)):
+                src = _os.path.join(work, f"src_{name}")
+                _os.makedirs(src, exist_ok=True)
+                staged = _os.path.join(work, f"stage_{name}_{i}")
+                bdf.repartition(1).write.parquet(staged)
+                part = next(
+                    f for f in sorted(_os.listdir(staged))
+                    if f.endswith(".parquet")
+                )
+                dst = _os.path.join(src, f"batch{i:04d}.parquet")
+                _os.replace(_os.path.join(staged, part), dst)
+                _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            index_sync.sync_bm25_index_stream(
+                spark, _os.path.join(work, "src_bm25"), d1.schema, broot,
+                checkpoint_dir=_os.path.join(work, "ckpt_bm25"),
+            )
+            index_sync.sync_ivf_index_stream(
+                spark, _os.path.join(work, "src_ivf"), e1.schema, droot,
+                checkpoint_dir=_os.path.join(work, "ckpt_ivf"),
+            )
+            index_sync.record_epoch_pair(pairs_path, roots)
+        # serve at pair 0 — the mutually-consistent mid-drain snapshot
+        pair = index_sync.read_epoch_pairs(pairs_path)[0]["epochs"]
+        sparse = index_sync.bm25_topk_synced(
+            spark, broot, _BM25_TERMS, k=20, as_of_epoch=pair["bm25"]
+        )
+        idx = index_sync.load_synced_ivf(
+            spark, droot, as_of_epoch=pair["ivf"]
+        )
+        dense = S.ivf_topk(idx, qvec, k=20, n_probes=16)
+        out = _rrf_fuse(sparse, dense).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -115,7 +115,9 @@ from spacex_data_engineering_pipeline_spark.streaming.ledger import (
     flip_pointer as _flip_pointer,
     id_bucket as _id_bucket,
     ledger_frames as _ledger_frames,
+    read_epoch_pairs,
     read_index_pointer,
+    record_epoch_pair,
     resolve_as_of as _resolve_as_of,
     vacuum_ledger_dirs as _vacuum_ledger_dirs,
 )
@@ -1180,13 +1182,20 @@ def _compact_with_tombstones(
     purge_deleted: bool,
     data_tables: tuple[str, ...],
     tomb_col_of,
+    pair_cols: dict[str, tuple[str, str]] | None = None,
 ) -> int:
     """Shared compact for roots carrying id-keyed data tables plus a
     ``deletes`` tombstone ledger (IVF/semantic postings; the minhash
     grams+bands pair): the plain path rewrites rows; the purge path
     drops tombstoned rows from every table in ``data_tables`` and the
     spent tombstones, recording the as-of refusal floor.
-    ``tomb_col_of(ptr)`` names the id column tombstones join on."""
+    ``tomb_col_of(ptr)`` names the id column tombstones join on.
+    ``pair_cols`` extends the purge to AUDIT pair tables (the
+    ``purge_pairs`` dial): {table: (side_col, side_col)} — a pair row
+    is dropped when EITHER cited id was tombstoned after the pair was
+    recorded (the same epoch rule as the data tables, applied per
+    side, so a re-ingested id's post-re-insert verdicts survive its
+    earlier identity's sweep)."""
     if not purge_deleted:
         return led.compact(spark)
     ptr = led.pointer()
@@ -1208,6 +1217,14 @@ def _compact_with_tombstones(
     def transform(table: str, df: DataFrame, head_: int):
         if table in data_tables:
             return _apply_tombstones(spark, led, ptr, head_, df, col)
+        if pair_cols and table in pair_cols:
+            out = df
+            for side in pair_cols[table]:
+                out = _apply_tombstones(
+                    spark, led, ptr, head_,
+                    out.withColumnRenamed(side, col), col,
+                ).withColumnRenamed(col, side)
+            return out
         if table == "deletes":
             return None  # spent: their targets are physically gone
         return df
@@ -1375,7 +1392,10 @@ def load_synced_semantic_pairs(
 
 
 def compact_semantic_epochs(
-    spark: SparkSession, root: str, purge_deleted: bool = False
+    spark: SparkSession,
+    root: str,
+    purge_deleted: bool = False,
+    purge_pairs: bool = False,
 ) -> int:
     """Retention for the semantic-dedup root: fold BOTH its ledgers —
     postings (cluster-partitioned compact) and pairs — at or below the
@@ -1386,10 +1406,20 @@ def compact_semantic_epochs(
     uncompacted rows. (For the same reason, do not run
     ``compact_ivf_epochs`` on a semantic root.) Returns epochs newly
     folded. The ``deletes`` tombstone table compacts along; see
-    ``compact_ivf_epochs`` for the ``purge_deleted`` contract."""
+    ``compact_ivf_epochs`` for the ``purge_deleted`` contract and
+    ``compact_minhash_epochs`` for the ``purge_pairs`` audit-sweep
+    dial (here on the (new_vec, corpus_vec) sides)."""
+    if purge_pairs and not purge_deleted:
+        raise ValueError(
+            "purge_pairs extends purge_deleted (the pairs sweep keys "
+            "on the same spent tombstones) — pass purge_deleted=True"
+        )
     return _compact_with_tombstones(
         spark, _semantic_ledger(root), purge_deleted,
         ("postings",), lambda ptr: ptr["id_col"],
+        pair_cols=(
+            {"pairs": ("new_vec", "corpus_vec")} if purge_pairs else None
+        ),
     )
 
 
@@ -1608,7 +1638,10 @@ def vacuum_pca_epochs(root: str) -> int:
 
 
 def compact_minhash_epochs(
-    spark: SparkSession, root: str, purge_deleted: bool = False
+    spark: SparkSession,
+    root: str,
+    purge_deleted: bool = False,
+    purge_pairs: bool = False,
 ) -> int:
     """Fold every committed MinHash ledger epoch (grams / bands /
     pairs) at or below the pointer into one compact dataset per table
@@ -1627,12 +1660,23 @@ def compact_minhash_epochs(
     ``purge_deleted=True`` physically drops tombstoned docs' grams and
     band keys (the content-bearing tables) plus the spent tombstones,
     and sets the as-of refusal floor — see ``compact_ivf_epochs``. The
-    PAIRS table is audit history and keeps its rows: verdicts carry
-    only ids and scores, never document content; filter them
-    downstream if the ids themselves must go."""
+    PAIRS table is audit history and keeps its rows BY DEFAULT:
+    verdicts carry only ids and scores, never document content.
+    ``purge_pairs=True`` (requires ``purge_deleted``) extends the
+    sweep to them — every pair citing a tombstoned id on EITHER side
+    is physically dropped too (epoch-aware: verdicts a re-ingested id
+    earned after its re-insert survive the earlier identity's sweep),
+    so a right-to-be-forgotten removal can be TOTAL when even the id
+    itself must go; below-floor as-of reads refuse as usual."""
+    if purge_pairs and not purge_deleted:
+        raise ValueError(
+            "purge_pairs extends purge_deleted (the pairs sweep keys "
+            "on the same spent tombstones) — pass purge_deleted=True"
+        )
     return _compact_with_tombstones(
         spark, _minhash_ledger(root), purge_deleted,
         ("grams", "bands"), lambda ptr: ptr.get("tomb_col", "doc"),
+        pair_cols={"pairs": ("new_doc", "corpus_doc")} if purge_pairs else None,
     )
 
 

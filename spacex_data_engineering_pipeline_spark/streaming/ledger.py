@@ -115,6 +115,58 @@ def id_bucket(id_expr, n_buckets: int):
     )
 
 
+def record_epoch_pair(
+    path: str, roots: dict[str, str], head_key: str = "max_epoch"
+) -> dict:
+    """Append a CROSS-LEDGER CONSISTENCY RECORD pinning each named
+    root's committed head — the missing piece for serving paths that
+    read several independently-committed ledgers (hybrid retrieval's
+    BM25 + IVF arms): each ledger's own pointer flip is atomic, but
+    two ledgers drained separately have no mutually-consistent "now",
+    so a reader hitting them at different moments can fuse state from
+    different logical times. Call this after each paired drain; a
+    serving read then resolves one record and passes its epochs as
+    ``as_of`` to every arm — a snapshot both ledgers actually
+    committed together.
+
+    The record file is a tiny JSON list rewritten atomically
+    (stage → fsync → replace, the pointer-flip discipline — O(pairs)
+    bytes, one per drain cycle, trivially small next to the ledgers).
+    Returns the appended record ``{"pair_id": n, "epochs":
+    {name: head, ...}}``."""
+    pairs = read_epoch_pairs(path)
+    rec = {
+        "pair_id": len(pairs),
+        "epochs": {
+            name: int(read_index_pointer(root)[head_key])
+            for name, root in roots.items()
+        },
+    }
+    pairs.append(rec)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="._pairs_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(pairs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return rec
+
+
+def read_epoch_pairs(path: str) -> list[dict]:
+    """All committed pairing records (empty for a fresh path). A
+    serving read typically wants the LAST record (the newest mutually
+    consistent snapshot) or a specific ``pair_id`` for time travel."""
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
 def epoch_path(root: str, table: str, epoch: int) -> str:
     return os.path.join(root, table, f"epoch={epoch}")
 

@@ -4224,3 +4224,97 @@ def test_delete_graph_ids_refusals(spark, sf_dir, tmp_path):
     two = [int(r["vec_id"]) for r in emb.limit(2).collect()]
     with pytest.raises(ValueError, match="max_affected"):
         index_sync.delete_graph_ids(spark, groot, two, max_affected=1)
+
+
+def test_minhash_purge_pairs_total_sweep(spark, sf_dir, tmp_path):
+    """The pairs-audit retention dial: ``compact_minhash_epochs(
+    purge_deleted=True, purge_pairs=True)`` physically drops every
+    pair citing a tombstoned id on either side (epoch-aware: verdicts
+    a re-ingested id earned AFTER its re-insert survive), below-floor
+    as-of refuses, and the flag is refused without purge_deleted."""
+    import pytest
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+    from spacex_data_engineering_pipeline_spark.streaming.ledger import (
+        compact_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # batch 0: verbatim twins of % 45 == 0 docs (flag vs corpus twin)
+    plants0 = docs.filter(F.col("doc_id") % 45 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    index_sync.init_minhash_root(
+        corpus, root, "doc_id", "text", min_jaccard_micro=300_000
+    )
+    _stage_cdc_batches(tmp_path, src, (plants0,))
+    index_sync.sync_minhash_index_stream(
+        spark, str(src), plants0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    pairs0 = {
+        (r.new_doc, r.corpus_doc)
+        for r in index_sync.load_synced_dedup_pairs(spark, root).collect()
+    }
+    assert pairs0  # plants flagged against their corpus twins
+
+    # tombstone one flagged plant AND one cited corpus doc
+    new_id = sorted(pairs0)[0][0]
+    corpus_id = next(c for (n, c) in sorted(pairs0) if n != new_id)
+    index_sync.delete_index_ids(spark, root, [int(new_id), int(corpus_id)])
+
+    # then RE-INGEST the deleted plant's id with the VERBATIM text of
+    # a fresh corpus doc: the post-re-insert verdict (new pair — the
+    # old identity never cited this target) must survive the sweep
+    target = int(corpus.agg(F.max("doc_id")).first()[0])
+    assert (new_id, target) not in pairs0
+    reing = docs.filter(F.col("doc_id") == target).select(
+        F.lit(int(new_id)).cast("long").alias("doc_id"), "text"
+    )
+    src2 = tmp_path / "src2"
+    _stage_cdc_batches(tmp_path, src2, (reing,))
+    index_sync.sync_minhash_index_stream(
+        spark, str(src2), reing.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    relive = {
+        (r.new_doc, r.corpus_doc)
+        for r in index_sync.load_synced_dedup_pairs(spark, root).collect()
+    } - pairs0
+    assert (new_id, target) in relive  # re-flagged post-insert
+
+    # the dial composes only with purge_deleted
+    with pytest.raises(ValueError, match="purge_pairs extends"):
+        index_sync.compact_minhash_epochs(spark, root, purge_pairs=True)
+
+    assert (
+        index_sync.compact_minhash_epochs(
+            spark, root, purge_deleted=True, purge_pairs=True
+        )
+        > 0
+    )
+    ptr = index_sync.read_index_pointer(root)
+    swept = spark.read.parquet(
+        compact_path(root, "pairs", ptr["compact_upto"])
+    )
+    kept = {(r.new_doc, r.corpus_doc) for r in swept.collect()}
+    # every pre-delete pair citing either tombstoned id is GONE...
+    assert not {
+        (n, c)
+        for (n, c) in pairs0
+        if n in (new_id, corpus_id) or c in (new_id, corpus_id)
+    } & kept
+    # ...the re-ingested identity's later verdicts survive...
+    assert relive <= kept
+    # ...and untouched audit rows are intact
+    assert {
+        (n, c)
+        for (n, c) in pairs0
+        if n not in (new_id, corpus_id) and c not in (new_id, corpus_id)
+    } <= kept
+    # below-floor as-of refuses
+    with pytest.raises(ValueError, match="purge floor"):
+        index_sync.load_synced_dedup_pairs(spark, root, as_of_epoch=1)
