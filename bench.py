@@ -78,8 +78,10 @@ LARGE_RESULT = {
     # embedding_knn_graph (the round-7 GC-poisoning lesson) — count()
     "streaming_knn_graph_sync",
     "streaming_knn_graph_ivf_sync",
-    # round 14: same N·k shape after the mid-stream delete
+    # round 14: same N·k shape after the mid-stream delete / CDC ops
     "streaming_knn_graph_delete_sync",
+    "streaming_knn_graph_cdc_sync",
+    "streaming_knn_graph_ivf_cdc_sync",
 }
 
 

@@ -14974,3 +14974,234 @@ def hybrid_rrf_synced_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@_register(
+    "streaming_knn_graph_cdc_sync",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 8 = 1
+                    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND NOT (vec_id % 9 = 2 AND vec_id % 8 <> 1)
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def streaming_knn_graph_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-VERB CDC for the PLAIN graph root
+    (streaming/index_sync.py:sync_knn_graph_cdc_stream) — a real CDC
+    feed interleaves inserts, re-vectors, and retirements in one
+    stream, where previously inserts/upserts had a streaming arm and
+    deletes only the manual ``delete_graph_ids`` verb: each
+    micro-batch folds DELETE-THEN-UPSERT against the saved graph
+    (``knn_graph_delete`` repairs citing edges, ``knn_graph_upsert``
+    folds the new/re-vectored rows on the repaired base — both
+    |batch|·N + |affected|·N, never a rebuild) and publishes ONE new
+    generation per batch.
+
+    The scenario: base graph over ids below the 95% mark; batch 0
+    INSERTS the rest; batch 1 RE-VECTORS vec_id % 8 = 1 (reversed
+    embeddings — stale edges at them must be evicted corpus-wide) and
+    DELETES vec_id % 9 = 2 of everything else, including ids batch 0
+    itself streamed. Graded result: the final loaded graph ≡ a full
+    rebuild over (post-CDC corpus), row for row at 6dp — a stale edge
+    at a re-vectored id, a surviving edge to a deleted one, or a
+    mis-ordered delete/upsert all flip it. Crash-restart
+    pytest-pinned (test_knn_graph_cdc_sync_crash_restart)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s95 = mx * 95 // 100
+    vid = F.col("vec_id")
+    base = emb.filter(vid < s95).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b0 = emb.filter(vid >= s95).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("I").alias("op"),
+    )
+    b1 = (
+        emb.filter(vid % 8 == 1)
+        .select(
+            "vec_id",
+            F.reverse(F.col("embedding").cast("array<double>")).alias(
+                "embedding"
+            ),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            emb.filter((vid % 9 == 2) & (vid % 8 != 1)).select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+
+    work = _tempfile.mkdtemp(prefix="knng_cdc_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_knn_graph_root(
+            base, root, "vec_id", "embedding", k=5, n_blocks=8, n_buckets=16
+        )
+        _stage_stream_batches(work, src, (b0, b1))
+        index_sync.sync_knn_graph_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_graph(spark, root)
+            .orderBy("vec_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "streaming_knn_graph_ivf_cdc_sync",
+    oracle="""
+    WITH sp AS (
+        SELECT (MAX(vec_id) * 95) // 100 AS s95
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 8 = 1
+                    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND NOT (vec_id % 9 = 2 AND vec_id % 8 <> 1)
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor, cos_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def streaming_knn_graph_ivf_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-VERB CDC for the GRAPH+IVF root
+    (streaming/index_sync.py:sync_knn_graph_ivf_cdc_stream) — the
+    scale-arm counterpart of ``streaming_knn_graph_cdc_sync``: per
+    micro-batch ONE epoch carries the U/D tombstones, the repaired-
+    then-grown graph generation, and the upserts' cluster-partitioned
+    postings. An update costs one exact edge eviction
+    (``knn_graph_delete``, |affected|·N) plus one IVF-ROUTED insert of
+    the new version (|batch| × |probed postings| — the committed
+    corpus never rescanned), which is what makes updates affordable in
+    the > 2M-row regime ``knn_graph_auto`` refuses the exact arm for.
+
+    Same scenario as the plain-root CDC entry, graded at full probe
+    width where the routed fold is provably exact: base graph below
+    the 95% mark; batch 0 INSERTS the rest; batch 1 RE-VECTORS
+    vec_id % 8 = 1 (reversed embeddings) and DELETES vec_id % 9 = 2 of
+    everything else including batch-0 streamed ids. Final loaded graph
+    ≡ full rebuild over the post-CDC corpus at 6dp. Crash-restart
+    pytest-pinned (test_knn_graph_ivf_cdc_sync_crash_restart)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s95 = mx * 95 // 100
+    vid = F.col("vec_id")
+    base = emb.filter(vid < s95).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b0 = emb.filter(vid >= s95).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("I").alias("op"),
+    )
+    b1 = (
+        emb.filter(vid % 8 == 1)
+        .select(
+            "vec_id",
+            F.reverse(F.col("embedding").cast("array<double>")).alias(
+                "embedding"
+            ),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            emb.filter((vid % 9 == 2) & (vid % 8 != 1)).select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+
+    work = _tempfile.mkdtemp(prefix="knng_ivf_cdc_")
+    root = _os.path.join(work, "index")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    try:
+        index_sync.init_knn_graph_ivf_root(
+            base, root, "vec_id", "embedding", k=5,
+            n_clusters=8, n_probes=8, seed=7, n_blocks=8, n_buckets=16,
+        )
+        _stage_stream_batches(work, src, (b0, b1))
+        index_sync.sync_knn_graph_ivf_cdc_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt"),
+        )
+        out = (
+            index_sync.load_synced_graph(spark, root)
+            .orderBy("vec_id", "rnk")
+            # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -80,13 +80,15 @@ Commit protocol per micro-batch (foreachBatch is at-least-once):
    makes a checkpoint-wiped re-drain a fixed point);
 2. stage the new graph generation dir (``graph/gen=<epoch+1>``,
    overwrite-idempotent) and append the batch to the applied-updates
-   log with an ``__epoch`` column — both invisible to readers;
+   log as a staged epoch-keyed dir — both invisible to readers;
 3. flip the ONE pointer file last (fsync'd ``os.replace``, the
    txn.py commit point): readers at any instant see a graph
    generation and an applied-log high-water mark that AGREE.
-A crash between 2 and 3 leaves duplicate applied rows for the same
-epoch; the corpus derivation dedups latest-per-id, so the replay is
-idempotent (the upsert crash-window pattern, operators/upsert.py).
+A crash between 2 and 3 leaves a staged applied/removed epoch dir
+above the pointer — invisible, overwritten by the replay, swept by
+the next commit's orphan sweep (the ledger discipline; round 14
+converted these logs from flat appends exactly so a crashed verb's
+rows can never activate under a later commit's pointer advance).
 
 Scale: per epoch the graph write is N·k skinny rows (the artifact
 itself — at 100 TB give each generation a bucketed layout exactly as
@@ -115,6 +117,7 @@ from spacex_data_engineering_pipeline_spark.streaming.ledger import (
     flip_pointer as _flip_pointer,
     id_bucket as _id_bucket,
     ledger_frames as _ledger_frames,
+    live_epochs as _live_epochs,
     read_epoch_pairs,
     read_index_pointer,
     record_epoch_pair,
@@ -209,54 +212,59 @@ def init_knn_graph_root(
 def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
     """The corpus snapshot AS OF the pointer: base rows whose id never
     appeared in a committed batch, plus the latest committed vector per
-    upserted id, MINUS ids a committed removal killed. Visibility is
-    keyed on the pointer's GENERATION: applied rows are stamped with
-    the generation that committed them (``__epoch`` — historical name;
-    legacy rows carry ``generation − 1``, still ≤ the filter), removal
-    rows (``delete_graph_ids``) with theirs (``__gen``), so rows a
-    crash appended but never published stay invisible, duplicate rows
-    a replay re-appended collapse in the latest-per-id window, and an
-    id removed at generation r then re-upserted at s > r is alive
-    again (its latest applied stamp outranks the removal)."""
+    upserted id, MINUS ids a committed removal killed. Both logs are
+    EPOCH-KEYED DIRECTORIES (``applied/epoch=<g>/``,
+    ``removed/epoch=<g>/`` — the ledger discipline): visibility is
+    the pointer's generation (staged crash orphans above it are
+    invisible AND swept by the next commit's ``clear_staged_epoch``,
+    closing the orphan-activation hazard a flat append-log would
+    carry — a crashed verb's rows activating when a LATER commit
+    advances the pointer past their stamp), writes are
+    overwrite-idempotent per generation, and an id removed at
+    generation r then re-upserted at s > r is alive again (its latest
+    applied stamp outranks the removal)."""
     id_col, vec_col = ptr["id_col"], ptr["vec_col"]
     gen_now = int(ptr["generation"])
     base = spark.read.parquet(os.path.join(root, "corpus_base"))
     applied_dir = os.path.join(root, "applied")
-    if os.path.isdir(applied_dir):
+    # the orphan sweep can leave an EMPTY log dir (its only staged
+    # epoch removed) — an empty parquet dataset fails schema inference
+    if _live_epochs(root, "applied"):
         applied = spark.read.parquet(applied_dir).filter(
-            F.col("__epoch") <= gen_now
+            F.col("epoch") <= gen_now
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("__epoch").desc())
+        w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
         latest = (
             applied.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select(id_col, vec_col, "__epoch")
+            .select(id_col, vec_col, "epoch")
         )
         corpus = (
             base.join(latest.select(id_col), id_col, "left_anti")
             # base rows predate every removal/upsert: stamp 0
-            .select(id_col, vec_col, F.lit(0).alias("__epoch"))
+            .select(id_col, vec_col, F.lit(0).alias("epoch"))
             .unionByName(latest)
         )
     else:
-        corpus = base.select(id_col, vec_col, F.lit(0).alias("__epoch"))
+        corpus = base.select(id_col, vec_col, F.lit(0).alias("epoch"))
     removed_dir = os.path.join(root, "removed")
-    if os.path.isdir(removed_dir):
+    if _live_epochs(root, "removed"):
         rmax = (
             spark.read.parquet(removed_dir)
-            .filter(F.col("__gen") <= gen_now)
+            .filter(F.col("epoch") <= gen_now)
+            .select(id_col, F.col("epoch").alias("__del_gen"))
             .groupBy(id_col)
-            .agg(F.max("__gen").alias("__del_gen"))
+            .agg(F.max("__del_gen").alias("__del_gen"))
         )
         corpus = (
             corpus.join(rmax, id_col, "left")
             .filter(
                 F.col("__del_gen").isNull()
-                | (F.col("__epoch") >= F.col("__del_gen"))
+                | (F.col("epoch") >= F.col("__del_gen"))
             )
             .drop("__del_gen")
         )
-    return corpus.drop("__epoch")
+    return corpus.drop("epoch")
 
 
 def load_synced_graph(
@@ -313,11 +321,96 @@ def sync_knn_graph_stream(
             new_graph, _graph_gen_path(root, gen), id_col,
             n_buckets=ptr["n_buckets"],
         )
-        # stamp with the COMMITTING generation (not gen-1): visibility
-        # and the removal comparison in _corpus_at are generation-keyed
-        updates.withColumn("__epoch", F.lit(gen).cast("long")).write.mode(
-            "append"
-        ).parquet(os.path.join(root, "applied"))
+        # the applied log is an epoch-keyed ledger table: staged
+        # overwrite-idempotently at the COMMITTING generation, so a
+        # replay overwrites its own orphan and the pre-commit sweep
+        # can clear a crashed verb's dir at this number
+        updates.write.mode("overwrite").parquet(
+            _epoch_path(root, "applied", gen)
+        )
+        return {"generation": gen}
+
+    EpochLedger(root, {}).drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
+    )
+
+
+def sync_knn_graph_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """ONE-VERB CDC for a PLAIN graph root — the stream-shaped
+    completion of the family's graph lifecycle (``sync_knn_graph_
+    stream`` folds upserts, ``delete_graph_ids`` is the manual delete
+    verb; a real CDC feed interleaves all three ops): drain (id,
+    vector, op ∈ I/U/D) micro-batches, each folded as DELETE-THEN-
+    UPSERT against the saved graph and published as ONE generation +
+    one pointer flip —
+
+    1. op-D ids retire via ``knn_graph_delete`` (citing edges
+       repaired against the remaining corpus, |affected|·N);
+    2. op-I/U rows fold via ``knn_graph_upsert`` on the repaired
+       graph (|batch|·N + |affected|·N — the N² build never re-paid);
+    3. the applied log gains the upserts, the removal log the
+       deletes, both stamped with the committing generation, so the
+       derived corpus replays the exact same order (a removal kills
+       every strictly-older version; a later re-upsert outranks it).
+
+    At most one row per id per batch, ENFORCED — an id can't be both
+    deleted and upserted in one batch, which is what makes
+    delete-then-upsert order-free. An empty batch advances only the
+    bookkeeping (no corpus-sized graph copy for a no-op epoch). Same
+    exactly-once ledger + checkpoint-lineage contract as every arm;
+    crash-restart pytest-pinned
+    (test_knn_graph_cdc_sync_crash_restart)."""
+
+    def fold(ptr: dict, gen: int, batch_df: DataFrame) -> dict:
+        id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
+        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        dels = ops.filter(F.col("__op") == "D").select(id_col).distinct()
+        upserts = ops.filter(F.col("__op") != "D").select(id_col, vec_col)
+        n_del = dels.count() if has_ud else 0
+        n_up = upserts.count()
+        if not n_del and not n_up:
+            ops.unpersist()
+            return {}  # empty batch: bookkeeping only, generation holds
+        corpus = _corpus_at(spark, root, ptr)
+        graph = S.load_knn_graph(
+            spark, _graph_gen_path(root, ptr["generation"])
+        )
+        if n_del:
+            # repaired graph is referenced by the upsert fold's
+            # affected-probe AND its keep stream — pin it once
+            graph = S.knn_graph_delete(
+                corpus, dels, id_col, vec_col, k,
+                n_blocks=ptr["n_blocks"], base_graph=graph,
+            ).localCheckpoint(eager=True)
+            corpus = corpus.join(dels, id_col, "left_anti")
+        if n_up:
+            graph = S.knn_graph_upsert(
+                corpus, upserts, id_col, vec_col, k,
+                n_blocks=ptr["n_blocks"], base_graph=graph,
+            )
+        S.save_knn_graph(
+            graph, _graph_gen_path(root, gen), id_col,
+            n_buckets=ptr["n_buckets"],
+        )
+        if n_up:
+            upserts.write.mode("overwrite").parquet(
+                _epoch_path(root, "applied", gen)
+            )
+        if n_del:
+            dels.write.mode("overwrite").parquet(
+                _epoch_path(root, "removed", gen)
+            )
+        ops.unpersist()
         return {"generation": gen}
 
     EpochLedger(root, {}).drain(
@@ -662,6 +755,15 @@ def sync_ivf_cdc_stream(
     led = _ivf_ledger(root)
 
     def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
+        if "generation" in ptr:
+            raise ValueError(
+                "graph-bearing roots don't take the posting-only CDC "
+                "arm — a tombstone here would leave the saved graph's "
+                "edges citing the deleted vectors; stream inserts via "
+                "sync_knn_graph_ivf_stream and route updates/deletes "
+                "through delete_graph_ids (edge repair + tombstone in "
+                "one flip)"
+            )
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
         id_col, vec_col = ptr["id_col"], ptr["vec_col"]
@@ -1119,11 +1221,118 @@ def delete_graph_ids(
             root, {**ptr, "generation": new_gen, "max_epoch": new_gen}
         )
     else:
-        dels.withColumn("__gen", F.lit(new_gen).cast("long")).write.mode(
-            "append"
-        ).parquet(os.path.join(root, "removed"))
+        dels.write.mode("overwrite").parquet(
+            _epoch_path(root, "removed", new_gen)
+        )
         _flip_pointer(root, {**ptr, "generation": new_gen})
     return new_gen
+
+
+def sync_knn_graph_ivf_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    root: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+    on_batch_start=None,
+) -> None:
+    """ONE-VERB CDC for the GRAPH+IVF root — the scale arm's
+    counterpart of ``sync_knn_graph_cdc_stream``: op ∈ I/U/D
+    micro-batches fold as ONE epoch carrying the U/D tombstones, the
+    edge-repaired-then-grown graph generation, and the upserts'
+    posting partition, all published by one flip (generation and
+    ``max_epoch`` advance together, as the root's other verbs do).
+
+    Per batch: (1) op-D and op-U ids become a ``deletes`` tombstone
+    epoch — every posting read from here on hides their older
+    versions (``_apply_tombstones``' strictly-later rule; the same
+    epoch's replacement posting survives); (2) the graph retires them
+    via ``knn_graph_delete`` against the committed corpus
+    (|affected|·N, affected ≈ in-degree of the tombstoned set);
+    (3) the non-delete rows fold into the repaired graph through IVF
+    ROUTING (``knn_graph_ivf_fold`` — |batch| × |probed postings|,
+    partition-pruned, exact at full probe width: after the exact
+    repair the graph is exact over corpus − tombstoned, and the
+    routed insert of the new versions is the graded-exact insert arm)
+    and land as the epoch's postings. So an update costs one exact
+    eviction + one routed insert — never a rebuild, never |batch|·N
+    against the full corpus. At most one row per id per batch,
+    ENFORCED. Same exactly-once ledger + checkpoint-lineage contract;
+    crash-restart pytest-pinned
+    (test_knn_graph_ivf_cdc_sync_crash_restart)."""
+    from spacex_data_engineering_pipeline_spark.operators import (
+        similarity as S_,
+    )
+
+    led = _ivf_ledger(root)
+
+    def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
+        id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
+        with open(os.path.join(root, "centroids.json")) as f:
+            centers = json.load(f)
+        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        tomb = (
+            ops.filter(F.col("__op").isin("U", "D")).select(id_col).distinct()
+        )
+        upserts = ops.filter(F.col("__op") != "D").select(id_col, vec_col)
+        n_tomb = tomb.count() if has_ud else 0
+        n_up = upserts.count()
+        graph = S_.load_knn_graph(
+            spark, _graph_gen_path(root, ptr["generation"])
+        )
+        if n_tomb:
+            # committed corpus BEFORE this epoch's tombstones — the
+            # repair needs the doomed rows present (survivors = old −
+            # deletes); reads filter epoch ≤ the old head, so the
+            # staged epoch below stays invisible to them
+            corpus = _synced_postings(
+                spark, led, ptr, ptr["max_epoch"], id_col
+            ).select(id_col, vec_col)
+            led.write_epoch(tomb, "deletes", epoch)
+            graph = S_.knn_graph_delete(
+                corpus, tomb, id_col, vec_col, k,
+                n_blocks=int(ptr.get("n_blocks", 8)), base_graph=graph,
+            ).localCheckpoint(eager=True)
+        if n_up:
+            # candidate fetch: committed postings MINUS this epoch's
+            # tombstones (frames at the staged epoch see them), so a
+            # replaced version never re-enters as a neighbor
+            postings_now = _apply_tombstones(
+                spark, led, ptr, epoch,
+                led.frames(spark, "postings", ptr, ptr["max_epoch"]),
+                id_col,
+            ).drop("epoch")
+            graph = S_.knn_graph_ivf_fold(
+                postings_now, centers, upserts, id_col, vec_col, k,
+                n_probes=ptr["n_probes"], base_graph=graph,
+            )
+        if not n_tomb and not n_up:
+            ops.unpersist()
+            return {}  # empty batch: bookkeeping only
+        S_.save_knn_graph(
+            graph, _graph_gen_path(root, epoch), id_col,
+            n_buckets=ptr["n_buckets"],
+        )
+        led.write_epoch(
+            upserts.select(
+                F.col(id_col),
+                F.col(vec_col),
+                S_.centroid_assign_udf(centers)(F.col(vec_col)).alias(
+                    "cluster"
+                ),
+            ),
+            "postings",
+            epoch,
+        )
+        ops.unpersist()
+        return {"generation": epoch, "max_epoch": epoch}
+
+    led.drain(
+        spark, source_path, schema, checkpoint_dir, fold,
+        max_files_per_trigger, on_batch_start,
+    )
 
 
 def vacuum_ivf_orphans(root: str) -> int:

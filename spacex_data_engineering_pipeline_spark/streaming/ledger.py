@@ -235,6 +235,7 @@ LEDGER_TABLES = frozenset(
         "postings",                             # IVF / semantic / graph-IVF
         "df", "stats", "doclog",                # BM25
         "moments",                              # PCA
+        "applied", "removed",                   # plain graph roots' logs
     }
 )
 

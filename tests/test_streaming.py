@@ -1103,7 +1103,7 @@ def test_streaming_knn_graph_sync_crash_restart(spark, sf_dir, tmp_path):
     (exactly what a crash between the log append and the pointer flip
     leaves behind) — and the restarted stream must still converge to
     the full-rebuild truth: the orphan stays invisible to the epoch-2
-    corpus snapshot (__epoch > last_batch_id), the replayed append
+    corpus snapshot (epoch above the pointer), the replayed write
     dedups in the latest-per-id window, and the generation dir
     overwrite is idempotent."""
     import pytest
@@ -1154,11 +1154,11 @@ def test_streaming_knn_graph_sync_crash_restart(spark, sf_dir, tmp_path):
     ptr = index_sync.read_index_pointer(root)
     assert ptr["last_batch_id"] == 1 and ptr["generation"] == 2
 
-    # hand-craft the worst crash window: batch 2's rows already in the
-    # applied log, epoch never published
-    spark.read.parquet(str(src / "batch0002.parquet")).withColumn(
-        "__epoch", F.lit(2).cast("long")
-    ).write.mode("append").parquet(os.path.join(root, "applied"))
+    # hand-craft the worst crash window: batch 2's rows already staged
+    # as the applied log's next-generation dir, epoch never published
+    spark.read.parquet(str(src / "batch0002.parquet")).write.parquet(
+        os.path.join(root, "applied", "epoch=3")
+    )
 
     index_sync.sync_knn_graph_stream(
         spark, str(src), updates.schema, root,
@@ -4181,9 +4181,9 @@ def test_delete_graph_ids_plain_root_reupsert_and_crash(spark, sf_dir, tmp_path)
     ptr = index_sync.read_index_pointer(root)
     orphan_gen = ptr["generation"] + 7
     spark.createDataFrame(
-        [(int(r["vec_id"]), orphan_gen) for r in final1.limit(3).collect()],
-        "vec_id long, __gen long",
-    ).write.mode("append").parquet(os.path.join(root, "removed"))
+        [(int(r["vec_id"]),) for r in final1.limit(3).collect()],
+        "vec_id long",
+    ).write.parquet(os.path.join(root, "removed", f"epoch={orphan_gen}"))
     got2 = {
         (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
         for r in index_sync.load_synced_graph(spark, root).collect()
@@ -4318,3 +4318,229 @@ def test_minhash_purge_pairs_total_sweep(spark, sf_dir, tmp_path):
     # below-floor as-of refuses
     with pytest.raises(ValueError, match="purge floor"):
         index_sync.load_synced_dedup_pairs(spark, root, as_of_epoch=1)
+
+
+def test_knn_graph_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The graph CDC arm (delete-then-upsert per micro-batch): inserts,
+    then re-vectors + deletes with a crash MID-COMMIT-WINDOW before the
+    U/D batch and a garbage generation staged above the pointer. After
+    the re-drain the loaded graph must equal a full rebuild over the
+    post-CDC corpus; a delete-only follow-up batch and a re-insert of a
+    deleted id keep converging to their rebuilds."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    mx = int(emb.agg(F.max("vec_id")).first()[0])
+    s95 = mx * 95 // 100
+    vid = F.col("vec_id")
+    base = emb.filter(vid < s95)
+    b0 = emb.filter(vid >= s95).withColumn("op", F.lit("I"))
+    upd_set = vid % 8 == 1
+    del_set = (vid % 9 == 2) & ~upd_set
+    b1 = (
+        emb.filter(upd_set)
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(emb.filter(del_set).withColumn("op", F.lit("D")))
+    )
+    # batch 2: delete one more id AND re-insert one deleted id
+    del2 = int(emb.filter(~upd_set & ~del_set).agg(F.max("vec_id")).first()[0])
+    reins = int(emb.filter(del_set).agg(F.min("vec_id")).first()[0])
+    b2 = (
+        emb.filter(vid == del2)
+        .withColumn("op", F.lit("D"))
+        .unionByName(emb.filter(vid == reins).withColumn("op", F.lit("I")))
+    )
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    index_sync.init_knn_graph_root(
+        base, root, "vec_id", "embedding", k=4, n_blocks=4, n_buckets=8
+    )
+    _stage_cdc_batches(tmp_path, src, (b0, b1, b2))
+
+    def poison(epoch_id):
+        if epoch_id == 1:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_knn_graph_cdc_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 0 and ptr["generation"] == 1
+
+    # garbage staged above the pointer: a fake generation + removal
+    # rows — must never activate
+    S.save_knn_graph(
+        spark.createDataFrame(
+            [(1, 1, 2, 0.5)], "vec_id long, rnk int, neighbor long, cos_sim double"
+        ),
+        index_sync._graph_gen_path(root, 2),
+        "vec_id",
+        n_buckets=8,
+    )
+    spark.createDataFrame([(0,)], "vec_id long").write.parquet(
+        os.path.join(root, "removed", "epoch=2")
+    )
+
+    index_sync.sync_knn_graph_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 2 and ptr["generation"] == 3
+
+    final = (
+        emb.filter(~((del_set & (vid != reins)) | (vid == del2)))
+        .select(
+            "vec_id",
+            F.when(upd_set, F.reverse("embedding"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    truth = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in S.knn_graph(
+            final, "vec_id", "embedding", k=4, n_blocks=4
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got == truth
+    assert reins in {v for (v, _) in got}  # re-insert after delete lives
+    assert del2 not in {n for (_, n) in got.values()}  # no edge cites it
+
+
+def test_knn_graph_ivf_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
+    """The graph+IVF CDC arm: crash MID-COMMIT-WINDOW before the U/D
+    batch, garbage (generation + tombstones + postings) staged above
+    the pointer, re-drain; the final graph must equal a full rebuild
+    over the post-CDC corpus, the postings ledger must net to exactly
+    the live ids, and both pointer heads advance together."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    mx = int(emb.agg(F.max("vec_id")).first()[0])
+    s95 = mx * 95 // 100
+    vid = F.col("vec_id")
+    base = emb.filter(vid < s95)
+    b0 = emb.filter(vid >= s95).withColumn("op", F.lit("I"))
+    upd_set = vid % 8 == 1
+    del_set = (vid % 9 == 2) & ~upd_set
+    b1 = (
+        emb.filter(upd_set)
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(emb.filter(del_set).withColumn("op", F.lit("D")))
+    )
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    index_sync.init_knn_graph_ivf_root(
+        base, root, "vec_id", "embedding", k=4,
+        n_clusters=4, n_probes=4, seed=7, n_blocks=4, n_buckets=8,
+    )
+    _stage_cdc_batches(tmp_path, src, (b0, b1))
+
+    def poison(epoch_id):
+        if epoch_id == 1:
+            raise RuntimeError(f"injected crash before batch {epoch_id}")
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        index_sync.sync_knn_graph_ivf_cdc_stream(
+            spark, str(src), b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), on_batch_start=poison,
+        )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 0
+    assert ptr["generation"] == 1 and ptr["max_epoch"] == 1
+
+    # worst window: garbage tombstones, postings AND a fake generation
+    # staged at the replay's epoch — all must be swept/overwritten
+    spark.createDataFrame([(1,)], "vec_id long").write.parquet(
+        os.path.join(root, "deletes", "epoch=2")
+    )
+    spark.createDataFrame(
+        [(999_999, [9.9] * 8, 0)],
+        "vec_id long, embedding array<double>, cluster int",
+    ).write.partitionBy("cluster").parquet(
+        index_sync._ivf_epoch_path(root, 2)
+    )
+    S.save_knn_graph(
+        spark.createDataFrame(
+            [(1, 1, 2, 0.5)],
+            "vec_id long, rnk int, neighbor long, cos_sim double",
+        ),
+        index_sync._graph_gen_path(root, 2),
+        "vec_id",
+        n_buckets=8,
+    )
+
+    index_sync.sync_knn_graph_ivf_cdc_stream(
+        spark, str(src), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["last_batch_id"] == 1
+    assert ptr["generation"] == 2 and ptr["max_epoch"] == 2
+
+    final = emb.filter(~del_set).select(
+        "vec_id",
+        F.when(upd_set, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    truth = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in S.knn_graph(
+            final, "vec_id", "embedding", k=4, n_blocks=4
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got == truth
+
+    # the postings ledger nets to exactly the live ids (tombstones
+    # hide old versions; the same-epoch replacements survive)
+    live = {
+        int(r["vec_id"])
+        for r in index_sync._synced_postings(
+            spark, index_sync._ivf_ledger(root), ptr, ptr["max_epoch"],
+            "vec_id",
+        ).select("vec_id").collect()
+    }
+    assert live == {int(r["vec_id"]) for r in final.select("vec_id").collect()}
+    assert 999_999 not in live  # garbage orphan swept, never activated
