@@ -82,6 +82,7 @@ LARGE_RESULT = {
     "streaming_knn_graph_delete_sync",
     "streaming_knn_graph_cdc_sync",
     "streaming_knn_graph_ivf_cdc_sync",
+    "streaming_graph_rebase_sync",
 }
 
 

@@ -1515,14 +1515,16 @@ def _minhash_sync_oracle_sql(
     )
 
 
-def _stage_stream_batches(work: str, src: str, batches) -> None:
+def _stage_stream_batches(work: str, src: str, batches, start: int = 0) -> None:
     """Stage DataFrames as a deterministic parquet FILE STREAM: one
     single-part file per batch with pinned mtimes, so AvailableNow +
     maxFilesPerTrigger=1 replays them as stable micro-batch epochs —
-    the setup every synced-ledger catalog entry shares."""
+    the setup every synced-ledger catalog entry shares. ``start``
+    offsets the file numbering (and mtimes) so a continuation batch
+    can land AFTER files already staged in ``src``."""
     import os as _os
 
-    for i, bdf in enumerate(batches):
+    for i, bdf in enumerate(batches, start=start):
         staged = _os.path.join(work, f"stage{i}")
         bdf.repartition(1).write.parquet(staged)
         part = next(
@@ -1533,7 +1535,9 @@ def _stage_stream_batches(work: str, src: str, batches) -> None:
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
-def _drain_minhash_sync(spark: SparkSession, sf_dir: str, work: str) -> str:
+def _drain_minhash_sync(
+    spark: SparkSession, sf_dir: str, work: str, fence_sources: bool = False
+) -> str:
     """Shared setup for the growing-dedup-index entries: init the root
     from the corpus (doc_id % 5 ≠ 0), stage the three deterministic
     micro-batches (doc_id % 15 = 0/5/10, plus the verbatim plants
@@ -1567,6 +1571,7 @@ def _drain_minhash_sync(spark: SparkSession, sf_dir: str, work: str) -> str:
     index_sync.sync_minhash_index_stream(
         spark, src, b0.schema, root,
         checkpoint_dir=_os.path.join(work, "ckpt"),
+        fence_sources=fence_sources,
     )
     return root
 
@@ -1605,6 +1610,77 @@ def streaming_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             index_sync.load_synced_dedup_pairs(spark, root)
             .orderBy("new_doc", "corpus_doc")
             # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_FENCE_REDRAIN_SRC_SQL = """SELECT doc_id, text,
+               CASE WHEN doc_id % 5 <> 0 THEN -1
+                    WHEN doc_id % 15 = 0 THEN 0
+                    WHEN doc_id % 15 = 5 THEN 1
+                    ELSE 2 END AS batch
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text, 2 FROM documents WHERE doc_id % 45 = 0
+        UNION ALL
+        SELECT doc_id + 20000000, text, 3 FROM documents WHERE doc_id % 20 = 1"""
+
+
+@_register(
+    "streaming_fenced_redrain",
+    oracle=_minhash_sync_oracle_sql(src_sql=_FENCE_REDRAIN_SRC_SQL),
+)
+def streaming_fenced_redrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRAINED-SOURCE FENCE under the oracle (``EpochLedger.drain
+    (fence_sources=True)`` — ledger.py): the checkpoint-lineage
+    contract's one documented footgun was that a FRESH checkpoint
+    pointed at already-drained files double-applies them through the
+    insert-only arms. With the fence on, every committed epoch records
+    the source file paths it applied (a ``sources`` ledger table,
+    file-name-sized) and each batch anti-joins its
+    ``input_file_name()`` against the committed set, so re-pointed
+    files commit bookkeeping-only pointer flips instead of
+    duplicating.
+
+    The grade stages the standard three-batch growing-dedup drain
+    (fenced), then re-points a FRESH checkpoint at the SAME source dir
+    after landing ONE genuinely new file (doc_id % 20 == 1 re-ingested
+    verbatim under id + 20,000,000 — batch 3): the three old files
+    must fence (no new pairs, no index growth) while the new file must
+    apply (each plant flagged against its corpus twin). The oracle is
+    the standard first-seen-wins replay over batches 0..3 — a fence
+    that skips the new file loses batch 3's pairs, and a fence that
+    fails to block re-applies batches 0..2 at a later epoch, flagging
+    their docs against everything committed since (extra rows, e.g.
+    batch-0 docs against batch-2 plants). Cost: the fence adds one
+    read of the file-name-sized sources table + one broadcast
+    anti-join per batch."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    work = _tempfile.mkdtemp(prefix="fence_redrain_")
+    try:
+        root = _drain_minhash_sync(spark, sf_dir, work, fence_sources=True)
+        docs = load_table(spark, sf_dir, "documents")
+        b3 = docs.filter(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text"
+        )
+        src = _os.path.join(work, "src")
+        _stage_stream_batches(work, src, (b3,), start=3)
+        index_sync.sync_minhash_index_stream(
+            spark, src, b3.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt_repointed"),
+            fence_sources=True,
+        )
+        out = (
+            index_sync.load_synced_dedup_pairs(spark, root)
+            .orderBy("new_doc", "corpus_doc")
             .localCheckpoint(eager=True)
         )
     finally:
@@ -15200,6 +15276,324 @@ def streaming_knn_graph_ivf_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFr
             index_sync.load_synced_graph(spark, root)
             .orderBy("vec_id", "rnk")
             # materialize before the temp dir vanishes (lazy scan)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_HYBRID_CDC_ORACLE = rf"""
+    WITH corpus AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 10 = 6
+                    THEN d.text || ' spark vector stream'
+                    ELSE d.text END AS text,
+               CASE WHEN d.doc_id % 10 = 6
+                    THEN list_reverse(CAST(e.embedding AS DOUBLE[]))
+                    ELSE CAST(e.embedding AS DOUBLE[]) END AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE e.embedding IS NOT NULL AND d.doc_id % 10 <> 9
+    ),
+    docs AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM corpus
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(avg(length(w)) AS DOUBLE) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(count(*) AS DOUBLE) AS tf,
+               CAST(max(dl) AS DOUBLE) AS dl
+        FROM (SELECT doc_id, length(w) AS dl, unnest(w) AS term FROM docs)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    sparse AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+               ), 4) AS score
+        FROM tf, dfreq, stats
+        WHERE tf.term = dfreq.term
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    ),
+    sparse_r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+                   AS r_sparse
+        FROM sparse
+    ),
+    dense AS (
+        SELECT c.doc_id,
+               ROUND(list_dot_product(c.v, q.v)
+                     / (sqrt(list_dot_product(c.v, c.v))
+                        * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+        FROM corpus c
+        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, doc_id ASC
+        LIMIT 20
+    ),
+    dense_r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS INT)
+                   AS r_dense
+        FROM dense
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.r_sparse, d.r_dense,
+               ROUND(COALESCE(1.0 / (60 + s.r_sparse), 0)
+                     + COALESCE(1.0 / (60 + d.r_dense), 0), 6) AS rrf_score
+        FROM sparse_r s FULL JOIN dense_r d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, r_sparse, r_dense, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@_register("hybrid_cdc_paired_sync", oracle=_HYBRID_CDC_ORACLE)
+def hybrid_cdc_paired_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE CDC stream, BOTH serving indexes, one consistency record —
+    ``sync_hybrid_cdc_stream`` (streaming/index_sync.py): re-vectoring
+    or retiring a document previously meant hand-feeding two separate
+    CDC streams (one per ledger) and remembering to pair the heads;
+    this verb drains one wide (doc_id, text, embedding, op) file
+    stream through the BM25 CDC arm and the IVF CDC arm — each fold
+    projects only its own columns — then appends the
+    ``record_epoch_pair`` consistency record both drains committed.
+
+    The scenario: both roots init over ids with doc_id % 10 ≠ 3;
+    batch 0 INSERTS the held-out tenth; batch 1 UPDATES doc_id % 10 =
+    6 (text gains the three query terms, embedding reversed — BOTH
+    arms must re-rank it) and DELETES doc_id % 10 = 9. The graded
+    read serves hybrid RRF AT THE RECORDED PAIR (sparse: signed-fold
+    BM25 over ≤|terms| bucket dirs; dense: tombstone-aware IVF probe)
+    and must equal the from-scratch RRF over the post-CDC corpus — a
+    missed tombstone in either arm, an un-negated old text version,
+    or serving either ledger at an unpaired head all flip the top-10.
+    documents and embeddings share the id space 1:1 by construction
+    (TESTDATA.md), which is what makes one stream serving two indexes
+    meaningful."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "text", "embedding"
+    )
+    m = F.col("doc_id") % 10
+    base = j.filter(m != 3)
+    b0 = j.filter(m == 3).select(
+        "doc_id", "text", "embedding", F.lit("I").alias("op")
+    )
+    b1 = (
+        j.filter(m == 6)
+        .select(
+            "doc_id",
+            F.concat("text", F.lit(" spark vector stream")).alias("text"),
+            F.reverse("embedding").alias("embedding"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            j.filter(m == 9).select(
+                "doc_id", "text", "embedding", F.lit("D").alias("op")
+            )
+        )
+    )
+
+    work = _tempfile.mkdtemp(prefix="hybrid_cdc_")
+    try:
+        broot = _os.path.join(work, "bm25")
+        droot = _os.path.join(work, "ivf")
+        src = _os.path.join(work, "src")
+        _os.makedirs(src)
+        index_sync.init_bm25_root(
+            base.select("doc_id", "text"), broot, "doc_id", "text"
+        )
+        index_sync.init_ivf_root(
+            base.select("doc_id", "embedding"), droot, "doc_id",
+            "embedding", n_clusters=16, seed=42,
+        )
+        _stage_stream_batches(work, src, (b0, b1))
+        pair = index_sync.sync_hybrid_cdc_stream(
+            spark, src, b0.schema, broot, droot,
+            pairs_path=_os.path.join(work, "epoch_pairs.json"),
+            checkpoint_base=_os.path.join(work, "ckpt"),
+        )
+        ep = pair["epochs"]
+        sparse = index_sync.bm25_topk_synced(
+            spark, broot, _BM25_TERMS, k=20, as_of_epoch=ep["bm25"]
+        )
+        idx = index_sync.load_synced_ivf(
+            spark, droot, as_of_epoch=ep["ivf"]
+        )
+        dense = S.ivf_topk(
+            idx, _query_vector(spark, sf_dir), k=20, n_probes=16
+        ).withColumnRenamed("doc_id", "vec_id")  # root id_col is doc_id;
+        # _rrf_fuse names its dense side vec_id
+        out = _rrf_fuse(sparse, dense).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "streaming_maintained_index", oracle=_minhash_sync_oracle_sql()
+)
+def streaming_maintained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE RETENTION POLICY VERB under the oracle —
+    ``maintain_root`` (streaming/index_sync.py): one call that sniffs
+    any ledger root's family from its pointer (``ledger_root_kind``),
+    measures the live tail, and when it exceeds the dial runs that
+    family's own compaction + vacuum (graph roots also prune saved
+    generations). Operators schedule ONE verb after drains instead of
+    memorizing six compact/vacuum pairs.
+
+    The grade: the standard three-batch growing-dedup drain, then
+    ``maintain_root(max_tail_epochs=1)`` — the tail (3) exceeds the
+    dial, so the minhash compaction + vacuum MUST run (the entry
+    raises if maintenance no-ops, so a kind-sniff or threshold
+    regression surfaces as a driver error, not a silent pass) — then
+    the synced pairs read back compaction-aware. Equality with the
+    first-seen-wins oracle proves maintenance is INVISIBLE to
+    readers: epoch demoted to a data column, bucket layout preserved,
+    verdicts bit-identical."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    work = _tempfile.mkdtemp(prefix="maintained_index_")
+    try:
+        root = _drain_minhash_sync(spark, sf_dir, work)
+        rep = index_sync.maintain_root(spark, root, max_tail_epochs=1)
+        if rep["kind"] != "minhash" or rep["compacted_epochs"] == 0:
+            raise RuntimeError(f"maintenance unexpectedly no-oped: {rep}")
+        out = (
+            index_sync.load_synced_dedup_pairs(spark, root)
+            .orderBy("new_doc", "corpus_doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_register(
+    "streaming_graph_rebase_sync",
+    oracle=ORACLE_SQL["streaming_knn_graph_cdc_sync"],
+)
+def streaming_graph_rebase_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS REBASE mid-stream, under the oracle
+    (``rebase_graph_corpus`` + ``vacuum_graph_logs``,
+    streaming/index_sync.py): the plain graph root's applied/removed
+    logs grow one epoch dir per batch FOREVER, and every fold's
+    corpus replay unions all of them — the one directory growth
+    ``vacuum_generations`` doesn't touch. The rebase folds committed
+    logs into one snapshot behind a pointer-recorded floor; replays
+    then read snapshot + post-floor logs only, so replay cost tracks
+    churn since the last rebase, not write history.
+
+    Same scenario as ``streaming_knn_graph_cdc_sync`` (insert batch,
+    then re-vector %8==1 + retire %9==2), but REBASED between the two
+    batches — the insert batch's log is folded and physically
+    VACUUMED (along with the original corpus_base) before the U/D
+    batch lands, so the second fold's delete-repair and upsert probes
+    derive their corpus across the floor (snapshot rows stamped at
+    the floor: later removals still kill them, later re-vectors still
+    outrank them). The entry raises if the rebase no-ops; equality
+    with the full-rebuild oracle proves the fold is invisible to
+    results. Crash/orphan/continuation pins in
+    tests/test_streaming.py::test_graph_corpus_rebase_retention."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    mx = int(emb.agg(F.max("vec_id").alias("m")).first()["m"])
+    s95 = mx * 95 // 100
+    vid = F.col("vec_id")
+    base = emb.filter(vid < s95).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b0 = emb.filter(vid >= s95).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("I").alias("op"),
+    )
+    b1 = (
+        emb.filter(vid % 8 == 1)
+        .select(
+            "vec_id",
+            F.reverse(F.col("embedding").cast("array<double>")).alias(
+                "embedding"
+            ),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            emb.filter((vid % 9 == 2) & (vid % 8 != 1)).select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+
+    work = _tempfile.mkdtemp(prefix="knng_rebase_")
+    root = _os.path.join(work, "index")
+    src0 = _os.path.join(work, "src0")
+    src1 = _os.path.join(work, "src1")
+    _os.makedirs(src0)
+    _os.makedirs(src1)
+    try:
+        index_sync.init_knn_graph_root(
+            base, root, "vec_id", "embedding", k=5, n_blocks=8, n_buckets=16
+        )
+        _stage_stream_batches(work, src0, (b0,))
+        index_sync.sync_knn_graph_cdc_stream(
+            spark, src0, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt0"),
+        )
+        folded = index_sync.rebase_graph_corpus(spark, root)
+        if folded == 0:
+            raise RuntimeError("rebase unexpectedly no-oped")
+        index_sync.vacuum_graph_logs(root)
+        _stage_stream_batches(work, src1, (b1,), start=1)
+        index_sync.sync_knn_graph_cdc_stream(
+            spark, src1, b0.schema, root,
+            checkpoint_dir=_os.path.join(work, "ckpt1"),
+        )
+        out = (
+            index_sync.load_synced_graph(spark, root)
+            .orderBy("vec_id", "rnk")
             .localCheckpoint(eager=True)
         )
     finally:

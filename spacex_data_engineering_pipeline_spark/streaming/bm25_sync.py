@@ -167,6 +167,7 @@ def sync_bm25_index_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch_start=None,
+    fence_sources: bool = False,
 ) -> None:
     """Drain ``source_path`` (parquet file stream of (id, text) docs)
     with AvailableNow: per micro-batch, ONE tokenize pass reduces the
@@ -199,7 +200,7 @@ def sync_bm25_index_stream(
 
     led.drain(
         spark, source_path, schema, checkpoint_dir, fold,
-        max_files_per_trigger, on_batch_start,
+        max_files_per_trigger, on_batch_start, fence_sources=fence_sources,
     )
 
 

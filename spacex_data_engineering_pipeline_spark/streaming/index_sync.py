@@ -222,16 +222,29 @@ def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
     advances the pointer past their stamp), writes are
     overwrite-idempotent per generation, and an id removed at
     generation r then re-upserted at s > r is alive again (its latest
-    applied stamp outranks the removal)."""
+    applied stamp outranks the removal).
+
+    REBASE-AWARE (``rebase_graph_corpus``): when the pointer records a
+    ``corpus_rebase_gen`` floor, the base snapshot comes from
+    ``corpus_rebase/upto=<floor>`` (logs ≤ floor already folded in —
+    its rows carry the floor as their stamp, so a later removal still
+    kills them and a later re-upsert still outranks them) and only log
+    epochs ABOVE the floor are replayed — the replay cost tracks churn
+    since the last rebase, not all history."""
     id_col, vec_col = ptr["id_col"], ptr["vec_col"]
     gen_now = int(ptr["generation"])
-    base = spark.read.parquet(os.path.join(root, "corpus_base"))
+    floor = int(ptr.get("corpus_rebase_gen", 0) or 0)
+    base = spark.read.parquet(
+        os.path.join(root, "corpus_rebase", f"upto={floor}")
+        if floor
+        else os.path.join(root, "corpus_base")
+    )
     applied_dir = os.path.join(root, "applied")
     # the orphan sweep can leave an EMPTY log dir (its only staged
     # epoch removed) — an empty parquet dataset fails schema inference
-    if _live_epochs(root, "applied"):
+    if any(floor < e <= gen_now for e in _live_epochs(root, "applied")):
         applied = spark.read.parquet(applied_dir).filter(
-            F.col("epoch") <= gen_now
+            (F.col("epoch") > floor) & (F.col("epoch") <= gen_now)
         )
         w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
         latest = (
@@ -241,17 +254,17 @@ def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
         )
         corpus = (
             base.join(latest.select(id_col), id_col, "left_anti")
-            # base rows predate every removal/upsert: stamp 0
-            .select(id_col, vec_col, F.lit(0).alias("epoch"))
+            # base rows predate every LIVE removal/upsert: stamp = floor
+            .select(id_col, vec_col, F.lit(floor).alias("epoch"))
             .unionByName(latest)
         )
     else:
-        corpus = base.select(id_col, vec_col, F.lit(0).alias("epoch"))
+        corpus = base.select(id_col, vec_col, F.lit(floor).alias("epoch"))
     removed_dir = os.path.join(root, "removed")
-    if _live_epochs(root, "removed"):
+    if any(floor < e <= gen_now for e in _live_epochs(root, "removed")):
         rmax = (
             spark.read.parquet(removed_dir)
-            .filter(F.col("epoch") <= gen_now)
+            .filter((F.col("epoch") > floor) & (F.col("epoch") <= gen_now))
             .select(id_col, F.col("epoch").alias("__del_gen"))
             .groupBy(id_col)
             .agg(F.max("__del_gen").alias("__del_gen"))
@@ -294,6 +307,7 @@ def sync_knn_graph_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch_start=None,
+    fence_sources: bool = False,
 ) -> None:
     """Drain ``source_path`` (parquet file stream of (id, vector)
     upserts) with AvailableNow: per micro-batch, fold the batch into
@@ -332,7 +346,7 @@ def sync_knn_graph_stream(
 
     EpochLedger(root, {}).drain(
         spark, source_path, schema, checkpoint_dir, fold,
-        max_files_per_trigger, on_batch_start,
+        max_files_per_trigger, on_batch_start, fence_sources=fence_sources,
     )
 
 
@@ -952,6 +966,7 @@ def sync_ivf_index_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch_start=None,
+    fence_sources: bool = False,
 ) -> None:
     """Drain ``source_path`` (parquet file stream of NEW (id, vector)
     rows) with AvailableNow: per micro-batch, assign the batch against
@@ -994,7 +1009,7 @@ def sync_ivf_index_stream(
 
     led.drain(
         spark, source_path, schema, checkpoint_dir, fold,
-        max_files_per_trigger, on_batch_start,
+        max_files_per_trigger, on_batch_start, fence_sources=fence_sources,
     )
 
 
@@ -1061,6 +1076,7 @@ def sync_knn_graph_ivf_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch_start=None,
+    fence_sources: bool = False,
 ) -> None:
     """Drain ``source_path`` (parquet file stream of NEW (id, vector)
     rows — INSERT-only, the ``knn_graph_incremental`` append contract;
@@ -1122,7 +1138,7 @@ def sync_knn_graph_ivf_stream(
 
     led.drain(
         spark, source_path, schema, checkpoint_dir, fold,
-        max_files_per_trigger, on_batch_start,
+        max_files_per_trigger, on_batch_start, fence_sources=fence_sources,
     )
 
 
@@ -1507,6 +1523,7 @@ def sync_semantic_dedup_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch_start=None,
+    fence_sources: bool = False,
 ) -> None:
     """Drain ``source_path`` (parquet file stream of (id, vector)
     docs) with AvailableNow: per micro-batch, (1) probe the batch
@@ -1562,7 +1579,7 @@ def sync_semantic_dedup_stream(
 
     led.drain(
         spark, source_path, schema, checkpoint_dir, fold,
-        max_files_per_trigger, on_batch_start,
+        max_files_per_trigger, on_batch_start, fence_sources=fence_sources,
     )
 
 
@@ -1670,6 +1687,7 @@ def sync_pca_moments_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch_start=None,
+    fence_sources: bool = False,
 ) -> None:
     """Drain ``source_path`` (parquet file stream of NEW embedding
     rows) with AvailableNow: per micro-batch, ONE Arrow pass reduces
@@ -1703,7 +1721,7 @@ def sync_pca_moments_stream(
 
     led.drain(
         spark, source_path, schema, checkpoint_dir, fold,
-        max_files_per_trigger, on_batch_start,
+        max_files_per_trigger, on_batch_start, fence_sources=fence_sources,
     )
 
 
@@ -2108,6 +2126,7 @@ def sync_minhash_index_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch_start=None,
+    fence_sources: bool = False,
 ) -> None:
     """Drain ``source_path`` (parquet file stream of (id, text) docs)
     with AvailableNow: per micro-batch, (1) probe the batch against
@@ -2153,7 +2172,12 @@ def sync_minhash_index_stream(
     ONLY the files past the pointer's high-water mark (a new
     checkpoint path declares a new lineage: every file in its source
     is treated as new — pointing it at already-drained files
-    double-applies them)."""
+    double-applies them). ``fence_sources=True`` removes that last
+    footgun: each committed epoch records the source file paths it
+    applied in a ``sources`` ledger table, and every batch anti-joins
+    its ``input_file_name()`` against the committed set, so
+    re-pointed files fold as empty bookkeeping-only epochs
+    (``EpochLedger.drain`` docstring has the full contract)."""
     from spacex_data_engineering_pipeline_spark.operators.dedup import (
         build_minhash_index,
     )
@@ -2183,7 +2207,7 @@ def sync_minhash_index_stream(
 
     led.drain(
         spark, source_path, schema, checkpoint_dir, fold,
-        max_files_per_trigger, on_batch_start,
+        max_files_per_trigger, on_batch_start, fence_sources=fence_sources,
     )
 
 
@@ -2246,3 +2270,250 @@ def vacuum_generations(root: str, keep_last: int = 1) -> int:
     for g in doomed:
         shutil.rmtree(_graph_gen_path(root, g))
     return len(doomed)
+
+
+def sync_hybrid_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    bm25_root: str,
+    ivf_root: str,
+    pairs_path: str,
+    checkpoint_base: str,
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """ONE CDC stream of (id, text, vector, op ∈ I/U/D) rows applied to
+    BOTH serving indexes — the write-path companion of
+    ``record_epoch_pair``: re-vectoring or retiring a document used to
+    mean hand-feeding two separate CDC streams (one per ledger) and
+    remembering to pair them; this verb drains the SAME source files
+    through the BM25 CDC arm (which reads the id/text/op columns) and
+    the IVF CDC arm (id/vector/op — both folds project only their own
+    columns, so one wide source serves both), each under its own
+    checkpoint lineage inside ``checkpoint_base``, then appends one
+    cross-ledger pairing record pinning the two committed heads.
+
+    Consistency story, honestly: the two drains are SEQUENTIAL — a
+    crash between them leaves the BM25 ledger ahead of the IVF ledger,
+    exactly the state the pairing discipline exists for. The pairs
+    file is only appended AFTER both drains complete, so every
+    recorded pair names heads that both ledgers actually committed; a
+    reader serving at the latest pair (``hybrid_rrf_synced_asof``'s
+    shape) never observes the torn middle, and re-running this verb
+    after the crash finishes the lagging drain (each arm's own
+    exactly-once replay skip makes the finished one a no-op) and then
+    records the pair. Returns the appended pair record.
+
+    Column names come from each root's pointer (``id_col`` /
+    ``text_col`` / ``vec_col``), so the two indexes may disagree on
+    the id column's NAME as long as the stream carries both."""
+    import os as _os
+
+    sync_bm25_cdc_stream(
+        spark, source_path, schema, bm25_root,
+        checkpoint_dir=_os.path.join(checkpoint_base, "bm25"),
+        op_col=op_col, max_files_per_trigger=max_files_per_trigger,
+    )
+    sync_ivf_cdc_stream(
+        spark, source_path, schema, ivf_root,
+        checkpoint_dir=_os.path.join(checkpoint_base, "ivf"),
+        op_col=op_col, max_files_per_trigger=max_files_per_trigger,
+    )
+    return record_epoch_pair(
+        pairs_path, {"bm25": bm25_root, "ivf": ivf_root}
+    )
+
+
+def ledger_root_kind(ptr: dict) -> str:
+    """Sniff which sync family owns a ledger root from its pointer's
+    distinguishing keys (each ``init_*_root`` writes a disjoint
+    signature): ``term_buckets`` → bm25; ``generation`` → a graph
+    root (with ``n_probes`` → the combined graph+IVF root, whose
+    postings also live under the epoch ledger); ``num_hashes`` →
+    minhash dedup; ``min_cosine`` → semantic dedup; otherwise an
+    ``id_col`` means plain IVF and its absence the PCA moment ledger
+    (which keys on nothing but ``vec_col``). The same discrimination
+    ``delete_index_ids`` applies piecemeal, factored for callers."""
+    if "term_buckets" in ptr:
+        return "bm25"
+    if "generation" in ptr:
+        return "graph_ivf" if "n_probes" in ptr else "graph"
+    if "num_hashes" in ptr:
+        return "minhash"
+    if "min_cosine" in ptr:
+        return "semantic"
+    return "ivf" if "id_col" in ptr else "pca"
+
+
+def maintain_root(
+    spark: SparkSession,
+    root: str,
+    max_tail_epochs: int = 8,
+    purge_deleted: bool = False,
+    keep_generations: int = 2,
+) -> dict:
+    """ONE operational retention verb for any ledger root — the policy
+    layer the per-arm ``compact_* / vacuum_*`` verbs leave to the
+    operator: sniff the root's family from its pointer
+    (``ledger_root_kind``), measure the LIVE TAIL (committed epochs
+    above ``compact_upto`` — the directory growth that degrades
+    file-listing and epoch-union reads as a stream keeps folding), and
+    when it exceeds ``max_tail_epochs`` run that family's own
+    compaction followed by its vacuum. Graph-bearing roots
+    additionally prune saved generations down to the newest
+    ``keep_generations`` (each generation is a corpus-sized graph —
+    the worst storage growth in the family). ``purge_deleted`` routes
+    to each family's hard-removal mode (tombstone purge; BM25's
+    netting compact), inheriting their ``purge_floor`` as-of refusal
+    semantics.
+
+    Schedule it after every drain (it no-ops cheaply while the tail is
+    short — one pointer read and one directory listing) or from a
+    periodic job; every step is the arm's own crash-safe staged
+    compact + pointer flip, so a crash mid-maintenance leaves the root
+    exactly as committed. Returns
+    ``{kind, tail_epochs, compacted_epochs, vacuumed_dirs,
+    generations_dropped}``."""
+    ptr = read_index_pointer(root)
+    kind = ledger_root_kind(ptr)
+    out = {
+        "kind": kind,
+        "tail_epochs": 0,
+        "compacted_epochs": 0,
+        "vacuumed_dirs": 0,
+        "generations_dropped": 0,
+    }
+    if kind == "graph":
+        # plain graph roots: the log tail (applied/removed epochs above
+        # the rebase floor) is the compaction surface; generations are
+        # pruned separately to the keep dial
+        gen = int(ptr["generation"])
+        floor = int(ptr.get("corpus_rebase_gen", 0) or 0)
+        out["tail_epochs"] = len(
+            {
+                e
+                for t in ("applied", "removed")
+                for e in _live_epochs(root, t)
+                if floor < e <= gen
+            }
+        )
+        if out["tail_epochs"] > max_tail_epochs:
+            out["compacted_epochs"] = rebase_graph_corpus(spark, root)
+            out["vacuumed_dirs"] = vacuum_graph_logs(root)
+        out["generations_dropped"] = vacuum_generations(
+            root, keep_last=keep_generations
+        )
+        return out
+    head = int(ptr["max_epoch"])
+    cu = int(ptr.get("compact_upto", 0) or 0)
+    out["tail_epochs"] = head - cu
+    if head - cu > max_tail_epochs:
+        if kind == "bm25":
+            out["compacted_epochs"] = compact_bm25_epochs(
+                spark, root, net=purge_deleted
+            )
+            out["vacuumed_dirs"] = vacuum_bm25_epochs(root)
+        elif kind == "minhash":
+            out["compacted_epochs"] = compact_minhash_epochs(
+                spark, root, purge_deleted=purge_deleted
+            )
+            out["vacuumed_dirs"] = vacuum_minhash_epochs(root)
+        elif kind == "semantic":
+            out["compacted_epochs"] = compact_semantic_epochs(
+                spark, root, purge_deleted=purge_deleted
+            )
+            out["vacuumed_dirs"] = vacuum_semantic_epochs(root)
+        elif kind == "pca":
+            out["compacted_epochs"] = compact_pca_epochs(spark, root)
+            out["vacuumed_dirs"] = vacuum_pca_epochs(root)
+        else:  # ivf and graph_ivf share the posting-ledger compaction
+            out["compacted_epochs"] = compact_ivf_epochs(
+                spark, root, purge_deleted=purge_deleted
+            )
+            out["vacuumed_dirs"] = vacuum_ivf_epochs(root)
+    if kind == "graph_ivf":
+        out["generations_dropped"] = vacuum_generations(
+            root, keep_last=keep_generations
+        )
+    return out
+
+
+def rebase_graph_corpus(spark: SparkSession, root: str) -> int:
+    """RETENTION for the plain graph root's ledger side — the one
+    directory growth ``vacuum_generations`` doesn't touch: the
+    applied/removed logs gain one epoch dir per batch FOREVER, and
+    every fold's corpus replay (``_corpus_at``) unions all of them.
+    This verb folds the committed logs into one corpus snapshot
+    (``corpus_rebase/upto=<generation>`` — staged invisible, then
+    published by recording ``corpus_rebase_gen`` in the one pointer
+    flip), after which replays read the snapshot plus only the log
+    epochs ABOVE the floor: replay cost tracks churn since the last
+    rebase, not write history — the graph-root analog of the posting
+    ledgers' ``compact_*_epochs``.
+
+    Contract notes: log epochs at or below the floor become
+    physically droppable (``vacuum_graph_logs``) — like every purge
+    floor, corpus reconstruction BELOW it ends explicitly; saved
+    generation dirs are untouched (graph time travel is
+    ``vacuum_generations``'s dial, not this one's). A crash between
+    the staged snapshot and the flip leaves an invisible orphan the
+    next rebase overwrites. Returns distinct log epochs folded (0 =
+    no committed log state above the current floor — a no-op, no
+    burned snapshot)."""
+    ptr = read_index_pointer(root)
+    if "generation" not in ptr or "n_probes" in ptr:
+        raise ValueError(
+            "rebase_graph_corpus is the PLAIN graph root's retention "
+            "verb (corpus_base + applied/removed logs); IVF-backed "
+            "graph roots derive their corpus from the posting ledger — "
+            "compact_ivf_epochs is their compaction"
+        )
+    gen = int(ptr["generation"])
+    floor = int(ptr.get("corpus_rebase_gen", 0) or 0)
+    log_epochs = {
+        e
+        for t in ("applied", "removed")
+        for e in _live_epochs(root, t)
+        if floor < e <= gen
+    }
+    if not log_epochs:
+        return 0
+    corpus = _corpus_at(spark, root, ptr)
+    corpus.write.mode("overwrite").parquet(
+        os.path.join(root, "corpus_rebase", f"upto={gen}")
+    )
+    _flip_pointer(root, {**ptr, "corpus_rebase_gen": gen})
+    return len(log_epochs)
+
+
+def vacuum_graph_logs(root: str) -> int:
+    """Sweep plain-graph log/base state a rebase superseded: applied/
+    removed epoch dirs at or below the pointer's ``corpus_rebase_gen``
+    (their rows live on in the snapshot), staged log orphans above the
+    committed generation, rebase snapshots the pointer doesn't name,
+    and — once a rebase floor exists — the original ``corpus_base``
+    (never read again; the snapshot IS the base). The committed tail
+    and the pointer-named snapshot are never touched."""
+    import shutil
+
+    ptr = read_index_pointer(root)
+    gen = int(ptr["generation"])
+    floor = int(ptr.get("corpus_rebase_gen", 0) or 0)
+    removed = 0
+    for t in ("applied", "removed"):
+        for e in _live_epochs(root, t):
+            if e <= floor or e > gen:
+                shutil.rmtree(_epoch_path(root, t, e))
+                removed += 1
+    rdir = os.path.join(root, "corpus_rebase")
+    if os.path.isdir(rdir):
+        for d in os.listdir(rdir):
+            if d.startswith("upto=") and int(d.split("=", 1)[1]) != floor:
+                shutil.rmtree(os.path.join(rdir, d))
+                removed += 1
+    base_dir = os.path.join(root, "corpus_base")
+    if floor > 0 and os.path.isdir(base_dir):
+        shutil.rmtree(base_dir)
+        removed += 1
+    return removed

@@ -236,6 +236,7 @@ LEDGER_TABLES = frozenset(
         "df", "stats", "doclog",                # BM25
         "moments",                              # PCA
         "applied", "removed",                   # plain graph roots' logs
+        "sources",                              # drained-source fence
     }
 )
 
@@ -317,6 +318,18 @@ class EpochLedger:
         self.tables = dict(tables)
 
     # -- pointer --------------------------------------------------------
+    def _adopt_fence_table(self) -> None:
+        """A root drained with ``fence_sources=True`` carries a
+        ``sources`` table even when the arm's own table dict (the one
+        its compaction helper builds) doesn't name it; retention must
+        carry it along or the fence would FORGET applied files — the
+        compact bumps ``compact_upto`` past the sources epochs, live
+        reads exclude them, and a later vacuum deletes the dirs."""
+        if "sources" not in self.tables and os.path.isdir(
+            os.path.join(self.root, "sources")
+        ):
+            self.tables["sources"] = None
+
     def pointer(self) -> dict:
         return read_index_pointer(self.root)
 
@@ -369,6 +382,7 @@ class EpochLedger:
         fold,
         max_files_per_trigger: int = 1,
         on_batch_start=None,
+        fence_sources: bool = False,
     ) -> None:
         """AvailableNow drain of a parquet file stream with the shared
         exactly-once commit choreography: per micro-batch, skip
@@ -395,8 +409,32 @@ class EpochLedger:
         applies it (for insert-only arms that is duplication; the
         CDC arms self-heal via their old-version lookup). Wiping the
         checkpoint's CONTENTS at the same path keeps the old token and
-        stays the proven no-op fixed point."""
+        stays the proven no-op fixed point.
+
+        ``fence_sources=True`` closes that last hazard for the
+        insert-only arms: every committed epoch also records the
+        distinct SOURCE FILE PATHS it applied (a ``sources`` ledger
+        table — file-name-sized, epoch-keyed, swept/compacted/vacuumed
+        like any other table), and each batch anti-joins its rows'
+        ``input_file_name()`` against the committed set before the
+        fold sees them. A fresh checkpoint pointed at already-drained
+        files then commits a BOOKKEEPING-ONLY pointer flip (replay
+        cursor advances, no epoch written, heads unchanged — an empty
+        epoch dir would poison parquet schema inference once it were
+        the only live tail) instead of duplicating, while a legitimate
+        continuation (genuinely new files under a new checkpoint)
+        passes untouched. The fence keys on the
+        absolute file path: immutable-file discipline (never rewrite a
+        landed file's content under its old name — the parquet-lake
+        norm) is assumed, and the per-batch cost is one read of the
+        file-name-sized sources table + one broadcast anti-join. The
+        fence knows only about files drained while it was ON — a root
+        with unfenced history re-pointed at its old files is still the
+        documented double-apply; turn the fence on from the root's
+        first drain."""
         token = os.path.abspath(checkpoint_dir)
+        if fence_sources:
+            self.tables.setdefault("sources", None)
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             if on_batch_start is not None:
@@ -412,6 +450,41 @@ class EpochLedger:
             # is a crash orphan — possibly ANOTHER verb's (a crashed
             # manual delete); sweep it so this commit can't activate it
             clear_staged_epoch(self.root, epoch, tuple(self.tables))
+            if fence_sources:
+                batch_df = batch_df.withColumn(
+                    "__src_file", F.input_file_name()
+                )
+                applied = self.frames(spark, "sources", ptr, epoch - 1)
+                if applied is not None:
+                    batch_df = batch_df.join(
+                        F.broadcast(
+                            applied.select(
+                                F.col("src_file").alias("__src_file")
+                            ).distinct()
+                        ),
+                        "__src_file",
+                        "left_anti",
+                    )
+                    if batch_df.isEmpty():
+                        # fully fenced: advance ONLY the replay cursor —
+                        # no epoch dir (an all-empty live tail breaks
+                        # schema inference), no head movement
+                        self.flip(
+                            {
+                                **ptr,
+                                "last_batch_id": epoch_id,
+                                "checkpoint_token": token,
+                            }
+                        )
+                        return
+                self.write_epoch(
+                    batch_df.select(
+                        F.col("__src_file").alias("src_file")
+                    ).distinct(),
+                    "sources",
+                    epoch,
+                )
+                batch_df = batch_df.drop("__src_file")
             advance = fold(ptr, epoch, batch_df)
             self.flip(
                 {
@@ -447,6 +520,7 @@ class EpochLedger:
         ``compact_upto`` — compacting a subset would let the vacuum
         drop the rest's uncompacted rows. Returns epochs newly
         folded."""
+        self._adopt_fence_table()
         ptr = self.pointer()
         head = ptr["max_epoch"]
         cu = int(ptr.get("compact_upto", 0) or 0)
@@ -456,7 +530,10 @@ class EpochLedger:
             df = self.frames(spark, table, ptr, head)
             if df is None:
                 continue  # e.g. a fresh root's pairs table
-            if transform is not None:
+            # the fence's sources table is ledger bookkeeping, not arm
+            # data — a plain rewrite is always right; arm transforms
+            # (moment summing, tombstone purging) never see it
+            if transform is not None and table != "sources":
                 df = transform(table, df, head)
                 if df is None:
                     continue
@@ -471,4 +548,5 @@ class EpochLedger:
         """See ``vacuum_ledger_dirs`` — compacted-away epoch dirs,
         superseded compacts, staged crash orphans; never the committed
         tail or the pointer-named compact."""
+        self._adopt_fence_table()
         return vacuum_ledger_dirs(self.root, tuple(self.tables))

@@ -4544,3 +4544,586 @@ def test_knn_graph_ivf_cdc_sync_crash_restart(spark, sf_dir, tmp_path):
     }
     assert live == {int(r["vec_id"]) for r in final.select("vec_id").collect()}
     assert 999_999 not in live  # garbage orphan swept, never activated
+
+
+# ---------------------------------------------------------------------------
+# drained-source fence (ledger.py drain(fence_sources=True))
+# ---------------------------------------------------------------------------
+
+
+def _stage_one_file(bdf, src, name, mtime=1_700_000_000):
+    """One deterministic parquet file at src/name (the _stage shape)."""
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    staged = src + f"_stage_{name}"
+    bdf.repartition(1).write.parquet(staged)
+    part = next(
+        f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+    )
+    dst = os.path.join(src, name)
+    os.replace(os.path.join(staged, part), dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def test_drain_source_fence_blocks_double_apply(spark, sf_dir, tmp_path):
+    """fence_sources=True closes the documented last hazard of the
+    checkpoint-lineage contract: a FRESH checkpoint pointed at
+    already-drained files folds empty bookkeeping-only epochs instead
+    of double-applying (insert-only IVF arm), a genuinely new file in
+    the same source still applies, the fence SURVIVES compaction +
+    vacuum (the sources table is adopted into retention), and with the
+    fence OFF the duplication hazard reproduces exactly as documented
+    (regression pin)."""
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    b0 = emb.filter(F.col("vec_id") % 4 == 1)
+    b1 = emb.filter(F.col("vec_id") % 4 == 2)
+    root = str(tmp_path / "index")
+    index_sync.init_ivf_root(base, root, "vec_id", "embedding", n_clusters=4)
+
+    src = str(tmp_path / "src")
+    _stage_one_file(b0, src, "batch0000.parquet")
+    index_sync.sync_ivf_index_stream(
+        spark, src, b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt0"), fence_sources=True,
+    )
+    n_expected = base.count() + b0.count()
+    assert index_sync.load_synced_ivf(spark, root).assigned.count() == n_expected
+
+    # fresh checkpoint, SAME already-drained file: fenced — no dup rows,
+    # bookkeeping-only flip (replay cursor moves, head does not)
+    index_sync.sync_ivf_index_stream(
+        spark, src, b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt1"), fence_sources=True,
+    )
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["max_epoch"] == 1
+    assert ptr["last_batch_id"] == 0
+    assert ptr["checkpoint_token"].endswith("ckpt1")
+    assert index_sync.load_synced_ivf(spark, root).assigned.count() == n_expected
+
+    # mixed continuation: old file + one NEW file under another fresh
+    # checkpoint — only the new file's rows apply
+    _stage_one_file(b1, src, "batch0001.parquet", mtime=1_700_000_001)
+    index_sync.sync_ivf_index_stream(
+        spark, src, b1.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt2"), fence_sources=True,
+    )
+    n_expected += b1.count()
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+    assert index_sync.load_synced_ivf(spark, root).assigned.count() == n_expected
+
+    # fence survives retention: compact + vacuum, then re-point again
+    assert index_sync.compact_ivf_epochs(spark, root) > 0
+    index_sync.vacuum_ivf_epochs(root)
+    index_sync.sync_ivf_index_stream(
+        spark, src, b1.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt3"), fence_sources=True,
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 2
+    assert index_sync.load_synced_ivf(spark, root).assigned.count() == n_expected
+
+    # regression pin: fence OFF double-applies (the documented hazard)
+    root2 = str(tmp_path / "index2")
+    index_sync.init_ivf_root(base, root2, "vec_id", "embedding", n_clusters=4)
+    for ck in ("c0", "c1"):
+        index_sync.sync_ivf_index_stream(
+            spark, src, b0.schema, root2,
+            checkpoint_dir=str(tmp_path / ck),
+        )
+    assert (
+        index_sync.load_synced_ivf(spark, root2).assigned.count()
+        == base.count() + 2 * (b0.count() + b1.count())
+    )
+
+
+def test_drain_source_fence_crash_replay_exactly_once(spark, sf_dir, tmp_path):
+    """A crash BETWEEN the fence's staged sources write and the pointer
+    flip must not burn the batch's files into the fence: the replay
+    recomputes the same epoch, overwrites the orphan sources dir, and
+    applies the rows exactly once."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    b0 = emb.filter(F.col("vec_id") % 4 == 1)
+    root = str(tmp_path / "index")
+    index_sync.init_ivf_root(base, root, "vec_id", "embedding", n_clusters=4)
+    src = str(tmp_path / "src")
+    _stage_one_file(b0, src, "batch0000.parquet")
+
+    boom = {"armed": True}
+
+    def crash_after_stage(epoch_id):
+        # arm a crash INSIDE the commit window: stage the sources dir
+        # manually (as if the fold died mid-write), then die
+        if boom["armed"]:
+            boom["armed"] = False
+            spark.createDataFrame(
+                [("file://phantom.parquet",)], ["src_file"]
+            ).write.mode("overwrite").parquet(
+                str(tmp_path / "index" / "sources" / "epoch=1")
+            )
+            raise RuntimeError("injected crash before flip")
+
+    with pytest.raises(StreamingQueryException):
+        index_sync.sync_ivf_index_stream(
+            spark, src, b0.schema, root,
+            checkpoint_dir=str(tmp_path / "ckpt"), fence_sources=True,
+            on_batch_start=crash_after_stage,
+        )
+    # orphan staged above the pointer: invisible (head still 0)
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 0
+
+    index_sync.sync_ivf_index_stream(
+        spark, src, b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"), fence_sources=True,
+    )
+    assert index_sync.read_index_pointer(root)["max_epoch"] == 1
+    assert (
+        index_sync.load_synced_ivf(spark, root).assigned.count()
+        == base.count() + b0.count()
+    )
+    # the phantom orphan was overwritten, not committed: the fence holds
+    # exactly the real file
+    srcs = [
+        r["src_file"]
+        for r in spark.read.parquet(
+            str(tmp_path / "index" / "sources" / "epoch=1")
+        ).collect()
+    ]
+    assert len(srcs) == 1 and srcs[0].endswith("batch0000.parquet")
+
+
+def test_drain_source_fence_minhash_and_bm25_empty_fold(spark, sf_dir, tmp_path):
+    """Fully-fenced re-drains commit bookkeeping-only flips through
+    the minhash and BM25 insert arms — no epoch written, heads
+    unchanged, index contents bit-identical."""
+    from spacex_data_engineering_pipeline_spark.streaming import bm25_sync, index_sync
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 120))
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    n_batch = batch.count()
+    src = str(tmp_path / "src")
+    _stage_one_file(batch, src, "batch0000.parquet")
+
+    mh_root = str(tmp_path / "mh")
+    index_sync.init_minhash_root(
+        corpus, mh_root, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3,
+    )
+    for ck in ("m0", "m1"):
+        index_sync.sync_minhash_index_stream(
+            spark, src, batch.schema, mh_root,
+            checkpoint_dir=str(tmp_path / ck), fence_sources=True,
+        )
+    ptr = index_sync.read_index_pointer(mh_root)
+    assert ptr["max_epoch"] == 1  # fenced re-drain: bookkeeping-only flip
+    grams = spark.read.parquet(mh_root + "/grams")
+    assert (
+        grams.filter(F.col("epoch") == 1).select("doc").distinct().count()
+        == n_batch
+    )
+
+    bm_root = str(tmp_path / "bm")
+    bm25_sync.init_bm25_root(corpus, bm_root, "doc_id", "text")
+    for ck in ("b0", "b1"):
+        bm25_sync.sync_bm25_index_stream(
+            spark, src, batch.schema, bm_root,
+            checkpoint_dir=str(tmp_path / ck), fence_sources=True,
+        )
+    ptr = bm25_sync.read_index_pointer(bm_root)
+    assert ptr["max_epoch"] == 1  # fenced re-drain: bookkeeping-only flip
+    stats = spark.read.parquet(bm_root + "/stats")
+    n_by_epoch = {
+        r["epoch"]: r["n"]
+        for r in stats.groupBy("epoch")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert n_by_epoch.get(1) == n_batch and 2 not in n_by_epoch
+
+
+def test_hybrid_cdc_stream_crash_between_drains(spark, sf_dir, tmp_path):
+    """``sync_hybrid_cdc_stream`` drains ONE wide CDC stream through
+    both serving ledgers sequentially, then records the epoch pair. A
+    crash BETWEEN the two drains (BM25 committed, IVF not) must leave
+    the pairs file un-appended — a reader at the last recorded pair
+    never observes the torn middle — and re-running the verb must
+    finish the lagging drain while the finished one no-ops via its own
+    replay skip (no double-application of the signed BM25 fold)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.streaming import (
+        bm25_sync, index_sync,
+    )
+    from spacex_data_engineering_pipeline_spark.streaming.ledger import (
+        read_epoch_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 100))
+        .select("doc_id", "text")
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 100))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "text", "embedding"
+    )
+    m = F.col("doc_id") % 10
+    base = j.filter(m != 3)
+    cdc = (
+        j.filter(m == 3)
+        .select("doc_id", "text", "embedding", F.lit("I").alias("op"))
+        .unionByName(
+            j.filter(m == 9).select(
+                "doc_id", "text", "embedding", F.lit("D").alias("op")
+            )
+        )
+    )
+    n_live = j.filter(m != 9).count()
+
+    broot = str(tmp_path / "bm25")
+    droot = str(tmp_path / "ivf")
+    src = tmp_path / "src"
+    pairs_path = str(tmp_path / "epoch_pairs.json")
+    ckpt_base = str(tmp_path / "ckpt")
+    index_sync.init_bm25_root(
+        base.select("doc_id", "text"), broot, "doc_id", "text"
+    )
+    index_sync.init_ivf_root(
+        base.select("doc_id", "embedding"), droot, "doc_id", "embedding",
+        n_clusters=4, seed=7,
+    )
+    _stage_cdc_batches(tmp_path, src, (cdc,))
+
+    # "crash" between the halves: the BM25 drain committed under the
+    # verb's own checkpoint path, then the process died
+    import os
+
+    bm25_sync.sync_bm25_cdc_stream(
+        spark, str(src), cdc.schema, broot,
+        checkpoint_dir=os.path.join(ckpt_base, "bm25"),
+    )
+    assert read_epoch_pairs(pairs_path) == []  # torn middle: no pair
+    bm_head = bm25_sync.read_index_pointer(broot)["max_epoch"]
+
+    pair = index_sync.sync_hybrid_cdc_stream(
+        spark, str(src), cdc.schema, broot, droot,
+        pairs_path=pairs_path, checkpoint_base=ckpt_base,
+    )
+    # the finished BM25 drain no-oped (same head, no double-fold)...
+    assert bm25_sync.read_index_pointer(broot)["max_epoch"] == bm_head
+    stats = spark.read.parquet(broot + "/stats")
+    assert (
+        stats.agg(F.sum("n_docs").alias("n")).first()["n"] == n_live
+    )
+    # ...the IVF drain caught up, and the pair pins both committed heads
+    assert pair["epochs"] == {
+        "bm25": bm_head,
+        "ivf": index_sync.read_index_pointer(droot)["max_epoch"],
+    }
+    live = {
+        int(r["doc_id"])
+        for r in index_sync.load_synced_ivf(spark, droot)
+        .assigned.select("doc_id")
+        .collect()
+    }
+    assert live == {
+        int(r["doc_id"]) for r in j.filter(m != 9).collect()
+    }
+
+
+def test_maintain_root_policy_per_kind(spark, sf_dir, tmp_path):
+    """``maintain_root`` sniffs the family from the pointer and runs
+    that family's retention only past the tail dial: (a) kind sniffing
+    is exact for all six pointer signatures; (b) below the dial it
+    no-ops (one pointer read, nothing rewritten); (c) above it, the
+    family compaction + vacuum run and readers see identical state;
+    (d) graph-bearing roots prune generations to the keep dial."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    # (a) pointer-signature discrimination, no filesystem needed
+    assert index_sync.ledger_root_kind({"term_buckets": 16}) == "bm25"
+    assert (
+        index_sync.ledger_root_kind({"generation": 0, "n_probes": 4})
+        == "graph_ivf"
+    )
+    assert index_sync.ledger_root_kind({"generation": 0, "k": 5}) == "graph"
+    assert index_sync.ledger_root_kind({"num_hashes": 64}) == "minhash"
+    assert (
+        index_sync.ledger_root_kind({"min_cosine": 0.9, "id_col": "d"})
+        == "semantic"
+    )
+    assert index_sync.ledger_root_kind({"id_col": "d", "vec_col": "v"}) == "ivf"
+    assert index_sync.ledger_root_kind({"vec_col": "v"}) == "pca"
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 120))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "ivf")
+    index_sync.init_ivf_root(base, root, "vec_id", "embedding", n_clusters=4)
+    for i, m in enumerate((1, 2, 3)):
+        b = emb.filter(F.col("vec_id") % 4 == m)
+        src = tmp_path / f"src{i}"
+        _stage_cdc_batches(tmp_path, src, (b,))
+        index_sync.sync_ivf_index_stream(
+            spark, str(src), b.schema, root,
+            checkpoint_dir=str(tmp_path / f"ck{i}"),
+        )
+
+    # (b) tail (3) within a generous dial: nothing happens
+    rep = index_sync.maintain_root(spark, root, max_tail_epochs=8)
+    assert rep == {
+        "kind": "ivf", "tail_epochs": 3, "compacted_epochs": 0,
+        "vacuumed_dirs": 0, "generations_dropped": 0,
+    }
+
+    # (c) tail above the dial: ivf compaction + vacuum, reads unchanged
+    before = sorted(
+        (int(r["vec_id"]), int(r["cluster"]))
+        for r in index_sync.load_synced_ivf(spark, root).assigned.collect()
+    )
+    rep = index_sync.maintain_root(spark, root, max_tail_epochs=2)
+    assert rep["kind"] == "ivf" and rep["compacted_epochs"] == 3
+    assert rep["vacuumed_dirs"] > 0
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["compact_upto"] == ptr["max_epoch"] == 3
+    after = sorted(
+        (int(r["vec_id"]), int(r["cluster"]))
+        for r in index_sync.load_synced_ivf(spark, root).assigned.collect()
+    )
+    assert after == before
+
+    # (d) plain graph root: generations pruned to keep_generations
+    gbase = emb.filter(F.col("vec_id") % 4 == 0)
+    groot = str(tmp_path / "graph")
+    index_sync.init_knn_graph_root(
+        gbase, groot, "vec_id", "embedding", k=3, n_blocks=4
+    )
+    gsrc = tmp_path / "gsrc"
+    _stage_cdc_batches(
+        tmp_path, gsrc,
+        (emb.filter(F.col("vec_id") % 4 == 1),
+         emb.filter(F.col("vec_id") % 4 == 2)),
+    )
+    index_sync.sync_knn_graph_stream(
+        spark, str(gsrc), gbase.schema, groot,
+        checkpoint_dir=str(tmp_path / "gck"),
+    )
+    import os
+
+    gens = lambda: sorted(
+        d for d in os.listdir(os.path.join(groot, "graph"))
+        if d.startswith("gen=")
+    )
+    assert len(gens()) == 3  # base + two folds
+    rep = index_sync.maintain_root(spark, groot, keep_generations=1)
+    assert rep["kind"] == "graph" and rep["generations_dropped"] == 2
+    assert gens() == ["gen=2"]
+    # the committed head generation still loads
+    assert index_sync.load_synced_graph(spark, groot).count() > 0
+
+
+def test_graph_corpus_rebase_retention(spark, sf_dir, tmp_path):
+    """``rebase_graph_corpus`` + ``vacuum_graph_logs``: the plain graph
+    root's applied/removed logs fold into one corpus snapshot behind a
+    pointer-recorded floor; replays after the rebase read snapshot +
+    post-floor logs only. Pins: (1) the derived corpus is IDENTICAL
+    across the rebase; (2) vacuum physically drops the folded log dirs
+    and the dead corpus_base; (3) a stream continued AFTER the rebase
+    (upserts, removals, re-vectors crossing the floor) still derives
+    the exact corpus — final graph ≡ brute-force rebuild; (4) a staged
+    rebase orphan the pointer never named is invisible and vacuumed;
+    (5) the IVF-backed graph root is refused; (6) maintain_root routes
+    the plain-graph kind through rebase + log vacuum by the tail dial."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 120))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "graph")
+    index_sync.init_knn_graph_root(
+        base, root, "vec_id", "embedding", k=3, n_blocks=4
+    )
+
+    # two CDC batches before the rebase: inserts, then deletes + re-vectors
+    b0 = emb.filter(F.col("vec_id") % 4 == 1).select(
+        "vec_id", "embedding", F.lit("I").alias("op")
+    )
+    b1 = (
+        emb.filter(F.col("vec_id") % 8 == 2)
+        .select(
+            "vec_id",
+            F.reverse("embedding").alias("embedding"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 8 == 4).select(
+                "vec_id", "embedding", F.lit("D").alias("op")
+            )
+        )
+    )
+    src0 = tmp_path / "src0"
+    _stage_cdc_batches(tmp_path, src0, (b0, b1))
+    index_sync.sync_knn_graph_cdc_stream(
+        spark, str(src0), b0.schema, root,
+        checkpoint_dir=str(tmp_path / "ck0"),
+    )
+    ptr = index_sync.read_index_pointer(root)
+    before = {
+        (int(r["vec_id"]), tuple(r["embedding"]))
+        for r in index_sync._corpus_at(spark, root, ptr).collect()
+    }
+
+    # (4) staged orphan snapshot above any committed floor: invisible
+    spark.createDataFrame(
+        [(999999, [0.0])], ["vec_id", "embedding"]
+    ).write.parquet(os.path.join(root, "corpus_rebase", "upto=99"))
+
+    # (1) rebase folds both log tables; derived corpus unchanged
+    assert index_sync.rebase_graph_corpus(spark, root) == 2
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["corpus_rebase_gen"] == ptr["generation"] == 2
+    after = {
+        (int(r["vec_id"]), tuple(r["embedding"]))
+        for r in index_sync._corpus_at(spark, root, ptr).collect()
+    }
+    assert after == before
+    # idempotent: nothing above the floor → no-op, no burned snapshot
+    assert index_sync.rebase_graph_corpus(spark, root) == 0
+
+    # (2) vacuum drops folded logs, the orphan, and the dead base
+    assert index_sync.vacuum_graph_logs(root) >= 4
+    assert not os.path.isdir(os.path.join(root, "corpus_base"))
+    assert not os.path.isdir(os.path.join(root, "corpus_rebase", "upto=99"))
+    assert os.listdir(os.path.join(root, "corpus_rebase")) == ["upto=2"]
+    for t in ("applied", "removed"):
+        d = os.path.join(root, t)
+        assert not os.path.isdir(d) or not os.listdir(d)
+
+    # (3) continue the stream across the floor: delete a base id, delete
+    # a pre-rebase insert, re-vector a base id — replay must compose
+    # snapshot + post-floor logs exactly
+    b2 = (
+        emb.filter(F.col("vec_id").isin(0, 1))  # 0: base; 1: b0 insert
+        .select("vec_id", "embedding", F.lit("D").alias("op"))
+        .unionByName(
+            emb.filter(F.col("vec_id") == 8).select(
+                "vec_id",
+                F.reverse("embedding").alias("embedding"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    src1 = tmp_path / "src1"
+    _stage_cdc_batches(tmp_path, src1, (b2,))
+    index_sync.sync_knn_graph_cdc_stream(
+        spark, str(src1), b2.schema, root,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    vid = F.col("vec_id")
+    final = (
+        emb.filter(
+            ((vid % 4 == 0) | (vid % 4 == 1) | (vid % 8 == 2))
+            & ~((vid % 8 == 4) & (vid % 8 != 2))
+            & ~vid.isin(0, 1)
+        )
+        .select(
+            "vec_id",
+            F.when((vid % 8 == 2) | (vid == 8), F.reverse("embedding"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    truth = {
+        (r.vec_id, r.rnk): (r.neighbor, round(r.cos_sim, 6))
+        for r in S.knn_graph(
+            final, "vec_id", "embedding", k=3, n_blocks=4
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.rnk): (r.neighbor, round(r.cos_sim, 6))
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got == truth
+
+    # (5) IVF-backed graph roots are refused (their corpus lives in the
+    # posting ledger; compact_ivf_epochs is their compaction)
+    ivf_like = str(tmp_path / "fake_ivf_graph")
+    os.makedirs(ivf_like)
+    index_sync._flip_pointer(
+        ivf_like, {"generation": 0, "n_probes": 4, "last_batch_id": None}
+    )
+    with pytest.raises(ValueError, match="posting ledger"):
+        index_sync.rebase_graph_corpus(spark, ivf_like)
+
+    # (6) the policy verb: tail (1 post-floor epoch) under dial → no-op;
+    # dial 0 → rebase + vacuum
+    rep = index_sync.maintain_root(spark, root, max_tail_epochs=8)
+    assert rep["kind"] == "graph" and rep["tail_epochs"] == 1
+    assert rep["compacted_epochs"] == 0
+    rep = index_sync.maintain_root(
+        spark, root, max_tail_epochs=0, keep_generations=1
+    )
+    assert rep["compacted_epochs"] == 1 and rep["vacuumed_dirs"] >= 1
+    assert rep["generations_dropped"] >= 1
+    ptr = index_sync.read_index_pointer(root)
+    assert ptr["corpus_rebase_gen"] == ptr["generation"]
+    got = {
+        (r.vec_id, r.rnk): (r.neighbor, round(r.cos_sim, 6))
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got == truth
