@@ -766,33 +766,48 @@ def knn_graph_upsert(
     )
 
     upd_id_set = {i for i, _ in upd_list}
-    affected_ids = sorted(
-        {
-            int(r[id_col])
-            for r in base_graph.join(
-                upd_ids_df.withColumnRenamed(id_col, "neighbor"), "neighbor"
-            )
-            .select(id_col)
-            .distinct()
-            .collect()
-        }
-        - upd_id_set
-    )
-    if len(affected_ids) + len(upd_list) > max_affected:
+    if len(upd_list) > max_affected:
         raise ValueError(
-            f"{len(affected_ids)} affected rows + {len(upd_list)} updates "
+            f"{len(upd_list)} updates exceed max_affected={max_affected}: "
+            "a hub-scale upsert — rebuild the graph instead"
+        )
+    # ONE bounded driver round trip for the affected probe AND the
+    # affected-vector fetch (optimization r14: previously two sequential
+    # collects = two full AQE query executions per call, measured as the
+    # dominant per-micro-batch scheduler cost in the sync arms): the
+    # probe ids left-join the survivor vectors, and the LIMIT keeps the
+    # collect bounded to the refusal budget — the same
+    # never-collect-unbounded-vectors discipline as the old two-step,
+    # in half the round trips. Updated ids are excluded probe-side
+    # (anti-join) exactly as the old set subtraction did.
+    budget = max_affected - len(upd_list)
+    aff_probe = (
+        base_graph.join(
+            upd_ids_df.withColumnRenamed(id_col, "neighbor"), "neighbor"
+        )
+        .select(id_col)
+        .distinct()
+        .join(upd_ids_df, id_col, "left_anti")
+    )
+    aff_rows = (
+        aff_probe.join(
+            survivors.withColumnRenamed(vec_col, "__vec"), id_col, "left"
+        )
+        .limit(budget + 1)
+        .collect()
+    )
+    if len(aff_rows) > budget:
+        raise ValueError(
+            f"≥{len(aff_rows)} affected rows + {len(upd_list)} updates "
             f"exceed max_affected={max_affected}: a hub-scale upsert — "
             "rebuild the graph instead"
         )
-    affected_vecs = []
-    if affected_ids:
-        aff_df = spark.createDataFrame(
-            [(i,) for i in affected_ids], f"{id_col} long"
-        )
-        affected_vecs = sorted(
-            (int(r[id_col]), [float(x) for x in r[vec_col]])
-            for r in corpus.join(aff_df, id_col).collect()
-        )
+    affected_ids = sorted(int(r[id_col]) for r in aff_rows)
+    affected_vecs = sorted(
+        (int(r[id_col]), [float(x) for x in r["__vec"]])
+        for r in aff_rows
+        if r["__vec"] is not None
+    )
     queries = sorted(affected_vecs + upd_list)
     # recompute via the shared kernel with the query matrix in the
     # closure — batch_knn_topk's per-query accumulator bookkeeping is
@@ -804,7 +819,30 @@ def knn_graph_upsert(
     aq_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
     aq_nrm = np.sqrt(np.cumsum(aq_mat * aq_mat, axis=1)[:, -1])
 
-    def recompute_lists(batches):
+    recompute_set = set(affected_ids) | upd_id_set
+    rec_df = spark.createDataFrame(
+        [(i,) for i in sorted(recompute_set)], f"{id_col} long"
+    )
+    keep_base = base_graph.join(rec_df, id_col, "left_anti").select(
+        id_col, "neighbor", "cos_sim"
+    )
+    # the update matrix for the unaffected scan (the incremental arm)
+    qids = np.asarray([q for q, _ in upd_list], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in upd_list])
+    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+    # ONE fused corpus pass (optimization r14: previously TWO full
+    # passes — ``recompute_lists`` over corpus + ``unaffected_vs_
+    # updates`` over survivors − rec_df — each re-executing the whole
+    # corpus lineage; guide §1.2 "remove unnecessary passes"). Per
+    # Arrow batch the closure emits (a) the recompute queries' partials
+    # vs the batch rows and (b) the batch's UNAFFECTED rows' partials
+    # vs the update matrix. (b)'s old input set was survivors − rec_df
+    # = corpus − (upd ids ∪ affected ids) — exactly the mask below, so
+    # the emitted multiset is identical and the downstream window
+    # returns bit-identical rows.
+    rec_ids_arr = np.asarray(sorted(recompute_set), dtype=np.int64)
+
+    def fused_scan(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -816,6 +854,12 @@ def knn_graph_upsert(
                 aq_ids, aq_mat, aq_nrm, ids, mat, norms,
                 k, slack, out_i, out_n, out_c,
             )
+            un = ~np.isin(ids, rec_ids_arr)
+            if un.any():
+                _partial_topk_side(
+                    ids[un], mat[un], norms[un], qids, qmat, qnorm,
+                    k, slack, out_i, out_n, out_c,
+                )
             if out_i:
                 yield pd.DataFrame(
                     {
@@ -825,56 +869,14 @@ def knn_graph_upsert(
                     }
                 )
 
-    recomputed = (
+    scanned = (
         corpus.mapInPandas(
-            recompute_lists, f"{id_col} long, neighbor long, cos_raw double"
+            fused_scan, f"{id_col} long, neighbor long, cos_raw double"
         )
         .withColumn("cos_sim", F.round("cos_raw", decimals))
         .select(id_col, "neighbor", "cos_sim")
     )
-
-    recompute_set = set(affected_ids) | upd_id_set
-    rec_df = spark.createDataFrame(
-        [(i,) for i in sorted(recompute_set)], f"{id_col} long"
-    )
-    keep_base = base_graph.join(rec_df, id_col, "left_anti").select(
-        id_col, "neighbor", "cos_sim"
-    )
-    # unaffected rows vs the update matrix — the incremental arm's scan
-    qids = np.asarray([q for q, _ in upd_list], dtype=np.int64)
-    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in upd_list])
-    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
-
-    def unaffected_vs_updates(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
-            out_i, out_n, out_c = [], [], []
-            _partial_topk_side(
-                ids, mat, norms, qids, qmat, qnorm,
-                k, slack, out_i, out_n, out_c,
-            )
-            if out_i:
-                yield pd.DataFrame(
-                    {
-                        id_col: np.concatenate(out_i),
-                        "neighbor": np.concatenate(out_n),
-                        "cos_raw": np.concatenate(out_c),
-                    }
-                )
-
-    unaffected_new = (
-        survivors.join(rec_df, id_col, "left_anti")
-        .mapInPandas(
-            unaffected_vs_updates, f"{id_col} long, neighbor long, cos_raw double"
-        )
-        .withColumn("cos_sim", F.round("cos_raw", decimals))
-        .select(id_col, "neighbor", "cos_sim")
-    )
-    cands = keep_base.unionByName(unaffected_new).unionByName(recomputed)
+    cands = keep_base.unionByName(scanned)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
     )
@@ -951,24 +953,35 @@ def knn_graph_delete(
         .filter(F.col(vec_col).isNotNull())
         .join(del_ids_df, id_col, "left_anti")
     )
-    affected_ids = sorted(
-        {
-            int(r[id_col])
-            for r in base_graph.join(
-                del_ids_df.withColumnRenamed(id_col, "neighbor"), "neighbor"
-            )
-            .select(id_col)
-            .distinct()
-            .collect()
-        }
-        - del_ids
+    # ONE bounded driver round trip for the affected probe AND the
+    # affected-vector fetch (optimization r14, mirroring
+    # knn_graph_upsert): probe ids left-join the survivor vectors; the
+    # LIMIT keeps the collect bounded to the refusal budget, preserving
+    # the never-collect-unbounded-vectors discipline in half the round
+    # trips. Deleted ids are excluded probe-side exactly as the old set
+    # subtraction did.
+    aff_probe = (
+        base_graph.join(
+            del_ids_df.withColumnRenamed(id_col, "neighbor"), "neighbor"
+        )
+        .select(id_col)
+        .distinct()
+        .join(del_ids_df, id_col, "left_anti")
     )
-    if len(affected_ids) > max_affected:
+    aff_rows = (
+        aff_probe.join(
+            survivors.withColumnRenamed(vec_col, "__vec"), id_col, "left"
+        )
+        .limit(max_affected + 1)
+        .collect()
+    )
+    if len(aff_rows) > max_affected:
         raise ValueError(
-            f"{len(affected_ids)} rows cite the deleted set "
+            f"≥{len(aff_rows)} rows cite the deleted set "
             f"(max_affected={max_affected}): a hub-scale delete — "
             "rebuild the graph instead"
         )
+    affected_ids = sorted(int(r[id_col]) for r in aff_rows)
     rec_df = spark.createDataFrame(
         [(i,) for i in affected_ids], f"{id_col} long"
     )
@@ -987,8 +1000,9 @@ def knn_graph_delete(
             .select(id_col, "rnk", "neighbor", "cos_sim")
         )
     affected_vecs = sorted(
-        (int(r[id_col]), [float(x) for x in r[vec_col]])
-        for r in survivors.join(rec_df, id_col).collect()
+        (int(r[id_col]), [float(x) for x in r["__vec"]])
+        for r in aff_rows
+        if r["__vec"] is not None
     )
     aq_ids = np.asarray([q for q, _ in affected_vecs], dtype=np.int64)
     aq_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in affected_vecs])
@@ -1023,6 +1037,220 @@ def knn_graph_delete(
         .select(id_col, "neighbor", "cos_sim")
     )
     cands = keep.unionByName(recomputed)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "neighbor", "cos_sim")
+    )
+
+
+def knn_graph_apply_cdc(
+    old: DataFrame,
+    deletes: DataFrame | None,
+    upserts: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_blocks: int = 8,
+    decimals: int = 6,
+    slack: float = 1e-6,
+    base_graph: DataFrame | None = None,
+    max_affected: int = 65536,
+) -> DataFrame:
+    """Apply one CDC batch (disjoint delete-id set + upsert rows) to a
+    kNN graph in ONE affected-set pass — the fused form of
+    ``knn_graph_delete`` followed by ``knn_graph_upsert`` that the
+    streaming CDC arm previously ran sequentially (optimization r14:
+    two full corpus passes, two affected probes, two merge windows and
+    an eager localCheckpoint of the intermediate repaired graph per
+    micro-batch → one of each; guide §1.2 "remove unnecessary passes").
+
+    EXACTNESS (same theorem as the two verbs, with the changed set
+    C = deleted ids ∪ upserted ids): partition the new corpus
+    ((old − C) ∪ upserts) three ways —
+    1. UPSERTED rows: recomputed from scratch (ride as queries).
+    2. AFFECTED rows: stored list cites ANY id in C (a deleted
+       neighbor must be evicted, a re-vectored one re-scored; either
+       can promote an unseen candidate) — recomputed in the same pass.
+    3. UNAFFECTED rows: no stored edge cites C, so every stored edge
+       survives with unchanged vectors and removing non-cited vectors
+       cannot promote anything — their new top-k is the re-ranked
+       union of the stored list with their partials vs the UPSERT
+       matrix (empty when the batch is delete-only).
+    Deleted rows vanish (they are in C, never in the new corpus). All
+    streams carry the strict-sum 6dp cosines and (cos DESC, id ASC)
+    tiebreak, so the merge is bit-identical to delete-then-upsert AND
+    to a full rebuild — the sequential form recomputes C-citing rows
+    twice (vs corpus−deleted, then re-ranked vs updates); both end at
+    the exact top-k over the new corpus.
+
+    ``deletes`` (ids) and ``upserts`` (id, vector) must not share ids
+    (the CDC contract's at-most-one-row-per-id, enforced upstream).
+    Cost: |C∪affected|·N, one corpus pass, one bounded driver fetch —
+    the refusal discipline of both verbs, unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    if base_graph is None:
+        base_graph = knn_graph(
+            old, id_col, vec_col, k,
+            n_blocks=n_blocks, decimals=decimals, slack=slack,
+        ).localCheckpoint(eager=True)
+    spark = old.sparkSession
+    upd_rows = (
+        upserts.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+        if upserts is not None
+        else []
+    )
+    upd_list = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in upd_rows
+    )
+    if len(upd_list) > max_affected:
+        raise ValueError(
+            f"{len(upd_list)} updates exceed max_affected={max_affected}: "
+            "a hub-scale upsert — rebuild the graph instead"
+        )
+    del_ids_df = (
+        deletes.select(id_col).distinct() if deletes is not None else None
+    )
+    upd_ids_df = (
+        spark.createDataFrame([(i,) for i, _ in upd_list], f"{id_col} long")
+        if upd_list
+        else None
+    )
+    changed = [d for d in (del_ids_df, upd_ids_df) if d is not None]
+    if not changed:
+        w0 = Window.partitionBy(id_col).orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor").asc()
+        )
+        return (
+            base_graph.select(id_col, "neighbor", "cos_sim")
+            .withColumn("rnk", F.row_number().over(w0))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "rnk", "neighbor", "cos_sim")
+        )
+    changed_df = changed[0]
+    for c in changed[1:]:
+        changed_df = changed_df.unionByName(c)
+    old_rows = old.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    survivors = old_rows.join(changed_df, id_col, "left_anti")
+    corpus = (
+        survivors.unionByName(
+            upserts.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        )
+        if upd_list
+        else survivors
+    )
+    # ONE bounded driver round trip: affected probe + vector fetch
+    # (the knn_graph_upsert/delete fused-fetch shape)
+    budget = max_affected - len(upd_list)
+    aff_probe = (
+        base_graph.join(
+            changed_df.withColumnRenamed(id_col, "neighbor"), "neighbor"
+        )
+        .select(id_col)
+        .distinct()
+        .join(changed_df, id_col, "left_anti")
+    )
+    aff_rows = (
+        aff_probe.join(
+            survivors.withColumnRenamed(vec_col, "__vec"), id_col, "left"
+        )
+        .limit(budget + 1)
+        .collect()
+    )
+    if len(aff_rows) > budget:
+        raise ValueError(
+            f"≥{len(aff_rows)} affected rows + {len(upd_list)} updates "
+            f"exceed max_affected={max_affected}: a hub-scale CDC batch — "
+            "rebuild the graph instead"
+        )
+    affected_ids = sorted(int(r[id_col]) for r in aff_rows)
+    affected_vecs = sorted(
+        (int(r[id_col]), [float(x) for x in r["__vec"]])
+        for r in aff_rows
+        if r["__vec"] is not None
+    )
+    queries = sorted(affected_vecs + upd_list)
+    recompute_set = set(affected_ids) | {i for i, _ in upd_list}
+    rec_df = (
+        spark.createDataFrame(
+            [(i,) for i in sorted(recompute_set)], f"{id_col} long"
+        )
+        if recompute_set
+        else None
+    )
+    keep = base_graph
+    if rec_df is not None:
+        keep = keep.join(rec_df, id_col, "left_anti")
+    if del_ids_df is not None:
+        keep = keep.join(del_ids_df, id_col, "left_anti")
+    keep = keep.select(id_col, "neighbor", "cos_sim")
+    if not queries:  # delete-only batch touching no stored edges
+        w0 = Window.partitionBy(id_col).orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor").asc()
+        )
+        return (
+            keep.withColumn("rnk", F.row_number().over(w0))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "rnk", "neighbor", "cos_sim")
+        )
+    aq_ids = np.asarray([q for q, _ in queries], dtype=np.int64)
+    aq_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    aq_nrm = np.sqrt(np.cumsum(aq_mat * aq_mat, axis=1)[:, -1])
+    rec_ids_arr = np.asarray(sorted(recompute_set), dtype=np.int64)
+    if upd_list:
+        qids = np.asarray([q for q, _ in upd_list], dtype=np.int64)
+        qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in upd_list])
+        qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+    else:
+        qids = np.empty(0, np.int64)
+        qmat = np.empty((0, aq_mat.shape[1]), np.float64)
+        qnorm = np.empty(0, np.float64)
+
+    def fused_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            out_i, out_n, out_c = [], [], []
+            _partial_topk_side(
+                aq_ids, aq_mat, aq_nrm, ids, mat, norms,
+                k, slack, out_i, out_n, out_c,
+            )
+            if len(qids):
+                un = ~np.isin(ids, rec_ids_arr)
+                if un.any():
+                    _partial_topk_side(
+                        ids[un], mat[un], norms[un], qids, qmat, qnorm,
+                        k, slack, out_i, out_n, out_c,
+                    )
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_i),
+                        "neighbor": np.concatenate(out_n),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    scanned = (
+        corpus.mapInPandas(
+            fused_scan, f"{id_col} long, neighbor long, cos_raw double"
+        )
+        .withColumn("cos_sim", F.round("cos_raw", decimals))
+        .select(id_col, "neighbor", "cos_sim")
+    )
+    cands = keep.unionByName(scanned)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
     )

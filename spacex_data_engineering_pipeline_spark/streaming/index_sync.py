@@ -387,11 +387,11 @@ def sync_knn_graph_cdc_stream(
 
     def fold(ptr: dict, gen: int, batch_df: DataFrame) -> dict:
         id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
-        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        ops, has_ud, n_del, n_up = _cdc_batch_ops(
+            batch_df, id_col, (vec_col,), op_col
+        )
         dels = ops.filter(F.col("__op") == "D").select(id_col).distinct()
         upserts = ops.filter(F.col("__op") != "D").select(id_col, vec_col)
-        n_del = dels.count() if has_ud else 0
-        n_up = upserts.count()
         if not n_del and not n_up:
             ops.unpersist()
             return {}  # empty batch: bookkeeping only, generation holds
@@ -399,19 +399,18 @@ def sync_knn_graph_cdc_stream(
         graph = S.load_knn_graph(
             spark, _graph_gen_path(root, ptr["generation"])
         )
-        if n_del:
-            # repaired graph is referenced by the upsert fold's
-            # affected-probe AND its keep stream — pin it once
-            graph = S.knn_graph_delete(
-                corpus, dels, id_col, vec_col, k,
-                n_blocks=ptr["n_blocks"], base_graph=graph,
-            ).localCheckpoint(eager=True)
-            corpus = corpus.join(dels, id_col, "left_anti")
-        if n_up:
-            graph = S.knn_graph_upsert(
-                corpus, upserts, id_col, vec_col, k,
-                n_blocks=ptr["n_blocks"], base_graph=graph,
-            )
+        # ONE fused affected-set pass for both sides of the batch
+        # (optimization r14 — previously delete-then-upsert: two full
+        # corpus passes, two probes, two merge windows and an eager
+        # localCheckpoint of the intermediate repaired graph; the fused
+        # form is bit-identical, see knn_graph_apply_cdc's theorem)
+        graph = S.knn_graph_apply_cdc(
+            corpus,
+            dels if n_del else None,
+            upserts if n_up else None,
+            id_col, vec_col, k,
+            n_blocks=ptr["n_blocks"], base_graph=graph,
+        )
         S.save_knn_graph(
             graph, _graph_gen_path(root, gen), id_col,
             n_buckets=ptr["n_buckets"],
@@ -694,16 +693,20 @@ def delete_index_ids(
 
 def _cdc_batch_ops(
     batch_df: DataFrame, id_col: str, payload_cols, op_col: str
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, bool, int, int]:
     """Normalize + GUARD one CDC micro-batch: returns (ops frame —
     (id, payload, op first letter uppercased), persisted across the
-    fold's writes — and whether the batch carries any U/D row), and
-    ENFORCE the at-most-one-row-per-id-per-batch contract every CDC
-    arm shares (two versions of an id in one batch have no defined
-    order — one tombstone would cover both new rows and the surviving
-    state would depend on shuffle order; collapse upstream with
+    fold's writes — whether the batch carries any U/D row, the op-D
+    row count, and the non-D row count), and ENFORCE the
+    at-most-one-row-per-id-per-batch contract every CDC arm shares
+    (two versions of an id in one batch have no defined order — one
+    tombstone would cover both new rows and the surviving state would
+    depend on shuffle order; collapse upstream with
     ``latest_update_per_key``). One batch-sized agg job — the BM25
-    arm's refusal discipline, factored for the vector arms."""
+    arm's refusal discipline, factored for the vector arms; the D /
+    non-D counts ride in the SAME agg so folds that branch on them
+    (the graph CDC arm) don't pay two extra count() actions per
+    micro-batch (optimization r14)."""
     ops = batch_df.select(
         F.col(id_col),
         *[F.col(c) for c in payload_cols],
@@ -715,6 +718,9 @@ def _cdc_batch_ops(
         F.sum(
             F.when(F.col("__op").isin("U", "D"), F.lit(1)).otherwise(F.lit(0))
         ).alias("ud"),
+        F.sum(
+            F.when(F.col("__op") == "D", F.lit(1)).otherwise(F.lit(0))
+        ).alias("nd"),
     ).first()
     if int(card["n"]) != int(card["d"]):
         ops.unpersist()
@@ -724,7 +730,8 @@ def _cdc_batch_ops(
             "per micro-batch; collapse upstream with "
             "latest_update_per_key"
         )
-    return ops, bool(int(card["ud"] or 0))
+    n_del = int(card["nd"] or 0)
+    return ops, bool(int(card["ud"] or 0)), n_del, int(card["n"]) - n_del
 
 
 def sync_ivf_cdc_stream(
@@ -781,7 +788,9 @@ def sync_ivf_cdc_stream(
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
         id_col, vec_col = ptr["id_col"], ptr["vec_col"]
-        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        ops, has_ud, n_del, n_up = _cdc_batch_ops(
+            batch_df, id_col, (vec_col,), op_col
+        )
         if has_ud:
             led.write_epoch(
                 ops.filter(F.col("__op").isin("U", "D"))
@@ -844,7 +853,9 @@ def sync_semantic_cdc_stream(
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
         id_col, vec_col = ptr["id_col"], ptr["vec_col"]
-        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        ops, has_ud, n_del, n_up = _cdc_batch_ops(
+            batch_df, id_col, (vec_col,), op_col
+        )
         tomb = (
             ops.filter(F.col("__op").isin("U", "D")).select(id_col).distinct()
         )
@@ -923,7 +934,9 @@ def sync_minhash_cdc_stream(
                 "the CDC tombstones; rebuild with init_minhash_root"
             )
         id_col, text_col = ptr["id_col"], ptr["text_col"]
-        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (text_col,), op_col)
+        ops, has_ud, n_del, n_up = _cdc_batch_ops(
+            batch_df, id_col, (text_col,), op_col
+        )
         tomb = (
             ops.filter(F.col("__op").isin("U", "D"))
             .select(F.col(id_col).alias(ptr["tomb_col"]))
@@ -1190,14 +1203,17 @@ def delete_graph_ids(
     id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
     if isinstance(ids, DataFrame):
         dels = ids.select(id_col).distinct()
+        n = dels.count()
     else:
         if not ids:
             return int(ptr["generation"])
-        id_type = "long" if isinstance(ids[0], int) else "string"
+        # a driver-side id list needs no Spark job to count
+        uniq = sorted(set(ids))
+        n = len(uniq)
+        id_type = "long" if isinstance(uniq[0], int) else "string"
         dels = spark.createDataFrame(
-            [(i,) for i in ids], f"{id_col} {id_type}"
-        ).distinct()
-    n = dels.count()
+            [(i,) for i in uniq], f"{id_col} {id_type}"
+        )
     if n == 0:
         return int(ptr["generation"])
     if n > max_affected:
@@ -1288,13 +1304,21 @@ def sync_knn_graph_ivf_cdc_stream(
         id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
         with open(os.path.join(root, "centroids.json")) as f:
             centers = json.load(f)
-        ops, has_ud = _cdc_batch_ops(batch_df, id_col, (vec_col,), op_col)
+        ops, has_ud, n_del, n_up = _cdc_batch_ops(
+            batch_df, id_col, (vec_col,), op_col
+        )
         tomb = (
             ops.filter(F.col("__op").isin("U", "D")).select(id_col).distinct()
         )
         upserts = ops.filter(F.col("__op") != "D").select(id_col, vec_col)
-        n_tomb = tomb.count() if has_ud else 0
-        n_up = upserts.count()
+        # one-row-per-id is enforced, so "any U/D rows" ⟺ "any tombstone
+        # ids" and the agg's non-D count IS |upserts| — the two extra
+        # per-batch count() actions this fold used to pay are free in
+        # the guard agg (optimization r14)
+        n_tomb = has_ud
+        if not n_tomb and not n_up:
+            ops.unpersist()
+            return {}  # empty batch: bookkeeping only
         graph = S_.load_knn_graph(
             spark, _graph_gen_path(root, ptr["generation"])
         )
@@ -1324,9 +1348,6 @@ def sync_knn_graph_ivf_cdc_stream(
                 postings_now, centers, upserts, id_col, vec_col, k,
                 n_probes=ptr["n_probes"], base_graph=graph,
             )
-        if not n_tomb and not n_up:
-            ops.unpersist()
-            return {}  # empty batch: bookkeeping only
         S_.save_knn_graph(
             graph, _graph_gen_path(root, epoch), id_col,
             n_buckets=ptr["n_buckets"],

@@ -450,13 +450,20 @@ class EpochLedger:
             # is a crash orphan — possibly ANOTHER verb's (a crashed
             # manual delete); sweep it so this commit can't activate it
             clear_staged_epoch(self.root, epoch, tuple(self.tables))
+            fenced = None
             if fence_sources:
                 batch_df = batch_df.withColumn(
                     "__src_file", F.input_file_name()
                 )
                 applied = self.frames(spark, "sources", ptr, epoch - 1)
                 if applied is not None:
-                    batch_df = batch_df.join(
+                    # persist the fenced frame: the anti-join (and its
+                    # broadcast of the committed source set) otherwise
+                    # re-executes for the isEmpty probe, the sources
+                    # write, AND every action the fold runs over the
+                    # batch (optimization r14) — batch-sized, dropped
+                    # in the finally below
+                    batch_df = fenced = batch_df.join(
                         F.broadcast(
                             applied.select(
                                 F.col("src_file").alias("__src_file")
@@ -464,11 +471,12 @@ class EpochLedger:
                         ),
                         "__src_file",
                         "left_anti",
-                    )
+                    ).persist()
                     if batch_df.isEmpty():
                         # fully fenced: advance ONLY the replay cursor —
                         # no epoch dir (an all-empty live tail breaks
                         # schema inference), no head movement
+                        fenced.unpersist()
                         self.flip(
                             {
                                 **ptr,
@@ -485,7 +493,11 @@ class EpochLedger:
                     epoch,
                 )
                 batch_df = batch_df.drop("__src_file")
-            advance = fold(ptr, epoch, batch_df)
+            try:
+                advance = fold(ptr, epoch, batch_df)
+            finally:
+                if fenced is not None:
+                    fenced.unpersist()
             self.flip(
                 {
                     **ptr,

@@ -51,6 +51,11 @@ def eq(a, b):
     return a == b
 
 qs, osql = e.queries(), e.oracle_sql()
+only = set(sys.argv[1:])  # optional key filter: spot-check touched queries
+if only:
+    missing = only - set(qs)
+    assert not missing, f"unknown keys: {sorted(missing)}"
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 records = {}
 for name, fn in sorted(qs.items()):
@@ -90,9 +95,10 @@ for name, fn in sorted(qs.items()):
     print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(s_rows)} rows)")
     if not ok: fails.append(name)
 
-out = os.path.join(REPO, "CORRECTNESS_local.json")
-with open(out, "w") as f:
-    json.dump(records, f, indent=2)
-    f.write("\n")
-print(f"wrote {out} ({len(records)} queries)")
+if not only:  # a filtered spot-check must not clobber the full artifact
+    out = os.path.join(REPO, "CORRECTNESS_local.json")
+    with open(out, "w") as f:
+        json.dump(records, f, indent=2)
+        f.write("\n")
+    print(f"wrote {out} ({len(records)} queries)")
 print("RESULT:", "ALL MATCH" if not fails else f"FAILS: {fails}")
