@@ -1526,7 +1526,10 @@ def _stage_stream_batches(work: str, src: str, batches, start: int = 0) -> None:
 
     for i, bdf in enumerate(batches, start=start):
         staged = _os.path.join(work, f"stage{i}")
-        bdf.repartition(1).write.parquet(staged)
+        # coalesce, not repartition: a keyless repartition(1) is a full
+        # exchange plus a per-task sort (sortBeforeRepartition); batches
+        # are micro-batch-sized, so one write task is the cheaper plan
+        bdf.coalesce(1).write.parquet(staged)
         part = next(
             f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
         )
@@ -1831,7 +1834,7 @@ def streaming_semantic_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         for i, bdf in enumerate((b0, b1, b2)):
             staged = _os.path.join(work, f"stage{i}")
-            bdf.repartition(1).write.parquet(staged)
+            bdf.coalesce(1).write.parquet(staged)
             part = next(
                 f for f in sorted(_os.listdir(staged))
                 if f.endswith(".parquet")
@@ -14871,7 +14874,7 @@ def streaming_knn_graph_delete_sync(spark: SparkSession, sf_dir: str) -> DataFra
         index_sync.delete_graph_ids(spark, root, doomed)
         # batch 1 lands AFTER the delete, same source + checkpoint
         b1s = _os.path.join(work, "b1stage")
-        b1.repartition(1).write.parquet(b1s)
+        b1.coalesce(1).write.parquet(b1s)
         part = next(
             f for f in sorted(_os.listdir(b1s)) if f.endswith(".parquet")
         )
@@ -15020,7 +15023,7 @@ def hybrid_rrf_synced_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 src = _os.path.join(work, f"src_{name}")
                 _os.makedirs(src, exist_ok=True)
                 staged = _os.path.join(work, f"stage_{name}_{i}")
-                bdf.repartition(1).write.parquet(staged)
+                bdf.coalesce(1).write.parquet(staged)
                 part = next(
                     f for f in sorted(_os.listdir(staged))
                     if f.endswith(".parquet")

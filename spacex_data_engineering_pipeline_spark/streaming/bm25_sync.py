@@ -209,11 +209,14 @@ def _bm25_old_versions(
     led: EpochLedger,
     ptr: dict,
     batch_ids: DataFrame,
+    buckets: list[int] | None = None,
 ) -> DataFrame | None:
     """The LIVE committed version of each batch doc id, from the doc
     log: one bounded driver collect of the batch ids' distinct doc
     buckets (≤ ``doc_buckets`` ints — the repo's bounded-probe
-    convention), a partition-pruned read of only those bucket dirs, a
+    convention; the CDC fold passes them precomputed from its guard
+    agg, saving the extra per-batch job), a partition-pruned read of
+    only those bucket dirs, a
     BROADCAST semi-join down to the batch's ids BEFORE any shuffle
     (the pruned dirs still hold corpus/``doc_buckets`` rows at 100 TB
     — scan-bounded is fine, but windowing them would shuffle
@@ -225,14 +228,17 @@ def _bm25_old_versions(
     log = led.frames(spark, "doclog", ptr, ptr["max_epoch"])
     if log is None:
         return None
-    buckets = sorted(
-        r["b"]
-        for r in batch_ids.select(
-            _id_bucket(F.col("doc"), nb).alias("b")
+    if buckets is None:
+        buckets = sorted(
+            r["b"]
+            for r in batch_ids.select(
+                _id_bucket(F.col("doc"), nb).alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
+    else:
+        buckets = sorted(set(buckets))
     w = Window.partitionBy("doc").orderBy(F.col("epoch").desc())
     return (
         log.filter(F.col("__dbucket").isin(buckets))
@@ -317,6 +323,12 @@ def sync_bm25_cdc_stream(
         card = ops.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("doc").alias("d"),
+            # the batch ids' doc buckets ride in the SAME agg (≤
+            # doc_buckets ints) so the old-version fetch below skips
+            # its own distinct+collect job (optimization r14)
+            F.collect_set(
+                _id_bucket(F.col("doc"), ptr["doc_buckets"])
+            ).alias("bks"),
         ).first()
         if int(card["n"]) != int(card["d"]):
             raise ValueError(
@@ -327,7 +339,8 @@ def sync_bm25_cdc_stream(
                 "upstream with latest_update_per_key"
             )
         old = _bm25_old_versions(
-            spark, led, ptr, ops.select("doc").distinct()
+            spark, led, ptr, ops.select("doc").distinct(),
+            buckets=list(card["bks"] or []),
         )
         # positive tables from the batch's upserted (non-delete) rows
         postings, dfreq, stats, docs = _bm25_epoch_tables(
