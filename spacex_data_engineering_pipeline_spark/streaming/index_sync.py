@@ -662,12 +662,13 @@ def delete_index_ids(
                     else ""
                 )
             )
+        n = tomb.count()
     else:
-        id_type = "long" if ids and isinstance(ids[0], int) else "string"
-        tomb = spark.createDataFrame(
-            [(i,) for i in ids], f"{id_col} {id_type}"
-        ).distinct()
-    n = tomb.count()
+        # a driver-side id list needs no Spark job to count or dedup
+        uniq = sorted(set(ids))
+        n = len(uniq)
+        id_type = "long" if uniq and isinstance(uniq[0], int) else "string"
+        tomb = spark.createDataFrame([(i,) for i in uniq], f"{id_col} {id_type}")
     if n > max_affected:
         raise ValueError(
             f"delete_index_ids would tombstone {n} ids > max_affected="
