@@ -334,11 +334,12 @@ def main() -> None:
         # deltas by the calibration ratio before reading regressions
         "calibration_sec": {"start": cal_start, "end": _calibrate()},
     }
-    # Parse-safe bracketing: the driver's stdout capture has truncated
-    # the big per-query JSON twice (BENCH_r05/r07 "parsed": null) —
-    # once losing the head, once the tail. A compact one-line aggregate
-    # BOTH before and after the full record means whichever end of the
-    # capture survives still carries a parseable headline; the full
+    # The driver parses the LAST stdout line, so the full record (with
+    # the per-query map) must come last — r13/r14 printed a compact
+    # trailer after it and starved the driver's per-query comparator
+    # (PERF_r14.json per_query: {}). One compact line FIRST remains as
+    # the truncation hedge (BENCH_r05/r07 lost the tail of the capture;
+    # a surviving head still carries a parseable headline), and the full
     # per-query map additionally persists in BENCH_local*.json below.
     compact = json.dumps(
         {
@@ -352,7 +353,6 @@ def main() -> None:
     )
     print(compact)
     print(json.dumps(record))
-    print(compact)
     # Durable copy: the driver captures stdout, but a truncated capture
     # (it happened — BENCH_r02.json lost its head) would lose the
     # per-query map; a committed artifact survives for round-over-round

@@ -737,11 +737,21 @@ def knn_graph_upsert(
             old, id_col, vec_col, k,
             n_blocks=n_blocks, decimals=decimals, slack=slack,
         ).localCheckpoint(eager=True)
+    # refusal enforced PRE-collect: the LIMIT bounds the driver fetch to
+    # the budget + 1, so a hub-scale update frame is never materialized
+    # before the raise (optimization r15; same discipline as the
+    # affected probe below)
     upd_rows = (
         updates.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())
+        .limit(max_affected + 1)
         .collect()
     )
+    if len(upd_rows) > max_affected:
+        raise ValueError(
+            f"≥{len(upd_rows)} updates exceed max_affected={max_affected}: "
+            "a hub-scale upsert — rebuild the graph instead"
+        )
     upd_list = sorted(
         (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in upd_rows
     )
@@ -766,11 +776,6 @@ def knn_graph_upsert(
     )
 
     upd_id_set = {i for i, _ in upd_list}
-    if len(upd_list) > max_affected:
-        raise ValueError(
-            f"{len(upd_list)} updates exceed max_affected={max_affected}: "
-            "a hub-scale upsert — rebuild the graph instead"
-        )
     # ONE bounded driver round trip for the affected probe AND the
     # affected-vector fetch (optimization r14: previously two sequential
     # collects = two full AQE query executions per call, measured as the
@@ -1100,21 +1105,26 @@ def knn_graph_apply_cdc(
             n_blocks=n_blocks, decimals=decimals, slack=slack,
         ).localCheckpoint(eager=True)
     spark = old.sparkSession
+    # refusal enforced PRE-collect: the LIMIT bounds the driver fetch to
+    # the budget + 1, so a hub-scale upsert frame is never materialized
+    # before the raise (optimization r15; same discipline as the
+    # affected probe below)
     upd_rows = (
         upserts.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())
+        .limit(max_affected + 1)
         .collect()
         if upserts is not None
         else []
     )
+    if len(upd_rows) > max_affected:
+        raise ValueError(
+            f"≥{len(upd_rows)} updates exceed max_affected={max_affected}: "
+            "a hub-scale upsert — rebuild the graph instead"
+        )
     upd_list = sorted(
         (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in upd_rows
     )
-    if len(upd_list) > max_affected:
-        raise ValueError(
-            f"{len(upd_list)} updates exceed max_affected={max_affected}: "
-            "a hub-scale upsert — rebuild the graph instead"
-        )
     del_ids_df = (
         deletes.select(id_col).distinct() if deletes is not None else None
     )

@@ -1515,6 +1515,28 @@ def _minhash_sync_oracle_sql(
     )
 
 
+def _write_one_part(bdf, staged: str) -> str:
+    """Write ``bdf`` as a single parquet part file, return its name.
+    coalesce(1) is a narrow dependency (no exchange, no
+    sortBeforeRepartition pass — optimization r14) but yields ZERO part
+    files when the plan resolves to zero partitions (an empty local
+    relation); repartition(1) is the guaranteed-one-file fallback for
+    that edge (ADVICE r14)."""
+    import os as _os
+
+    bdf.coalesce(1).write.parquet(staged)
+    part = next(
+        (f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")),
+        None,
+    )
+    if part is None:
+        bdf.repartition(1).write.mode("overwrite").parquet(staged)
+        part = next(
+            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
+        )
+    return part
+
+
 def _stage_stream_batches(work: str, src: str, batches, start: int = 0) -> None:
     """Stage DataFrames as a deterministic parquet FILE STREAM: one
     single-part file per batch with pinned mtimes, so AvailableNow +
@@ -1526,13 +1548,7 @@ def _stage_stream_batches(work: str, src: str, batches, start: int = 0) -> None:
 
     for i, bdf in enumerate(batches, start=start):
         staged = _os.path.join(work, f"stage{i}")
-        # coalesce, not repartition: a keyless repartition(1) is a full
-        # exchange plus a per-task sort (sortBeforeRepartition); batches
-        # are micro-batch-sized, so one write task is the cheaper plan
-        bdf.coalesce(1).write.parquet(staged)
-        part = next(
-            f for f in sorted(_os.listdir(staged)) if f.endswith(".parquet")
-        )
+        part = _write_one_part(bdf, staged)
         dst = _os.path.join(src, f"batch{i:04d}.parquet")
         _os.replace(_os.path.join(staged, part), dst)
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -1834,11 +1850,7 @@ def streaming_semantic_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         for i, bdf in enumerate((b0, b1, b2)):
             staged = _os.path.join(work, f"stage{i}")
-            bdf.coalesce(1).write.parquet(staged)
-            part = next(
-                f for f in sorted(_os.listdir(staged))
-                if f.endswith(".parquet")
-            )
+            part = _write_one_part(bdf, staged)
             dst = _os.path.join(src, f"batch{i:04d}.parquet")
             _os.replace(_os.path.join(staged, part), dst)
             _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -4599,10 +4611,7 @@ def _run_events_stream(
                 # that advance the watermark so pending EventTimeTimeouts
                 # fire): each is one extra chronological micro-batch
                 tmp = _os.path.join(work, f"tail{j}")
-                tdf.coalesce(1).write.parquet(tmp)
-                tname = next(
-                    f for f in sorted(_os.listdir(tmp)) if f.endswith(".parquet")
-                )
+                tname = _write_one_part(tdf, tmp)
                 k = n_files + j
                 dst = _os.path.join(src, f"batch{k:04d}.parquet")
                 _os.replace(_os.path.join(tmp, tname), dst)
@@ -10456,8 +10465,7 @@ def streaming_matview_priority_revenue(spark: SparkSession, sf_dir: str) -> Data
         "__sign", F.lit(-1)
     )
     tail = _os.path.join(work, "tail")
-    retract.coalesce(1).write.parquet(tail)
-    tname = next(f for f in sorted(_os.listdir(tail)) if f.endswith(".parquet"))
+    tname = _write_one_part(retract, tail)
     k = len(parts)
     dst = _os.path.join(src, f"batch{k:04d}.parquet")
     _os.replace(_os.path.join(tail, tname), dst)
@@ -14874,10 +14882,7 @@ def streaming_knn_graph_delete_sync(spark: SparkSession, sf_dir: str) -> DataFra
         index_sync.delete_graph_ids(spark, root, doomed)
         # batch 1 lands AFTER the delete, same source + checkpoint
         b1s = _os.path.join(work, "b1stage")
-        b1.coalesce(1).write.parquet(b1s)
-        part = next(
-            f for f in sorted(_os.listdir(b1s)) if f.endswith(".parquet")
-        )
+        part = _write_one_part(b1, b1s)
         dst = _os.path.join(src, "batch0001.parquet")
         _os.replace(_os.path.join(b1s, part), dst)
         _os.utime(dst, (1_700_000_001, 1_700_000_001))
@@ -15023,11 +15028,7 @@ def hybrid_rrf_synced_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 src = _os.path.join(work, f"src_{name}")
                 _os.makedirs(src, exist_ok=True)
                 staged = _os.path.join(work, f"stage_{name}_{i}")
-                bdf.coalesce(1).write.parquet(staged)
-                part = next(
-                    f for f in sorted(_os.listdir(staged))
-                    if f.endswith(".parquet")
-                )
+                part = _write_one_part(bdf, staged)
                 dst = _os.path.join(src, f"batch{i:04d}.parquet")
                 _os.replace(_os.path.join(staged, part), dst)
                 _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))

@@ -472,11 +472,16 @@ class EpochLedger:
                         "__src_file",
                         "left_anti",
                     ).persist()
-                    if batch_df.isEmpty():
+            # the try starts at the persist: every exit path — the
+            # isEmpty probe, the sources write, the fold — unpersists
+            # the fenced frame, so an exception cannot leak the cache
+            # for the life of the streaming session (ADVICE r14)
+            try:
+                if fence_sources:
+                    if fenced is not None and batch_df.isEmpty():
                         # fully fenced: advance ONLY the replay cursor —
                         # no epoch dir (an all-empty live tail breaks
                         # schema inference), no head movement
-                        fenced.unpersist()
                         self.flip(
                             {
                                 **ptr,
@@ -485,15 +490,14 @@ class EpochLedger:
                             }
                         )
                         return
-                self.write_epoch(
-                    batch_df.select(
-                        F.col("__src_file").alias("src_file")
-                    ).distinct(),
-                    "sources",
-                    epoch,
-                )
-                batch_df = batch_df.drop("__src_file")
-            try:
+                    self.write_epoch(
+                        batch_df.select(
+                            F.col("__src_file").alias("src_file")
+                        ).distinct(),
+                        "sources",
+                        epoch,
+                    )
+                    batch_df = batch_df.drop("__src_file")
                 advance = fold(ptr, epoch, batch_df)
             finally:
                 if fenced is not None:

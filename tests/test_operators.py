@@ -746,6 +746,100 @@ def test_knn_graph_delete_equals_rebuild(spark, sf_dir):
         )
 
 
+def test_knn_graph_apply_cdc_equals_rebuild(spark, sf_dir):
+    """The fused CDC verb ≡ sequential delete-then-upsert ≡ full
+    rebuild over the new corpus, on every batch shape the streaming
+    arm can hand it: mixed U/D, delete-only, upsert-only, empty
+    (passthrough), and the max_affected refusal — which must fire from
+    the bounded LIMIT collect, never after materializing a hub-scale
+    upsert frame (ADVICE r14 / VERDICT r14 #7)."""
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(64)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    base = S.knn_graph(emb, "vec_id", "embedding", k=4)
+    deletes = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    upserts = emb.filter(F.col("vec_id") % 9 == 4).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("vec_id", "rnk").collect()]
+
+    # mixed U/D batch vs full rebuild over the new corpus
+    got = rows(
+        S.knn_graph_apply_cdc(
+            emb, deletes, upserts, "vec_id", "embedding", k=4,
+            base_graph=base,
+        )
+    )
+    new_corpus = (
+        emb.filter((F.col("vec_id") % 9 != 0) & (F.col("vec_id") % 9 != 4))
+        .unionByName(upserts)
+    )
+    want = rows(S.knn_graph(new_corpus, "vec_id", "embedding", k=4))
+    assert got == want
+    # ... and vs sequential delete-then-upsert
+    seq_mid = S.knn_graph_delete(
+        emb, deletes, "vec_id", "embedding", k=4, base_graph=base
+    ).localCheckpoint(eager=True)
+    seq = rows(
+        S.knn_graph_upsert(
+            emb.filter(F.col("vec_id") % 9 != 0), upserts,
+            "vec_id", "embedding", k=4, base_graph=seq_mid,
+        )
+    )
+    assert got == seq
+    # delete-only batch
+    got_d = rows(
+        S.knn_graph_apply_cdc(
+            emb, deletes, None, "vec_id", "embedding", k=4, base_graph=base
+        )
+    )
+    want_d = rows(
+        S.knn_graph(
+            emb.filter(F.col("vec_id") % 9 != 0), "vec_id", "embedding", k=4
+        )
+    )
+    assert got_d == want_d
+    # upsert-only batch
+    got_u = rows(
+        S.knn_graph_apply_cdc(
+            emb, None, upserts, "vec_id", "embedding", k=4, base_graph=base
+        )
+    )
+    want_u = rows(
+        S.knn_graph(
+            emb.filter(F.col("vec_id") % 9 != 4).unionByName(upserts),
+            "vec_id", "embedding", k=4,
+        )
+    )
+    assert got_u == want_u
+    # empty batch: passthrough of the base graph
+    got_e = rows(
+        S.knn_graph_apply_cdc(
+            emb, None, None, "vec_id", "embedding", k=4, base_graph=base
+        )
+    )
+    assert got_e == rows(base)
+    # over-budget upsert frame refuses (bounded pre-collect: the LIMIT
+    # means only max_affected+1 rows ever reach the driver)
+    with pytest.raises(ValueError, match="max_affected"):
+        S.knn_graph_apply_cdc(
+            emb, None, emb.select("vec_id", "embedding"),
+            "vec_id", "embedding", k=4, base_graph=base, max_affected=3,
+        )
+    # hub-scale affected set refuses too
+    with pytest.raises(ValueError, match="rebuild"):
+        S.knn_graph_apply_cdc(
+            emb, emb.filter(F.col("vec_id") < 48).select("vec_id"), None,
+            "vec_id", "embedding", k=4, base_graph=base, max_affected=3,
+        )
+
+
 def test_knn_graph_point_probe_int_id_column(spark, sf_dir, tmp_path):
     """xxhash64 hashes IntegerType and LongType differently: a graph
     saved with an int id column must still bucket-probe correctly
