@@ -539,6 +539,70 @@ def knn_graph_neighbors(spark, path: str, id_value: int) -> DataFrame:
     )
 
 
+def _bounded_collect(df: DataFrame, n: int):
+    """``df.limit(n).collect()`` in ONE scheduler round trip.
+
+    CollectLimit's default take-execution escalates through partition
+    batches (1, then ×4, ×16, … — ``spark.sql.limit.initialNumPartitions``
+    = 1) which is right when the first partitions can satisfy the limit,
+    and wrong for the maintenance verbs' bounded probes: affected rows
+    are spread uniformly and almost always number far below the refusal
+    budget, so the escalation reliably walks ALL partitions in up to 4
+    sequential jobs. Scanning every partition in the first round keeps
+    the bound (never collects more than n rows) at one job per probe
+    (optimization r15, guide §1.4 action discipline)."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "10000000")
+    try:
+        return df.limit(n).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def _empty_graph_delta(spark, id_col: str) -> DataFrame:
+    """Zero-row frame in the graph-edge shape — the ``delta_only``
+    return for a no-op maintenance batch."""
+    return spark.createDataFrame(
+        [], f"{id_col} long, rnk int, neighbor long, cos_sim double"
+    )
+
+
+def _delta_finish(keep: DataFrame, new_streams, id_col: str, k: int) -> DataFrame:
+    """CHANGED-ROWS-ONLY finish for the graph maintenance verbs
+    (optimization r15, delta generations): rank keep ∪ new-candidate
+    streams exactly as the full finish does, then emit ONLY the ids
+    whose final top-k admits a new-stream candidate. Ids with no keep
+    rows (the recomputed set — anti-joined out of keep by every
+    caller) have all rows tagged new, so they always survive; an
+    unaffected id whose stored list beat every new candidate drops out
+    — its stored rows are bit-identical to what the full finish would
+    re-emit, so a reader folding base + deltas reproduces the full
+    graph row for row. Both window functions share one id-hash
+    exchange (the max needs no ordering), so this costs no extra
+    shuffle over the full finish."""
+    from pyspark.sql.window import Window
+
+    cands = keep.withColumn("__new", F.lit(0))
+    for s in new_streams:
+        cands = cands.unionByName(s.withColumn("__new", F.lit(1)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    wid = Window.partitionBy(id_col)
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("__chg", F.max("__new").over(wid))
+        .filter(F.col("__chg") == 1)
+        .select(id_col, "rnk", "neighbor", "cos_sim")
+    )
+
+
 def knn_graph_incremental(
     old: DataFrame,
     new: DataFrame,
@@ -692,10 +756,22 @@ def knn_graph_upsert(
     slack: float = 1e-6,
     base_graph: DataFrame | None = None,
     max_affected: int = 65536,
-) -> DataFrame:
+    delta_only: bool = False,
+):
     """MAINTAIN a kNN graph under an UPSERT batch — ids may be new OR
     re-vectored — closing ``knn_graph_incremental``'s documented
-    append-only limitation. The reason upserts are harder than
+    append-only limitation.
+
+    ``delta_only=True`` (optimization r15, delta generations) returns
+    ``(changed_rows, recompute_ids)`` instead of the full graph:
+    the final lists of exactly the ids whose top-k differs from the
+    stored base (the recomputed set plus unaffected ids that admitted
+    an upserted neighbor — ``_delta_finish``), and the driver-side
+    sorted id list whose stored lists were invalidated (affected ∪
+    updated — the caller's tombstone markers). Same candidate streams,
+    same window, same exactness; only the UNCHANGED keep rows are not
+    re-emitted, so a persisted-ledger caller writes churn-sized deltas
+    instead of the corpus-sized graph per batch. The reason upserts are harder than
     appends: a trimmed rank-k list cannot be repaired when a stale
     edge pointing AT a re-vectored id must be evicted (the rank-k+1
     candidate that would replace it was never kept). The fix is to
@@ -741,11 +817,9 @@ def knn_graph_upsert(
     # the budget + 1, so a hub-scale update frame is never materialized
     # before the raise (optimization r15; same discipline as the
     # affected probe below)
-    upd_rows = (
-        updates.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .limit(max_affected + 1)
-        .collect()
+    upd_rows = _bounded_collect(
+        updates.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()),
+        max_affected + 1,
     )
     if len(upd_rows) > max_affected:
         raise ValueError(
@@ -756,6 +830,8 @@ def knn_graph_upsert(
         (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in upd_rows
     )
     if not upd_list:
+        if delta_only:
+            return _empty_graph_delta(old.sparkSession, id_col), []
         w0 = Window.partitionBy(id_col).orderBy(
             F.col("cos_sim").desc(), F.col("neighbor").asc()
         )
@@ -794,12 +870,11 @@ def knn_graph_upsert(
         .distinct()
         .join(upd_ids_df, id_col, "left_anti")
     )
-    aff_rows = (
+    aff_rows = _bounded_collect(
         aff_probe.join(
             survivors.withColumnRenamed(vec_col, "__vec"), id_col, "left"
-        )
-        .limit(budget + 1)
-        .collect()
+        ),
+        budget + 1,
     )
     if len(aff_rows) > budget:
         raise ValueError(
@@ -881,6 +956,11 @@ def knn_graph_upsert(
         .withColumn("cos_sim", F.round("cos_raw", decimals))
         .select(id_col, "neighbor", "cos_sim")
     )
+    if delta_only:
+        return (
+            _delta_finish(keep_base, [scanned], id_col, k),
+            sorted(recompute_set),
+        )
     cands = keep_base.unionByName(scanned)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
@@ -903,7 +983,8 @@ def knn_graph_delete(
     slack: float = 1e-6,
     base_graph: DataFrame | None = None,
     max_affected: int = 65536,
-) -> DataFrame:
+    delta_only: bool = False,
+):
     """RETIRE vectors from a kNN graph — the lifecycle arm upsert and
     append leave open, and the one a GDPR/takedown request actually
     exercises: rows must leave the index AND every edge citing them
@@ -930,6 +1011,12 @@ def knn_graph_delete(
     (affected > ``max_affected``) REFUSES with the rebuild
     recommendation instead of silently collecting unbounded vectors,
     same contract as :func:`knn_graph_upsert`.
+
+    ``delta_only=True`` returns ``(changed_rows, affected_ids)``: the
+    recomputed lists of exactly the affected ids (deletes cannot
+    improve an unaffected list, so nothing else changes) plus the
+    driver-side affected-id list for the caller's tombstone markers —
+    deleted ids themselves carry no rows either way.
     """
     from pyspark.sql.window import Window
 
@@ -943,6 +1030,8 @@ def knn_graph_delete(
     spark = old.sparkSession
     del_ids_df = deletes.select(id_col).distinct()
     del_ids = {int(r[id_col]) for r in del_ids_df.collect()}
+    if not del_ids and delta_only:
+        return _empty_graph_delta(spark, id_col), []
     if not del_ids:
         w0 = Window.partitionBy(id_col).orderBy(
             F.col("cos_sim").desc(), F.col("neighbor").asc()
@@ -973,12 +1062,11 @@ def knn_graph_delete(
         .distinct()
         .join(del_ids_df, id_col, "left_anti")
     )
-    aff_rows = (
+    aff_rows = _bounded_collect(
         aff_probe.join(
             survivors.withColumnRenamed(vec_col, "__vec"), id_col, "left"
-        )
-        .limit(max_affected + 1)
-        .collect()
+        ),
+        max_affected + 1,
     )
     if len(aff_rows) > max_affected:
         raise ValueError(
@@ -996,6 +1084,8 @@ def knn_graph_delete(
         .select(id_col, "neighbor", "cos_sim")
     )
     if not affected_ids:
+        if delta_only:  # no stored edge cites the deleted set
+            return _empty_graph_delta(spark, id_col), []
         w0 = Window.partitionBy(id_col).orderBy(
             F.col("cos_sim").desc(), F.col("neighbor").asc()
         )
@@ -1041,6 +1131,8 @@ def knn_graph_delete(
         .withColumn("cos_sim", F.round("cos_raw", decimals))
         .select(id_col, "neighbor", "cos_sim")
     )
+    if delta_only:
+        return _delta_finish(keep, [recomputed], id_col, k), affected_ids
     cands = keep.unionByName(recomputed)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
@@ -1064,7 +1156,8 @@ def knn_graph_apply_cdc(
     slack: float = 1e-6,
     base_graph: DataFrame | None = None,
     max_affected: int = 65536,
-) -> DataFrame:
+    delta_only: bool = False,
+):
     """Apply one CDC batch (disjoint delete-id set + upsert rows) to a
     kNN graph in ONE affected-set pass — the fused form of
     ``knn_graph_delete`` followed by ``knn_graph_upsert`` that the
@@ -1096,6 +1189,13 @@ def knn_graph_apply_cdc(
     (the CDC contract's at-most-one-row-per-id, enforced upstream).
     Cost: |C∪affected|·N, one corpus pass, one bounded driver fetch —
     the refusal discipline of both verbs, unchanged.
+
+    ``delta_only=True`` returns ``(changed_rows, recompute_ids)``: the
+    final lists of exactly the ids whose top-k changed (recomputed set
+    plus unaffected ids admitting an upserted neighbor), and the
+    driver-side sorted recompute-id list (affected ∪ upserted) for the
+    caller's tombstone markers — deleted ids carry no rows either way
+    and the caller markers them from its own delete set.
     """
     from pyspark.sql.window import Window
 
@@ -1110,10 +1210,12 @@ def knn_graph_apply_cdc(
     # before the raise (optimization r15; same discipline as the
     # affected probe below)
     upd_rows = (
-        upserts.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .limit(max_affected + 1)
-        .collect()
+        _bounded_collect(
+            upserts.select(id_col, vec_col).filter(
+                F.col(vec_col).isNotNull()
+            ),
+            max_affected + 1,
+        )
         if upserts is not None
         else []
     )
@@ -1135,6 +1237,8 @@ def knn_graph_apply_cdc(
     )
     changed = [d for d in (del_ids_df, upd_ids_df) if d is not None]
     if not changed:
+        if delta_only:
+            return _empty_graph_delta(spark, id_col), []
         w0 = Window.partitionBy(id_col).orderBy(
             F.col("cos_sim").desc(), F.col("neighbor").asc()
         )
@@ -1167,12 +1271,11 @@ def knn_graph_apply_cdc(
         .distinct()
         .join(changed_df, id_col, "left_anti")
     )
-    aff_rows = (
+    aff_rows = _bounded_collect(
         aff_probe.join(
             survivors.withColumnRenamed(vec_col, "__vec"), id_col, "left"
-        )
-        .limit(budget + 1)
-        .collect()
+        ),
+        budget + 1,
     )
     if len(aff_rows) > budget:
         raise ValueError(
@@ -1202,6 +1305,8 @@ def knn_graph_apply_cdc(
         keep = keep.join(del_ids_df, id_col, "left_anti")
     keep = keep.select(id_col, "neighbor", "cos_sim")
     if not queries:  # delete-only batch touching no stored edges
+        if delta_only:
+            return _empty_graph_delta(spark, id_col), sorted(recompute_set)
         w0 = Window.partitionBy(id_col).orderBy(
             F.col("cos_sim").desc(), F.col("neighbor").asc()
         )
@@ -1260,6 +1365,11 @@ def knn_graph_apply_cdc(
         .withColumn("cos_sim", F.round("cos_raw", decimals))
         .select(id_col, "neighbor", "cos_sim")
     )
+    if delta_only:
+        return (
+            _delta_finish(keep, [scanned], id_col, k),
+            sorted(recompute_set),
+        )
     cands = keep.unionByName(scanned)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
@@ -1509,7 +1619,8 @@ def knn_graph_ivf_fold(
     cluster_col: str = "cluster",
     decimals: int = 6,
     slack: float = 1e-6,
-) -> DataFrame:
+    delta_only: bool = False,
+):
     """Fold an APPEND-ONLY batch into a kNN graph through IVF ROUTING —
     the maintenance arm for the regime ``knn_graph_auto_plan`` refuses
     (> ivf_max_rows), where even the |batch|·N exact fold of
@@ -1544,6 +1655,12 @@ def knn_graph_ivf_fold(
     must be disjoint from the postings' — an upsert needs corpus-wide
     stale-edge eviction, which is ``knn_graph_upsert``'s exact job.
     ``new`` is an update batch: it ships in the scan closure.
+
+    ``delta_only=True`` returns ``(changed_rows, [])``: the final
+    lists of exactly the ids whose top-k changed — the batch's new ids
+    plus corpus rows that admitted a batch neighbor. Appends
+    invalidate nobody's stored list outright (no evictions), so the
+    marker list is always empty.
     """
     from pyspark.sql.window import Window
 
@@ -1559,6 +1676,8 @@ def knn_graph_ivf_fold(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
     )
     if not new_list:
+        if delta_only:
+            return _empty_graph_delta(new.sparkSession, id_col), []
         return (
             base_graph.select(id_col, "neighbor", "cos_sim")
             .withColumn("rnk", F.row_number().over(w))
@@ -1677,6 +1796,16 @@ def knn_graph_ivf_fold(
         .select(id_col, "neighbor", "cos_sim")
     )
 
+    if delta_only:
+        return (
+            _delta_finish(
+                base_graph.select(id_col, "neighbor", "cos_sim"),
+                [emitted, nn_df],
+                id_col,
+                k,
+            ),
+            [],
+        )
     cands = (
         base_graph.select(id_col, "neighbor", "cos_sim")
         .unionByName(emitted)

@@ -80,12 +80,17 @@ def _bm25_epoch_tables(
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .withColumn("__tbucket", _term_bucket(F.col("term"), n_buckets))
     )
+    # dfreq DERIVED from postings (optimization r15): postings already
+    # holds exactly one row per distinct (doc, term), so df per term is
+    # a row count over it — the second explode + distinct shuffle of
+    # the token stream this used to pay per epoch is gone (guide §1.2);
+    # grouping by (term, __tbucket) reuses the computed hash (bucket is
+    # functional on term). Folds persist batch-sized postings so this
+    # reads the cache; the one-time init recomputes, cost-neutral.
     dfreq = (
-        exploded.select("doc", "term")
-        .distinct()
-        .groupBy("term")
+        postings.groupBy("term", "__tbucket")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("__tbucket", _term_bucket(F.col("term"), n_buckets))
+        .select("term", "df", "__tbucket")
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -188,6 +193,10 @@ def sync_bm25_index_stream(
         postings, dfreq, stats, docs = _bm25_epoch_tables(
             batch_df, ptr["id_col"], ptr["text_col"], ptr["term_buckets"]
         )
+        # batch-sized: the postings write materializes the cache and
+        # the derived-dfreq write reads it back instead of re-running
+        # the tokenize + (doc, term) shuffle (optimization r15)
+        postings = postings.persist()
         led.write_epoch(postings, "postings", epoch)
         led.write_epoch(dfreq, "df", epoch)
         led.write_epoch(stats, "stats", epoch)
@@ -195,6 +204,7 @@ def sync_bm25_index_stream(
             led.write_epoch(
                 _bm25_doclog_rows(docs, ptr["doc_buckets"]), "doclog", epoch
             )
+        postings.unpersist()
         docs.unpersist()
         return {"max_epoch": epoch}
 
@@ -362,12 +372,21 @@ def sync_bm25_cdc_stream(
                 )
                 .withColumn("__tbucket", _term_bucket(F.col("term"), tb))
             )
-            dfreq = dfreq.unionByName(
-                oldx.select("doc", "term")
-                .distinct()
-                .groupBy("term")
-                .agg((-F.count(F.lit(1))).alias("df"))
-                .withColumn("__tbucket", _term_bucket(F.col("term"), tb))
+            # df DERIVED from the signed postings (optimization r15):
+            # one row per (doc, term) with tf's sign marking add vs
+            # remove, so the per-term df movement is a signed row count
+            # — the old version's own explode + distinct shuffle is
+            # gone, and the epoch carries ONE net df row per term
+            # (readers fold SUMS, so net rows reconstruct identically,
+            # as-of included; the netting compaction's job shrinks too)
+            dfreq = (
+                postings.groupBy("term", "__tbucket")
+                .agg(
+                    F.sum(
+                        F.when(F.col("tf") > 0, F.lit(1)).otherwise(F.lit(-1))
+                    ).alias("df")
+                )
+                .select("term", "df", "__tbucket")
             )
             stats = stats.unionByName(
                 old.agg(
@@ -377,6 +396,10 @@ def sync_bm25_cdc_stream(
                     .alias("sum_dl"),
                 )
             )
+        # batch-sized persist: the postings write materializes one
+        # tokenize + one old-version pass; the derived-dfreq write
+        # reads the cache (optimization r15)
+        postings = postings.persist()
         led.write_epoch(postings, "postings", epoch)
         led.write_epoch(dfreq, "df", epoch)
         led.write_epoch(stats, "stats", epoch)
@@ -395,6 +418,7 @@ def sync_bm25_cdc_stream(
             "doclog",
             epoch,
         )
+        postings.unpersist()
         docs.unpersist()
         if old is not None:
             old.unpersist()

@@ -239,11 +239,20 @@ def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
         if floor
         else os.path.join(root, "corpus_base")
     )
-    applied_dir = os.path.join(root, "applied")
-    # the orphan sweep can leave an EMPTY log dir (its only staged
-    # epoch removed) — an empty parquet dataset fails schema inference
+    # ONE join over the corpus-sized base (optimization r15): base rows
+    # predate every LIVE log event (their stamp is the floor), so a
+    # base row survives iff its id appears in NO live applied/removed
+    # epoch — one dup-tolerant anti-join against the union of raw log
+    # ids, instead of anti-join-on-upserts THEN left-join-removals over
+    # the whole corpus stream. The removal-vs-reupsert tiebreak
+    # (latest applied stamp outranks an older removal) only involves
+    # CHURN-sized rows, so the rmax join now runs over `latest` alone.
+    # The orphan sweep can leave an EMPTY log dir (its only staged
+    # epoch removed) — an empty parquet dataset fails schema inference,
+    # hence the _live_epochs guards.
+    latest = touched = None
     if any(floor < e <= gen_now for e in _live_epochs(root, "applied")):
-        applied = spark.read.parquet(applied_dir).filter(
+        applied = spark.read.parquet(os.path.join(root, "applied")).filter(
             (F.col("epoch") > floor) & (F.col("epoch") <= gen_now)
         )
         w = Window.partitionBy(id_col).orderBy(F.col("epoch").desc())
@@ -252,51 +261,153 @@ def _corpus_at(spark: SparkSession, root: str, ptr: dict) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .select(id_col, vec_col, "epoch")
         )
-        corpus = (
-            base.join(latest.select(id_col), id_col, "left_anti")
-            # base rows predate every LIVE removal/upsert: stamp = floor
-            .select(id_col, vec_col, F.lit(floor).alias("epoch"))
-            .unionByName(latest)
-        )
-    else:
-        corpus = base.select(id_col, vec_col, F.lit(floor).alias("epoch"))
-    removed_dir = os.path.join(root, "removed")
+        touched = applied.select(id_col)
     if any(floor < e <= gen_now for e in _live_epochs(root, "removed")):
-        rmax = (
-            spark.read.parquet(removed_dir)
+        removed = (
+            spark.read.parquet(os.path.join(root, "removed"))
             .filter((F.col("epoch") > floor) & (F.col("epoch") <= gen_now))
             .select(id_col, F.col("epoch").alias("__del_gen"))
-            .groupBy(id_col)
-            .agg(F.max("__del_gen").alias("__del_gen"))
         )
-        corpus = (
-            corpus.join(rmax, id_col, "left")
-            .filter(
-                F.col("__del_gen").isNull()
-                | (F.col("epoch") >= F.col("__del_gen"))
+        touched = (
+            removed.select(id_col)
+            if touched is None
+            else touched.unionByName(removed.select(id_col))
+        )
+        if latest is not None:
+            rmax = removed.groupBy(id_col).agg(
+                F.max("__del_gen").alias("__del_gen")
             )
-            .drop("__del_gen")
+            latest = (
+                latest.join(rmax, id_col, "left")
+                .filter(
+                    F.col("__del_gen").isNull()
+                    | (F.col("epoch") >= F.col("__del_gen"))
+                )
+                .drop("__del_gen")
+            )
+    corpus = base.select(id_col, vec_col)
+    if touched is not None:
+        corpus = corpus.join(touched, id_col, "left_anti")
+    if latest is not None:
+        corpus = corpus.unionByName(latest.select(id_col, vec_col))
+    return corpus
+
+
+def _graph_committed_gens(root: str, floor: int, head: int) -> set[int]:
+    """The still-readable committed generations: the full base snapshot
+    at ``floor`` plus every live delta epoch in (floor, head]."""
+    return {floor} | {
+        e for e in _live_epochs(root, "graph_delta") if floor < e <= head
+    }
+
+
+def _graph_at(
+    spark: SparkSession, root: str, ptr: dict, gen: int | None = None
+) -> DataFrame:
+    """Reconstruct the graph AS OF ``gen`` (default: the committed
+    head) from the DELTA-GENERATION layout (optimization r15): one full
+    bucket-partitioned snapshot at the pointer's ``graph_base_gen``
+    floor (``save_knn_graph`` — generation 0 at init, or the floor a
+    ``vacuum_generations`` rebase materialized) plus one churn-sized
+    ``graph_delta/epoch=<g>/`` dir per committed generation. A delta
+    epoch carries (a) the CHANGED ids' full new lists and (b) rnk-NULL
+    MARKER rows for ids whose stored list that epoch invalidated
+    (deleted or recomputed). Latest-mention-wins per id: rows of the
+    max mention epoch, markers filtered out — a marker beaten by a
+    same-epoch or later list loses (replace/re-insert), a marker as the
+    last word kills the id (delete), untouched ids read from the base.
+    Row-identical to the full snapshot the pre-r15 layout persisted per
+    generation, at churn-sized instead of corpus-sized write volume per
+    micro-batch. Staged crash orphans (epoch > head) are invisible by
+    the epoch filter, exactly as every ledger table."""
+    id_col = ptr["id_col"]
+    head = int(ptr["generation"])
+    if gen is None:
+        gen = head
+    floor = int(ptr.get("graph_base_gen", 0) or 0)
+    base = S.load_knn_graph(spark, _graph_gen_path(root, floor))
+    eps = [e for e in _live_epochs(root, "graph_delta") if floor < e <= gen]
+    if not eps:
+        return base
+    d = spark.read.parquet(os.path.join(root, "graph_delta")).filter(
+        (F.col("epoch") > floor) & (F.col("epoch") <= gen)
+    )
+    if len(eps) > 1:
+        # latest mention wins — one churn-sized window shuffle
+        w = Window.partitionBy(id_col)
+        alive = (
+            d.withColumn("__me", F.max("epoch").over(w))
+            .filter(
+                (F.col("epoch") == F.col("__me")) & F.col("rnk").isNotNull()
+            )
+            .select(id_col, "rnk", "neighbor", "cos_sim")
         )
-    return corpus.drop("epoch")
+    else:  # one live epoch: its rows ARE the latest mentions, no window
+        alive = d.filter(F.col("rnk").isNotNull()).select(
+            id_col, "rnk", "neighbor", "cos_sim"
+        )
+    # no distinct on the anti-join side: left_anti tolerates duplicate
+    # keys, and the dedup would cost its own exchange (AQE job) per
+    # execution of this plan
+    return base.join(
+        d.select(id_col), id_col, "left_anti"
+    ).unionByName(alive)
+
+
+def _write_graph_delta(
+    spark,
+    root: str,
+    epoch: int,
+    delta: DataFrame,
+    marker_ids,
+    id_col: str,
+    marker_df: DataFrame | None = None,
+) -> None:
+    """Stage one graph delta epoch (overwrite-idempotent, invisible
+    until the pointer flip): the changed rows' new lists unioned with
+    rnk-NULL marker rows for every id whose stored list this epoch
+    invalidates — ``marker_ids`` is the verbs' driver-side recompute
+    list, ``marker_df`` the CDC arms' batch-sized delete-id frame. One
+    write executes the fold's merged plan once; at 100 TB the bytes
+    written per micro-batch are churn-sized, never corpus-sized."""
+    parts = [delta]
+    nulls = (
+        F.lit(None).cast("int").alias("rnk"),
+        F.lit(None).cast("long").alias("neighbor"),
+        F.lit(None).cast("double").alias("cos_sim"),
+    )
+    if marker_ids:
+        parts.append(
+            spark.createDataFrame(
+                [(int(i),) for i in sorted(marker_ids)], f"{id_col} long"
+            ).select(id_col, *nulls)
+        )
+    if marker_df is not None:
+        parts.append(marker_df.select(id_col, *nulls))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(_epoch_path(root, "graph_delta", epoch))
 
 
 def load_synced_graph(
     spark: SparkSession, root: str, as_of_generation: int | None = None
 ) -> DataFrame:
-    """The committed graph: pointer → generation dir → ``load_knn_graph``.
-    ``as_of_generation`` time-travels to any still-retained generation
-    (each generation dir is a complete graph snapshot; ``vacuum_
-    generations`` is what ends a generation's readability)."""
+    """The committed graph: pointer → base snapshot + delta epochs →
+    ``_graph_at``. ``as_of_generation`` time-travels to any
+    still-retained generation (readable while its floor snapshot and
+    the delta epochs up to it are retained; ``vacuum_generations`` is
+    what ends a generation's readability)."""
     ptr = read_index_pointer(root)
     gen = _resolve_as_of(ptr, "generation", as_of_generation)
-    path = _graph_gen_path(root, gen)
-    if not os.path.isdir(path):
+    floor = int(ptr.get("graph_base_gen", 0) or 0)
+    if gen not in _graph_committed_gens(root, floor, int(ptr["generation"])):
         raise ValueError(
             f"generation {gen} was vacuumed (vacuum_generations keeps "
             "only recent ones) — time travel reaches retained "
             "generations only"
         )
-    return S.load_knn_graph(spark, path)
+    return _graph_at(spark, root, ptr, gen)
 
 
 def sync_knn_graph_stream(
@@ -321,27 +432,38 @@ def sync_knn_graph_stream(
         id_col, vec_col, k = ptr["id_col"], ptr["vec_col"], ptr["k"]
         updates = batch_df.select(id_col, vec_col)
         corpus_before = _corpus_at(spark, root, ptr)
-        prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
-        new_graph = S.knn_graph_upsert(
-            corpus_before,
-            updates,
-            id_col,
-            vec_col,
-            k,
-            n_blocks=ptr["n_blocks"],
-            base_graph=prev,
-        )
-        S.save_knn_graph(
-            new_graph, _graph_gen_path(root, gen), id_col,
-            n_buckets=ptr["n_buckets"],
-        )
-        # the applied log is an epoch-keyed ledger table: staged
-        # overwrite-idempotently at the COMMITTING generation, so a
-        # replay overwrites its own orphan and the pre-commit sweep
-        # can clear a crashed verb's dir at this number
-        updates.write.mode("overwrite").parquet(
-            _epoch_path(root, "applied", gen)
-        )
+        # persist the reconstructed graph for THIS fold's lifetime: the
+        # verb references it from the affected probe AND the keep
+        # stream (two actions), and re-executing the delta fold's
+        # window + anti-join per action is pure AQE job inflation —
+        # the fenced-batch persist precedent (optimization r14/r15)
+        prev = _graph_at(spark, root, ptr).persist()
+        try:
+            # DELTA GENERATION (optimization r15): the verb emits only
+            # the changed ids' new lists + the recompute-id markers;
+            # the write per epoch is churn-sized, never the
+            # corpus-sized N·k table the pre-r15 layout re-saved per
+            # micro-batch
+            delta, rec_ids = S.knn_graph_upsert(
+                corpus_before,
+                updates,
+                id_col,
+                vec_col,
+                k,
+                n_blocks=ptr["n_blocks"],
+                base_graph=prev,
+                delta_only=True,
+            )
+            _write_graph_delta(spark, root, gen, delta, rec_ids, id_col)
+            # the applied log is an epoch-keyed ledger table: staged
+            # overwrite-idempotently at the COMMITTING generation, so a
+            # replay overwrites its own orphan and the pre-commit sweep
+            # can clear a crashed verb's dir at this number
+            updates.write.mode("overwrite").parquet(
+                _epoch_path(root, "applied", gen)
+            )
+        finally:
+            prev.unpersist()
         return {"generation": gen}
 
     EpochLedger(root, {}).drain(
@@ -396,33 +518,39 @@ def sync_knn_graph_cdc_stream(
             ops.unpersist()
             return {}  # empty batch: bookkeeping only, generation holds
         corpus = _corpus_at(spark, root, ptr)
-        graph = S.load_knn_graph(
-            spark, _graph_gen_path(root, ptr["generation"])
-        )
-        # ONE fused affected-set pass for both sides of the batch
-        # (optimization r14 — previously delete-then-upsert: two full
-        # corpus passes, two probes, two merge windows and an eager
-        # localCheckpoint of the intermediate repaired graph; the fused
-        # form is bit-identical, see knn_graph_apply_cdc's theorem)
-        graph = S.knn_graph_apply_cdc(
-            corpus,
-            dels if n_del else None,
-            upserts if n_up else None,
-            id_col, vec_col, k,
-            n_blocks=ptr["n_blocks"], base_graph=graph,
-        )
-        S.save_knn_graph(
-            graph, _graph_gen_path(root, gen), id_col,
-            n_buckets=ptr["n_buckets"],
-        )
-        if n_up:
-            upserts.write.mode("overwrite").parquet(
-                _epoch_path(root, "applied", gen)
+        # fold-lifetime persist: probe + keep are separate actions
+        graph = _graph_at(spark, root, ptr).persist()
+        try:
+            # ONE fused affected-set pass for both sides of the batch
+            # (optimization r14 — previously delete-then-upsert: two
+            # full corpus passes, two probes, two merge windows and an
+            # eager localCheckpoint of the intermediate repaired graph;
+            # the fused form is bit-identical, see knn_graph_apply_cdc's
+            # theorem). DELTA GENERATION (optimization r15): only the
+            # changed rows + tombstone markers (deletes ∪ recompute
+            # set) land on disk
+            delta, rec_ids = S.knn_graph_apply_cdc(
+                corpus,
+                dels if n_del else None,
+                upserts if n_up else None,
+                id_col, vec_col, k,
+                n_blocks=ptr["n_blocks"], base_graph=graph,
+                delta_only=True,
             )
-        if n_del:
-            dels.write.mode("overwrite").parquet(
-                _epoch_path(root, "removed", gen)
+            _write_graph_delta(
+                spark, root, gen, delta, rec_ids, id_col,
+                marker_df=dels if n_del else None,
             )
+            if n_up:
+                upserts.write.mode("overwrite").parquet(
+                    _epoch_path(root, "applied", gen)
+                )
+            if n_del:
+                dels.write.mode("overwrite").parquet(
+                    _epoch_path(root, "removed", gen)
+                )
+        finally:
+            graph.unpersist()
         ops.unpersist()
         return {"generation": gen}
 
@@ -1127,16 +1255,16 @@ def sync_knn_graph_ivf_stream(
         postings = _synced_postings(
             spark, led, ptr, ptr["max_epoch"], id_col
         ).drop("epoch")
-        prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
+        prev = _graph_at(spark, root, ptr)
         updates = batch_df.select(id_col, vec_col)
-        new_graph = S_.knn_graph_ivf_fold(
+        # DELTA GENERATION (optimization r15): appends change only the
+        # new ids' lists + corpus rows that admitted a batch neighbor —
+        # exactly what lands on disk (no markers: nothing is evicted)
+        delta, _ = S_.knn_graph_ivf_fold(
             postings, centers, updates, id_col, vec_col, k,
-            n_probes=ptr["n_probes"], base_graph=prev,
+            n_probes=ptr["n_probes"], base_graph=prev, delta_only=True,
         )
-        S_.save_knn_graph(
-            new_graph, _graph_gen_path(root, epoch), id_col,
-            n_buckets=ptr["n_buckets"],
-        )
+        _write_graph_delta(spark, root, epoch, delta, [], id_col)
         led.write_epoch(
             updates.select(
                 F.col(id_col),
@@ -1235,17 +1363,23 @@ def delete_graph_ids(
         ).select(id_col, vec_col)
     else:
         corpus = _corpus_at(spark, root, ptr)
-    prev = S.load_knn_graph(spark, _graph_gen_path(root, ptr["generation"]))
-    repaired = S.knn_graph_delete(
-        corpus, dels, id_col, vec_col, k,
-        n_blocks=int(ptr.get("n_blocks", 8)),
-        base_graph=prev,
-        max_affected=max_affected,
-    )
-    S.save_knn_graph(
-        repaired, _graph_gen_path(root, new_gen), id_col,
-        n_buckets=ptr["n_buckets"],
-    )
+    # fold-lifetime persist: probe + keep are separate actions
+    prev = _graph_at(spark, root, ptr).persist()
+    try:
+        # DELTA GENERATION (optimization r15): stage only the affected
+        # rows' repaired lists + markers for the deleted/affected ids
+        delta, aff_ids = S.knn_graph_delete(
+            corpus, dels, id_col, vec_col, k,
+            n_blocks=int(ptr.get("n_blocks", 8)),
+            base_graph=prev,
+            max_affected=max_affected,
+            delta_only=True,
+        )
+        _write_graph_delta(
+            spark, root, new_gen, delta, aff_ids, id_col, marker_df=dels
+        )
+    finally:
+        prev.unpersist()
     if is_ivf:
         EpochLedger(root, {"deletes": None}).write_epoch(
             dels, "deletes", new_gen
@@ -1320,50 +1454,89 @@ def sync_knn_graph_ivf_cdc_stream(
         if not n_tomb and not n_up:
             ops.unpersist()
             return {}  # empty batch: bookkeeping only
-        graph = S_.load_knn_graph(
-            spark, _graph_gen_path(root, ptr["generation"])
-        )
-        if n_tomb:
-            # committed corpus BEFORE this epoch's tombstones — the
-            # repair needs the doomed rows present (survivors = old −
-            # deletes); reads filter epoch ≤ the old head, so the
-            # staged epoch below stays invisible to them
-            corpus = _synced_postings(
-                spark, led, ptr, ptr["max_epoch"], id_col
-            ).select(id_col, vec_col)
-            led.write_epoch(tomb, "deletes", epoch)
-            graph = S_.knn_graph_delete(
-                corpus, tomb, id_col, vec_col, k,
-                n_blocks=int(ptr.get("n_blocks", 8)), base_graph=graph,
-            ).localCheckpoint(eager=True)
-        if n_up:
-            # candidate fetch: committed postings MINUS this epoch's
-            # tombstones (frames at the staged epoch see them), so a
-            # replaced version never re-enters as a neighbor
-            postings_now = _apply_tombstones(
-                spark, led, ptr, epoch,
-                led.frames(spark, "postings", ptr, ptr["max_epoch"]),
-                id_col,
-            ).drop("epoch")
-            graph = S_.knn_graph_ivf_fold(
-                postings_now, centers, upserts, id_col, vec_col, k,
-                n_probes=ptr["n_probes"], base_graph=graph,
+        # fold-lifetime persist: the reconstructed graph feeds the
+        # delete probe, the keep stream, the repaired-graph build and
+        # the routed insert — re-executing the delta fold per action
+        # is pure AQE job inflation
+        graph = _graph_at(spark, root, ptr).persist()
+        base_handle = graph
+        # DELTA GENERATION (optimization r15): each stage emits only
+        # its changed rows; the eager localCheckpoint between the
+        # repair and the routed insert materializes a CHURN-sized
+        # delta now, not the full repaired graph
+        delta1 = None
+        aff1: list = []
+        try:
+            if n_tomb:
+                # committed corpus BEFORE this epoch's tombstones — the
+                # repair needs the doomed rows present (survivors = old
+                # − deletes); reads filter epoch ≤ the old head, so the
+                # staged epoch below stays invisible to them
+                corpus = _synced_postings(
+                    spark, led, ptr, ptr["max_epoch"], id_col
+                ).select(id_col, vec_col)
+                led.write_epoch(tomb, "deletes", epoch)
+                delta1, aff1 = S_.knn_graph_delete(
+                    corpus, tomb, id_col, vec_col, k,
+                    n_blocks=int(ptr.get("n_blocks", 8)), base_graph=graph,
+                    delta_only=True,
+                )
+                delta1 = delta1.localCheckpoint(eager=True)
+                # the repaired graph the insert stage folds into: stored
+                # lists minus the invalidated ids, plus repaired lists
+                invalid = tomb.unionByName(
+                    spark.createDataFrame(
+                        [(int(i),) for i in aff1], f"{id_col} long"
+                    )
+                )
+                graph = graph.join(
+                    invalid, id_col, "left_anti"
+                ).unionByName(delta1)
+            delta2 = None
+            if n_up:
+                # candidate fetch: committed postings MINUS this epoch's
+                # tombstones (frames at the staged epoch see them), so a
+                # replaced version never re-enters as a neighbor
+                postings_now = _apply_tombstones(
+                    spark, led, ptr, epoch,
+                    led.frames(spark, "postings", ptr, ptr["max_epoch"]),
+                    id_col,
+                ).drop("epoch")
+                delta2, _ = S_.knn_graph_ivf_fold(
+                    postings_now, centers, upserts, id_col, vec_col, k,
+                    n_probes=ptr["n_probes"], base_graph=graph,
+                    delta_only=True,
+                )
+                delta2 = delta2.localCheckpoint(eager=True)
+            # one delta epoch for the whole batch: insert-stage rows win
+            # over repair-stage rows for the same id (computed ON TOP of
+            # the repair), markers cover tombstoned ∪ affected; no
+            # distinct on the anti side — left_anti tolerates dup keys
+            if delta1 is not None and delta2 is not None:
+                delta = delta2.unionByName(
+                    delta1.join(
+                        delta2.select(id_col), id_col, "left_anti"
+                    )
+                )
+            else:
+                delta = delta2 if delta2 is not None else delta1
+            _write_graph_delta(
+                spark, root, epoch, delta, aff1, id_col,
+                marker_df=tomb if n_tomb else None,
             )
-        S_.save_knn_graph(
-            graph, _graph_gen_path(root, epoch), id_col,
-            n_buckets=ptr["n_buckets"],
-        )
-        led.write_epoch(
-            upserts.select(
-                F.col(id_col),
-                F.col(vec_col),
-                S_.centroid_assign_udf(centers)(F.col(vec_col)).alias(
-                    "cluster"
+            led.write_epoch(
+                upserts.select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    S_.centroid_assign_udf(centers)(F.col(vec_col)).alias(
+                        "cluster"
+                    ),
                 ),
-            ),
-            "postings",
-            epoch,
-        )
+                "postings",
+                epoch,
+            )
+        finally:
+            base_handle.unpersist()
         ops.unpersist()
         return {"generation": epoch, "max_epoch": epoch}
 
@@ -2273,24 +2446,52 @@ def load_synced_dedup_pairs(
     return pairs.drop("epoch")
 
 
-def vacuum_generations(root: str, keep_last: int = 1) -> int:
-    """Drop graph generations older than the newest ``keep_last`` at or
-    below the pointer — the retention knob that keeps the root from
-    accumulating one corpus-sized graph per epoch. Never touches the
-    committed generation or anything staged above it."""
+def vacuum_generations(
+    spark: SparkSession, root: str, keep_last: int = 1
+) -> int:
+    """End the readability of graph generations older than the newest
+    ``keep_last`` — the retention knob for the DELTA-GENERATION layout
+    (optimization r15): readable generations are the pointer's
+    ``graph_base_gen`` full snapshot plus one churn-sized delta epoch
+    per commit, so dropping history means REBASING — materialize the
+    oldest KEPT generation as a new full snapshot (one corpus-sized
+    write, paid per vacuum instead of per micro-batch as the pre-r15
+    layout did), flip ``graph_base_gen``, then drop the old snapshot
+    and the folded delta epochs. Crash-safe like every verb: the
+    staged snapshot is invisible until the flip (readers resolve the
+    floor from the pointer), a retry overwrites it. Never touches
+    anything staged above the committed head. Returns the number of
+    generations whose readability ended."""
     import shutil
 
     ptr = read_index_pointer(root)
+    head = int(ptr["generation"])
+    floor = int(ptr.get("graph_base_gen", 0) or 0)
+    committed = sorted(_graph_committed_gens(root, floor, head))
+    kept = committed[-keep_last:] if keep_last else committed[-1:]
+    new_floor = kept[0]
+    doomed = [g for g in committed if g < new_floor]
+    if not doomed:
+        return 0
+    if new_floor != floor:
+        snap = _graph_at(spark, root, ptr, new_floor)
+        S.save_knn_graph(
+            snap, _graph_gen_path(root, new_floor), ptr["id_col"],
+            n_buckets=ptr["n_buckets"],
+        )
+        _flip_pointer(root, {**ptr, "graph_base_gen": new_floor})
     graph_dir = os.path.join(root, "graph")
-    gens = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(graph_dir)
-        if d.startswith("gen=")
-    )
-    committed = [g for g in gens if g <= ptr["generation"]]
-    doomed = committed[:-keep_last] if keep_last else committed[:-1]
-    for g in doomed:
-        shutil.rmtree(_graph_gen_path(root, g))
+    for d in os.listdir(graph_dir):
+        if not d.startswith("gen="):
+            continue
+        g = int(d.split("=", 1)[1])
+        # every other snapshot at or below the head is dead weight —
+        # the superseded floor, or a crash orphan no reader resolves
+        if g <= head and g != new_floor:
+            shutil.rmtree(os.path.join(graph_dir, d))
+    for e in _live_epochs(root, "graph_delta"):
+        if e <= new_floor:
+            shutil.rmtree(_epoch_path(root, "graph_delta", e))
     return len(doomed)
 
 
@@ -2424,7 +2625,7 @@ def maintain_root(
             out["compacted_epochs"] = rebase_graph_corpus(spark, root)
             out["vacuumed_dirs"] = vacuum_graph_logs(root)
         out["generations_dropped"] = vacuum_generations(
-            root, keep_last=keep_generations
+            spark, root, keep_last=keep_generations
         )
         return out
     head = int(ptr["max_epoch"])
@@ -2456,7 +2657,7 @@ def maintain_root(
             out["vacuumed_dirs"] = vacuum_ivf_epochs(root)
     if kind == "graph_ivf":
         out["generations_dropped"] = vacuum_generations(
-            root, keep_last=keep_generations
+            spark, root, keep_last=keep_generations
         )
     return out
 

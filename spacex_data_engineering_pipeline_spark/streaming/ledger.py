@@ -236,6 +236,7 @@ LEDGER_TABLES = frozenset(
         "df", "stats", "doclog",                # BM25
         "moments",                              # PCA
         "applied", "removed",                   # plain graph roots' logs
+        "graph_delta",                          # graph delta generations
         "sources",                              # drained-source fence
     }
 )

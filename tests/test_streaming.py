@@ -1206,12 +1206,110 @@ def test_streaming_knn_graph_sync_crash_restart(spark, sf_dir, tmp_path):
     )
 
     # retention: drop all pre-pointer generations, keep the committed one
-    assert index_sync.vacuum_generations(root, keep_last=1) == 3
+    assert index_sync.vacuum_generations(spark, root, keep_last=1) == 3
     assert sorted(os.listdir(os.path.join(root, "graph"))) == ["gen=3"]
     assert {
         (r.vec_id, r.rnk)
         for r in index_sync.load_synced_graph(spark, root).collect()
     } == set(truth)
+
+
+def test_graph_delta_write_volume_tracks_churn(spark, sf_dir, tmp_path):
+    """DELTA GENERATIONS (optimization r15): a graph fold's durable
+    write per epoch is CHURN-sized, never corpus-sized — the full N·k
+    edge table is written exactly once (generation 0) and each
+    micro-batch stages only the changed ids' new lists plus rnk-NULL
+    invalidation markers. Pins: (1) no full snapshot dir appears per
+    commit; (2) per-epoch delta ROW COUNTS are bounded by the batch's
+    churn (upserted ∪ affected ∪ admitted), a small multiple of
+    |batch|·k, while the full graph is N·k; (3) the folded view is
+    bit-identical to the rebuild (the oracle contract the catalog
+    entries grade)."""
+    import os
+
+    from spacex_data_engineering_pipeline_spark.operators import similarity as S
+    from spacex_data_engineering_pipeline_spark.streaming import index_sync
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 400))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    n = emb.count()
+    k = 4
+    base = emb.filter(F.col("vec_id") % 20 != 0)
+    batches = [
+        emb.filter(F.col("vec_id") % 60 == off).select(
+            "vec_id",
+            (F.reverse("embedding") if off else F.col("embedding")).alias(
+                "embedding"
+            ),
+        )
+        for off in (0, 20, 40)
+    ]
+    root = str(tmp_path / "index")
+    src = tmp_path / "src"
+    src.mkdir()
+    index_sync.init_knn_graph_root(
+        base, root, "vec_id", "embedding", k=k, n_blocks=4, n_buckets=8
+    )
+    for i, b in enumerate(batches):
+        staged = str(tmp_path / f"st{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = src / f"batch{i:04d}.parquet"
+        os.replace(os.path.join(staged, part), str(dst))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_sync.sync_knn_graph_stream(
+        spark, str(src), batches[0].schema, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # (1) one full snapshot only — folds never re-save the graph
+    assert sorted(
+        d for d in os.listdir(os.path.join(root, "graph"))
+        if d.startswith("gen=")
+    ) == ["gen=0"]
+    assert sorted(index_sync._live_epochs(root, "graph_delta")) == [1, 2, 3]
+    # (2) per-epoch writes are churn-sized: every batch is ~n/60 ids,
+    # churn ≈ batch + rows that admitted a batch neighbor; the pre-r15
+    # layout wrote the full n·k table PER FOLD (3·n·k rows across the
+    # drain) — the delta layout's three epochs together stay under ONE full
+    # snapshot's rows, and each epoch touches a small fraction of ids
+    full_rows = n * k
+    total = 0
+    for e in (1, 2, 3):
+        d = spark.read.parquet(
+            os.path.join(root, "graph_delta", f"epoch={e}")
+        )
+        rows = d.count()
+        changed = d.select("vec_id").distinct().count()
+        total += rows
+        assert rows < full_rows / 3, (e, rows, full_rows)
+        assert changed <= n // 4, (e, changed, n)
+    assert total < full_rows, (total, full_rows)
+    # (3) folded view ≡ rebuild over the final corpus
+    upd_ids = {int(r["vec_id"]) for b in batches for r in b.collect()}
+    final = (
+        base.filter(~F.col("vec_id").isin(list(upd_ids)))
+        .unionByName(batches[0])
+        .unionByName(batches[1])
+        .unionByName(batches[2])
+    )
+    truth = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in S.knn_graph(
+            final, "vec_id", "embedding", k=k, n_blocks=4
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.rnk): (r.neighbor, r.cos_sim)
+        for r in index_sync.load_synced_graph(spark, root).collect()
+    }
+    assert got == truth
 
 
 def test_streaming_ivf_index_sync_crash_restart(spark, sf_dir, tmp_path):
@@ -2446,7 +2544,7 @@ def test_synced_artifact_time_travel(spark, sf_dir, tmp_path):
     )
     gen1 = index_sync.load_synced_graph(spark, g_root, as_of_generation=1)
     assert gen1.count() > 0
-    index_sync.vacuum_generations(g_root, keep_last=1)
+    index_sync.vacuum_generations(spark, g_root, keep_last=1)
     with pytest.raises(ValueError, match="vacuumed"):
         index_sync.load_synced_graph(spark, g_root, as_of_generation=1)
 
@@ -4957,10 +5055,18 @@ def test_maintain_root_policy_per_kind(spark, sf_dir, tmp_path):
         d for d in os.listdir(os.path.join(groot, "graph"))
         if d.startswith("gen=")
     )
-    assert len(gens()) == 3  # base + two folds
+    # delta-generation layout: ONE full snapshot (the init base) + one
+    # churn-sized delta epoch per fold — never a full graph per commit
+    assert gens() == ["gen=0"]
+    assert sorted(
+        index_sync._live_epochs(groot, "graph_delta")
+    ) == [1, 2]
     rep = index_sync.maintain_root(spark, groot, keep_generations=1)
     assert rep["kind"] == "graph" and rep["generations_dropped"] == 2
+    # the vacuum REBASED: head materialized as the new full snapshot,
+    # the old base and the folded delta epochs physically dropped
     assert gens() == ["gen=2"]
+    assert index_sync._live_epochs(groot, "graph_delta") == []
     # the committed head generation still loads
     assert index_sync.load_synced_graph(spark, groot).count() > 0
 

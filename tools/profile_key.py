@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write {key: {jobs, stages, min_s, runs}} to this path "
+        "— job/stage counts are the load-independent round-over-round "
+        "signal (JOBS_local.json is the committed artifact)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -56,6 +63,7 @@ def main() -> None:
     _warm_streaming(spark)
     jsc = spark.sparkContext._jsc
 
+    results = {}
     for name in args.keys:
         fn = QUERIES[name]
         best, runs = float("inf"), []
@@ -86,6 +94,17 @@ def main() -> None:
             f"jobs/run={jobs} stages/run={stages}",
             flush=True,
         )
+        results[name] = {
+            "jobs": jobs,
+            "stages": stages,
+            "min_s": round(best, 3),
+            "runs": runs,
+        }
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     spark.stop()
 
 
