@@ -38,11 +38,15 @@ from spacex_data_engineering_pipeline_spark.streaming.ledger import (
 
 
 def _bm25_ledger(root: str) -> EpochLedger:
+    # no "df" table since optimization r15: per-term document frequency
+    # is DERIVED at query time from the folded postings (postings hold
+    # exactly one signed row per (doc, term) version, so live df = the
+    # count of positive-sum rows per term — exact at every as-of
+    # prefix). One less table to write per epoch, compact, and vacuum.
     return EpochLedger(
         root,
         {
             "postings": "__tbucket",
-            "df": "__tbucket",
             "stats": None,
             "doclog": "__dbucket",
         },
@@ -61,10 +65,14 @@ def _term_bucket(term_expr, n_buckets: int):
 def _bm25_epoch_tables(
     df: DataFrame, id_col: str, text_col: str, n_buckets: int
 ):
-    """ONE tokenize pass over a document set → the three BM25 ledger
-    tables: postings (term, doc, tf, dl — per distinct (doc, term)),
-    dfreq (term, df — this set's document frequency), stats (one row:
-    n_docs, sum_dl). Tokenization is the catalog's ``words()`` so the
+    """ONE tokenize pass over a document set → the BM25 ledger tables:
+    postings (term, doc, tf, dl — per distinct (doc, term)) and stats
+    (one row: n_docs, sum_dl). Per-term document frequency is NOT a
+    stored table since optimization r15 — postings carry exactly one
+    row per (doc, term), so df is derived at query time as a row count
+    over the folded postings (the second explode + distinct shuffle of
+    the token stream this used to pay per epoch is gone, and so is the
+    df epoch write). Tokenization is the catalog's ``words()`` so the
     synced index ranks bit-identically to the batch scorer and its
     DuckDB oracle."""
     from spacex_data_engineering_pipeline_spark.functions.text import words
@@ -80,25 +88,13 @@ def _bm25_epoch_tables(
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .withColumn("__tbucket", _term_bucket(F.col("term"), n_buckets))
     )
-    # dfreq DERIVED from postings (optimization r15): postings already
-    # holds exactly one row per distinct (doc, term), so df per term is
-    # a row count over it — the second explode + distinct shuffle of
-    # the token stream this used to pay per epoch is gone (guide §1.2);
-    # grouping by (term, __tbucket) reuses the computed hash (bucket is
-    # functional on term). Folds persist batch-sized postings so this
-    # reads the cache; the one-time init recomputes, cost-neutral.
-    dfreq = (
-        postings.groupBy("term", "__tbucket")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select("term", "df", "__tbucket")
-    )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         # coalesce: an all-delete CDC batch has ZERO new docs, and a
         # null sum would poison the additive stats fold
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
-    return postings, dfreq, stats, docs
+    return postings, stats, docs
 
 
 def _bm25_doclog_rows(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -143,11 +139,10 @@ def init_bm25_root(
     updated/deleted docs)."""
     os.makedirs(root, exist_ok=True)
     led = _bm25_ledger(root)
-    postings, dfreq, stats, docs = _bm25_epoch_tables(
+    postings, stats, docs = _bm25_epoch_tables(
         corpus, id_col, text_col, term_buckets
     )
     led.write_epoch(postings, "postings", 0)
-    led.write_epoch(dfreq, "df", 0)
     led.write_epoch(stats, "stats", 0)
     led.write_epoch(_bm25_doclog_rows(docs, doc_buckets), "doclog", 0)
     docs.unpersist()
@@ -190,21 +185,15 @@ def sync_bm25_index_stream(
     led = _bm25_ledger(root)
 
     def fold(ptr: dict, epoch: int, batch_df: DataFrame) -> dict:
-        postings, dfreq, stats, docs = _bm25_epoch_tables(
+        postings, stats, docs = _bm25_epoch_tables(
             batch_df, ptr["id_col"], ptr["text_col"], ptr["term_buckets"]
         )
-        # batch-sized: the postings write materializes the cache and
-        # the derived-dfreq write reads it back instead of re-running
-        # the tokenize + (doc, term) shuffle (optimization r15)
-        postings = postings.persist()
         led.write_epoch(postings, "postings", epoch)
-        led.write_epoch(dfreq, "df", epoch)
         led.write_epoch(stats, "stats", epoch)
         if "doc_buckets" in ptr:  # legacy roots have no doc log
             led.write_epoch(
                 _bm25_doclog_rows(docs, ptr["doc_buckets"]), "doclog", epoch
             )
-        postings.unpersist()
         docs.unpersist()
         return {"max_epoch": epoch}
 
@@ -353,7 +342,7 @@ def sync_bm25_cdc_stream(
             buckets=list(card["bks"] or []),
         )
         # positive tables from the batch's upserted (non-delete) rows
-        postings, dfreq, stats, docs = _bm25_epoch_tables(
+        postings, stats, docs = _bm25_epoch_tables(
             ops.filter(F.col("__op") != "D").select(
                 F.col("doc").alias(id_col), F.col("__text").alias(text_col)
             ),
@@ -372,22 +361,6 @@ def sync_bm25_cdc_stream(
                 )
                 .withColumn("__tbucket", _term_bucket(F.col("term"), tb))
             )
-            # df DERIVED from the signed postings (optimization r15):
-            # one row per (doc, term) with tf's sign marking add vs
-            # remove, so the per-term df movement is a signed row count
-            # — the old version's own explode + distinct shuffle is
-            # gone, and the epoch carries ONE net df row per term
-            # (readers fold SUMS, so net rows reconstruct identically,
-            # as-of included; the netting compaction's job shrinks too)
-            dfreq = (
-                postings.groupBy("term", "__tbucket")
-                .agg(
-                    F.sum(
-                        F.when(F.col("tf") > 0, F.lit(1)).otherwise(F.lit(-1))
-                    ).alias("df")
-                )
-                .select("term", "df", "__tbucket")
-            )
             stats = stats.unionByName(
                 old.agg(
                     (-F.count(F.lit(1))).alias("n_docs"),
@@ -396,12 +369,7 @@ def sync_bm25_cdc_stream(
                     .alias("sum_dl"),
                 )
             )
-        # batch-sized persist: the postings write materializes one
-        # tokenize + one old-version pass; the derived-dfreq write
-        # reads the cache (optimization r15)
-        postings = postings.persist()
         led.write_epoch(postings, "postings", epoch)
-        led.write_epoch(dfreq, "df", epoch)
         led.write_epoch(stats, "stats", epoch)
         # doc log: new live versions + null-token delete markers
         led.write_epoch(
@@ -418,7 +386,6 @@ def sync_bm25_cdc_stream(
             "doclog",
             epoch,
         )
-        postings.unpersist()
         docs.unpersist()
         if old is not None:
             old.unpersist()
@@ -493,10 +460,15 @@ def bm25_topk_synced(
         }
     )
     # SIGNED fold (the CDC arm writes subtractive tombstone rows): per
-    # (doc, term) tf/dl and per-term df are sums over the as-of epochs,
-    # non-positive results dropped — an updated doc nets to its newest
-    # version, a deleted one to nothing. Insert-only ledgers hit the
-    # same path with single-row groups (query-term-sized shuffle).
+    # (doc, term) tf/dl are sums over the as-of epochs, non-positive
+    # results dropped — an updated doc nets to its newest version, a
+    # deleted one to nothing. Insert-only ledgers hit the same path
+    # with single-row groups (query-term-sized shuffle). Per-term df is
+    # DERIVED from the folded postings (optimization r15): postings
+    # hold one signed row per (doc, term) version, so the live document
+    # frequency is exactly the count of surviving rows per term — no
+    # stored df table, one less ledger read per query, and the
+    # identical subtree lets Spark reuse the folded-postings exchange.
     posts = (
         _ledger_frames(spark, root, "postings", ptr, epoch)
         .filter(F.col("__tbucket").isin(buckets))
@@ -505,14 +477,7 @@ def bm25_topk_synced(
         .agg(F.sum("tf").alias("tf"), F.sum("dl").alias("dl"))
         .filter(F.col("tf") > 0)
     )
-    dfreq = (
-        _ledger_frames(spark, root, "df", ptr, epoch)
-        .filter(F.col("__tbucket").isin(buckets))
-        .filter(F.col("term").isin(list(terms)))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .filter(F.col("df") > 0)
-    )
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # DataFrame-API scorer, NOT session-global temp views: two
     # concurrent synced queries (different roots / as-of points) must
     # not clobber each other's lazy plans. Operation order replicates
@@ -592,13 +557,6 @@ def compact_bm25_epochs(
                 df.groupBy("doc", "term", "__tbucket")
                 .agg(F.sum("tf").alias("tf"), F.sum("dl").alias("dl"))
                 .filter(F.col("tf") > 0)
-                .withColumn("epoch", F.lit(head_).cast("int"))
-            )
-        if table == "df":
-            return (
-                df.groupBy("term", "__tbucket")
-                .agg(F.sum("df").alias("df"))
-                .filter(F.col("df") > 0)
                 .withColumn("epoch", F.lit(head_).cast("int"))
             )
         if table == "stats":

@@ -130,20 +130,36 @@ def main() -> None:
     docs = load_table(spark, SF, "documents").filter(
         F.col("doc_id") % 5 != 0
     )
-    postings, dfreq, stats, dcache = B._bm25_epoch_tables(
-        docs, "doc_id", "text", 16
-    )
-    dump("op_bm25_epoch_postings", postings)
-    # the FOLD persists postings before the epoch writes, so dump the
-    # dfreq plan in that state: after = one aggregate over the cached
-    # postings; before = its own explode + distinct over the tokens
+    tables = B._bm25_epoch_tables(docs, "doc_id", "text", 16)
+    dump("op_bm25_epoch_postings", tables[0])
+    if len(tables) == 4:  # before: a stored dfreq table per epoch
+        try:
+            tables[0].persist()
+            tables[0].count()
+            dump("op_bm25_epoch_dfreq", tables[1])
+        finally:
+            tables[0].unpersist()
+    tables[-1].unpersist()
+    # the QUERY plan: before reads + folds the stored df ledger; after
+    # derives df from the folded postings (one less ledger scan, the
+    # identical subtree reused)
+    import shutil as _sh
+    import tempfile as _tf
+
+    bwork = _tf.mkdtemp(prefix="r15_bm25_plans_")
     try:
-        postings.persist()
-        postings.count()
-        dump("op_bm25_epoch_dfreq", dfreq)
+        broot = os.path.join(bwork, "bm25")
+        from spacex_data_engineering_pipeline_spark.streaming import (
+            index_sync as IS,
+        )
+
+        IS.init_bm25_root(docs, broot, "doc_id", "text")
+        dump(
+            "op_bm25_topk_synced",
+            IS.bm25_topk_synced(spark, broot, ("spark", "vector"), k=10),
+        )
     finally:
-        postings.unpersist()
-    dcache.unpersist()
+        _sh.rmtree(bwork, ignore_errors=True)
 
     # (3) entry plans for the touched keys (returned-frame shape)
     for key in [
